@@ -1,0 +1,54 @@
+"""Testdata catalog: load the driver's parquet tables and register views.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings, one parquet file per table under an sf dir.
+
+Scale note: reads are plain ``spark.read.parquet`` so Catalyst gets full
+predicate pushdown / column pruning / partition pruning on the scan. At
+100 TB the same call points at a partitioned directory tree; nothing here
+assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region=5,
+# nation=25 rows by construction -- TPC-H invariant). Customer/supplier/part
+# grow with SF, so they are NOT on this list; AQE decides for them.
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` works directly."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
