@@ -39,6 +39,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as raw nanos and truncate to microseconds with
+        # integer division (ts div 1000 -- double division would lose
+        # precision at 1e18 ns magnitudes). Matches DuckDB's ns->us
+        # truncation, so oracle comparisons agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

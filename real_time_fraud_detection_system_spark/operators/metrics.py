@@ -1,0 +1,319 @@
+"""Reference-derived analytics: the fraud pipeline's query surface
+re-expressed over the driver's ``events`` table (events stands in for the
+``predictions`` stream sink -- FIXTURES.md section 5).
+
+Column mapping used throughout: ts -> event_time, value -> amount,
+user_id -> customer, event_type 'error' -> a flagged/suspicious event.
+
+Reference parity (file:line cites are to /root/reference):
+  * daily_metrics      -- airflow/dags/compute-daily-metrics.py:19-37 (A4):
+                          per-day COUNT(*) + AVG x3 grouped by DATE(event_time).
+  * freshness_check    -- airflow/dags/Data_quality_checks.py:20-29 (A1/T10):
+                          row count in the trailing 15 minutes.
+  * null_id_check      -- Data_quality_checks.py:31-34 (P14): null-id count.
+  * windowed_rates     -- Data_quality_checks.py:36-40 + grafana last-1h
+                          panels (A6): trailing-hour rate/avg.
+  * hourly_timeseries  -- grafana predictions.json:18 (A5/O2): time-series agg.
+  * recent_topk        -- grafana predictions.json:63 (O1): ORDER BY event_time
+                          DESC LIMIT 50.
+  * heuristic_score    -- fraud_service main.py:100-104,119-121,178 (P6/P7):
+                          amount>1000 -> proba 1.0 else 0.05; label = proba>=0.5.
+  * feature_extract    -- main.py:64,107 (P1/P3): JSON feature projection with
+                          missing-key default 0.0.
+
+"now" anchoring: the reference's NOW()-relative predicates are anchored to
+max(ts) of the table so results are deterministic against static testdata.
+The anchor is a 1-row aggregate cross-joined (broadcast) -- at 100 TB this
+is a cheap scalar subquery on a partition-pruned column, not a full scan
+(parquet max statistics answer it per file).
+
+Scale notes: every query is scan -> pushed filter -> partial agg -> final
+agg; the daily/hourly group-bys shuffle on low-cardinality keys (days,
+hours) which AQE coalesces; no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _with_now(df: DataFrame) -> DataFrame:
+    """Cross-join the deterministic 'now' anchor (max ts, broadcast)."""
+    anchor = df.agg(F.max("ts").alias("now_ts"))
+    return df.crossJoin(F.broadcast(anchor))
+
+
+# --------------------------------------------------------------------------
+def daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: SELECT DATE(event_time) day, COUNT(*), AVG(prediction),
+    AVG(amount), AVG(proba) ... GROUP BY 1 -- compute-daily-metrics.py:19-37,
+    with the heuristic score standing in for the model's outputs."""
+    ev = _events(spark, sf_dir)
+    proba = F.when(F.col("value") > 1000, 1.0).otherwise(0.05)
+    pred = (proba >= 0.5).cast("int")
+    return (
+        ev.withColumn("proba", proba)
+        .withColumn("prediction", pred)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("num_predictions"),
+            F.round(F.avg("prediction"), 6).alias("fraud_rate"),
+            F.round(F.avg("value"), 4).alias("avg_amount"),
+            F.round(F.avg("proba"), 6).alias("avg_proba"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_METRICS_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) AS num_predictions,
+       round(avg(CASE WHEN value > 1000 THEN 1 ELSE 0 END), 6) AS fraud_rate,
+       round(avg(value), 4) AS avg_amount,
+       round(avg(CASE WHEN value > 1000 THEN 1.0 ELSE 0.05 END), 6) AS avg_proba
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+def freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/T10 freshness: COUNT(*) WHERE event_time > now - 15 minutes
+    (Data_quality_checks.py:20-29), now = max(ts)."""
+    ev = _with_now(_events(spark, sf_dir))
+    return (
+        ev.filter(F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 15 MINUTES"))
+        .agg(F.count("*").alias("recent_rows"))
+        .withColumn("fresh", (F.col("recent_rows") >= 1).cast("int"))
+    )
+
+
+FRESHNESS_SQL = """
+SELECT count(*) AS recent_rows,
+       CAST(count(*) >= 1 AS INT) AS fresh
+FROM events
+WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 15 MINUTE
+"""
+
+
+# --------------------------------------------------------------------------
+def null_id_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14/T10: null-id count must be zero (Data_quality_checks.py:31-34)."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.sum(F.col("user_id").isNull().cast("bigint")).alias("null_ids"),
+        F.sum(F.col("event_id").isNull().cast("bigint")).alias("null_event_ids"),
+    )
+
+
+NULL_ID_SQL = """
+SELECT sum(CAST(user_id IS NULL AS BIGINT)) AS null_ids,
+       sum(CAST(event_id IS NULL AS BIGINT)) AS null_event_ids
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+def windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: trailing-1-hour error rate + avg value (fraud-rate DQ check,
+    Data_quality_checks.py:36-40; grafana last-1h stat panels)."""
+    ev = _with_now(_events(spark, sf_dir))
+    recent = ev.filter(
+        F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 1 HOUR")
+    )
+    return recent.agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.coalesce(F.avg((F.col("event_type") == "error").cast("int")), F.lit(0.0)),
+            6,
+        ).alias("error_rate"),
+        F.round(F.coalesce(F.avg("value"), F.lit(0.0)), 4).alias("avg_value"),
+    )
+
+
+WINDOWED_RATES_SQL = """
+SELECT count(*) AS n_events,
+       round(coalesce(avg(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 0.0), 6)
+         AS error_rate,
+       round(coalesce(avg(value), 0.0), 4) AS avg_value
+FROM events
+WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+"""
+
+
+# --------------------------------------------------------------------------
+def hourly_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/O2: time-series aggregation by hour bucket + type
+    (grafana predictions.json:18, GROUP BY event_time ORDER BY 1)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+HOURLY_TIMESERIES_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       event_type,
+       count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_bucket, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+def tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: tumbling event-time windows (the batch twin of the streaming
+    window() aggregation) -- 15-minute buckets via epoch flooring, which is
+    exactly what window(ts, '15 minutes') assigns in streaming mode."""
+    ev = _events(spark, sf_dir)
+    bucket = F.to_timestamp(
+        F.floor(F.unix_timestamp("ts") / 900) * 900
+    )
+    return (
+        ev.groupBy(
+            F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("window_start")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+TUMBLING_15MIN_SQL = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 900) * 900), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+# --------------------------------------------------------------------------
+def recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: ORDER BY event_time DESC LIMIT 50 (grafana predictions.json:63).
+    Catalyst plans TakeOrderedAndProject -- per-partition top-k then a
+    k-row merge on the driver, no global sort (the 100 TB-safe plan)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+RECENT_TOPK_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       user_id, event_type,
+       round(value, 4) AS value
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+def heuristic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7: the no-model fallback scorer applied per event
+    (main.py:100-104: proba = 1.0 if amount > 1000 else 0.05;
+    main.py:178: prediction = int(proba >= 0.5)). Pure JVM-side CASE
+    expression inside whole-stage codegen -- no UDF."""
+    ev = _events(spark, sf_dir)
+    proba = F.when(F.col("value") > 1000, 1.0).otherwise(0.05)
+    return ev.select(
+        "event_id",
+        F.round("value", 4).alias("amount"),
+        F.round(proba, 2).alias("proba"),
+        (proba >= 0.5).cast("int").alias("prediction"),
+    )
+
+
+HEURISTIC_SCORE_SQL = """
+SELECT event_id,
+       round(value, 4) AS amount,
+       round(CASE WHEN value > 1000 THEN 1.0 ELSE 0.05 END, 2) AS proba,
+       CAST(CASE WHEN value > 1000 THEN 1.0 ELSE 0.05 END >= 0.5 AS INT)
+         AS prediction
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3: JSON feature projection with missing-key default 0.0
+    (main.py:64,107: [features.get(k, 0.0) for k in FEATURE_ORDER]).
+    props is the schemaless JSON column; 'k' exists, 'missing' does not."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("double"), F.lit(0.0)
+        ).alias("feat_k"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing").cast("double"), F.lit(0.0)
+        ).alias("feat_missing"),
+    )
+
+
+FEATURE_EXTRACT_SQL = """
+SELECT event_id,
+       coalesce(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0) AS feat_k,
+       coalesce(CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0)
+         AS feat_missing
+FROM events
+"""
+
+
+QUERIES = {
+    "daily_metrics": daily_metrics,
+    "freshness_check": freshness_check,
+    "null_id_check": null_id_check,
+    "windowed_rates": windowed_rates,
+    "hourly_timeseries": hourly_timeseries,
+    "tumbling_15min": tumbling_15min,
+    "recent_topk": recent_topk,
+    "heuristic_score": heuristic_score,
+    "feature_extract": feature_extract,
+}
+
+ORACLE = {
+    "daily_metrics": DAILY_METRICS_SQL,
+    "freshness_check": FRESHNESS_SQL,
+    "null_id_check": NULL_ID_SQL,
+    "windowed_rates": WINDOWED_RATES_SQL,
+    "hourly_timeseries": HOURLY_TIMESERIES_SQL,
+    "tumbling_15min": TUMBLING_15MIN_SQL,
+    "recent_topk": RECENT_TOPK_SQL,
+    "heuristic_score": HEURISTIC_SCORE_SQL,
+    "feature_extract": FEATURE_EXTRACT_SQL,
+}

@@ -1,0 +1,137 @@
+"""Sessionization: gap-based session assignment over the events stream.
+
+Batch twin of streaming ``session_window(ts, gap)``: per user, a new
+session starts when the gap from the previous event exceeds the threshold.
+Classic lag + cumulative-sum-of-boundaries pattern -- two window functions
+over the same (user_id, ts) partitioning, so Catalyst plans ONE shuffle and
+one sort, reused by both windows (check with .explain: a single Exchange).
+
+At 100 TB: the shuffle is keyed by user_id (high cardinality, well spread);
+skewed power-users are handled by AQE skew-split. No state is held beyond
+the sort buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+GAP_MINUTES = 30
+
+
+def sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session ids (user_id, session_seq starting at 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = GAP_MINUTES * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_us)
+    ).cast("bigint")
+    return ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup: events per session, duration, value sum."""
+    return (
+        sessionized(spark, sf_dir)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+USER_SESSIONS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_MINUTES * 60 * 1000000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+       round(sum(value), 4) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats -- the 'how many sessions, how long' report."""
+    return (
+        user_sessions(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+            F.round(F.avg("duration_us"), 6).alias("avg_duration_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSION_SUMMARY_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_MINUTES * 60 * 1000000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_seq,
+         count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       round(avg(n_events), 6) AS avg_events_per_session,
+       round(avg(duration_us), 6) AS avg_duration_us
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "user_sessions": user_sessions,
+    "session_summary": session_summary,
+}
+
+ORACLE = {
+    "user_sessions": USER_SESSIONS_SQL,
+    "session_summary": SESSION_SUMMARY_SQL,
+}
