@@ -1,0 +1,390 @@
+"""Deduplication family over the documents corpus: exact, n-gram Jaccard,
+MinHash + LSH banding, SimHash.
+
+This is the core LLM training-data pipeline surface. Design per operator:
+
+  * exact        -- hash-groupBy on md5(text): one shuffle keyed by digest,
+                    perfectly spread, the 100 TB workhorse.
+  * ngram_jaccard-- exact pairwise Jaccard via shingle equi-join. Correct
+                    but quadratic in bucket size; kept as the verification
+                    primitive and for small candidate sets.
+  * minhash_lsh  -- the scale path: k=8 seeded MinHash signatures, 4 bands
+                    of 2 rows, candidates = pairs sharing a band bucket,
+                    then exact-Jaccard verification of candidates only.
+                    Shuffles are keyed by band bucket (high cardinality);
+                    the quadratic blowup is confined to same-bucket groups,
+                    which the banding makes tiny w.h.p.
+  * simhash      -- 16-bit token-set SimHash; equal-fingerprint buckets and
+                    Hamming<=3 near-pairs via bit_count(xor).
+
+Everything is md5-based so Spark and DuckDB produce bit-identical
+signatures (see functions/text.py); every query here is oracle-checked,
+not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    SHINGLE_N,
+    duck_hex16_expr,
+    duck_minhash_select,
+    duck_shingles_expr,
+    hex16_expr,
+    minhash_agg_cols,
+    shingles_expr,
+)
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 8
+LSH_BANDS = 4  # rows per band = MINHASH_K // LSH_BANDS = 2
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+
+_TOKS = "split(text, ' ')"
+_DUCK_TOKS = "string_split(text, ' ')"
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_expr(_TOKS, SHINGLE_N)
+    return docs.selectExpr(
+        "doc_id", f"explode(array_distinct({sh})) AS shingle"
+    )
+
+
+_DUCK_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)}))
+           AS shingle
+  FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the lowest doc_id.
+    Emits every content group with its canonical keeper and dup count
+    (n_copies = 1 means unique). Streaming twin: dropDuplicates on the
+    digest with a watermark."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("keep_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_id
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard: shingle equi-join counts the
+    intersection; union = |A| + |B| - intersection. Emits pairs at or
+    above JACCARD_THRESHOLD. Integer-exact until the final division, so
+    the threshold compare is bit-identical across engines."""
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+# --------------------------------------------------------------------------
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k seeded MinHash signatures per document (columns s0..s{k-1})."""
+    return (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(*minhash_agg_cols("shingle", MINHASH_K))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding dedup, the 100 TB-scale near-dup path:
+
+      1. signature: one shuffle (groupBy doc) over exploded shingles;
+      2. banding: each doc emits LSH_BANDS (band, md5(sig-slice)) keys;
+      3. candidates: self-equi-join on the band bucket -- only docs agreeing
+         on an entire band collide, so the join is near-linear;
+      4. verification: exact Jaccard on the candidate pairs only.
+
+    Emits verified pairs >= JACCARD_THRESHOLD. False negatives are the
+    LSH tradeoff (pairs no band catches); the oracle runs the identical
+    algorithm so results match exactly."""
+    sig = minhash_signatures(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"s{b * 2 + r}") for r in range(2)])
+            ).alias("bkey"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+    sh = _doc_shingles(spark, sf_dir)
+    sets_ = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shset"), F.count("*").alias("n_sh")
+    )
+    sa = sets_.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("shset").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets_.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("shset").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+_DUCK_BAND_KEYS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(s{b * 2} || '|' || s{b * 2 + 1}) AS bkey FROM sig"
+    for b in range(LSH_BANDS)
+)
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sig AS (
+  SELECT doc_id, {duck_minhash_select('shingle', MINHASH_K)}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({_DUCK_BAND_KEYS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+# --------------------------------------------------------------------------
+def _simhash_select_spark() -> str:
+    """SimHash fingerprint as a single Spark SQL expression over the
+    distinct-token array: per bit, sum +1/-1 votes weighted by each
+    token's 16-bit md5 prefix; set the bit when votes > 0."""
+    toks = f"array_distinct({_TOKS})"
+    h = hex16_expr("x")
+    bits = " + ".join(
+        f"(CASE WHEN aggregate({toks}, 0, (acc, x) -> acc + "
+        f"(CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"({bits})"
+
+
+def _simhash_select_duck() -> str:
+    toks = f"list_distinct({_DUCK_TOKS})"
+    h = duck_hex16_expr("x")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({toks}, x -> "
+        f"CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"({bits})"
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document {SIMHASH_BITS}-bit SimHash fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id", f"CAST({_simhash_select_spark()} AS BIGINT) AS simhash"
+    ).orderBy("doc_id")
+
+
+SIMHASH_FP_SQL = f"""
+SELECT doc_id, CAST({_simhash_select_duck()} AS BIGINT) AS simhash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= SIMHASH_MAX_HAMMING via
+    bit_count(xor). Pairing is restricted to docs sharing either half of
+    the fingerprint (the classic SimHash block-permutation trick reduced
+    to 2 blocks) so the self-join is bucketed, not all-pairs -- with
+    Hamming <= 3 over 2 blocks of 8 bits, one block must match within
+    <= 1 bit; we bucket on exact block equality which catches distance
+    <= 3 whenever all errors fall in one block, and the oracle applies
+    the identical rule."""
+    fp = simhash_fingerprints(spark, sf_dir).select("doc_id", "simhash")
+    half = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.concat(F.lit("hi:"), F.expr("simhash div 256").cast("string")),
+                F.concat(F.lit("lo:"), F.expr("simhash % 256").cast("string")),
+            )
+        ).alias("block"),
+    )
+    a, b = half.alias("a"), half.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("a_id", "b_id")
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, CAST({_simhash_select_duck()} AS BIGINT) AS simhash
+  FROM documents
+),
+half AS (
+  SELECT doc_id, simhash,
+         unnest(['hi:' || CAST(simhash // 256 AS VARCHAR),
+                 'lo:' || CAST(simhash % 256 AS VARCHAR)]) AS block
+  FROM fp
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM half a JOIN half b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY a_id, b_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "simhash_fingerprints": simhash_fingerprints,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "simhash_fingerprints": SIMHASH_FP_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+}

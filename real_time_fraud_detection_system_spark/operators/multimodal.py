@@ -1,0 +1,196 @@
+"""Multimodal columns: opaque binary payloads with typed metadata, plus
+Pandas-UDF decode/feature plumbing over mapInPandas.
+
+Design (BASELINE.json north star): media travels as a ``binary`` column
+with a typed metadata struct beside it; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas stages (mapInPandas), which is the
+only sane shape at 100 TB -- bytes never round-trip through Python row by
+row, and each batch is one Arrow buffer.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_media`` raises NotImplementedError for real codecs and the
+feature extractor falls back to a deterministic byte-level featurizer
+(documented fake). The Spark-side plumbing -- schema, partitioning, UDF
+signature, batch shape -- is real and tested.
+
+The corpus here is synthesized from the documents table (text -> utf-8
+bytes) so every engine sees identical payloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+
+HEADER_BYTES = 8
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media table synthesized from documents: payload bytes plus a
+    typed metadata struct (media_type, n_bytes, fake dims/duration)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media_type = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            media_type.alias("media_type"),
+            F.length(payload).alias("n_bytes"),
+            (F.col("n_chars") % 1920).cast("int").alias("width"),
+            (F.col("n_chars") % 1080).cast("int").alias("height"),
+            (F.col("n_chars") / 100.0).alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection over the binary column: type, byte length,
+    header prefix (hex), content digest. Everything runs on the binary
+    payload JVM-side -- the bytes are never decoded."""
+    m = media_catalog(spark, sf_dir)
+    return m.select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.substring(F.hex("payload"), 1, HEADER_BYTES * 2).alias("header_hex"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).orderBy("media_id")
+
+
+MULTIMODAL_META_SQL = f"""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       substr(hex(encode(text)), 1, {HEADER_BYTES * 2}) AS header_hex,
+       CAST(n_chars % 1920 AS INT) AS width,
+       CAST(n_chars % 1080 AS INT) AS height
+FROM documents
+ORDER BY media_id
+"""
+
+
+# --------------------------------------------------------------------------
+def decode_media(payload: bytes, media_type: str):
+    """Real codec decode -- NOT AVAILABLE in this container (no PIL/ffmpeg).
+    Clearly-marked stub per the build contract; callers use
+    ``byte_features`` as the deterministic fallback."""
+    raise NotImplementedError(
+        f"no codec available for media_type={media_type!r}; "
+        "install pillow/torchaudio/av and replace this stub"
+    )
+
+
+def byte_features(payload: bytes, n_samples: int = 4) -> dict:
+    """Deterministic fake featurizer over raw bytes: mean byte value and
+    evenly spaced 'frame samples'. Stands in for decode+embed."""
+    n = len(payload)
+    mean = float(sum(payload)) / n if n else 0.0
+    step = max(1, n // n_samples)
+    samples = [int(payload[min(i * step, n - 1)]) for i in range(n_samples)] if n else []
+    return {"n_bytes": n, "mean_byte": mean, "samples": samples}
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("samples", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch in, one feature frame out.
+    Tries the real decoder, falls back to the byte featurizer."""
+    for pdf in batches:
+        rows = []
+        for media_id, payload, mtype in zip(
+            pdf["media_id"], pdf["payload"], pdf["media_type"]
+        ):
+            data = bytes(payload)
+            try:
+                feats = decode_media(data, mtype)  # always NotImplemented here
+            except NotImplementedError:
+                feats = byte_features(data)
+            rows.append(
+                {
+                    "media_id": media_id,
+                    "media_type": mtype,
+                    "n_bytes": feats["n_bytes"],
+                    "mean_byte": feats["mean_byte"],
+                    "samples": feats["samples"],
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column. The
+    repartition spreads payload bytes evenly before the pandas stage --
+    the knob that matters at scale (each task decodes one batch)."""
+    m = media_catalog(spark, sf_dir).select(
+        "media_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    return (
+        m.repartition("media_id")
+        .mapInPandas(_feature_batches, FEATURES_SCHEMA)
+        .select(
+            "media_id",
+            "media_type",
+            "n_bytes",
+            F.round("mean_byte", 6).alias("mean_byte"),
+            "samples",
+        )
+        .orderBy("media_id")
+    )
+
+
+# Oracle: text is ASCII, so byte values == character codes; DuckDB
+# recomputes the same features character-wise. (The pandas path reads real
+# bytes -- the test suite additionally asserts the two agree.)
+MULTIMODAL_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         text,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT media_id, media_type, n_bytes,
+       round(list_sum(list_transform(range(1, n_bytes + 1),
+                                     i -> ascii(text[i]))) / n_bytes, 6)
+         AS mean_byte,
+       list_transform(range(0, 4),
+           k -> ascii(text[least(k * greatest(1, n_bytes // 4) + 1, n_bytes)]))
+         AS samples
+FROM b
+ORDER BY media_id
+"""
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE = {
+    "multimodal_meta": MULTIMODAL_META_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+}

@@ -1,0 +1,254 @@
+"""Similarity search over the embeddings table (array<float> vectors).
+
+  * ann_cosine_topk      -- brute-force cosine top-k for a query set: the
+                            exactness baseline. Query side is broadcast, so
+                            the scan side streams once with no shuffle; at
+                            100 TB this is the map-side-join ANN pattern.
+  * embedding_near_dup   -- all-pairs cosine >= threshold on the corpus;
+                            quadratic verification primitive (use the LSH
+                            variant for scale).
+  * ann_lsh_bucketed     -- sign-random-projection LSH: deterministic
+                            hyperplanes derived from md5 (reproducible on
+                            any engine/cluster with no RNG state), bucket
+                            by bit signature, search within bucket. The
+                            scale path: shuffle keyed by bucket signature,
+                            candidate sets shrink exponentially with bits.
+
+All vector math is double-precision Catalyst higher-order functions
+(transform/aggregate) -- JVM codegen, no Python. Products are exact
+(float widened to double), so rounded cosines agree with DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+TOPK = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+COSINE_THRESHOLD = 0.4
+LSH_PLANES = 8
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings widened to double with precomputed L2 norms."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
+    ).withColumn("norm", F.expr("sqrt(" + _DOT.format(a="emb", b="emb") + ")"))
+
+
+_DUCK_VECTORS = """
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                                      i -> CAST(embedding[i] AS DOUBLE)
+                                           * CAST(embedding[i] AS DOUBLE))))
+           AS norm
+  FROM embeddings
+"""
+
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+)
+
+
+# --------------------------------------------------------------------------
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK} cosine neighbours for each query vector (vec_id <
+    {N_QUERIES}), self excluded. Ranking uses the ROUNDED cosine with a
+    vec_id tie-break so ordering is reproducible across engines."""
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_DOT.format(a="q_emb", b="emb"))
+                / (F.col("q_norm") * F.col("norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH vecs AS ({_DUCK_VECTORS}),
+scored AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+         round({_DUCK_DOT.format(a='q.emb', b='v.emb')}
+               / (q.norm * v.norm), 6) AS cosine
+  FROM vecs q, vecs v
+  WHERE q.vec_id < {N_QUERIES} AND v.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY q_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-duplicates at >= {COSINE_THRESHOLD}.
+    The threshold compare runs on the rounded value in both engines so
+    last-ulp summation differences cannot flip membership."""
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_DOT.format(a="a_emb", b="b_emb"))
+                / (F.col("a_norm") * F.col("b_norm")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("a_id", "b_id", "cosine")
+        .orderBy("a_id", "b_id")
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH vecs AS ({_DUCK_VECTORS})
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round({_DUCK_DOT.format(a='a.emb', b='b.emb')}
+             / (a.norm * b.norm), 6) AS cosine
+FROM vecs a, vecs b
+WHERE a.vec_id < b.vec_id
+  AND round({_DUCK_DOT.format(a='a.emb', b='b.emb')}
+            / (a.norm * b.norm), 6) >= {COSINE_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+# --------------------------------------------------------------------------
+def _hyperplane_weight_expr(plane: int) -> str:
+    """Deterministic pseudo-random weight for (plane, dim i) in [-1, 1]:
+    md5 of 'p<plane>:d<i>' -> first 8 hex digits -> uniform int -> scale.
+    No RNG state, so identical on every engine, executor, and retry."""
+    h = f"conv(substr(md5(concat('p{plane}:d', CAST(i AS STRING))), 1, 8), 16, 10)"
+    return f"(CAST({h} AS DOUBLE) / 2147483647.5 - 1.0)"
+
+
+def lsh_signature_expr(emb_col: str, planes: int = LSH_PLANES) -> str:
+    """Spark SQL: sign-random-projection bit signature of a vector."""
+    bits = []
+    for p in range(planes):
+        w = _hyperplane_weight_expr(p)
+        proj = (
+            f"aggregate(zip_with({emb_col}, sequence(0, size({emb_col}) - 1), "
+            f"(x, i) -> x * {w}), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: bucket vectors by sign-random-projection
+    signature, then compute exact cosines only within each query's
+    bucket. Returns per-query bucket neighbours at >= {COSINE_THRESHOLD}.
+    Approximate (bucket misses are possible) -- the brute-force query
+    above is the recall baseline; tests assert bucket recall."""
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "sig", F.expr(lsh_signature_expr("emb"))
+    )
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("sig").alias("q_sig"),
+    )
+    return (
+        vecs.join(F.broadcast(queries), F.col("sig") == F.col("q_sig"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_DOT.format(a="q_emb", b="emb"))
+                / (F.col("q_norm") * F.col("norm")),
+                6,
+            ),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("q_id", "neighbor_id")
+    )
+
+
+def _duck_lsh_signature(emb_col: str, planes: int = LSH_PLANES) -> str:
+    bits = []
+    for p in range(planes):
+        w = (
+            f"(CAST(CAST('0x' || substr(md5('p{p}:d' || CAST(i - 1 AS VARCHAR)), 1, 8) "
+            f"AS BIGINT) AS DOUBLE) / 2147483647.5 - 1.0)"
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, len({emb_col}) + 1), "
+            f"i -> {emb_col}[i] * {w}))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+ANN_LSH_BUCKETED_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, emb, norm, {_duck_lsh_signature('emb')} AS sig
+  FROM ({_DUCK_VECTORS})
+)
+SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+       round({_DUCK_DOT.format(a='q.emb', b='v.emb')}
+             / (q.norm * v.norm), 6) AS cosine
+FROM vecs q JOIN vecs v ON q.sig = v.sig AND v.vec_id != q.vec_id
+WHERE q.vec_id < {N_QUERIES}
+ORDER BY q_id, neighbor_id
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "embedding_near_dup": embedding_near_dup,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+ORACLE = {
+    "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
+    "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
+}

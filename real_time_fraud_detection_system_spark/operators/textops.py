@@ -1,0 +1,195 @@
+"""Text analysis over the documents table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+These are the per-document text operators an LLM training-data pipeline
+runs before dedup/filtering. All are single-pass projections (no shuffle
+except the corpus rollup) built from higher-order array functions -- at
+100 TB each is a map-only stage over the document scan with full column
+pruning (only doc_id + text read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    SHINGLE_N,
+    STOPWORDS,
+    duck_shingles_expr,
+    shingles_expr,
+    sql_in_list,
+)
+
+_TOKS = "split(text, ' ')"
+_DUCK_TOKS = "string_split(text, ' ')"
+
+
+# --------------------------------------------------------------------------
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count, distinct ratio, average token length,
+    stopword ratio, and a deterministic quality score (the reference has
+    no text ops; this is the BASELINE.json north-star surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = sql_in_list(STOPWORDS)
+    return docs.selectExpr(
+        "doc_id",
+        f"size({_TOKS}) AS n_tokens",
+        f"size(array_distinct({_TOKS})) AS n_distinct",
+        f"round(aggregate({_TOKS}, 0, (acc, x) -> acc + length(x)) / size({_TOKS}), 6)"
+        " AS avg_token_len",
+        f"round(size(filter({_TOKS}, x -> x IN ({stop}))) / size({_TOKS}), 6)"
+        " AS stopword_ratio",
+        f"""round(
+             0.3 * least(1.0, size({_TOKS}) / 100)
+           + 0.4 * (1.0 - size(filter({_TOKS}, x -> x IN ({stop}))) / size({_TOKS}))
+           + 0.3 * (size(array_distinct({_TOKS})) / size({_TOKS})), 6)
+           AS quality_score""",
+    ).orderBy("doc_id")
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       len({_DUCK_TOKS}) AS n_tokens,
+       len(list_distinct({_DUCK_TOKS})) AS n_distinct,
+       round(list_sum(list_transform({_DUCK_TOKS}, x -> length(x)))
+             / len({_DUCK_TOKS}), 6) AS avg_token_len,
+       round(len(list_filter({_DUCK_TOKS}, x -> x IN ({sql_in_list(STOPWORDS)})))
+             / len({_DUCK_TOKS}), 6) AS stopword_ratio,
+       round(
+           0.3 * least(1.0, len({_DUCK_TOKS}) / 100)
+         + 0.4 * (1.0 - len(list_filter({_DUCK_TOKS},
+                       x -> x IN ({sql_in_list(STOPWORDS)}))) / len({_DUCK_TOKS}))
+         + 0.3 * (len(list_distinct({_DUCK_TOKS})) / len({_DUCK_TOKS})), 6)
+         AS quality_score
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def _lang_case(count_fn) -> str:
+    """Build the argmax-with-preference-order CASE over marker counts.
+    count_fn(lang) -> SQL snippet yielding that language's marker count."""
+    conds = []
+    for lang in LANG_ORDER:
+        others = [
+            f"{count_fn(lang)} >= {count_fn(o)}" for o in LANG_ORDER if o != lang
+        ]
+        conds.append(
+            f"WHEN {count_fn(lang)} > 0 AND {' AND '.join(others)} THEN '{lang}'"
+        )
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification: count per-language marker
+    tokens, argmax with a fixed preference order, 'und' when no markers
+    hit. N-gram-frequency langid reduced to its deterministic core so the
+    oracle can replicate it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def cnt(lang):
+        return (
+            f"size(filter({_TOKS}, x -> x IN ({sql_in_list(LANG_MARKERS[lang])})))"
+        )
+
+    return docs.selectExpr(
+        "doc_id",
+        "lang AS declared_lang",
+        f"{_lang_case(cnt)} AS detected_lang",
+        f"{cnt('en')} AS en_markers",
+    ).orderBy("doc_id")
+
+
+def _duck_lang_sql() -> str:
+    def cnt(lang):
+        return (
+            f"len(list_filter({_DUCK_TOKS},"
+            f" x -> x IN ({sql_in_list(LANG_MARKERS[lang])})))"
+        )
+
+    return f"""
+SELECT doc_id,
+       lang AS declared_lang,
+       {_lang_case(cnt)} AS detected_lang,
+       {cnt('en')} AS en_markers
+FROM documents
+ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _duck_lang_sql()
+
+
+# --------------------------------------------------------------------------
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-shingle fingerprint: min md5 over word {SHINGLE_N}-gram
+    shingles (a 1-hash MinHash -- the winnowing-style content fingerprint).
+    Documents shorter than the shingle width fall back to md5(text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_expr(_TOKS, SHINGLE_N)
+    return docs.selectExpr(
+        "doc_id",
+        f"CASE WHEN size({_TOKS}) >= {SHINGLE_N} "
+        f"THEN array_min(transform({sh}, s -> md5(s))) "
+        f"ELSE md5(text) END AS fingerprint",
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN len({_DUCK_TOKS}) >= {SHINGLE_N}
+            THEN list_min(list_transform({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)},
+                                         s -> md5(s)))
+            ELSE md5(text) END AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by (lang, source): docs, total/exact-distinct tokens.
+    The explode -> two-level agg shape: partial counts map-side, one
+    shuffle on the (lang, source) key."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        tok.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.countDistinct("tok").alias("distinct_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_TOKEN_STATS_SQL = """
+SELECT lang, source,
+       count(*) AS total_tokens,
+       count(DISTINCT tok) AS distinct_tokens
+FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+    "corpus_token_stats": corpus_token_stats,
+}
+
+ORACLE = {
+    "text_stats": TEXT_STATS_SQL,
+    "lang_id_heuristic": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "corpus_token_stats": CORPUS_TOKEN_STATS_SQL,
+}
