@@ -1,0 +1,121 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Execution is forced with the noop sink (full plan runs, nothing
+collected to the driver, no output I/O in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_fraud_detection_system_spark.operators import all_queries
+from real_time_fraud_detection_system_spark.session import (
+    cpu_count,
+    default_sf_dir,
+    get_spark,
+)
+
+# Headline set: relational core + every LLM-pipeline operator family
+# (dedup, similarity, text, multimodal) + reference analytics. The
+# quadratic verification primitives (pairwise ngram/simhash) are not
+# headline -- their scale paths (minhash_lsh, lsh_bucketed) are.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q10_returned_items",
+    "top_orders_per_customer",
+    "daily_metrics",
+    "hourly_timeseries",
+    "recent_topk",
+    "heuristic_score",
+    "user_sessions",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "corpus_token_stats",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "multimodal_features",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_streaming_ingest(spark, seconds: int = 8) -> float:
+    """Sustained scored-events throughput (BASELINE target >= 2000 ev/s):
+    rate source -> dedup -> heuristic score -> noop-ish memory-free sink."""
+    import tempfile
+
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_stream,
+    )
+    from real_time_fraud_detection_system_spark.streaming.pipeline import (
+        scored_stream,
+    )
+
+    counts = {"n": 0}
+
+    def count_batch(batch_df, epoch_id):
+        counts["n"] += batch_df.count()
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            scored_stream(transactions_stream(spark, rows_per_second=20000))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(count_batch)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        t0 = time.time()
+        time.sleep(seconds)
+        q.stop()
+        elapsed = time.time() - t0
+    return counts["n"] / elapsed if elapsed > 0 else 0.0
+
+
+def main() -> None:
+    sf_dir = default_sf_dir()
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cpus=cpu_count())
+    queries = all_queries()
+
+    # JVM/codegen warmup outside the measurement
+    run_query(queries["q6_revenue_change"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        run_query(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    ingest_eps = bench_streaming_ingest(spark)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "streaming_ingest_eps": round(ingest_eps, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

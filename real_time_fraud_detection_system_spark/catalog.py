@@ -59,6 +59,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def spread(df: DataFrame, key: str | None = None, parts: int | None = None) -> DataFrame:
+    """Repartition before CPU-heavy per-row work (hashing, shingling,
+    vector math, pandas UDFs).
+
+    A small parquet file arrives as ONE input split, so expression-heavy
+    operators would otherwise run on a single core; at 100 TB the same
+    call is how skewed/coarse inputs get spread across executors. Keyed
+    when a downstream groupBy/join reuses the partitioning, round-robin
+    otherwise.
+    """
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key) if key else df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register each table as a temp view so ``spark.sql`` works directly."""
     dfs = load_tables(spark, sf_dir)

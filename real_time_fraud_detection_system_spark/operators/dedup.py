@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions.text import (
     SHINGLE_N,
     duck_hex16_expr,
@@ -50,7 +50,7 @@ _DUCK_TOKS = "string_split(text, ' ')"
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) pairs, distinct per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = shingles_expr(_TOKS, SHINGLE_N)
     return docs.selectExpr(
         "doc_id", f"explode(array_distinct({sh})) AS shingle"
@@ -172,7 +172,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits verified pairs >= JACCARD_THRESHOLD. False negatives are the
     LSH tradeoff (pairs no band catches); the oracle runs the identical
     algorithm so results match exactly."""
-    sig = minhash_signatures(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sig = sh.groupBy("doc_id").agg(*minhash_agg_cols("shingle", MINHASH_K))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -200,9 +201,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sh = _doc_shingles(spark, sf_dir)
-    sets_ = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("shset"), F.count("*").alias("n_sh")
+    # Verify ONLY candidate docs: semi-join the shingle table down to ids
+    # that appear in some candidate pair before building shingle sets --
+    # at scale this is the difference between materializing arrays for
+    # every document vs a few hundred.
+    cand_ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sets_ = (
+        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("shingle").alias("shset"),
+            F.count("*").alias("n_sh"),
+        )
     )
     sa = sets_.select(
         F.col("doc_id").alias("a_id"),
@@ -301,7 +315,7 @@ def _simhash_select_duck() -> str:
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document {SIMHASH_BITS}-bit SimHash fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.selectExpr(
         "doc_id", f"CAST({_simhash_select_spark()} AS BIGINT) AS simhash"
     ).orderBy("doc_id")

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 
 HEADER_BYTES = 8
 MEDIA_TYPES = ("image", "audio", "video")
@@ -36,7 +36,7 @@ MEDIA_TYPES = ("image", "audio", "video")
 def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media table synthesized from documents: payload bytes plus a
     typed metadata struct (media_type, n_bytes, fake dims/duration)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     media_type = F.element_at(
         F.array(*[F.lit(t) for t in MEDIA_TYPES]),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -148,7 +148,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "payload", F.col("meta.media_type").alias("media_type")
     )
     return (
-        m.repartition("media_id")
+        m
         .mapInPandas(_feature_batches, FEATURES_SCHEMA)
         .select(
             "media_id",

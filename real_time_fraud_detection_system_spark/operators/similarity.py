@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 
 TOPK = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -40,7 +40,7 @@ _DOT = (
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings widened to double with precomputed L2 norms."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return emb.selectExpr(
         "vec_id",
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",

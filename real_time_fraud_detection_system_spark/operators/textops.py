@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions.text import (
     LANG_MARKERS,
     LANG_ORDER,
@@ -33,7 +33,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token count, distinct ratio, average token length,
     stopword ratio, and a deterministic quality score (the reference has
     no text ops; this is the BASELINE.json north-star surface)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     stop = sql_in_list(STOPWORDS)
     return docs.selectExpr(
         "doc_id",
@@ -90,7 +90,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, argmax with a fixed preference order, 'und' when no markers
     hit. N-gram-frequency langid reduced to its deterministic core so the
     oracle can replicate it exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def cnt(lang):
         return (
@@ -130,7 +130,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-shingle fingerprint: min md5 over word {SHINGLE_N}-gram
     shingles (a 1-hash MinHash -- the winnowing-style content fingerprint).
     Documents shorter than the shingle width fall back to md5(text)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = shingles_expr(_TOKS, SHINGLE_N)
     return docs.selectExpr(
         "doc_id",
@@ -156,7 +156,7 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rollup by (lang, source): docs, total/exact-distinct tokens.
     The explode -> two-level agg shape: partial counts map-side, one
     shuffle on the (lang, source) key."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         "lang", "source", F.explode(F.split("text", " ")).alias("tok")
     )

@@ -1,0 +1,151 @@
+"""EP1 hot path: transactions stream -> parse -> dedup -> score -> sink.
+
+Reference lifecycle (SURVEY.md section 3, main.py:219-254): Kafka consumer
+loop, per-event JSON parse, coerce, score, one INSERT per event, offsets
+auto-committed (at-least-once, duplicates possible). The Spark pipeline is
+the strict upgrade documented in SURVEY.md T2/T3: checkpointed offsets +
+watermarked dropDuplicates on transaction_id => effectively exactly-once
+into an idempotent date-partitioned parquet sink, with a dead-letter
+branch for poison messages (T6) instead of log-and-skip.
+
+Scale posture: maxOffsetsPerTrigger bounds micro-batch size; the sink
+appends set-oriented (no per-row INSERT); date partitioning replaces the
+reference's btree indexes (init.sql:19-21) and serves the daily-metrics
+partition pruning (P13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("transaction_id", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField(
+            "features",
+            T.StructType(
+                [
+                    T.StructField("num_items", T.IntegerType()),
+                    T.StructField("merchant_risk", T.DoubleType()),
+                    T.StructField("hour", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("event_time", T.TimestampType()),
+    ]
+)
+
+WATERMARK = "10 minutes"
+
+
+def parse_transactions(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """P1/T6: permissive JSON parse of the wire format. Returns parsed
+    rows with a ``_corrupt`` flag; callers route corrupt rows to the
+    dead-letter sink instead of the reference's log-and-skip
+    (main.py:233-235)."""
+    parsed = raw.withColumn(
+        "parsed",
+        F.from_json(F.col(value_col).cast("string"), TRANSACTION_SCHEMA),
+    )
+    return parsed.select(
+        F.col(value_col).cast("string").alias("raw_payload"),
+        F.col("parsed.*"),
+    ).withColumn(
+        "_corrupt",
+        F.col("transaction_id").isNull() | F.col("event_time").isNull(),
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "transactions",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int = 100_000,
+) -> DataFrame:
+    """S3: Kafka JSON consumer. Requires the spark-sql-kafka package on
+    the classpath (not in this container -- integration-gated; the rate
+    source drives all local tests)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .load()
+    )
+
+
+def kafka_sink_options(df: DataFrame, brokers: str, topic: str) -> DataFrame:
+    """S2: serialize to the wire format for a Kafka sink."""
+    return df.select(F.to_json(F.struct("*")).alias("value"))
+
+
+def deduplicated(transactions: DataFrame) -> DataFrame:
+    """T2 upgrade: watermarked exact dedup on transaction_id."""
+    return transactions.withWatermark("event_time", WATERMARK).dropDuplicates(
+        ["transaction_id"]
+    )
+
+
+def scored_stream(transactions: DataFrame, model=None, model_version=None) -> DataFrame:
+    """Score the (already parsed) stream with the shared scorer."""
+    from ..ml.scoring import score
+
+    return score(deduplicated(transactions), model, model_version)
+
+
+def prediction_sink_writer(out_dir: str):
+    """S5: foreachBatch writer appending to the date-partitioned parquet
+    prediction store. Idempotent per (epoch, partition) because parquet
+    append + checkpointed offsets never replays a committed epoch."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("event_date", F.to_date("event_time"))
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(out_dir)
+        )
+
+    return write_batch
+
+
+def run_pipeline(
+    transactions: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    model=None,
+    model_version=None,
+    trigger_seconds: int | None = None,
+):
+    """Wire the hot path end-to-end and start it. Returns the
+    StreamingQuery; S10 status = query.status / lastProgress."""
+    scored = scored_stream(transactions, model, model_version)
+    writer = (
+        scored.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(prediction_sink_writer(out_dir))
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(transactions: DataFrame) -> DataFrame:
+    """T4: sliding 1h/5min event-time window aggregation with late-data
+    handling via watermark (strictly better than the reference's
+    recompute-today cron -- SURVEY.md T3)."""
+    return (
+        transactions.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour", "5 minutes"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("amount").alias("avg_amount"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""A4/A7/T10 scheduled-job tests: daily metrics keyed upsert idempotence
+and the three DQ assertions (SURVEY.md section 5.4/5.6)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_spark.streaming.jobs import (
+    DataQualityError,
+    daily_metrics_upsert,
+    dq_checks,
+)
+
+
+@pytest.fixture()
+def predictions(spark):
+    rows = [
+        ("t1", 10.0, 0, 0.05, "2024-01-01 10:00:00"),
+        ("t2", 2000.0, 1, 1.0, "2024-01-01 11:00:00"),
+        ("t3", 30.0, 0, 0.05, "2024-01-02 09:00:00"),
+        ("t4", 40.0, 0, 0.05, "2024-01-03 09:30:00"),
+        ("t5", 3000.0, 1, 1.0, "2024-01-03 09:45:00"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "transaction_id string, amount double, prediction int, "
+        "proba double, event_time string",
+    ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+
+
+def test_daily_metrics_values(spark, predictions, tmp_path):
+    out = str(tmp_path / "metrics")
+    daily_metrics_upsert(spark, predictions, out)
+    m = {str(r["day"]): r for r in spark.read.parquet(out).collect()}
+    assert len(m) == 3
+    assert m["2024-01-01"]["num_predictions"] == 2
+    assert m["2024-01-01"]["fraud_rate"] == 0.5
+    assert m["2024-01-03"]["avg_amount"] == pytest.approx(1520.0)
+
+
+def test_upsert_idempotent(spark, predictions, tmp_path):
+    # ON CONFLICT (day) DO UPDATE semantics: run twice -> identical table
+    out = str(tmp_path / "metrics")
+    daily_metrics_upsert(spark, predictions, out)
+    first = sorted(map(str, spark.read.parquet(out).collect()))
+    daily_metrics_upsert(spark, predictions, out)
+    second = sorted(map(str, spark.read.parquet(out).collect()))
+    assert first == second
+
+
+def test_upsert_overwrites_only_affected_days(spark, predictions, tmp_path):
+    out = str(tmp_path / "metrics")
+    daily_metrics_upsert(spark, predictions, out)
+    # late data for day 1 only; days 2-3 partitions must survive untouched
+    late = spark.createDataFrame(
+        [("t9", 100.0, 0, 0.05, "2024-01-01 23:00:00")],
+        "transaction_id string, amount double, prediction int, "
+        "proba double, event_time string",
+    ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+    updated_day1 = predictions.filter(
+        F.to_date("event_time") == "2024-01-01"
+    ).union(late)
+    daily_metrics_upsert(spark, updated_day1, out)
+    m = {str(r["day"]): r for r in spark.read.parquet(out).collect()}
+    assert m["2024-01-01"]["num_predictions"] == 3  # refreshed
+    assert m["2024-01-02"]["num_predictions"] == 1  # untouched
+    assert m["2024-01-03"]["num_predictions"] == 2  # untouched
+
+
+def test_dq_checks_pass(predictions):
+    result = dq_checks(predictions)
+    assert result["recent_rows"] >= 1
+    assert result["null_ids"] == 0
+    assert 0.0 <= result["fraud_rate_1h"] <= 1.0
+
+
+def test_dq_checks_null_ids_fire(spark, predictions):
+    # negative fixture: one null id must trip the check (FIXTURES.md 6b)
+    bad = predictions.union(
+        spark.createDataFrame(
+            [(None, 1.0, 0, 0.05, "2024-01-03 09:50:00")],
+            "transaction_id string, amount double, prediction int, "
+            "proba double, event_time string",
+        ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+    )
+    with pytest.raises(DataQualityError, match="null"):
+        dq_checks(bad)
+
+
+def test_dq_checks_freshness_fires(spark, predictions):
+    # anchor 'now' far past the data -> zero recent rows
+    with pytest.raises(DataQualityError, match="freshness"):
+        dq_checks(
+            predictions, now_col=F.lit("2024-06-01 00:00:00").cast("timestamp")
+        )

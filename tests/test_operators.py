@@ -1,0 +1,84 @@
+"""Operator smoke tests at sf0.001 (the full value-level correctness gate
+is tools/check_correctness.py against DuckDB; these assert invariants)."""
+
+import pytest
+
+from real_time_fraud_detection_system_spark.operators import (
+    all_oracles,
+    all_queries,
+)
+
+
+def test_registry_complete():
+    q, o = all_queries(), all_oracles()
+    assert len(q) >= 37
+    # every oracle key must have a query
+    assert set(o) <= set(q)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "daily_metrics",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "text_stats",
+        "user_sessions",
+        "multimodal_features",
+    ],
+)
+def test_query_runs_at_smoke_sf(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    rows = df.take(5)
+    assert df.columns  # stable schema
+    assert rows is not None
+
+
+def test_minhash_lsh_subset_of_exact(spark, sf_dir):
+    # LSH can only miss pairs, never invent them
+    from real_time_fraud_detection_system_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    exact = {
+        (r["a_id"], r["b_id"]) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    # and on this corpus banding should catch the vast majority
+    assert len(lsh) >= len(exact) * 0.7
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_lsh_bucketed,
+    )
+
+    brute = ann_cosine_topk(spark, sf_dir).collect()
+    bucketed = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_lsh_bucketed(spark, sf_dir).collect()
+    }
+    # every bucketed hit must be a real vector pair with sane cosine
+    for r in brute:
+        assert -1.0 <= r["cosine"] <= 1.0
+    assert all(q != n for q, n in bucketed)
+
+
+def test_heuristic_score_parity_with_scorer(spark, sf_dir):
+    # the oracled events-table query and ml.scoring's heuristic must agree
+    from real_time_fraud_detection_system_spark.operators.metrics import (
+        heuristic_score,
+    )
+
+    rows = heuristic_score(spark, sf_dir).collect()
+    for r in rows[:200]:
+        expected = 1.0 if r["amount"] > 1000 else 0.05
+        assert r["proba"] == expected
+        assert r["prediction"] == int(expected >= 0.5)
