@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: pushdown, pruning, broadcast, shuffle
+budget. These are the scale guarantees -- a green suite means the plans
+are the ones we'd want on a 1000-executor cluster, not just ones that
+happen to pass on 60k rows."""
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_spark.catalog import load_table
+from real_time_fraud_detection_system_spark.operators.metrics import (
+    recent_topk,
+)
+from real_time_fraud_detection_system_spark.operators.relational import (
+    q1_pricing_summary,
+    q5_local_supplier_volume,
+    q6_revenue_change,
+    top_orders_per_customer,
+)
+from real_time_fraud_detection_system_spark.plans.explain_checks import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pruned_schema,
+    assert_pushed_filters,
+    assert_whole_stage_codegen,
+    count_exchanges,
+    simple_plan,
+)
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    df = q6_revenue_change(spark, sf_dir)
+    # every predicate is on a scan column -> must reach PushedFilters
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    df = q6_revenue_change(spark, sf_dir)
+    # needs only shipdate, discount, quantity, extendedprice of 11 cols
+    assert_pruned_schema(df, "lineitem", max_cols=4)
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    # partial agg map-side + one exchange on the group key + sort for
+    # the orderBy; anything beyond 2 exchanges is a regression.
+    # (codegen spans only materialize in the AQE final plan, so they are
+    # not asserted here)
+    assert count_exchanges(df) <= 2
+
+
+def test_q5_broadcasts_constant_dims(spark, sf_dir):
+    df = q5_local_supplier_volume(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = recent_topk(spark, sf_dir)
+    # ORDER BY ... LIMIT k must plan TakeOrderedAndProject, never a
+    # global sort of the whole table
+    assert "TakeOrderedAndProject" in simple_plan(df)
+
+
+def test_window_topk_single_shuffle(spark, sf_dir):
+    df = top_orders_per_customer(spark, sf_dir)
+    # one hash-partition exchange for the window; final orderBy adds a
+    # range exchange. More means the window partitioning was not reused.
+    assert count_exchanges(df) <= 2
+
+
+def test_scan_pushdown_timestamp_range(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("l_orderkey")
+    assert_pushed_filters(df, "l_shipdate")
+    assert_pruned_schema(df, "lineitem", max_cols=2)
