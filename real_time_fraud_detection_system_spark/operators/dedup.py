@@ -152,11 +152,21 @@ ORDER BY a_id, b_id
 
 # --------------------------------------------------------------------------
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k seeded MinHash signatures per document (columns s0..s{k-1})."""
+    """k MinHash signatures per document (columns s0..s{k-1}).
+
+    One md5 per shingle, sliced into k 16-bit hex windows -- 1/k the hash
+    work of k seeded digests, which at 100 TB is the dominant CPU cost of
+    the signature stage. min(hex-slice) == min over a 16-bit hash family;
+    the coarser space only adds candidate false positives, which the
+    exact-Jaccard verification stage removes."""
+    return _minhash_sigs(_doc_shingles(spark, sf_dir))
+
+
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
     return (
-        _doc_shingles(spark, sf_dir)
+        sh.withColumn("d", F.md5("shingle"))
         .groupBy("doc_id")
-        .agg(*minhash_agg_cols("shingle", MINHASH_K))
+        .agg(*minhash_agg_cols("d", MINHASH_K))
     )
 
 
@@ -173,7 +183,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH tradeoff (pairs no band catches); the oracle runs the identical
     algorithm so results match exactly."""
     sh = _doc_shingles(spark, sf_dir).cache()
-    sig = sh.groupBy("doc_id").agg(*minhash_agg_cols("shingle", MINHASH_K))
+    sig = _minhash_sigs(sh)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -199,6 +209,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
         .distinct()
+        # cached: reused as both the broadcast semi-join filter and the
+        # probe side of the final verification joins -- without this the
+        # whole band-join subplan executes twice
+        .cache()
     )
 
     # Verify ONLY candidate docs: semi-join the shingle table down to ids
