@@ -1,0 +1,140 @@
+"""Oracle-checked ML-surface queries: the reference's synthetic training
+frame and its fixed-coefficient logistic scorer as pure Catalyst
+expressions.
+
+The reference's training generator (services/training/app/training.py:14-40)
+uses numpy RNG -- unreproducible across engines. This module re-derives it
+as a DETERMINISTIC counter-based generator (Philox-style idea: value =
+f(key)) so Spark and DuckDB compute bit-identical frames:
+
+  * uniforms: md5(id || ':gJ') sliced into 8-hex windows / 2^32 -- one
+    digest yields 4 uniforms, 7 digests cover the 27 draws a row needs;
+  * normals: Irwin-Hall 12-sum of uniforms minus 6 (classic N(0,1)
+    approximation, exact same floating-point summation order in both
+    dialects);
+  * fields per training.py:17-29: amount = exp(3 + z) rounded 2dp,
+    num_items = max(1, round(2 + z')), merchant_risk ~ U(0,1),
+    hour = floor(24u), label ~ Bernoulli(sigmoid(0.002*amount +
+    1.5*merchant_risk + 0.05*night - 2.5)) with night = hour in
+    {0,1,2,3,23} (training.py:23-29).
+
+``logit_score`` then applies the generating coefficients as a fixed
+logistic model -- the engine's scoring path (SURVEY.md P3/P6/P8: ordered
+feature projection, sigmoid, 0.5 threshold, main.py:99-121,178) with zero
+Python in the loop: everything is whole-stage-codegen'd JVM expressions,
+which is the point -- per-event model apply at 100 TB must not leave the
+JVM. (The trained-MLlib-model path lives in ml/: training.py, scoring.py;
+its fit is covered by tests, not an oracle, since no two engines fit
+identical coefficients.)
+
+Row keys come from orders.o_orderkey so the frame scales with sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+N_DIGESTS = 7  # 4 uniforms each
+
+
+def _uniform_exprs(dialect: str) -> list[str]:
+    """28 uniform [0,1) draws u0..u27 from 7 md5 digests of the row id."""
+    if dialect == "spark":
+        cast_id = "CAST(id AS STRING)"
+        hex2num = lambda h: f"CAST(conv({h}, 16, 10) AS DOUBLE)"  # noqa: E731
+    else:
+        cast_id = "CAST(id AS VARCHAR)"
+        hex2num = lambda h: f"CAST(CAST('0x' || {h} AS BIGINT) AS DOUBLE)"  # noqa: E731
+    out = []
+    for j in range(N_DIGESTS):
+        digest = f"md5(concat({cast_id}, ':g{j}'))"
+        for k in range(4):
+            h = f"substr({digest}, {1 + 8 * k}, 8)"
+            out.append(f"({hex2num(h)} / 4294967296.0)")
+    return out
+
+
+def _frame_sql(dialect: str, id_source: str) -> str:
+    """Full generator as one nested-SELECT SQL string (same text modulo
+    dialect casts, so floating-point evaluation order is identical)."""
+    u = _uniform_exprs(dialect)
+    z1 = "(" + " + ".join(u[0:12]) + " - 6.0)"
+    z2 = "(" + " + ".join(u[12:24]) + " - 6.0)"
+    int_t = "INT"
+    return f"""
+SELECT id, amount, num_items, merchant_risk, hour, label
+FROM (
+  SELECT id, amount, num_items, merchant_risk, hour,
+         CAST(u_label < 1.0 / (1.0 + exp(-(0.002 * amount
+              + 1.5 * merchant_risk
+              + 0.05 * (CASE WHEN hour IN (0.0, 1.0, 2.0, 3.0, 23.0)
+                             THEN 1.0 ELSE 0.0 END)
+              - 2.5))) AS {int_t}) AS label
+  FROM (
+    SELECT id,
+           round(exp(3.0 + {z1}), 2) AS amount,
+           greatest(1, CAST(round(2.0 + {z2}, 0) AS {int_t})) AS num_items,
+           {u[24]} AS merchant_risk,
+           CAST(floor({u[25]} * 24.0) AS DOUBLE) AS hour,
+           {u[26]} AS u_label
+    FROM ({id_source})
+  )
+)
+ORDER BY id
+"""
+
+
+def training_frame_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of the reference training generator (M1)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ml_orders")
+    return spark.sql(
+        _frame_sql("spark", "SELECT o_orderkey AS id FROM _ml_orders")
+    )
+
+
+TRAINING_FRAME_SQL = _frame_sql(
+    "duck", "SELECT o_orderkey AS id FROM orders"
+)
+
+
+def _score_sql(dialect: str, id_source: str) -> str:
+    frame = _frame_sql(dialect, id_source)
+    return f"""
+SELECT id, amount,
+       round(1.0 / (1.0 + exp(-(0.002 * amount + 1.5 * merchant_risk
+             + 0.05 * (CASE WHEN hour IN (0.0, 1.0, 2.0, 3.0, 23.0)
+                            THEN 1.0 ELSE 0.0 END) - 2.5))), 6) AS proba,
+       CAST(1.0 / (1.0 + exp(-(0.002 * amount + 1.5 * merchant_risk
+             + 0.05 * (CASE WHEN hour IN (0.0, 1.0, 2.0, 3.0, 23.0)
+                            THEN 1.0 ELSE 0.0 END) - 2.5))) >= 0.5
+            AS INT) AS prediction,
+       'logit-fixed-v1' AS model_version
+FROM ({frame.replace("ORDER BY id", "")})
+ORDER BY id
+"""
+
+
+def logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-coefficient logistic scoring of the deterministic frame:
+    proba + 0.5-threshold prediction + model_version, the full per-event
+    scoring row shape of the reference hot path (main.py:173-180)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ml_orders")
+    return spark.sql(
+        _score_sql("spark", "SELECT o_orderkey AS id FROM _ml_orders")
+    )
+
+
+LOGIT_SCORE_SQL = _score_sql("duck", "SELECT o_orderkey AS id FROM orders")
+
+
+QUERIES = {
+    "training_frame_det": training_frame_det,
+    "logit_score": logit_score,
+}
+
+ORACLE = {
+    "training_frame_det": TRAINING_FRAME_SQL,
+    "logit_score": LOGIT_SCORE_SQL,
+}

@@ -1,0 +1,236 @@
+"""Temporal operators Spark lacks as built-ins, re-expressed Spark-first:
+as-of join, interval (range) join, and HLL approx-distinct with a
+bounded-error oracle.
+
+These are the stream-correlation primitives a predictions store needs
+(the reference correlates events only implicitly, via Grafana time-range
+panels -- grafana/dashboards/predictions.json:35,49); here they are
+first-class, scale-safe operators:
+
+  * asof_click_before_purchase -- classic AS-OF: each purchase picks the
+    user's most recent prior click. Spark has no ASOF JOIN; the naive
+    inequality join is O(n*m) per user. Implementation: tag + union both
+    sides, ONE shuffle (partitionBy user, orderBy ts), and a running
+    ``last(ignorenulls)`` carries the latest click forward. Linear,
+    no join at all, survives arbitrary skew in either side.
+  * clicks_before_errors -- interval join (right rows within a bounded
+    time range of left rows). Naive SQL is again a per-user cross
+    product. Implementation: time-bucket both sides at the window width,
+    duplicate each right row into (bucket, bucket+1), and equi-join on
+    (user, bucket) -- candidates are exact supersets of the true matches,
+    a final predicate trims them. Shuffle is keyed by (user, bucket):
+    high cardinality, no skew pile-up, each task sees only a 2-window
+    slice.
+  * approx_distinct_users -- approx_count_distinct (HLL++) next to the
+    exact count; the emitted column is the bounded-relative-error
+    VERDICT, not the sketch estimate, so engines with different HLL
+    implementations agree on the output.
+
+DuckDB oracles use the built-in ASOF JOIN / inequality joins -- different
+physical strategy, identical semantics, which is exactly what the
+correctness gate should pin down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+BUCKET_S = 300  # interval-join window width: 5 minutes
+APPROX_RSD = 0.05
+APPROX_TOL = 0.10
+
+
+# --------------------------------------------------------------------------
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the same user's most recent click at or
+    before the purchase timestamp (inner as-of semantics: purchases with
+    no prior click are dropped).
+
+    Right side is first deduplicated to one row per (user, ts) keeping
+    the max event_id, so tie-breaking is deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.expr("max_by(value, event_id)").alias("click_value"),
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("ev_ts"),
+            F.lit(0).alias("tag"),
+            "click_id",
+            "click_value",
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # tag orders clicks before purchases at equal ts => inclusive (<=) as-of
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ts", "tag", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w).alias("asof_click_id"),
+        F.last(
+            F.when(F.col("tag") == 0, F.col("ev_ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("asof_click_ts"),
+        F.last("click_value", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return (
+        merged.filter((F.col("tag") == 1) & F.col("asof_click_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ev_ts").alias("purchase_ts"),
+            F.col("asof_click_id").alias("click_id"),
+            F.col("asof_click_ts").alias("click_ts"),
+            F.round("asof_value", 2).alias("click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts,
+         max(event_id) AS click_id,
+         arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1, 2
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.click_id, c.ts AS click_ts, round(c.click_value, 2) AS click_value
+FROM purch p
+ASOF JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY purchase_id
+"""
+
+
+# --------------------------------------------------------------------------
+def clicks_before_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: per error event, count + value-sum of the same
+    user's clicks in the strict 5-minute window before the error
+    (click_ts in [error_ts - 5 min, error_ts)). Errors with no clicks
+    are kept with zero counts."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_micros(c) / (BUCKET_S * 1_000_000))  # noqa: E731
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        bucket(F.col("ts")).alias("bucket"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+            F.explode(
+                F.array(bucket(F.col("ts")), bucket(F.col("ts")) + 1)
+            ).alias("bucket"),
+        )
+    )
+    in_window = (
+        (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("click_ts") < F.col("err_ts"))
+    )
+    joined = errors.join(
+        clicks, ["user_id", "bucket"], "left"
+    ).withColumn("matched", F.when(in_window, F.col("click_value")))
+    return (
+        joined.groupBy("err_id", "user_id", "err_ts")
+        .agg(
+            F.count("matched").alias("n_clicks"),
+            F.round(F.coalesce(F.sum("matched"), F.lit(0.0)), 2).alias(
+                "click_value_sum"
+            ),
+        )
+        .orderBy("err_id")
+    )
+
+
+INTERVAL_JOIN_SQL = """
+SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+       count(c.ts) AS n_clicks,
+       round(coalesce(sum(c.value), 0), 2) AS click_value_sum
+FROM events e
+LEFT JOIN events c
+  ON c.event_type = 'click' AND c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY 1, 2, 3
+ORDER BY err_id
+"""
+
+
+# --------------------------------------------------------------------------
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: exact count plus an HLL++
+    approx_count_distinct sanity verdict (within 10% relative error).
+    Only the verdict is emitted -- sketch estimates are engine-specific,
+    the error bound is not."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", APPROX_RSD).alias("_ap"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (
+                (F.abs(F.col("_ap") - F.col("n_users")) / F.col("n_users"))
+                <= APPROX_TOL
+            )
+            .cast("int")
+            .alias("approx_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+APPROX_DISTINCT_SQL = f"""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+            / count(DISTINCT user_id) <= {APPROX_TOL} AS INT) AS approx_ok
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "asof_click_before_purchase": asof_click_before_purchase,
+    "clicks_before_errors": clicks_before_errors,
+    "approx_distinct_users": approx_distinct_users,
+}
+
+ORACLE = {
+    "asof_click_before_purchase": ASOF_SQL,
+    "clicks_before_errors": INTERVAL_JOIN_SQL,
+    "approx_distinct_users": APPROX_DISTINCT_SQL,
+}

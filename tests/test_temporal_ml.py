@@ -1,0 +1,78 @@
+"""Invariant tests for the temporal operators and the deterministic ML
+frame (value-level gate is tools/check_correctness.py vs DuckDB)."""
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_spark.operators.mlqueries import (
+    logit_score,
+    training_frame_det,
+)
+from real_time_fraud_detection_system_spark.operators.temporal import (
+    approx_distinct_users,
+    asof_click_before_purchase,
+    clicks_before_errors,
+)
+
+
+def test_asof_click_is_latest_prior(spark, sf_dir):
+    rows = asof_click_before_purchase(spark, sf_dir).collect()
+    assert rows, "corpus has purchases preceded by clicks"
+    for r in rows[:50]:
+        assert r["click_ts"] <= r["purchase_ts"]
+    # spot-check optimality on one row: no later click in between
+    r = rows[0]
+    from real_time_fraud_detection_system_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    later = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("user_id") == r["user_id"])
+        & (F.col("ts") > r["click_ts"])
+        & (F.col("ts") <= r["purchase_ts"])
+    ).count()
+    assert later == 0
+
+
+def test_interval_join_window_bounds(spark, sf_dir):
+    df = clicks_before_errors(spark, sf_dir)
+    errs = df.count()
+    from real_time_fraud_detection_system_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert errs == ev.filter(F.col("event_type") == "error").count()
+    # zero-click errors are retained
+    assert df.filter(F.col("n_clicks") == 0).count() >= 0
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    rows = approx_distinct_users(spark, sf_dir).collect()
+    assert rows and all(r["approx_ok"] == 1 for r in rows)
+
+
+def test_training_frame_matches_reference_distributions(spark, sf_dir):
+    """Moments of the deterministic generator track training.py:17-29:
+    amount lognormal(3,1) => median ~ e^3, merchant_risk uniform mean
+    ~0.5, hour in [0,24), label rate in a plausible band."""
+    df = training_frame_det(spark, sf_dir).cache()
+    stats = df.agg(
+        F.expr("percentile_approx(amount, 0.5)").alias("med_amount"),
+        F.avg("merchant_risk").alias("mr"),
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
+        F.avg("label").alias("rate"),
+        F.min("num_items").alias("ni"),
+    ).first()
+    assert 15.0 < stats["med_amount"] < 27.0  # e^3 ~ 20.1
+    assert 0.45 < stats["mr"] < 0.55
+    assert stats["h0"] >= 0.0 and stats["h1"] <= 23.0
+    assert 0.05 < stats["rate"] < 0.60
+    assert stats["ni"] >= 1
+
+
+def test_logit_score_threshold_consistency(spark, sf_dir):
+    df = logit_score(spark, sf_dir)
+    bad = df.filter(
+        ((F.col("proba") >= 0.5) & (F.col("prediction") != 1))
+        | ((F.col("proba") < 0.5) & (F.col("prediction") != 0))
+    ).count()
+    assert bad == 0
