@@ -1,0 +1,81 @@
+"""Replay test for the applyInPandasWithState streaming sessionizer:
+feed two parquet micro-batches through a file stream and assert the
+emitted sessions match the 30-minute-gap rule."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from real_time_fraud_detection_system_spark.streaming.stateful import (
+    sessionize_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _t(minute):
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_stream_sessionize_closes_on_gap_and_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    out_rows = []
+
+    # user 1: two sessions (gap 120 min between minute 10 and 130)
+    # user 2: one session, then nothing -- closed only by watermark advance
+    batch1 = [(_t(0), 1, 1.0), (_t(10), 1, 2.0), (_t(5), 2, 5.0)]
+    # minute 500 events push the watermark (500 - 60) far past all gaps
+    batch2 = [(_t(130), 1, 3.0), (_t(500), 3, 0.5), (_t(501), 3, 0.5)]
+
+    spark.createDataFrame(batch1, SCHEMA).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    sessions = sessionize_stream(stream)
+
+    def collect(batch_df, epoch_id):
+        out_rows.extend(batch_df.collect())
+
+    ckpt = tmp_path / "ckpt"
+
+    def run_available():
+        q = (
+            sessions.writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .foreachBatch(collect)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available()
+    spark.createDataFrame(batch2, SCHEMA).write.parquet(str(src / "b2"))
+    run_available()
+
+    by_user = {}
+    for r in out_rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+
+    # user 1's first session (events at minute 0 and 10) must have closed:
+    # either mid-batch on the 120-min gap or via timeout
+    assert 1 in by_user
+    s = sorted(by_user[1], key=lambda r: r["session_start"])[0]
+    assert s["session_start"] == _t(0)
+    assert s["session_end"] == _t(10)
+    assert s["n_events"] == 2
+    assert abs(s["total_value"] - 3.0) < 1e-9
+
+    # user 2's lone session closes purely by event-time timeout once the
+    # watermark (driven by user 3's minute-500 events) passes its gap
+    assert 2 in by_user
+    s2 = by_user[2][0]
+    assert s2["n_events"] == 1
+    assert abs(s2["total_value"] - 5.0) < 1e-9
