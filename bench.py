@@ -31,12 +31,17 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_revenue_change",
     "q10_returned_items",
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
     "top_orders_per_customer",
     "daily_metrics",
     "hourly_timeseries",
     "recent_topk",
     "heuristic_score",
+    "logit_score",
     "user_sessions",
+    "asof_click_before_purchase",
+    "clicks_before_errors",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_stats",

@@ -74,3 +74,52 @@ def test_scan_pushdown_timestamp_range(spark, sf_dir):
     ).select("l_orderkey")
     assert_pushed_filters(df, "l_shipdate")
     assert_pruned_schema(df, "lineitem", max_cols=2)
+
+def test_tpch_extra_no_cartesian_and_broadcasts(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.tpch_extra import (
+        q7_volume_shipping,
+        q8_market_share,
+        q14_promo_revenue,
+        q18_large_volume_customers,
+    )
+
+    for q in (q7_volume_shipping, q8_market_share, q14_promo_revenue):
+        df = q(spark, sf_dir)
+        assert_no_cartesian(df)
+        assert_broadcast_join(df)
+    assert_no_cartesian(q18_large_volume_customers(spark, sf_dir))
+
+
+def test_q14_pushes_shipdate_range(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.tpch_extra import (
+        q14_promo_revenue,
+    )
+
+    assert_pushed_filters(q14_promo_revenue(spark, sf_dir), "l_shipdate")
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.temporal import (
+        asof_click_before_purchase,
+    )
+
+    df = asof_click_before_purchase(spark, sf_dir)
+    plan = simple_plan(df)
+    # the as-of is a union + window pass: no join operator at all
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    # one hash exchange for (user) window, one range for the final sort,
+    # plus the pre-dedup agg exchange
+    assert count_exchanges(df) <= 3
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.temporal import (
+        clicks_before_errors,
+    )
+
+    df = clicks_before_errors(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = simple_plan(df)
+    # bucketing turns the range predicate into an equi-join; a
+    # BroadcastNestedLoopJoin here would mean the rewrite regressed
+    assert "NestedLoop" not in plan
