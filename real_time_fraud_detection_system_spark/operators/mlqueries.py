@@ -34,32 +34,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 
 N_DIGESTS = 7  # 4 uniforms each
 
 
-def _uniform_exprs(dialect: str) -> list[str]:
-    """28 uniform [0,1) draws u0..u27 from 7 md5 digests of the row id."""
+def _frame_sql(dialect: str, id_source: str) -> str:
+    """Full generator as one nested-SELECT SQL string (same text modulo
+    dialect casts, so floating-point evaluation order is identical).
+
+    Staged: digests d0..d6 are named once in an inner SELECT, the 28
+    uniforms slice them in the next stage -- without the staging the
+    md5s appear 4x each in the expression tree and codegen compiles a
+    28-way-duplicated plan (measured ~3.5 s of compile at sf0.1)."""
     if dialect == "spark":
         cast_id = "CAST(id AS STRING)"
         hex2num = lambda h: f"CAST(conv({h}, 16, 10) AS DOUBLE)"  # noqa: E731
     else:
         cast_id = "CAST(id AS VARCHAR)"
         hex2num = lambda h: f"CAST(CAST('0x' || {h} AS BIGINT) AS DOUBLE)"  # noqa: E731
-    out = []
-    for j in range(N_DIGESTS):
-        digest = f"md5(concat({cast_id}, ':g{j}'))"
-        for k in range(4):
-            h = f"substr({digest}, {1 + 8 * k}, 8)"
-            out.append(f"({hex2num(h)} / 4294967296.0)")
-    return out
-
-
-def _frame_sql(dialect: str, id_source: str) -> str:
-    """Full generator as one nested-SELECT SQL string (same text modulo
-    dialect casts, so floating-point evaluation order is identical)."""
-    u = _uniform_exprs(dialect)
+    digests = ", ".join(
+        f"md5(concat({cast_id}, ':g{j}')) AS d{j}" for j in range(N_DIGESTS)
+    )
+    u = [
+        f"({hex2num(f'substr(d{n // 4}, {1 + 8 * (n % 4)}, 8)')} / 4294967296.0)"
+        for n in range(N_DIGESTS * 4)
+    ]
     z1 = "(" + " + ".join(u[0:12]) + " - 6.0)"
     z2 = "(" + " + ".join(u[12:24]) + " - 6.0)"
     int_t = "INT"
@@ -79,16 +79,26 @@ FROM (
            {u[24]} AS merchant_risk,
            CAST(floor({u[25]} * 24.0) AS DOUBLE) AS hour,
            {u[26]} AS u_label
-    FROM ({id_source})
+    FROM (SELECT id, {digests} FROM ({id_source}))
   )
 )
 ORDER BY id
 """
 
 
+def _register_ids(spark: SparkSession, sf_dir: str) -> None:
+    """Register the id source spread across cores: a single parquet file
+    is one input split, and without the repartition the whole md5-heavy
+    generator projection runs on one task (the sort exchange comes too
+    late to help)."""
+    spread(
+        load_table(spark, sf_dir, "orders").select("o_orderkey")
+    ).createOrReplaceTempView("_ml_orders")
+
+
 def training_frame_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic twin of the reference training generator (M1)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ml_orders")
+    _register_ids(spark, sf_dir)
     return spark.sql(
         _frame_sql("spark", "SELECT o_orderkey AS id FROM _ml_orders")
     )
@@ -120,7 +130,7 @@ def logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-coefficient logistic scoring of the deterministic frame:
     proba + 0.5-threshold prediction + model_version, the full per-event
     scoring row shape of the reference hot path (main.py:173-180)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ml_orders")
+    _register_ids(spark, sf_dir)
     return spark.sql(
         _score_sql("spark", "SELECT o_orderkey AS id FROM _ml_orders")
     )

@@ -75,13 +75,21 @@ def _sessionize_fn(
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 events.append((int(ts.value // 1000), float(val)))
         events.sort()
+        gap_us = SESSION_GAP_S * _US
         for ts_us, val in events:
             if cur is None:
                 cur = [ts_us, ts_us, 1, val]
-            elif ts_us - cur[1] > SESSION_GAP_S * _US:
+            elif ts_us > cur[1] + gap_us:
                 closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
                 cur = [ts_us, ts_us, 1, val]
+            elif ts_us < cur[0] - gap_us:
+                # late event from a strictly earlier session (possible
+                # when micro-batches arrive out of order): emit it as its
+                # own closed session, keep the current one open
+                closed.append((user_id, ts_us, ts_us, 1, val))
             else:
+                # merges, possibly extending the open session backwards
+                cur[0] = min(cur[0], ts_us)
                 cur[1] = max(cur[1], ts_us)
                 cur[2] += 1
                 cur[3] += val

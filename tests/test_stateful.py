@@ -34,7 +34,11 @@ def test_stream_sessionize_closes_on_gap_and_watermark(spark, tmp_path):
     # minute 500 events push the watermark (500 - 60) far past all gaps
     batch2 = [(_t(130), 1, 3.0), (_t(500), 3, 0.5), (_t(501), 3, 0.5)]
 
-    spark.createDataFrame(batch1, SCHEMA).write.parquet(str(src / "b1"))
+    # coalesce(1): one file per batch so micro-batch order is the write
+    # order (multiple part-files would replay in arbitrary order)
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
 
     stream = spark.readStream.schema(SCHEMA).option(
         "maxFilesPerTrigger", "1"
@@ -57,7 +61,9 @@ def test_stream_sessionize_closes_on_gap_and_watermark(spark, tmp_path):
         q.awaitTermination(120)
 
     run_available()
-    spark.createDataFrame(batch2, SCHEMA).write.parquet(str(src / "b2"))
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
     run_available()
 
     by_user = {}
