@@ -192,12 +192,105 @@ ORDER BY media_id
 """
 
 
+# --------------------------------------------------------------------------
+# Frame sampling: the video-pipeline primitive (decode -> sample N frames
+# -> per-frame features). Stub decode, real plumbing: each media row
+# explodes into N_FRAMES rows inside the Arrow batch, so the output is
+# frame-grained and downstream ops (dedup, embedding) run per frame.
+N_FRAMES = 3
+FRAME_WIN = 16  # bytes summarized per sampled frame
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.IntegerType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, offs, means = [], [], [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            data = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n = len(data)
+            if n == 0:
+                continue
+            stride = max(1, n // N_FRAMES)
+            for k in range(N_FRAMES):
+                off = min(k * stride, n - 1)
+                win = data[off : off + FRAME_WIN]
+                ids.append(media_id)
+                idxs.append(k)
+                offs.append(off)
+                means.append(float(win.mean()))
+        yield pd.DataFrame(
+            {
+                "media_id": ids,
+                "frame_idx": idxs,
+                "frame_offset": offs,
+                "frame_mean": means,
+            }
+        )
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_FRAMES evenly-strided 'frame' samples per media payload, one
+    output row per frame, each summarized by the mean of a FRAME_WIN-byte
+    window. Arrow-batched; bytes never leave the executor."""
+    m = media_catalog(spark, sf_dir).select("media_id", "payload")
+    return (
+        m.mapInPandas(_frame_batches, FRAMES_SCHEMA)
+        .select(
+            "media_id",
+            "frame_idx",
+            "frame_offset",
+            F.round("frame_mean", 6).alias("frame_mean"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH b AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+f AS (
+  SELECT media_id, text, n_bytes,
+         unnest(range(0, {N_FRAMES})) AS frame_idx,
+         greatest(1, n_bytes // {N_FRAMES}) AS stride
+  FROM b
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(frame_idx * stride, n_bytes - 1) AS INT) AS frame_offset,
+       round(list_sum(list_transform(
+           range(least(frame_idx * stride, n_bytes - 1) + 1,
+                 least(least(frame_idx * stride, n_bytes - 1) + {FRAME_WIN},
+                       n_bytes) + 1),
+           i -> ascii(text[i])))
+         / least({FRAME_WIN},
+                 n_bytes - least(frame_idx * stride, n_bytes - 1)), 6)
+         AS frame_mean
+FROM f
+ORDER BY media_id, frame_idx
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_frames": multimodal_frames,
 }
 
 ORACLE = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
 }

@@ -1,0 +1,80 @@
+"""Skew-resilient aggregation: salted two-phase groupBy.
+
+At 100 TB a groupBy on a low-cardinality or hot-keyed column (event_type
+here: 5 values over billions of rows) funnels each key through ONE
+reducer -- AQE's skew handling splits join partitions but does not split
+a single aggregation key. The standard fix is salting: phase 1 groups by
+(key, salt) so each hot key spreads over n_salts reducers and the
+map-side partial aggregation stays effective; phase 2 merges the n_salts
+partials per key. Algebraic aggregates (count/sum -> avg) re-compose
+exactly, so the result is bit-identical to the naive plan -- which is
+exactly what the DuckDB oracle (a plain GROUP BY) checks.
+
+The salt must be deterministic per row (NOT rand(): a retried task would
+re-salt rows differently and double-count under speculative execution) --
+here pmod(xxhash64(event_id), n_salts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+N_SALTS = 16
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    salt_col: Column,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Two-phase salted aggregation producing n_rows, sum, avg per key.
+    Phase 1 shuffles on (key, salt) -- hot keys spread across n_salts
+    reducers; phase 2 shuffles the tiny per-salt partials on the key."""
+    phase1 = (
+        df.withColumn("_salt", F.pmod(salt_col, F.lit(n_salts)))
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(value_col).alias("_sum"),
+        )
+    )
+    return phase1.groupBy(*key_cols).agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum("_sum").alias("value_sum"),
+        (F.sum("_sum") / F.sum("_n")).alias("value_avg"),
+    )
+
+
+def salted_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type totals via the salted plan; values identical to a
+    plain GROUP BY (the oracle runs the naive form)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev, ["event_type"], "value", F.xxhash64("event_id")
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_avg", 6).alias("value_avg"),
+    ).orderBy("event_type")
+
+
+SALTED_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       round(sum(value), 2) AS value_sum,
+       round(sum(value) / count(*), 6) AS value_avg
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+QUERIES = {"salted_value_by_type": salted_value_by_type}
+ORACLE = {"salted_value_by_type": SALTED_SQL}

@@ -76,3 +76,27 @@ def test_logit_score_threshold_consistency(spark, sf_dir):
         | ((F.col("proba") < 0.5) & (F.col("prediction") != 0))
     ).count()
     assert bad == 0
+
+
+def test_salted_agg_two_exchanges(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.skew import (
+        salted_value_by_type,
+    )
+    from real_time_fraud_detection_system_spark.plans.explain_checks import (
+        count_exchanges,
+    )
+
+    df = salted_value_by_type(spark, sf_dir)
+    # phase-1 (key, salt) exchange + phase-2 key exchange + final sort
+    assert count_exchanges(df) <= 3
+
+
+def test_multimodal_frames_shape(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        N_FRAMES,
+        multimodal_frames,
+    )
+
+    df = multimodal_frames(spark, sf_dir)
+    counts = df.groupBy("media_id").count().select("count").distinct().collect()
+    assert {r["count"] for r in counts} == {N_FRAMES}
