@@ -43,12 +43,14 @@ HEADLINE = [
     "asof_click_before_purchase",
     "clicks_before_errors",
     "dedup_exact",
+    "salted_value_by_type",
     "dedup_minhash_lsh",
     "text_stats",
     "corpus_token_stats",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "multimodal_features",
+    "multimodal_frames",
 ]
 
 
@@ -75,7 +77,7 @@ def bench_streaming_ingest(spark, seconds: int = 8) -> float:
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
-            scored_stream(transactions_stream(spark, rows_per_second=20000))
+            scored_stream(transactions_stream(spark, rows_per_second=200000))
             .writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
             .foreachBatch(count_batch)
