@@ -22,11 +22,11 @@ from ..catalog import load_table
 GAP_MINUTES = 30
 
 
-def sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event session ids (user_id, session_seq starting at 1)."""
-    ev = load_table(spark, sf_dir, "events")
+def assign_sessions(ev: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """Gap-rule session assignment over any (user_id, ts, event_id)
+    frame: adds session_seq (1-based per user)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = GAP_MINUTES * 60 * 1_000_000
+    gap_us = gap_minutes * 60 * 1_000_000
     prev_ts = F.lag("ts").over(w)
     is_new = (
         prev_ts.isNull()
@@ -38,6 +38,11 @@ def sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session ids (user_id, session_seq starting at 1)."""
+    return assign_sessions(load_table(spark, sf_dir, "events"))
 
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

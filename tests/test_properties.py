@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): engine operators vs pure-Python
+references on randomized small inputs. Few examples, deterministic
+seeds -- each example costs Spark jobs."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+# --------------------------------------------------------------------------
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    from real_time_fraud_detection_system_spark.operators.skew import (
+        salted_sum_count,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(rows)],
+        "event_id long, k string, value double",
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["value_sum"])
+        for r in salted_sum_count(
+            df, ["k"], "value", F.xxhash64("event_id"), n_salts=4
+        ).collect()
+    }
+    want = {}
+    for k, v in rows:
+        n, s = want.get(k, (0, 0.0))
+        want[k] = (n + 1, s + v)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+# --------------------------------------------------------------------------
+def _ref_sessions(offsets_by_user, gap_min):
+    """Python reference: per user, count gap-rule sessions and events."""
+    out = {}
+    for uid, offsets in offsets_by_user.items():
+        if not offsets:
+            continue
+        ordered = sorted(offsets)
+        n_sessions = 1
+        for prev, cur in zip(ordered, ordered[1:]):
+            if (cur - prev) > gap_min:
+                n_sessions += 1
+        out[uid] = (n_sessions, len(ordered))
+    return out
+
+
+@PROP
+@given(
+    data=st.dictionaries(
+        keys=st.integers(min_value=1, max_value=4),
+        values=st.lists(
+            st.integers(min_value=0, max_value=600), min_size=1, max_size=15
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_sessionize_matches_python_reference(spark, data):
+    from real_time_fraud_detection_system_spark.operators.sessionize import (
+        assign_sessions,
+    )
+
+    gap_min = 30
+    rows, eid = [], 0
+    for uid, offsets in data.items():
+        for m in offsets:
+            rows.append((eid, uid, EPOCH + dt.timedelta(minutes=m)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got_rows = assign_sessions(df, gap_minutes=gap_min).collect()
+    got = {}
+    for r in got_rows:
+        ns, ne = got.get(r["user_id"], (0, 0))
+        got[r["user_id"]] = (max(ns, r["session_seq"]), ne + 1)
+    # duplicate timestamps collapse in the reference's set-free model --
+    # keep duplicates, reference handles them as gap 0 (same session)
+    want = _ref_sessions(
+        {uid: offs for uid, offs in data.items()}, gap_min
+    )
+    assert got == want
