@@ -241,14 +241,137 @@ ORDER BY q_id, neighbor_id
 """
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the coarse-quantizer scale path. Centroids are
+# a deterministic sample of the corpus (every CENTROID_MOD-th vector --
+# K ~ n/CENTROID_MOD grows with the corpus, the IVF convention of
+# K ~ sqrt(n) without an iterative k-means fit, which would not be
+# reproducible across engines). Each vector is assigned to its
+# nearest-cosine centroid (one broadcast pass); each query probes its
+# NPROBE nearest cells and computes exact cosines only over those cells'
+# members. At 100 TB: assignment is a map-side broadcast pass, the
+# search shuffle is keyed by cell, and per-cell candidate lists are
+# ~n/K -- the classic IVF candidate-shrink.
+CENTROID_MOD = 29
+NPROBE = 3
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed top-{TOPK}: probe {NPROBE} nearest cells per query.
+    Approximate (cell misses possible); ann_cosine_topk is the recall
+    baseline. All ranking on rounded cosine + id tie-breaks so both
+    engines agree exactly."""
+    vecs = _vectors(spark, sf_dir)
+    cents = vecs.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+
+    def nearest_cells(side: DataFrame, id_col: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).withColumn(
+            "c_cos",
+            F.round(
+                F.expr(_DOT.format(a="c_emb", b="emb"))
+                / (F.col("c_norm") * F.col("norm")),
+                6,
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("c_cos"), F.asc("c_id")
+        )
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= n)
+            .drop("c_emb", "c_norm", "c_cos", "c_rank")
+        )
+
+    assigned = nearest_cells(vecs, "vec_id", 1).select(
+        F.col("vec_id").alias("m_id"),
+        F.col("emb").alias("m_emb"),
+        F.col("norm").alias("m_norm"),
+        "c_id",
+    )
+    probes = nearest_cells(
+        vecs.filter(F.col("vec_id") < N_QUERIES), "vec_id", NPROBE
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "c_id",
+    )
+    scored = (
+        probes.join(assigned, "c_id")
+        .filter(F.col("m_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_DOT.format(a="q_emb", b="m_emb"))
+                / (F.col("q_norm") * F.col("m_norm")),
+                6,
+            ),
+        )
+        # a member can surface via several probed cells -> dedup first
+        .select("q_id", F.col("m_id").alias("neighbor_id"), "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .orderBy("q_id", "rank")
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH vecs AS ({_DUCK_VECTORS}),
+cents AS (
+  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+  FROM vecs WHERE vec_id % {CENTROID_MOD} = 0
+),
+assign_scored AS (
+  SELECT v.vec_id, v.emb, v.norm, c.c_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             round({_DUCK_DOT.format(a='c.c_emb', b='v.emb')}
+                   / (c.c_norm * v.norm), 6) DESC, c.c_id ASC) AS c_rank
+  FROM vecs v, cents c
+),
+assigned AS (
+  SELECT vec_id AS m_id, emb AS m_emb, norm AS m_norm, c_id
+  FROM assign_scored WHERE c_rank = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm, c_id
+  FROM assign_scored WHERE vec_id < {N_QUERIES} AND c_rank <= {NPROBE}
+),
+scored AS (
+  SELECT DISTINCT p.q_id, a.m_id AS neighbor_id,
+         round({_DUCK_DOT.format(a='p.q_emb', b='a.m_emb')}
+               / (p.q_norm * a.m_norm), 6) AS cosine
+  FROM probes p JOIN assigned a USING (c_id)
+  WHERE a.m_id != p.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY q_id, rank
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLE = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
+    "ann_ivf_topk": ANN_IVF_TOPK_SQL,
 }

@@ -82,3 +82,30 @@ def test_heuristic_score_parity_with_scorer(spark, sf_dir):
         expected = 1.0 if r["amount"] > 1000 else 0.05
         assert r["proba"] == expected
         assert r["prediction"] == int(expected >= 0.5)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        TOPK,
+        ann_cosine_topk,
+        ann_ivf_topk,
+    )
+
+    brute = {
+        r["q_id"]: set()
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    for r in ann_cosine_topk(spark, sf_dir).collect():
+        brute[r["q_id"]].add(r["neighbor_id"])
+    ivf_rows = ann_ivf_topk(spark, sf_dir).collect()
+    ivf = {}
+    for r in ivf_rows:
+        ivf.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        assert r["rank"] <= TOPK
+        assert -1.0 <= r["cosine"] <= 1.0
+    # every query answered, no self-matches, and probing finds a
+    # non-trivial share of the true top-k on this corpus
+    assert set(ivf) == set(brute)
+    hits = sum(len(ivf[q] & brute[q]) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    assert hits / total >= 0.2
