@@ -31,10 +31,8 @@ from ..catalog import load_table, spread
 from ..functions.text import (
     SHINGLE_N,
     duck_hex16_expr,
-    duck_minhash_select,
     duck_shingles_expr,
     hex16_expr,
-    minhash_agg_cols,
     shingles_expr,
 )
 
@@ -151,39 +149,59 @@ ORDER BY a_id, b_id
 
 
 # --------------------------------------------------------------------------
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array<string>) -- distinct shingles per doc,
+    computed as a per-row expression: no explode, no shuffle."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = shingles_expr(_TOKS, SHINGLE_N)
+    return docs.selectExpr(
+        "doc_id", f"array_distinct({sh}) AS shingles"
+    )
+
+
+def _sig_cols() -> list[str]:
+    """MinHash signatures as per-row array expressions over the shingle
+    array: sig_j = min over shingles of 16-bit hex window j of ONE md5
+    per shingle. Entirely map-side -- the signature stage costs zero
+    shuffles, which at 100 TB removes the largest exchange of the
+    pipeline (the (doc, shingle) explode is ~50x the doc row count).
+    min(hex-slice) == min over a 16-bit hash family; the coarser space
+    only adds candidate false positives, removed by exact-Jaccard
+    verification."""
+    return [
+        "array_min(transform(shingles, s -> "
+        f"substr(md5(s), {1 + 4 * j}, 4))) AS s{j}"
+        for j in range(MINHASH_K)
+    ]
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k MinHash signatures per document (columns s0..s{k-1}).
-
-    One md5 per shingle, sliced into k 16-bit hex windows -- 1/k the hash
-    work of k seeded digests, which at 100 TB is the dominant CPU cost of
-    the signature stage. min(hex-slice) == min over a 16-bit hash family;
-    the coarser space only adds candidate false positives, which the
-    exact-Jaccard verification stage removes."""
-    return _minhash_sigs(_doc_shingles(spark, sf_dir))
-
-
-def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """k MinHash signatures per document (columns s0..s{k-1})."""
     return (
-        sh.withColumn("d", F.md5("shingle"))
-        .groupBy("doc_id")
-        .agg(*minhash_agg_cols("d", MINHASH_K))
+        _doc_shingle_arrays(spark, sf_dir)
+        .filter(F.size("shingles") > 0)
+        .selectExpr("doc_id", *_sig_cols())
     )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding dedup, the 100 TB-scale near-dup path:
 
-      1. signature: one shuffle (groupBy doc) over exploded shingles;
+      1. signature: zero-shuffle map-side pass -- per-row array exprs
+         (_sig_cols) over the shingle array, no explode/groupBy;
       2. banding: each doc emits LSH_BANDS (band, md5(sig-slice)) keys;
       3. candidates: self-equi-join on the band bucket -- only docs agreeing
          on an entire band collide, so the join is near-linear;
-      4. verification: exact Jaccard on the candidate pairs only.
+      4. verification: exact Jaccard (array_intersect) on candidate pairs
+         only, after a broadcast semi-join cuts the array table to them.
 
     Emits verified pairs >= JACCARD_THRESHOLD. False negatives are the
     LSH tradeoff (pairs no band catches); the oracle runs the identical
     algorithm so results match exactly."""
-    sh = _doc_shingles(spark, sf_dir).cache()
-    sig = _minhash_sigs(sh)
+    sh = _doc_shingle_arrays(spark, sf_dir).cache()
+    sig = sh.filter(F.size("shingles") > 0).selectExpr(
+        "doc_id", *_sig_cols()
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -215,31 +233,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
-    # Verify ONLY candidate docs: semi-join the shingle table down to ids
-    # that appear in some candidate pair before building shingle sets --
-    # at scale this is the difference between materializing arrays for
-    # every document vs a few hundred.
+    # Verify ONLY candidate docs: semi-join the shingle-array table down
+    # to ids appearing in some candidate pair -- at scale this is the
+    # difference between shuffling arrays for every document vs a few
+    # hundred. Sets are already per-row arrays, so no collect_set agg.
     cand_ids = (
         cand.select(F.col("a_id").alias("doc_id"))
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sets_ = (
-        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(
-            F.collect_set("shingle").alias("shset"),
-            F.count("*").alias("n_sh"),
-        )
+    sets_ = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
     )
     sa = sets_.select(
         F.col("doc_id").alias("a_id"),
-        F.col("shset").alias("sh_a"),
+        F.col("shingles").alias("sh_a"),
         F.col("n_sh").alias("n_a"),
     )
     sb = sets_.select(
         F.col("doc_id").alias("b_id"),
-        F.col("shset").alias("sh_b"),
+        F.col("shingles").alias("sh_b"),
         F.col("n_sh").alias("n_b"),
     )
     return (
@@ -269,32 +282,40 @@ _DUCK_BAND_KEYS = " UNION ALL ".join(
     for b in range(LSH_BANDS)
 )
 
+_DUCK_SIG_COLS = ", ".join(
+    f"list_min(list_transform(shingles, s -> substr(md5(s), {1 + 4 * j}, 4)))"
+    f" AS s{j}"
+    for j in range(MINHASH_K)
+)
+
 DEDUP_MINHASH_LSH_SQL = f"""
-WITH sh AS ({_DUCK_SHINGLES}),
+WITH d AS (
+  SELECT doc_id,
+         list_distinct({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)}) AS shingles
+  FROM documents
+),
 sig AS (
-  SELECT doc_id, {duck_minhash_select('shingle', MINHASH_K)}
-  FROM sh GROUP BY doc_id
+  SELECT doc_id, {_DUCK_SIG_COLS}
+  FROM d WHERE len(shingles) > 0
 ),
 bands AS ({_DUCK_BAND_KEYS}),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.a_id, c.b_id, count(*) AS n_inter
-  FROM cand c
-  JOIN sh x ON x.doc_id = c.a_id
-  JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
-  GROUP BY 1, 2
 )
-SELECT i.a_id, i.b_id,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.a_id
-JOIN sizes sb ON sb.doc_id = i.b_id
-WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+SELECT c.a_id, c.b_id,
+       round(len(list_intersect(da.shingles, db.shingles))
+             / (len(da.shingles) + len(db.shingles)
+                - len(list_intersect(da.shingles, db.shingles))), 6)
+         AS jaccard
+FROM cand c
+JOIN d da ON da.doc_id = c.a_id
+JOIN d db ON db.doc_id = c.b_id
+WHERE len(list_intersect(da.shingles, db.shingles))
+      / (len(da.shingles) + len(db.shingles)
+         - len(list_intersect(da.shingles, db.shingles)))
+      >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
 """
 
