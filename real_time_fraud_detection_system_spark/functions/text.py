@@ -68,25 +68,3 @@ def hex16_expr(tok_sql: str) -> str:
 def duck_hex16_expr(tok_sql: str) -> str:
     """DuckDB twin: hex-literal cast."""
     return f"CAST('0x' || substr(md5({tok_sql}), 1, 4) AS INT)"
-
-
-def minhash_agg_cols(digest_col: str, k: int) -> list[Column]:
-    """k MinHash signature aggregates over a per-shingle md5 digest column.
-
-    Hash family j = 16-bit hex window j of the 128-bit digest (k <= 8);
-    signature_j = min over the doc's shingle set. One md5 per shingle
-    total. String min over fixed-width lowercase hex == numeric min, so
-    no numeric conversion is needed, and DuckDB's substr(md5(..)) is
-    bit-identical.
-    """
-    return [
-        F.min(F.substring(F.col(digest_col), 1 + 4 * j, 4)).alias(f"s{j}")
-        for j in range(k)
-    ]
-
-
-def duck_minhash_select(shingle_col: str, k: int) -> str:
-    return ", ".join(
-        f"min(substr(md5({shingle_col}), {1 + 4 * j}, 4)) AS s{j}"
-        for j in range(k)
-    )

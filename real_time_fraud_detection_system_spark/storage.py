@@ -1,0 +1,65 @@
+"""Physical-layout levers for the 100 TB posture: bucketed tables.
+
+A repeated big-big equi-join (orders x lineitem on orderkey here; at
+100 TB, predictions x any event-keyed table) pays a full shuffle of both
+sides every query. Bucketing pre-shuffles ONCE at write time: both
+tables hash-clustered into the same number of buckets on the join key
+make the join a zero-exchange sort-merge (each task reads matching
+bucket files from both sides). The plan test asserts the join runs with
+no Exchange on either side -- the property that survives any scale-up.
+
+Date-partitioned + bucketed is the canonical prediction-store layout:
+partition pruning serves the time filters (SURVEY.md P12/P13), buckets
+serve the key joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> DataFrame:
+    """Persist df hash-clustered (and optionally sorted) by keys into
+    n_buckets bucket files; returns the catalog-backed table. Joins and
+    aggregations keyed on `keys` against tables bucketed with the SAME
+    bucket count skip their shuffle (and sort, if sorted)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the in-memory catalog forgets tables across sessions but their
+    # warehouse directories survive -- clear any orphaned location
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *keys
+    )
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
+def bucketed_orders_lineitem(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Bucketed copies of orders and lineitem clustered on the join key."""
+    from .catalog import load_table
+
+    orders = write_bucketed(
+        load_table(spark, sf_dir, "orders"), "orders_b", ["o_orderkey"],
+        n_buckets,
+    )
+    lineitem = write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "lineitem_b", ["l_orderkey"],
+        n_buckets,
+    )
+    return orders, lineitem

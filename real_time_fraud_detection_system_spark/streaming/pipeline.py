@@ -137,6 +137,31 @@ def run_pipeline(
     return writer.start()
 
 
+def risk_band_dim(spark: SparkSession) -> DataFrame:
+    """Static 10-row merchant-risk-band dimension (the SURVEY section 2.4
+    'natural extension': enrich the stream against a broadcast dim)."""
+    rows = [
+        (b, "low" if b < 3 else ("medium" if b < 7 else "high"), 1.0 + b / 10.0)
+        for b in range(10)
+    ]
+    return spark.createDataFrame(
+        rows, "risk_band int, risk_label string, risk_multiplier double"
+    )
+
+
+def enriched_stream(transactions: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: each transaction picks up its risk
+    band's label/multiplier. The dim is broadcast once per micro-batch
+    plan -- no shuffle on the stream side at any scale."""
+    banded = transactions.withColumn(
+        "risk_band",
+        F.floor(
+            F.least(F.col("features.merchant_risk"), F.lit(0.999)) * 10
+        ).cast("int"),
+    )
+    return banded.join(F.broadcast(dim), "risk_band", "left")
+
+
 def run_pipeline_with_registry(
     transactions: DataFrame,
     out_dir: str,

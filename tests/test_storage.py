@@ -1,0 +1,79 @@
+"""Bucketed-table layout: the orders x lineitem join on the bucket key
+must plan with ZERO exchanges (pre-shuffled at write time), and agree
+with the plain join."""
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_spark.plans.explain_checks import (
+    count_exchanges,
+)
+from real_time_fraud_detection_system_spark.storage import (
+    bucketed_orders_lineitem,
+)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders, lineitem = bucketed_orders_lineitem(spark, sf_dir, n_buckets=8)
+    # merge hint: at this tiny SF the planner would broadcast (its own
+    # exchange); the bucketing property under test is the SMJ path,
+    # which is what survives when both sides are 100 TB
+    joined = lineitem.join(
+        orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("o_orderkey", "l_linenumber", "o_totalprice", "l_quantity")
+    assert count_exchanges(joined) == 0
+
+    # agg keyed on the bucket column also skips its shuffle
+    agg = lineitem.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    assert count_exchanges(agg) == 0
+
+    # correctness vs the unbucketed join
+    from real_time_fraud_detection_system_spark.catalog import load_table
+
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert joined.count() == plain
+
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+    from real_time_fraud_detection_system_spark.streaming.pipeline import (
+        enriched_stream,
+        risk_band_dim,
+    )
+
+    src = tmp_path / "src"
+    transactions_batch(spark, 100, seed=5).write.parquet(str(src / "b1"))
+    schema = (
+        "transaction_id string, amount double, "
+        "features struct<num_items:int,merchant_risk:double,hour:double>, "
+        "event_time timestamp"
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    out = []
+
+    q = (
+        enriched_stream(stream, risk_band_dim(spark))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(out) == 100
+    for r in out:
+        assert r["risk_label"] in ("low", "medium", "high")
+        band = int(min(r["features"]["merchant_risk"], 0.999) * 10)
+        assert r["risk_band"] == band
