@@ -99,7 +99,16 @@ def bench_streaming_ingest(spark, seconds: int = 20) -> float:
 def main() -> None:
     sf_dir = default_sf_dir()
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("bench", cpus=cpu_count())
+    # local-bench scan parallelism: the sf0.1 tables are single ~1-10 MB
+    # parquet files, which at the cluster-sane 128 MB default arrive as
+    # ONE input split each and serialize every scan onto one core. 1 MB
+    # splits spread them; a real cluster keeps the default (its files
+    # are file-per-partition and 128 MB-sized to begin with).
+    spark = get_spark(
+        "bench",
+        cpus=cpu_count(),
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(1024 * 1024)},
+    )
     queries = all_queries()
 
     # JVM/codegen warmup outside the measurement, plus a trivial
