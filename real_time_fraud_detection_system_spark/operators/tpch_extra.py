@@ -384,8 +384,39 @@ WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
 """
 
 
+# --------------------------------------------------------------------------
+# Q13 customer order-count distribution: LEFT OUTER join (zero-order
+# customers must appear), then a second aggregation over the first.
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
+    "q13_customer_distribution": q13_customer_distribution,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
     "q14_promo_revenue": q14_promo_revenue,
@@ -397,6 +428,7 @@ QUERIES = {
 
 ORACLE = {
     "q7_volume_shipping": Q7_SQL,
+    "q13_customer_distribution": Q13_SQL,
     "q8_market_share": Q8_SQL,
     "q9_profit_by_nation": Q9_SQL,
     "q14_promo_revenue": Q14_SQL,
