@@ -422,12 +422,104 @@ ORDER BY a_id, b_id
 """
 
 
+# --------------------------------------------------------------------------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SimHash near-dup graph: every doc
+    gets the min doc_id of its component as cluster_id (singletons are
+    their own cluster). The canonical 'group near-duplicates, keep one
+    representative' step after any pairwise dedup.
+
+    Spark-first iterative algorithm (no GraphFrames dependency):
+    min-label propagation to a fixed point. Each iteration is one
+    shuffle (edge join + groupBy node); labels are monotonically
+    non-increasing so convergence is guaranteed in <= diameter
+    iterations, and the loop exits when an iteration changes nothing.
+    localCheckpoint() truncates the growing lineage each round -- the
+    thing that kills naive iterative DataFrame code at scale.
+
+    Oracle: DuckDB WITH RECURSIVE transitive closure, min over the
+    reachable set -- different algorithm, identical fixpoint."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_simhash(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.selectExpr("a_id AS src", "b_id AS dst")
+        .union(pairs.selectExpr("b_id AS src", "a_id AS dst"))
+        .cache()
+    )
+    labels = docs.selectExpr("doc_id", "doc_id AS label").localCheckpoint()
+    for _ in range(30):
+        prop = (
+            edges.join(labels, F.col("src") == F.col("doc_id"))
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.selectExpr("doc_id", "label AS cluster_id").orderBy(
+        "doc_id"
+    )
+
+
+_DUCK_SIMHASH_PAIRS = f"""
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM half a JOIN half b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE fp AS (
+  SELECT doc_id, CAST({_simhash_select_duck()} AS BIGINT) AS simhash
+  FROM documents
+),
+half AS (
+  SELECT doc_id, simhash,
+         unnest(['hi:' || CAST(simhash // 256 AS VARCHAR),
+                 'lo:' || CAST(simhash % 256 AS VARCHAR)]) AS block
+  FROM fp
+),
+pairs AS ({_DUCK_SIMHASH_PAIRS}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM fp
+  UNION
+  SELECT r.src, e.dst
+  FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLE = {
@@ -436,4 +528,5 @@ ORACLE = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "simhash_fingerprints": SIMHASH_FP_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }
