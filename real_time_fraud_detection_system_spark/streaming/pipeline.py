@@ -205,6 +205,55 @@ def run_pipeline_with_registry(
     return writer.start()
 
 
+def stream_stream_click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "5 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks from the preceding `horizon`. Both sides carry watermarks so
+    the join state is bounded -- Spark retains click state only until
+    the purchase-side watermark passes click_ts + horizon, then evicts.
+    The batch twin is operators/temporal.clicks_before_errors (bucketed
+    interval join); this is the streaming-native path.
+
+    clicks(user_id, click_ts), purchases(user_id, purchase_ts, amount).
+    """
+    c = clicks.withWatermark("click_ts", horizon)
+    p = purchases.withWatermark("purchase_ts", horizon)
+    return p.join(
+        c,
+        F.expr(
+            "p_user_id = c_user_id AND "
+            f"click_ts >= purchase_ts - INTERVAL {horizon} AND "
+            "click_ts < purchase_ts"
+        ),
+        "inner",
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Native session_window streaming aggregation (dynamic gap-based
+    windows) -- the built-in counterpart of streaming/stateful.py's
+    custom applyInPandasWithState sessionizer. Emits one row per closed
+    session in append mode once the watermark passes the gap."""
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def windowed_counts(transactions: DataFrame) -> DataFrame:
     """T4: sliding 1h/5min event-time window aggregation with late-data
     handling via watermark (strictly better than the reference's

@@ -2,8 +2,6 @@
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from real_time_fraud_detection_system_spark.ml.scoring import (
     score,
     score_one,

@@ -20,7 +20,6 @@ from real_time_fraud_detection_system_spark.plans.explain_checks import (
     assert_no_cartesian,
     assert_pruned_schema,
     assert_pushed_filters,
-    assert_whole_stage_codegen,
     count_exchanges,
     simple_plan,
 )

@@ -4,7 +4,6 @@ emitted sessions match the 30-minute-gap rule."""
 
 import datetime as dt
 
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from real_time_fraud_detection_system_spark.streaming.stateful import (

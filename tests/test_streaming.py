@@ -4,7 +4,6 @@ end-to-end hot path into the partitioned sink (SURVEY.md section 5.4)."""
 import glob
 import json
 
-import pytest
 
 from pyspark.sql import functions as F
 
