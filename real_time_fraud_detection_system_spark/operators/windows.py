@@ -27,6 +27,8 @@ def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    # unpartitioned window is deliberate: input is day-grain aggregates,
+    # bounded by calendar days (thousands of rows at ANY corpus size)
     w = Window.orderBy("day")
     wavg = w.rowsBetween(-6, 0)
     return (
