@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.money import exact_sum
 
 
 # --------------------------------------------------------------------------
@@ -38,18 +39,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            F.expr(exact_sum("l_extendedprice")).alias("sum_base_price"),
+            F.expr(exact_sum("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
+            F.expr(exact_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -63,9 +55,9 @@ Q1_SQL = """
 SELECT l_returnflag,
        l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(floor((sum(CAST(round((l_extendedprice) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS sum_disc_price,
+       CAST(floor((sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -94,9 +86,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(exact_sum("l_extendedprice * (1 - l_discount)")).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -113,7 +103,7 @@ Q3_SQL = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
   AND c_custkey = o_custkey
@@ -151,9 +141,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(exact_sum("l_extendedprice * (1 - l_discount)")).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -161,7 +149,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -191,16 +179,14 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.expr(exact_sum("l_extendedprice * l_discount")).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(floor((sum(CAST(round((l_extendedprice * l_discount) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -226,9 +212,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.expr(exact_sum("l_extendedprice * (1 - l_discount)")).alias("revenue"),
             F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -238,7 +222,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue,
        round(max(c_acctbal), 2) AS c_acctbal
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey
@@ -304,7 +288,7 @@ def customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.expr(exact_sum("c_acctbal")).alias("total_acctbal"),
         )
         .orderBy(
             F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
@@ -315,7 +299,7 @@ def customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_ROLLUP_SQL = """
 SELECT r_name, n_name,
        count(*) AS n_customers,
-       round(sum(c_acctbal), 2) AS total_acctbal
+       CAST(floor((sum(CAST(round((c_acctbal) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS total_acctbal
 FROM customer, nation, region
 WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
@@ -375,7 +359,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.expr(exact_sum("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -383,7 +367,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_nationkey, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       CAST(floor((sum(CAST(round((c_acctbal) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS totacctbal
 FROM customer c
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ..catalog import load_table
+from ..functions.money import cents_sql, exact_ratio, exact_sum
 
 
 def _rev() -> F.Column:
@@ -60,7 +61,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cn.n_name").alias("cust_nation"),
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.expr(exact_sum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -68,7 +69,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -120,15 +121,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         vol.groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("supp_nation") == "NATION_3", F.col("volume")
-                    ).otherwise(0.0)
-                )
-                / F.sum("volume"),
-                6,
-            ).alias("mkt_share")
+            F.expr(exact_ratio("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END", "volume")).alias("mkt_share")
         )
         .orderBy("o_year")
     )
@@ -136,10 +129,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN sn.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       round(CAST(sum(CAST(round((CASE WHEN sn.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 10000, 0) AS BIGINT)) AS DOUBLE) / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)), 6) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -174,14 +164,14 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("sum_profit"))
+        .agg(F.expr(exact_sum("l_extendedprice * (1 - l_discount)")).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+       CAST(floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -204,23 +194,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)
-                )
-                / F.sum(_rev()),
-                6,
-            ).alias("promo_revenue")
+            F.expr("round(100.0 * CAST(sum(CAST(round((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 10000, 0) AS BIGINT)) AS DOUBLE) / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)), 6)").alias("promo_revenue")
         )
     )
 
 
 Q14_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+SELECT round(100.0 * CAST(sum(CAST(round((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 10000, 0) AS BIGINT)) AS DOUBLE) / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)), 6) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -237,7 +217,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_rev()), 2).alias("total_revenue")
+        F.expr(exact_sum("l_extendedprice * (1 - l_discount)")).alias("total_revenue")
     )
     # scalar max + broadcast join, NOT a global (unpartitioned) window:
     # rank() over an empty partitioning pulls every supplier into one
@@ -256,7 +236,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -286,13 +266,13 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+            F.expr("round(CAST(sum(CAST(round((l_extendedprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000 / 7.0, 2)").alias("avg_yearly")
         )
     )
 
 
 Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(round((l_extendedprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000 / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#2'
@@ -368,12 +348,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.expr(exact_sum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
     )
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(floor((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
        AND l_quantity BETWEEN 1 AND 11)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.money import exact_sum
 
 
 # --------------------------------------------------------------------------
@@ -26,7 +27,7 @@ def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(F.expr(exact_sum("o_totalprice")).alias("revenue"))
     # unpartitioned window is deliberate: input is day-grain aggregates,
     # bounded by calendar days (thousands of rows at ANY corpus size)
     w = Window.orderBy("day")
@@ -45,7 +46,7 @@ def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 MOVING_AVG_SQL = """
 WITH daily AS (
   SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-         round(sum(o_totalprice), 2) AS revenue
+         CAST(floor((sum(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS revenue
   FROM orders GROUP BY 1
 )
 SELECT day, revenue,
@@ -287,7 +288,7 @@ def grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(floor((sum(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST,
@@ -299,7 +300,7 @@ def grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS total
+       CAST(floor((sum(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) + 50) / 100) AS DOUBLE) / 100 AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY o_orderstatus ASC NULLS FIRST,
