@@ -321,15 +321,15 @@ ORDER BY a_id, b_id
 
 
 # --------------------------------------------------------------------------
-def _simhash_select_spark() -> str:
-    """SimHash fingerprint as a single Spark SQL expression over the
-    distinct-token array: per bit, sum +1/-1 votes weighted by each
-    token's 16-bit md5 prefix; set the bit when votes > 0."""
-    toks = f"array_distinct({_TOKS})"
-    h = hex16_expr("x")
+def _simhash_select_spark(hashes: str = "hs") -> str:
+    """SimHash fingerprint over a PRE-HASHED token array column (one
+    md5 per token, computed once upstream): per bit, sum +1/-1 votes by
+    that bit of the token hash; set the bit when votes > 0. Without the
+    staging every bit lambda recomputed the md5 -- 16x the hash work,
+    the dominant CPU cost of the fingerprint at any scale."""
     bits = " + ".join(
-        f"(CASE WHEN aggregate({toks}, 0, (acc, x) -> acc + "
-        f"(CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"(CASE WHEN aggregate({hashes}, 0, (acc, h) -> acc + "
+        f"(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i in range(SIMHASH_BITS)
     )
@@ -337,28 +337,37 @@ def _simhash_select_spark() -> str:
 
 
 def _simhash_select_duck() -> str:
-    toks = f"list_distinct({_DUCK_TOKS})"
-    h = duck_hex16_expr("x")
+    """Duck twin over a pre-hashed `hs` list column (see spark note)."""
     bits = " + ".join(
-        f"(CASE WHEN list_sum(list_transform({toks}, x -> "
-        f"CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i in range(SIMHASH_BITS)
     )
     return f"({bits})"
 
 
+_DUCK_HASHED_DOCS = (
+    "(SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), "
+    "x -> CAST('0x' || substr(md5(x), 1, 4) AS INT)) AS hs FROM documents)"
+)
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document {SIMHASH_BITS}-bit SimHash fingerprint."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    return docs.selectExpr(
+    hashed = docs.selectExpr(
+        "doc_id",
+        f"transform(array_distinct({_TOKS}), x -> {hex16_expr('x')}) AS hs",
+    )
+    return hashed.selectExpr(
         "doc_id", f"CAST({_simhash_select_spark()} AS BIGINT) AS simhash"
     ).orderBy("doc_id")
 
 
 SIMHASH_FP_SQL = f"""
 SELECT doc_id, CAST({_simhash_select_duck()} AS BIGINT) AS simhash
-FROM documents
+FROM {_DUCK_HASHED_DOCS}
 ORDER BY doc_id
 """
 
@@ -406,7 +415,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_SIMHASH_SQL = f"""
 WITH fp AS (
   SELECT doc_id, CAST({_simhash_select_duck()} AS BIGINT) AS simhash
-  FROM documents
+  FROM {_DUCK_HASHED_DOCS}
 ),
 half AS (
   SELECT doc_id, simhash,
@@ -439,24 +448,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB WITH RECURSIVE transitive closure, min over the
     reachable set -- different algorithm, identical fixpoint."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_simhash(spark, sf_dir).select("a_id", "b_id")
-    edges = (
-        pairs.selectExpr("a_id AS src", "b_id AS dst")
-        .union(pairs.selectExpr("b_id AS src", "a_id AS dst"))
+    # An edge between two docs depends ONLY on their fingerprints
+    # (block-share + Hamming <= 3), so doc components are exactly the
+    # preimages of FINGERPRINT components -- and the fingerprint graph
+    # is bounded by the 2^16 hash space regardless of corpus size.
+    # Clustering runs on <= 65536 nodes at 100 TB; docs join the result.
+    fp = simhash_fingerprints(spark, sf_dir).cache()  # (doc_id, simhash)
+    nodes = fp.select("simhash").distinct()
+    half = nodes.select(
+        "simhash",
+        F.explode(
+            F.array(
+                F.concat(F.lit("hi:"), F.expr("simhash div 256").cast("string")),
+                F.concat(F.lit("lo:"), F.expr("simhash % 256").cast("string")),
+            )
+        ).alias("block"),
+    )
+    a, b = half.alias("a"), half.alias("b")
+    fpairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.simhash") != F.col("b.simhash")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            <= SIMHASH_MAX_HAMMING
+        )
+        .select(
+            F.col("a.simhash").alias("src"), F.col("b.simhash").alias("dst")
+        )
+        .distinct()
         .cache()
     )
-    labels = docs.selectExpr("doc_id", "doc_id AS label").localCheckpoint()
+    labels = nodes.selectExpr("simhash", "simhash AS label").localCheckpoint()
     for _ in range(30):
         prop = (
-            edges.join(labels, F.col("src") == F.col("doc_id"))
-            .groupBy(F.col("dst").alias("doc_id"))
+            fpairs.join(labels, F.col("src") == F.col("simhash"))
+            .groupBy(F.col("dst").alias("simhash"))
             .agg(F.min("label").alias("nbr_label"))
         )
         new_labels = (
-            labels.join(prop, "doc_id", "left")
+            labels.join(prop, "simhash", "left")
             .select(
-                "doc_id",
+                "simhash",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
@@ -465,15 +502,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o"), "simhash")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
         labels = new_labels
         if changed == 0:
             break
-    return labels.selectExpr("doc_id", "label AS cluster_id").orderBy(
-        "doc_id"
+    # cluster_id = min doc_id over the fingerprint component
+    doc_fp = fp.join(labels, "simhash").select("doc_id", "label")
+    root_min = doc_fp.groupBy("label").agg(
+        F.min("doc_id").alias("cluster_id")
+    )
+    return (
+        doc_fp.join(root_min, "label")
+        .select("doc_id", "cluster_id")
+        .orderBy("doc_id")
     )
 
 
@@ -486,7 +530,7 @@ _DUCK_SIMHASH_PAIRS = f"""
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE fp AS (
   SELECT doc_id, CAST({_simhash_select_duck()} AS BIGINT) AS simhash
-  FROM documents
+  FROM {_DUCK_HASHED_DOCS}
 ),
 half AS (
   SELECT doc_id, simhash,
