@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_exact",
     "salted_value_by_type",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
     "text_stats",
     "corpus_token_stats",
     "ann_cosine_topk",

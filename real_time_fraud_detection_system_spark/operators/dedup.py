@@ -483,34 +483,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    labels = nodes.selectExpr("simhash", "simhash AS label").localCheckpoint()
-    for _ in range(30):
-        prop = (
-            fpairs.join(labels, F.col("src") == F.col("simhash"))
-            .groupBy(F.col("dst").alias("simhash"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(prop, "simhash", "left")
-            .select(
-                "simhash",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "simhash")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    # The fingerprint graph is BOUNDED (<= 65536 nodes, whatever the
+    # corpus size), so union-find on the driver is the right call here:
+    # one collect of the distinct fingerprint pairs, no iterative jobs.
+    # (label_propagation below is the distributed path for graphs whose
+    # node set grows with the data -- use it when nodes do not fit.)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in nodes.collect():
+        find(row["simhash"])
+    for row in fpairs.collect():
+        ra, rb = find(row["src"]), find(row["dst"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = fp.sparkSession.createDataFrame(
+        [(h, find(h)) for h in parent], "simhash long, label long"
+    )
     # cluster_id = min doc_id over the fingerprint component
-    doc_fp = fp.join(labels, "simhash").select("doc_id", "label")
+    doc_fp = fp.join(F.broadcast(labels), "simhash").select("doc_id", "label")
     root_min = doc_fp.groupBy("label").agg(
         F.min("doc_id").alias("cluster_id")
     )

@@ -106,3 +106,45 @@ def test_sessionize_matches_python_reference(spark, data):
         {uid: offs for uid, offs in data.items()}, gap_min
     )
     assert got == want
+
+
+@PROP
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=0,
+        max_size=15,
+    )
+)
+def test_label_propagation_matches_union_find(spark, edges):
+    from real_time_fraud_detection_system_spark.operators.graph import (
+        label_propagation,
+    )
+
+    n_nodes = 13
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"] for r in label_propagation(nodes, e).collect()
+    }
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in range(n_nodes) if find(j) == find(i))
+            for i in range(n_nodes)}
+    assert got == want
