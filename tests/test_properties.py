@@ -148,3 +148,29 @@ def test_label_propagation_matches_union_find(spark, edges):
     want = {i: min(j for j in range(n_nodes) if find(j) == find(i))
             for i in range(n_nodes)}
     assert got == want
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10**7, max_value=10**7).map(lambda c: c / 100),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_exact_sum_matches_decimal_reference(spark, vals):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from real_time_fraud_detection_system_spark.functions.money import (
+        exact_sum,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(F.expr(exact_sum("v")).alias("s")).first()["s"]
+    want = float(
+        sum(Decimal(str(v)) for v in vals).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert abs(got - want) < 1e-9
