@@ -180,11 +180,48 @@ ORDER BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# BPE-ish pre-tokenization: letter runs / single digits / punctuation,
+# the GPT-2-style pre-tokenizer shape reduced to constructs whose regex
+# semantics are identical in Java (Spark) and RE2 (DuckDB). The LLM-cost
+# estimate column (tokens ~ chars/4 heuristic next to the regex count)
+# is what a training-data pipeline budgets with.
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE-ish token count vs whitespace count vs the
+    chars/4 cost heuristic; corpus-sortable by the regex/whitespace
+    fan-out ratio."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return docs.selectExpr(
+        "doc_id",
+        f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS n_bpe_tokens",
+        f"size({_TOKS}) AS n_ws_tokens",
+        "CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens_chars4",
+        f"round(size(regexp_extract_all(text, '{BPE_PATTERN}', 0))"
+        f" / greatest(size({_TOKS}), 1), 6) AS fanout",
+    ).orderBy("doc_id")
+
+
+BPE_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+       len({_DUCK_TOKS}) AS n_ws_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens_chars4,
+       round(len(regexp_extract_all(text, '{BPE_PATTERN}'))
+             / greatest(len({_DUCK_TOKS}), 1), 6) AS fanout
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "corpus_token_stats": corpus_token_stats,
+    "bpe_token_stats": bpe_token_stats,
 }
 
 ORACLE = {
@@ -192,4 +229,5 @@ ORACLE = {
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "corpus_token_stats": CORPUS_TOKEN_STATS_SQL,
+    "bpe_token_stats": BPE_TOKEN_STATS_SQL,
 }
