@@ -223,14 +223,79 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles per event type next to the exact ones,
+    emitting bounded-relative-error verdicts -- the approx_distinct
+    pattern applied to percentile_approx (Greenwald-Khanna in Spark,
+    t-digest in DuckDB: different sketches, same error contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.5, 0.9, 0.99]
+    exact = [
+        F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    approx = [
+        F.expr(f"percentile_approx(value, {q}, 1000)").alias(
+            f"ap{int(q * 100)}"
+        )
+        for q in qs
+    ]
+    out = ev.groupBy("event_type").agg(*exact, *approx)
+    cols = [
+        (
+            (
+                F.abs(F.col(f"ap{p}") - F.col(f"p{p}"))
+                / F.greatest(F.abs(F.col(f"p{p}")), F.lit(1e-9))
+            )
+            <= APPROX_TOL
+        )
+        .cast("int")
+        .alias(f"p{p}_ok")
+        for p in (50, 90, 99)
+    ]
+    return (
+        out.select(
+            "event_type",
+            F.round("p50", 4).alias("p50"),
+            F.round("p90", 4).alias("p90"),
+            F.round("p99", 4).alias("p99"),
+            *cols,
+        )
+        .orderBy("event_type")
+    )
+
+
+APPROX_QUANTILES_SQL = f"""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       CAST(abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+            / greatest(abs(quantile_cont(value, 0.5)), 1e-9)
+            <= {APPROX_TOL} AS INT) AS p50_ok,
+       CAST(abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
+            / greatest(abs(quantile_cont(value, 0.9)), 1e-9)
+            <= {APPROX_TOL} AS INT) AS p90_ok,
+       CAST(abs(approx_quantile(value, 0.99) - quantile_cont(value, 0.99))
+            / greatest(abs(quantile_cont(value, 0.99)), 1e-9)
+            <= {APPROX_TOL} AS INT) AS p99_ok
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "asof_click_before_purchase": asof_click_before_purchase,
     "clicks_before_errors": clicks_before_errors,
     "approx_distinct_users": approx_distinct_users,
+    "approx_value_quantiles": approx_value_quantiles,
 }
 
 ORACLE = {
     "asof_click_before_purchase": ASOF_SQL,
     "clicks_before_errors": INTERVAL_JOIN_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
+    "approx_value_quantiles": APPROX_QUANTILES_SQL,
 }
