@@ -135,3 +135,25 @@ def test_windowed_counts_memory_sink(spark):
         # append mode emits only windows the watermark has closed; the
         # 11:30 event advances the watermark past the 10:0x windows
         assert any(r["n"] >= 1 for r in out)
+
+
+def test_kafka_sink_wire_format(spark):
+    # broker-gated path: assert the sink projection produces the wire
+    # format the consumer-side parser round-trips
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+    from real_time_fraud_detection_system_spark.streaming.pipeline import (
+        kafka_sink_options,
+        parse_transactions,
+    )
+
+    txns = transactions_batch(spark, 5, seed=11)
+    wire = kafka_sink_options(txns, "broker:9092", "transactions")
+    assert wire.columns == ["value"]
+    back = parse_transactions(wire)
+    rows = back.collect()
+    assert len(rows) == 5 and all(not r["_corrupt"] for r in rows)
+    assert {r["transaction_id"] for r in rows} == {
+        r["transaction_id"] for r in txns.collect()
+    }
