@@ -16,7 +16,7 @@ def _modules():
     from . import relational
 
     mods = [relational]
-    for name in ("metrics", "dedup", "similarity", "textops", "sessionize", "multimodal", "windows", "temporal", "mlqueries", "tpch_extra", "skew"):
+    for name in ("metrics", "dedup", "similarity", "textops", "sessionize", "multimodal", "windows", "temporal", "mlqueries", "tpch_extra", "skew", "anomaly"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:
