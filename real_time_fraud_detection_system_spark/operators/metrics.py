@@ -294,7 +294,41 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# Semi-structured path over REAL data: the events.props JSON column
+# (the reference's features/raw_payload JSONB columns, init.sql:12,16,
+# are this shape). Extraction stays JVM-side (get_json_object) and the
+# grouped rollup shows the JSON -> typed -> aggregate pipeline.
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_JSON_SQL = """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS k_max,
+       round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS k_avg
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "props_json_stats": props_json_stats,
     "daily_metrics": daily_metrics,
     "freshness_check": freshness_check,
     "null_id_check": null_id_check,
@@ -307,6 +341,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "props_json_stats": PROPS_JSON_SQL,
     "daily_metrics": DAILY_METRICS_SQL,
     "freshness_check": FRESHNESS_SQL,
     "null_id_check": NULL_ID_SQL,
