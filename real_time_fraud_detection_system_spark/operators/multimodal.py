@@ -283,14 +283,84 @@ ORDER BY media_id, frame_idx
 """
 
 
+# --------------------------------------------------------------------------
+# Resize: fixed-length downsample of the payload (the image-resize slot
+# in the decode -> resize -> embed chain; real codecs replace the
+# byte-pooling kernel, the Spark plumbing is identical). Mean pooling
+# over RESIZE_N contiguous chunks -> array<double> per media row.
+RESIZE_N = 8
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        ids, thumbs = [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            data = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n = len(data)
+            if n == 0:
+                continue
+            bounds = [n * k // RESIZE_N for k in range(RESIZE_N + 1)]
+            thumb = [
+                round(float(data[bounds[k]:bounds[k + 1]].mean()), 6)
+                if bounds[k + 1] > bounds[k]
+                else 0.0
+                for k in range(RESIZE_N)
+            ]
+            ids.append(media_id)
+            thumbs.append(thumb)
+        yield pd.DataFrame({"media_id": ids, "thumb": thumbs})
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("thumb", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIZE_N-value mean-pooled 'thumbnail' per payload."""
+    m = media_catalog(spark, sf_dir).select("media_id", "payload")
+    return (
+        m.mapInPandas(_resize_batches, RESIZE_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH b AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+)
+SELECT media_id,
+       list_transform(range(0, {RESIZE_N}), k ->
+         CASE WHEN (n * (k + 1)) // {RESIZE_N} > (n * k) // {RESIZE_N}
+              THEN round(list_sum(list_transform(
+                       range((n * k) // {RESIZE_N} + 1,
+                             (n * (k + 1)) // {RESIZE_N} + 1),
+                       i -> ascii(text[i])))
+                   / ((n * (k + 1)) // {RESIZE_N} - (n * k) // {RESIZE_N}), 6)
+              ELSE 0.0 END) AS thumb
+FROM b
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLE = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }
