@@ -65,7 +65,7 @@ def bench_streaming_ingest(spark, seconds: int = 20) -> float:
     rate source -> dedup -> heuristic score -> counted foreachBatch sink.
     eps is measured from stream start to the LAST COMMITTED batch, so a
     trailing in-flight batch cut off by stop() doesn't zero the number
-    (micro-batches run 3-4 s at this rate on a loaded machine)."""
+    (micro-batches run seconds at this rate on a loaded machine)."""
     import tempfile
 
     from real_time_fraud_detection_system_spark.sources.generators import (
@@ -83,7 +83,7 @@ def bench_streaming_ingest(spark, seconds: int = 20) -> float:
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
-            scored_stream(transactions_stream(spark, rows_per_second=200000))
+            scored_stream(transactions_stream(spark, rows_per_second=1000000))
             .writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
             .foreachBatch(count_batch)
