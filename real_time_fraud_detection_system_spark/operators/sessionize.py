@@ -131,12 +131,86 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Ordered conversion funnel: signup -> click -> purchase, stages count
+# only when they happen in order (first signup before first subsequent
+# click before first subsequent purchase). One groupBy(user) with
+# conditional min aggregates -- no joins, one shuffle.
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).alias("t_signup")
+    per_user = ev.groupBy("user_id").agg(
+        first_signup,
+        F.collect_list(
+            F.when(
+                F.col("event_type").isin("click", "purchase"),
+                F.struct("ts", "event_type"),
+            )
+        ).alias("evs"),
+    )
+    # first click AFTER signup / first purchase AFTER that click, via
+    # array_min over filtered higher-order expressions (no re-shuffle)
+    staged = per_user.selectExpr(
+        "user_id",
+        "t_signup",
+        "evs",
+        "array_min(transform(filter(evs, e -> e.event_type = 'click'"
+        " AND e.ts > t_signup), e -> e.ts)) AS t_click",
+    ).selectExpr(
+        "user_id",
+        "t_signup",
+        "t_click",
+        "array_min(transform(filter(evs, e -> e.event_type = 'purchase'"
+        " AND e.ts > t_click), e -> e.ts)) AS t_purchase",
+    )
+    return staged.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signed_up"),
+        F.count("t_click").alias("n_clicked_after"),
+        F.count("t_purchase").alias("n_purchased_after"),
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM events GROUP BY 1
+),
+clicks AS (
+  SELECT p.user_id, min(e.ts) AS t_click
+  FROM per_user p JOIN events e
+    ON e.user_id = p.user_id AND e.event_type = 'click'
+   AND e.ts > p.t_signup
+  GROUP BY 1
+),
+purchases AS (
+  SELECT c.user_id, min(e.ts) AS t_purchase
+  FROM clicks c JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND e.ts > c.t_click
+  GROUP BY 1
+)
+SELECT count(*) AS n_users,
+       count(t_signup) AS n_signed_up,
+       count(t_click) AS n_clicked_after,
+       count(t_purchase) AS n_purchased_after
+FROM per_user
+LEFT JOIN clicks USING (user_id)
+LEFT JOIN purchases USING (user_id)
+"""
+
+
 QUERIES = {
     "user_sessions": user_sessions,
     "session_summary": session_summary,
+    "conversion_funnel": conversion_funnel,
 }
 
 ORACLE = {
     "user_sessions": USER_SESSIONS_SQL,
     "session_summary": SESSION_SUMMARY_SQL,
+    "conversion_funnel": CONVERSION_FUNNEL_SQL,
 }
