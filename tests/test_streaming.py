@@ -157,3 +157,29 @@ def test_kafka_sink_wire_format(spark):
     assert {r["transaction_id"] for r in rows} == {
         r["transaction_id"] for r in txns.collect()
     }
+
+
+def test_streaming_query_status_surface(spark, tmp_path):
+    # S10: health/status = StreamingQuery.status / lastProgress
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_stream,
+    )
+    from real_time_fraud_detection_system_spark.streaming.pipeline import (
+        run_pipeline,
+    )
+
+    q = run_pipeline(
+        transactions_stream(spark, rows_per_second=100),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        import time
+
+        time.sleep(4)
+        status = q.status
+        assert set(status) >= {"message", "isDataAvailable", "isTriggerActive"}
+        assert q.id is not None
+    finally:
+        q.stop()
