@@ -553,8 +553,23 @@ ORDER BY doc_id
 """
 
 
+
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)}) AS shingles
+  FROM documents
+)
+SELECT doc_id, {_DUCK_SIG_COLS}
+FROM d WHERE len(shingles) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_fingerprints": simhash_fingerprints,
@@ -564,6 +579,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_signatures": MINHASH_SIGNATURES_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "simhash_fingerprints": SIMHASH_FP_SQL,
