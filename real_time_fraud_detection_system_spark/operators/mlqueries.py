@@ -139,12 +139,53 @@ def logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOGIT_SCORE_SQL = _score_sql("duck", "SELECT o_orderkey AS id FROM orders")
 
 
+# --------------------------------------------------------------------------
+# Deterministic train/val split (M2 at scale): membership is a pure
+# function of the row key (md5 window < threshold), so the split is
+# reproducible across engines, re-runs, retries, and cluster sizes --
+# the property randomSplit()/sampleBy() lack (their sampling is
+# partition-order-dependent). 90/10 by the first 8 hex digits.
+SPLIT_TRAIN_PCT = 90
+
+
+def _split_sql(dialect: str) -> str:
+    if dialect == "spark":
+        h = "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS DOUBLE)"
+    else:
+        h = "CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)"
+    frac = f"({h} / 4294967296.0)"
+    return f"""
+SELECT CASE WHEN {frac} < {SPLIT_TRAIN_PCT / 100.0} THEN 'train'
+            ELSE 'val' END AS split,
+       count(*) AS n_rows,
+       round(avg(value), 6) AS avg_value,
+       round(avg(CASE WHEN event_type = 'error' THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END), 6) AS error_rate
+FROM events
+GROUP BY 1
+ORDER BY split
+"""
+
+
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split summary: row counts and label-ish rates per split --
+    balanced rates across splits are the sanity check a training
+    pipeline runs after splitting."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_split_sql("spark"))
+
+
+DETERMINISTIC_SPLIT_SQL = _split_sql("duck")
+
+
 QUERIES = {
     "training_frame_det": training_frame_det,
     "logit_score": logit_score,
+    "deterministic_split": deterministic_split,
 }
 
 ORACLE = {
     "training_frame_det": TRAINING_FRAME_SQL,
     "logit_score": LOGIT_SCORE_SQL,
+    "deterministic_split": DETERMINISTIC_SPLIT_SQL,
 }
