@@ -10,13 +10,14 @@ Flags per query:
 
 Usage: python tools/plan_audit.py [sf_dir]
 
-Reviewed state (2026-08): 10 of 65 queries flag, ALL intentional --
+Reviewed state (2026-08): 11 of 73 queries flag, ALL intentional --
   * NLJ on ann_*/freshness/windowed_rates/customers_without_orders is a
     1-row or N_QUERIES-row broadcast (scalar subquery / query fan-out),
     constant-size at any data scale;
   * NLJ on embedding_near_dup is the documented all-pairs verification
     primitive (the LSH/IVF variants are the scale paths);
-  * 1PART flags are scalar or near-scalar outputs (single-row results);
+  * 1PART flags are scalar or near-scalar outputs (single-row results,
+    incl. the conversion_funnel 4-counter summary);
   * GLOBALWIN on moving_avg_revenue orders day-grain aggregates -- row
     count bounded by calendar days, not data volume.
 A NEW flag appearing here after a change is a regression to explain or
