@@ -216,8 +216,80 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus gating: the per-source keep/drop decision a training pipeline
+# makes from the quality scores -- share kept at threshold, quality
+# quartiles, and the kept-token budget per source.
+QUALITY_KEEP = 0.5
+
+
+def _quality_expr(dialect: str) -> str:
+    assert dialect == "spark"
+    return f"""(
+      0.3 * least(1.0, size({_TOKS}) / 100)
+    + 0.4 * (1.0 - size(filter({_TOKS}, x -> x IN ({sql_in_list(STOPWORDS)}))) / size({_TOKS}))
+    + 0.3 * (size(array_distinct({_TOKS})) / size({_TOKS})))"""
+
+
+_DUCK_QUALITY = f"""(
+      0.3 * least(1.0, len({_DUCK_TOKS}) / 100)
+    + 0.4 * (1.0 - len(list_filter({_DUCK_TOKS}, x -> x IN ({sql_in_list(STOPWORDS)}))) / len({_DUCK_TOKS}))
+    + 0.3 * (len(list_distinct({_DUCK_TOKS})) / len({_DUCK_TOKS})))"""
+
+
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source gating report: docs, kept share at QUALITY_KEEP,
+    median quality, kept-token budget."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    q = _quality_expr("spark")
+    scored = docs.selectExpr(
+        "source",
+        f"round({q}, 6) AS quality",
+        f"size({_TOKS}) AS n_tokens",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.avg((F.col("quality") >= QUALITY_KEEP).cast("double")), 6
+            ).alias("keep_share"),
+            F.round(F.expr("percentile(quality, 0.5)"), 6).alias(
+                "median_quality"
+            ),
+            F.sum(
+                F.when(
+                    F.col("quality") >= QUALITY_KEEP, F.col("n_tokens")
+                ).otherwise(0)
+            ).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_QUALITY_GATE_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         round({_DUCK_QUALITY}, 6) AS quality,
+         len({_DUCK_TOKS}) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(CASE WHEN quality >= {QUALITY_KEEP} THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END), 6) AS keep_share,
+       round(quantile_cont(quality, 0.5), 6) AS median_quality,
+       sum(CASE WHEN quality >= {QUALITY_KEEP} THEN n_tokens ELSE 0 END)
+         AS kept_tokens
+FROM scored
+GROUP BY 1
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "corpus_quality_gate": corpus_quality_gate,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "corpus_token_stats": corpus_token_stats,
@@ -230,4 +302,5 @@ ORACLE = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "corpus_token_stats": CORPUS_TOKEN_STATS_SQL,
     "bpe_token_stats": BPE_TOKEN_STATS_SQL,
+    "corpus_quality_gate": CORPUS_QUALITY_GATE_SQL,
 }
