@@ -77,3 +77,38 @@ def test_stream_static_enrichment(spark, tmp_path):
         assert r["risk_label"] in ("low", "medium", "high")
         band = int(min(r["features"]["merchant_risk"], 0.999) * 10)
         assert r["risk_band"] == band
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+    from real_time_fraud_detection_system_spark.storage import (
+        compact_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    # simulate many small streaming appends
+    for seed in range(6):
+        (
+            transactions_batch(spark, 40, seed=seed)
+            .withColumn("event_date", F.to_date("event_time"))
+            .repartition(4)
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(store)
+        )
+    before = spark.read.parquet(store)
+    before_rows = sorted(
+        r["transaction_id"] for r in before.select("transaction_id").collect()
+    )
+
+    stats = compact_partitions(spark, store, target_rows_per_file=10_000)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == len(before_rows)
+
+    after = spark.read.parquet(store)
+    after_rows = sorted(
+        r["transaction_id"] for r in after.select("transaction_id").collect()
+    )
+    assert after_rows == before_rows
