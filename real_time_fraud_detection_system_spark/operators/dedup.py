@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
+from ._guards import guard_quadratic
 from ..functions.text import (
     SHINGLE_N,
     duck_hex16_expr,
@@ -41,6 +42,34 @@ MINHASH_K = 8
 LSH_BANDS = 4  # rows per band = MINHASH_K // LSH_BANDS = 2
 SIMHASH_BITS = 16
 SIMHASH_MAX_HAMMING = 3
+# Candidate-block count for the simhash near-dup join. Blocks partition
+# the fingerprint into SIMHASH_BITS // SIMHASH_N_BLOCKS-bit slices; docs
+# pair only when some slice matches exactly. More blocks -> more, smaller
+# shuffle buckets (widen at higher SF if the per-block bucket skews) AND
+# better recall (pigeonhole: Hamming <= h always shares a block once
+# n_blocks > h). Spark and the DuckDB oracle both derive their block
+# expressions from these constants, so changing them keeps the two
+# engines' candidate rule identical.
+SIMHASH_N_BLOCKS = 2
+_BLOCK_WIDTH = SIMHASH_BITS // SIMHASH_N_BLOCKS
+_BLOCK_MASK = (1 << _BLOCK_WIDTH) - 1
+
+
+def simhash_block_exprs_spark(col: str = "simhash") -> list[str]:
+    """One SQL string per candidate block: 'b<k>:' + slice value."""
+    return [
+        f"concat('b{k}:', CAST(({col} >> {k * _BLOCK_WIDTH}) & {_BLOCK_MASK}"
+        f" AS STRING))"
+        for k in range(SIMHASH_N_BLOCKS)
+    ]
+
+
+def simhash_block_exprs_duck(col: str = "simhash") -> list[str]:
+    return [
+        f"'b{k}:' || CAST(({col} >> {k * _BLOCK_WIDTH}) & {_BLOCK_MASK}"
+        f" AS VARCHAR)"
+        for k in range(SIMHASH_N_BLOCKS)
+    ]
 
 _TOKS = "split(text, ' ')"
 _DUCK_TOKS = "string_split(text, ' ')"
@@ -91,11 +120,21 @@ ORDER BY keep_id
 
 
 # --------------------------------------------------------------------------
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_rows: int | None = None
+) -> DataFrame:
     """Exact pairwise n-gram Jaccard: shingle equi-join counts the
     intersection; union = |A| + |B| - intersection. Emits pairs at or
     above JACCARD_THRESHOLD. Integer-exact until the final division, so
-    the threshold compare is bit-identical across engines."""
+    the threshold compare is bit-identical across engines.
+
+    QUADRATIC-in-bucket verification primitive -- guarded by
+    ``guard_quadratic`` on the document count; ``dedup_minhash_lsh`` is
+    the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    guard_quadratic(
+        docs, "dedup_ngram_jaccard", "dedup_minhash_lsh", max_rows
+    )
     sh = _doc_shingles(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -386,10 +425,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         F.explode(
-            F.array(
-                F.concat(F.lit("hi:"), F.expr("simhash div 256").cast("string")),
-                F.concat(F.lit("lo:"), F.expr("simhash % 256").cast("string")),
-            )
+            F.array(*[F.expr(e) for e in simhash_block_exprs_spark()])
         ).alias("block"),
     )
     a, b = half.alias("a"), half.alias("b")
@@ -419,8 +455,7 @@ WITH fp AS (
 ),
 half AS (
   SELECT doc_id, simhash,
-         unnest(['hi:' || CAST(simhash // 256 AS VARCHAR),
-                 'lo:' || CAST(simhash % 256 AS VARCHAR)]) AS block
+         unnest([{", ".join(simhash_block_exprs_duck())}]) AS block
   FROM fp
 )
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -458,10 +493,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = nodes.select(
         "simhash",
         F.explode(
-            F.array(
-                F.concat(F.lit("hi:"), F.expr("simhash div 256").cast("string")),
-                F.concat(F.lit("lo:"), F.expr("simhash % 256").cast("string")),
-            )
+            F.array(*[F.expr(e) for e in simhash_block_exprs_spark()])
         ).alias("block"),
     )
     a, b = half.alias("a"), half.alias("b")
@@ -530,8 +562,7 @@ WITH RECURSIVE fp AS (
 ),
 half AS (
   SELECT doc_id, simhash,
-         unnest(['hi:' || CAST(simhash // 256 AS VARCHAR),
-                 'lo:' || CAST(simhash % 256 AS VARCHAR)]) AS block
+         unnest([{", ".join(simhash_block_exprs_duck())}]) AS block
   FROM fp
 ),
 pairs AS ({_DUCK_SIMHASH_PAIRS}),

@@ -115,8 +115,8 @@ def null_id_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NULL_ID_SQL = """
-SELECT sum(CAST(user_id IS NULL AS BIGINT)) AS null_ids,
-       sum(CAST(event_id IS NULL AS BIGINT)) AS null_event_ids
+SELECT CAST(sum(CAST(user_id IS NULL AS BIGINT)) AS BIGINT) AS null_ids,
+       CAST(sum(CAST(event_id IS NULL AS BIGINT)) AS BIGINT) AS null_event_ids
 FROM events
 """
 

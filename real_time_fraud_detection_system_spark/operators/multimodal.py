@@ -162,7 +162,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_type",
             "n_bytes",
             F.round("mean_byte", 6).alias("mean_byte"),
-            "samples",
+            # serialize: the driver's canonicalizer sorts the result frame
+            # and cannot hash array cells, so arrays leave as CSV strings
+            F.array_join(
+                F.expr("transform(samples, x -> cast(x AS string))"), ","
+            ).alias("samples"),
         )
         .orderBy("media_id")
     )
@@ -184,9 +188,9 @@ SELECT media_id, media_type, n_bytes,
        round(list_sum(list_transform(range(1, n_bytes + 1),
                                      i -> ascii(text[i]))) / n_bytes, 6)
          AS mean_byte,
-       list_transform(range(0, 4),
-           k -> ascii(text[least(k * greatest(1, n_bytes // 4) + 1, n_bytes)]))
-         AS samples
+       array_to_string(list_transform(range(0, 4),
+           k -> ascii(text[least(k * greatest(1, n_bytes // 4) + 1, n_bytes)])),
+         ',') AS samples
 FROM b
 ORDER BY media_id
 """
@@ -322,10 +326,18 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RESIZE_N-value mean-pooled 'thumbnail' per payload."""
+    """RESIZE_N-value mean-pooled 'thumbnail' per payload, serialized to a
+    fixed %.6f CSV string (driver canon cannot hash array cells, and fixed
+    formatting sidesteps shortest-float-repr divergence vs DuckDB)."""
     m = media_catalog(spark, sf_dir).select("media_id", "payload")
     return (
         m.mapInPandas(_resize_batches, RESIZE_SCHEMA)
+        .select(
+            "media_id",
+            F.array_join(
+                F.expr("transform(thumb, x -> format_string('%.6f', x))"), ","
+            ).alias("thumb"),
+        )
         .orderBy("media_id")
     )
 
@@ -338,14 +350,15 @@ WITH b AS (
   WHERE octet_length(encode(text)) > 0
 )
 SELECT media_id,
-       list_transform(range(0, {RESIZE_N}), k ->
-         CASE WHEN (n * (k + 1)) // {RESIZE_N} > (n * k) // {RESIZE_N}
-              THEN round(list_sum(list_transform(
-                       range((n * k) // {RESIZE_N} + 1,
-                             (n * (k + 1)) // {RESIZE_N} + 1),
-                       i -> ascii(text[i])))
-                   / ((n * (k + 1)) // {RESIZE_N} - (n * k) // {RESIZE_N}), 6)
-              ELSE 0.0 END) AS thumb
+       array_to_string(list_transform(range(0, {RESIZE_N}), k ->
+         printf('%.6f',
+           CASE WHEN (n * (k + 1)) // {RESIZE_N} > (n * k) // {RESIZE_N}
+                THEN round(list_sum(list_transform(
+                         range((n * k) // {RESIZE_N} + 1,
+                               (n * (k + 1)) // {RESIZE_N} + 1),
+                         i -> ascii(text[i])))
+                     / ((n * (k + 1)) // {RESIZE_N} - (n * k) // {RESIZE_N}), 6)
+                ELSE 0.0 END)), ',') AS thumb
 FROM b
 ORDER BY media_id
 """

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
+from ._guards import guard_quadratic
 
 TOPK = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -115,11 +116,19 @@ ORDER BY q_id, rank
 
 
 # --------------------------------------------------------------------------
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, max_rows: int | None = None
+) -> DataFrame:
     """All-pairs cosine near-duplicates at >= {COSINE_THRESHOLD}.
     The threshold compare runs on the rounded value in both engines so
-    last-ulp summation differences cannot flip membership."""
+    last-ulp summation differences cannot flip membership.
+
+    QUADRATIC verification primitive -- guarded by ``guard_quadratic``;
+    ``ann_lsh_bucketed`` / ``ann_ivf_topk`` are the scale paths."""
     vecs = _vectors(spark, sf_dir)
+    guard_quadratic(
+        vecs, "embedding_near_dup", "ann_lsh_bucketed/ann_ivf_topk", max_rows
+    )
     a = vecs.select(
         F.col("vec_id").alias("a_id"),
         F.col("emb").alias("a_emb"),

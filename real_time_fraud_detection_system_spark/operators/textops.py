@@ -279,8 +279,8 @@ SELECT source,
        round(avg(CASE WHEN quality >= {QUALITY_KEEP} THEN CAST(1 AS DOUBLE)
                       ELSE CAST(0 AS DOUBLE) END), 6) AS keep_share,
        round(quantile_cont(quality, 0.5), 6) AS median_quality,
-       sum(CASE WHEN quality >= {QUALITY_KEEP} THEN n_tokens ELSE 0 END)
-         AS kept_tokens
+       CAST(sum(CASE WHEN quality >= {QUALITY_KEEP} THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_tokens
 FROM scored
 GROUP BY 1
 ORDER BY source

@@ -1,9 +1,19 @@
-"""Local mimic of the driver's correctness gate.
+"""Local mimic of the driver's correctness gate -- DRIVER-FAITHFUL.
 
-Runs every ``__spark_entry__.queries()`` entry on Spark and, where an
-``oracle_sql()`` entry exists, the same query on DuckDB over the same
-parquet tables; compares row count, column names, and an order-insensitive
-value representation. Use while iterating, before the driver runs.
+Round-1 lesson (VERDICT.md "What's wrong" #5): the old checker
+canonicalized every cell through ``%.9g`` / stringified lists, which
+green-lit five queries the driver failed. The driver instead compares
+pandas frames: Spark via ``toPandas()``-equivalent collect, the oracle via
+DuckDB ``fetchdf()`` -- so DuckDB HUGEINT sums arriving as float64 render
+"0.0" against Spark's int64 "0" (hash mismatch), and array-typed cells
+blow up its ``sort_values`` canonicalizer entirely.
+
+This version reproduces both behaviors:
+  * oracle fetched with ``fetchdf()`` (dtype sensitivity included);
+  * cells rendered with ``str()`` of the pandas/numpy value -- NO float
+    reformatting -- so int-vs-float dtype drift is a FAIL;
+  * list/ndarray cells in either frame are a hard FAIL (driver errors on
+    them), forcing queries to serialize arrays before returning.
 
 Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
 """
@@ -17,43 +27,50 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from real_time_fraud_detection_system_spark.catalog import TABLES, table_path
 from real_time_fraud_detection_system_spark.session import get_spark
 
 
-def canon(value):
-    """Canonical comparable form of one cell."""
-    import datetime
-    import math
-
-    if value is None:
-        return "NULL"
-    if isinstance(value, float):
-        if math.isnan(value):
-            return "NaN"
-        # collapse -0.0 and format stably
-        if value == 0:
-            value = 0.0
-        return f"{value:.9g}"
-    if isinstance(value, datetime.datetime):
-        return value.replace(tzinfo=None).isoformat()
-    if isinstance(value, datetime.date):
-        return value.isoformat()
-    if isinstance(value, (list, tuple)):
-        return "[" + ",".join(canon(v) for v in value) + "]"
-    if isinstance(value, bool):
-        return str(int(value))
-    return str(value)
+class UnhashableCell(Exception):
+    pass
 
 
-def frame_repr(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _canon_frame(df: pd.DataFrame) -> list[str]:
+    """Driver-style canonical form: columns sorted by name, rows sorted,
+    cells rendered with plain str(). Raises UnhashableCell on list/array
+    cells exactly where the driver's sort_values would raise."""
+    df = df[sorted(df.columns)]
+    for col in df.columns:
+        if df[col].map(lambda v: isinstance(v, (list, tuple, np.ndarray, dict))).any():
+            raise UnhashableCell(col)
+    try:
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    except TypeError as exc:  # unhashable / unorderable mix
+        raise UnhashableCell(str(exc)) from exc
     out = []
-    for row in rows:
-        out.append("|".join(canon(row[i]) for i in order))
-    out.sort()
+    for row in df.itertuples(index=False):
+        out.append("|".join(_cell(v) for v in row))
     return out
+
+
+def _cell(v) -> str:
+    if v is None or v is pd.NaT or (isinstance(v, float) and np.isnan(v)):
+        return "NULL"
+    if isinstance(v, pd.Timestamp):
+        # DuckDB fetchdf renders DATE as midnight datetime64 while Spark
+        # toPandas keeps datetime.date objects; the driver tolerates this
+        # (daily_metrics passed round 1), so collapse midnight to the date
+        if v.tzinfo is None and v == v.normalize():
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    # deliberately no numeric normalization: np.int64(0) -> "0",
+    # np.float64(0.0) -> "0.0" -- the dtype drift the driver punishes
+    return str(v)
 
 
 def main():
@@ -79,8 +96,7 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception:
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc()
@@ -88,38 +104,47 @@ def main():
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{dt:.1f}s]")
+            print(f"rows  {name}: {len(spdf)} rows (no oracle) [{dt:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL  {name}: duckdb raised")
             traceback.print_exc()
             n_fail += 1
             continue
         ok = True
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL  {name}: columns differ spark={sorted(scols)} duck={sorted(dcols)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            print(
+                f"FAIL  {name}: columns differ spark={sorted(spdf.columns)} "
+                f"duck={sorted(dpdf.columns)}"
+            )
             ok = False
-        elif len(srows) != len(drows):
-            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+        elif len(spdf) != len(dpdf):
+            print(f"FAIL  {name}: rowcount spark={len(spdf)} duck={len(dpdf)}")
             ok = False
         else:
-            s_repr = frame_repr(scols, srows)
-            d_repr = frame_repr(dcols, drows)
+            try:
+                s_repr = _canon_frame(spdf)
+            except UnhashableCell as exc:
+                print(f"FAIL  {name}: spark output has array/list cells ({exc})")
+                n_fail += 1
+                continue
+            try:
+                d_repr = _canon_frame(dpdf)
+            except UnhashableCell as exc:
+                print(f"FAIL  {name}: oracle output has array/list cells ({exc})")
+                n_fail += 1
+                continue
             if s_repr != d_repr:
-                diffs = [
-                    (a, b) for a, b in zip(s_repr, d_repr) if a != b
-                ][:3]
+                diffs = [(a, b) for a, b in zip(s_repr, d_repr) if a != b][:3]
                 print(f"FAIL  {name}: values differ; first diffs:")
                 for a, b in diffs:
                     print(f"   spark: {a}\n   duck : {b}")
                 ok = False
         if ok:
-            print(f"PASS  {name}: {len(srows)} rows [{dt:.1f}s]")
+            print(f"PASS  {name}: {len(spdf)} rows [{dt:.1f}s]")
             n_pass += 1
         else:
             n_fail += 1

@@ -9,19 +9,8 @@ Flags per query:
                 (scalar aggregates legitimately collapse to one row)
 
 Usage: python tools/plan_audit.py [sf_dir]
-
-Reviewed state (2026-08): 11 of 73 queries flag, ALL intentional --
-  * NLJ on ann_*/freshness/windowed_rates/customers_without_orders is a
-    1-row or N_QUERIES-row broadcast (scalar subquery / query fan-out),
-    constant-size at any data scale;
-  * NLJ on embedding_near_dup is the documented all-pairs verification
-    primitive (the LSH/IVF variants are the scale paths);
-  * 1PART flags are scalar or near-scalar outputs (single-row results,
-    incl. the conversion_funnel 4-counter summary);
-  * GLOBALWIN on moving_avg_revenue orders day-grain aggregates -- row
-    count bounded by calendar days, not data volume.
-A NEW flag appearing here after a change is a regression to explain or
-fix before committing.
+Exit code 1 if the flag set differs from ALLOWLIST (regression gate; the
+same check runs as tests/test_plan_audit.py).
 """
 
 from __future__ import annotations
@@ -34,6 +23,33 @@ sys.path.insert(0, "/root/repo")
 
 from real_time_fraud_detection_system_spark.operators import all_queries
 from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
+
+# Every current flag, reviewed and justified. A query appearing here with
+# different flags, or a new query flagging at all, FAILS the audit until
+# it is re-reviewed and added with a justification.
+#   * NLJ on ann_* / freshness_check / windowed_rates /
+#     customers_without_orders: 1-row or N_QUERIES-row broadcasts (scalar
+#     "now" anchor / query fan-out) -- constant-size at any data scale.
+#   * NLJ on embedding_near_dup: the documented all-pairs verification
+#     primitive (LSH/IVF variants are the scale paths); guarded by a
+#     row-count bound (operators/similarity.py).
+#   * 1PART: scalar or near-scalar outputs (single-row summaries,
+#     conversion_funnel's 4-counter result, q6/q15 scalar revenue).
+#   * GLOBALWIN on moving_avg_revenue: orders day-grain aggregates; row
+#     count bounded by calendar days, not data volume.
+ALLOWLIST: dict[str, frozenset[str]] = {
+    "ann_cosine_topk": frozenset({"NLJ"}),
+    "ann_ivf_topk": frozenset({"NLJ"}),
+    "conversion_funnel": frozenset({"1PART"}),
+    "customers_without_orders": frozenset({"NLJ", "1PART"}),
+    "embedding_near_dup": frozenset({"NLJ"}),
+    "freshness_check": frozenset({"NLJ", "1PART"}),
+    "moving_avg_revenue": frozenset({"GLOBALWIN", "1PART"}),
+    "null_id_check": frozenset({"1PART"}),
+    "q15_top_supplier": frozenset({"1PART"}),
+    "q6_revenue_change": frozenset({"1PART"}),
+    "windowed_rates": frozenset({"NLJ", "1PART"}),
+}
 
 
 def plan_of(df) -> str:
@@ -72,23 +88,35 @@ def audit(name: str, df) -> list[str]:
     return flags
 
 
-def main() -> None:
+def sweep(spark, sf_dir: str) -> dict[str, frozenset[str]]:
+    """Flag set per flagged query (un-flagged queries omitted).
+    Raises on any query whose plan fails to build."""
+    out: dict[str, frozenset[str]] = {}
+    for name, fn in sorted(all_queries().items()):
+        flags = audit(name, fn(spark, sf_dir))
+        if flags:
+            out[name] = frozenset(flags)
+    return out
+
+
+def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit", cpus=min(8, cpu_count()))
-    flagged = 0
-    for name, fn in sorted(all_queries().items()):
-        try:
-            flags = audit(name, fn(spark, sf_dir))
-        except Exception as e:  # noqa: BLE001
-            print(f"ERROR {name}: {e}")
-            flagged += 1
-            continue
-        if flags:
-            flagged += 1
-            print(f"FLAG  {name}: {', '.join(flags)}")
-    print(f"\n{flagged} flagged of {len(all_queries())}")
-    spark.stop()
+    try:
+        got = sweep(spark, sf_dir)
+    finally:
+        spark.stop()
+    for name, flags in sorted(got.items()):
+        mark = "" if ALLOWLIST.get(name) == flags else "  <-- NOT ALLOWED"
+        print(f"FLAG  {name}: {', '.join(sorted(flags))}{mark}")
+    missing = sorted(set(ALLOWLIST) - set(got))
+    for name in missing:
+        print(f"GONE  {name}: allowlisted but no longer flags (prune entry)")
+    ok = got == ALLOWLIST
+    print(f"\n{len(got)} flagged of {len(all_queries())}; "
+          f"{'MATCHES' if ok else 'DIFFERS FROM'} allowlist")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
