@@ -136,19 +136,40 @@ def main() -> None:
 
     ingest_eps = bench_streaming_ingest(spark)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "streaming_ingest_eps": round(ingest_eps, 1),
-            }
-        )
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "streaming_ingest_eps": round(ingest_eps, 1),
+    }
+
+    # Scale validation: if the 10x replica dataset exists (built with
+    # tools/make_scale_data.py), run the suite once there too. Single
+    # pass (the sf-dir suite above already warmed codegen); 16 MB splits
+    # -- the 1 MB local knob would shred the ~10x-larger files into
+    # thousands of scheduling-dominated tasks.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale/sf1"),
     )
+    if os.path.isdir(sf1_dir):
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
+        )
+        sf1_timings: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.time()
+            run_query(queries[name](spark, sf1_dir))
+            sf1_timings[name] = round(time.time() - t0, 3)
+        result["sf1"] = {
+            "value": round(sum(sf1_timings.values()), 3),
+            "queries": sf1_timings,
+            "sf": 1.0,
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 

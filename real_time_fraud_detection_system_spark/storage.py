@@ -60,12 +60,23 @@ def compact_partitions(
     after a day at a 30 s trigger that is ~2,880 files per partition,
     and at 100 TB the NameNode/listing and open-per-file costs dominate
     scans long before the bytes do. Compaction rewrites each partition
-    to ceil(rows / target_rows_per_file) files via a repartition keyed
-    on the partition column, using dynamic partition overwrite so ONLY
-    rewritten partitions are replaced (concurrent appends to other
-    partitions survive). Idempotent; returns before/after file counts.
+    to ~ceil(partition_rows / target_rows_per_file) files: per-partition
+    row counts (one cheap agg) size a salt column, and the shuffle keys
+    on (partition, salt) so large partitions split across that many
+    tasks/files instead of collapsing into one giant file per partition
+    value. Dynamic partition overwrite replaces ONLY rewritten
+    partitions, so concurrent appends to OTHER partitions survive.
+
+    Concurrency caveat: rows appended to a partition BETWEEN this read
+    and the overwrite commit are lost with that partition's rewrite --
+    run compaction on partitions the stream has moved past (e.g.
+    yesterday and older), never on the hot partition.
+
+    Idempotent; returns before/after file counts.
     """
     import glob
+
+    from pyspark.sql import functions as F
 
     def n_files() -> int:
         return len(
@@ -74,12 +85,34 @@ def compact_partitions(
 
     before = n_files()
     df = spark.read.parquet(store_dir)
-    n_rows = df.count()
-    n_out = max(1, -(-n_rows // target_rows_per_file))
+    counts = df.groupBy(partition_col).agg(F.count("*").alias("_prows"))
+    n_rows = sum(r["_prows"] for r in counts.collect())
+    per_part = counts.withColumn(
+        "_nf",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_prows") / target_rows_per_file)
+        ).cast("int"),
+    ).drop("_prows")
+    n_out = max(
+        1, per_part.agg(F.sum("_nf")).first()[0] or 1
+    )
+    salted = (
+        df.join(F.broadcast(per_part), partition_col)
+        # row-unique id mod _nf spreads each store partition round-robin
+        # across its _nf salt values regardless of how the scan packed
+        # the small input files into splits
+        .withColumn(
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.col("_nf"))
+        )
+    )
     (
-        df.repartition(n_out, partition_col)
+        salted.repartition(int(n_out), partition_col, "_salt")
+        .drop("_nf", "_salt")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        # hard cap: even when salt buckets hash-collide into one task,
+        # the writer splits its output at the row target
+        .option("maxRecordsPerFile", target_rows_per_file)
         .partitionBy(partition_col)
         .parquet(store_dir)
     )

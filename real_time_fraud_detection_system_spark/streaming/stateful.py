@@ -69,31 +69,36 @@ def _sessionize_fn(
             closed.append((user_id, s0, s1, n, tv))
             state.remove()
     else:
-        cur = list(state.get) if state.exists else None
         events = []
         for pdf in pdfs:
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 events.append((int(ts.value // 1000), float(val)))
-        events.sort()
+        # Interval-merge sweep: treat the open session from state as one
+        # interval and each event as a point interval, sort by start,
+        # and merge under the gap rule. Out-of-order replay thus groups
+        # several late events into their own earlier session(s) (the
+        # batch twin's exact semantics) instead of emitting one
+        # single-event session per late row; everything but the most
+        # recent session closes.
+        items = [[ts_us, ts_us, 1, val] for ts_us, val in sorted(events)]
+        if state.exists:
+            s0, s1, n, tv = state.get
+            items.append([s0, s1, n, tv])
+            items.sort(key=lambda it: (it[0], it[1]))
         gap_us = SESSION_GAP_S * _US
-        for ts_us, val in events:
-            if cur is None:
-                cur = [ts_us, ts_us, 1, val]
-            elif ts_us > cur[1] + gap_us:
-                closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
-                cur = [ts_us, ts_us, 1, val]
-            elif ts_us < cur[0] - gap_us:
-                # late event from a strictly earlier session (possible
-                # when micro-batches arrive out of order): emit it as its
-                # own closed session, keep the current one open
-                closed.append((user_id, ts_us, ts_us, 1, val))
+        merged: list[list] = []
+        for it in items:
+            if merged and it[0] <= merged[-1][1] + gap_us:
+                last = merged[-1]
+                last[1] = max(last[1], it[1])
+                last[2] += it[2]
+                last[3] += it[3]
             else:
-                # merges, possibly extending the open session backwards
-                cur[0] = min(cur[0], ts_us)
-                cur[1] = max(cur[1], ts_us)
-                cur[2] += 1
-                cur[3] += val
-        if cur is not None:
+                merged.append(it)
+        for s in merged[:-1]:
+            closed.append((user_id, s[0], s[1], s[2], s[3]))
+        if merged:
+            cur = merged[-1]
             state.update(tuple(cur))
             # close the open session once the watermark passes its gap
             state.setTimeoutTimestamp(cur[1] // 1000 + SESSION_GAP_S * 1000)

@@ -84,3 +84,56 @@ def test_stream_sessionize_closes_on_gap_and_watermark(spark, tmp_path):
     s2 = by_user[2][0]
     assert s2["n_events"] == 1
     assert abs(s2["total_value"] - 5.0) < 1e-9
+
+
+def test_stream_sessionize_merges_late_events_into_one_session(
+    spark, tmp_path
+):
+    """Out-of-order replay: several late events that belong to ONE
+    earlier session must merge under the gap rule (not emit one
+    single-event session each)."""
+    src = tmp_path / "src"
+    out_rows = []
+
+    # batch 1 opens user 1's session at minute 300 (watermark -> 240)
+    batch1 = [(_t(300), 1, 1.0)]
+    # batch 2 replays three LATE events from an earlier session: within
+    # the 30-min gap of each other, >30 min before minute 300, but above
+    # the minute-240 watermark (older rows never reach the operator);
+    # plus a watermark pusher
+    batch2 = [(_t(241), 1, 1.0), (_t(245), 1, 2.0), (_t(250), 1, 4.0),
+              (_t(900), 9, 0.1)]
+
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    sessions = sessionize_stream(stream)
+    ckpt = tmp_path / "ckpt"
+
+    def run_available():
+        q = (
+            sessions.writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .foreachBatch(lambda df, eid: out_rows.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available()
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    run_available()
+
+    early = [
+        r for r in out_rows
+        if r["user_id"] == 1 and r["session_start"] == _t(241)
+    ]
+    assert len(early) == 1, f"late events split: {out_rows}"
+    assert early[0]["session_end"] == _t(250)
+    assert early[0]["n_events"] == 3
+    assert abs(early[0]["total_value"] - 7.0) < 1e-9

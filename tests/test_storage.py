@@ -112,3 +112,46 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
         r["transaction_id"] for r in after.select("transaction_id").collect()
     )
     assert after_rows == before_rows
+
+
+def test_compaction_honors_file_size_target_per_partition(spark, tmp_path):
+    """A partition bigger than target_rows_per_file must split into
+    ~ceil(rows/target) files, not collapse into one giant file."""
+    import glob
+
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+    from real_time_fraud_detection_system_spark.storage import (
+        compact_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    for seed in range(4):
+        (
+            transactions_batch(spark, 60, seed=seed)
+            .withColumn("event_date", F.to_date("event_time"))
+            .repartition(3)
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(store)
+        )
+    df = spark.read.parquet(store)
+    per_part = {
+        r["event_date"]: r["n"]
+        for r in df.groupBy("event_date").agg(F.count("*").alias("n")).collect()
+    }
+
+    target = 50
+    compact_partitions(spark, store, target_rows_per_file=target)
+    for part, n in per_part.items():
+        want = -(-n // target)  # ceil(rows / target)
+        files = glob.glob(f"{store}/event_date={part}/*.parquet")
+        # at least the target-implied count (maxRecordsPerFile hard cap
+        # forbids giant files), at most 2x (salt-bucket hash collisions
+        # can split a task's rows into two sub-target files)
+        assert want <= len(files) <= 2 * want, (
+            f"partition {part}: {n} rows -> {len(files)} files, want ~{want}"
+        )
+        for f in files:
+            assert spark.read.parquet(f).count() <= target

@@ -79,3 +79,36 @@ def test_native_session_window_closes_sessions(spark, tmp_path):
     assert [r["n_events"] for r in u1] == [2, 1]
     assert u1[0]["session_start"] == _t(0)
     assert abs(u1[0]["total_value"] - 3.0) < 1e-9
+
+
+def test_stream_stream_join_accepts_unprefixed_user_id(spark, tmp_path):
+    """Docstring contract: plain user_id inputs are renamed internally."""
+    csrc, psrc = tmp_path / "clicks", tmp_path / "purch"
+    spark.createDataFrame(
+        [(_t(0), 1), (_t(4), 1)],
+        "click_ts timestamp, user_id long",
+    ).coalesce(1).write.parquet(str(csrc / "b1"))
+    spark.createDataFrame(
+        [(_t(5), 1, 10.0)],
+        "purchase_ts timestamp, user_id long, amount double",
+    ).coalesce(1).write.parquet(str(psrc / "b1"))
+
+    clicks = spark.readStream.schema(
+        "click_ts timestamp, user_id long"
+    ).parquet(str(csrc / "*"))
+    purchases = spark.readStream.schema(
+        "purchase_ts timestamp, user_id long, amount double"
+    ).parquet(str(psrc / "*"))
+
+    rows = []
+    q = (
+        stream_stream_click_purchase_join(clicks, purchases)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["p_user_id"], r["purchase_ts"], r["click_ts"]) for r in rows}
+    assert got == {(1, _t(5), _t(0)), (1, _t(5), _t(4))}

@@ -183,3 +183,25 @@ def test_streaming_query_status_surface(spark, tmp_path):
         assert q.id is not None
     finally:
         q.stop()
+
+
+def test_jdbc_prediction_sink_appends_each_epoch(spark, tmp_path):
+    """S5 JDBC variant (db-gated: no JDBC driver in this container, so a
+    fake writer captures what the default path would hand to
+    DataFrameWriter.jdbc): one set-oriented append per micro-batch."""
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+    from real_time_fraud_detection_system_spark.streaming.pipeline import (
+        jdbc_prediction_sink,
+    )
+
+    seen = []
+    sink = jdbc_prediction_sink(
+        "jdbc:postgresql://db/frauddb", "predictions",
+        writer=lambda df: seen.append(df.count()),
+    )
+    batch = transactions_batch(spark, 25, seed=7)
+    sink(batch, epoch_id=0)
+    sink(batch.limit(10), epoch_id=1)
+    assert seen == [25, 10]
