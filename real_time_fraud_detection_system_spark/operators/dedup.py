@@ -413,38 +413,68 @@ ORDER BY doc_id
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance <= SIMHASH_MAX_HAMMING via
-    bit_count(xor). Pairing is restricted to docs sharing either half of
-    the fingerprint (the classic SimHash block-permutation trick reduced
-    to 2 blocks) so the self-join is bucketed, not all-pairs -- with
-    Hamming <= 3 over 2 blocks of 8 bits, one block must match within
-    <= 1 bit; we bucket on exact block equality which catches distance
-    <= 3 whenever all errors fall in one block, and the oracle applies
-    the identical rule."""
+    bit_count(xor). Pairing is restricted to docs sharing a fingerprint
+    block (the classic SimHash block-permutation trick, SIMHASH_N_BLOCKS
+    blocks) so candidacy is bucketed, not all-pairs; the oracle applies
+    the identical rule.
+
+    Scale shape: the candidate self-join runs on DISTINCT fingerprints
+    -- bounded by the 2^SIMHASH_BITS hash space regardless of corpus
+    size -- and docs join back by fingerprint afterwards. Joining docs
+    directly is quadratic in per-block doc occupancy and blew up 130x at
+    a 10x scale test; fingerprint-level candidacy keeps the quadratic
+    factor capped at the hash space while the doc joins stay linear in
+    the true output pair count (the same boundedness argument as
+    dedup_clusters)."""
     fp = simhash_fingerprints(spark, sf_dir).select("doc_id", "simhash")
-    half = fp.select(
-        "doc_id",
+    half = fp.select("simhash").distinct().select(
         "simhash",
         F.explode(
             F.array(*[F.expr(e) for e in simhash_block_exprs_spark()])
         ).alias("block"),
     )
-    a, b = half.alias("a"), half.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    fa, fb = half.alias("fa"), half.alias("fb")
+    fpairs = (
+        fa.join(
+            fb,
+            (F.col("fa.block") == F.col("fb.block"))
+            & (F.col("fa.simhash") <= F.col("fb.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col("fa.simhash").alias("sh_a"),
+            F.col("fb.simhash").alias("sh_b"),
         )
         .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .orderBy("a_id", "b_id")
+    )
+    da = fp.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("x_id"))
+    db = fp.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("y_id"))
+    return (
+        fpairs.join(da, "sh_a")
+        .join(db, "sh_b")
+        # equal-fp pairs enumerate both orders (x,y)/(y,x): keep x<y.
+        # distinct-fp pairs appear once (each doc carries ONE fp, so the
+        # assignment to the da/db side is fixed): orient via least/greatest.
+        .filter(
+            F.when(
+                F.col("sh_a") == F.col("sh_b"), F.col("x_id") < F.col("y_id")
+            ).otherwise(F.col("x_id") != F.col("y_id"))
+        )
+        .select(
+            F.least("x_id", "y_id").alias("a_id"),
+            F.greatest("x_id", "y_id").alias("b_id"),
+            "hamming",
+        )
+        # no ORDER BY: the pair set is the result (correctness harnesses
+        # sort canonically); a global sort of the output was the single
+        # largest cost at the 10x scale test (144M pairs -- the 16-bit
+        # fingerprint space saturates around 50k docs, so pair counts
+        # grow quadratically there; real corpora want SIMHASH_BITS worth
+        # of discrimination scaled up, e.g. 64-bit fingerprints)
     )
 
 

@@ -169,22 +169,42 @@ ORDER BY a_id, b_id
 
 
 # --------------------------------------------------------------------------
-def _hyperplane_weight_expr(plane: int) -> str:
+LSH_MAX_DIM = 128  # hyperplane weights pre-materialized up to this dim
+
+
+def _hyperplane_weights(plane: int, dims: int = LSH_MAX_DIM) -> list[float]:
     """Deterministic pseudo-random weight for (plane, dim i) in [-1, 1]:
     md5 of 'p<plane>:d<i>' -> first 8 hex digits -> uniform int -> scale.
-    No RNG state, so identical on every engine, executor, and retry."""
-    h = f"conv(substr(md5(concat('p{plane}:d', CAST(i AS STRING))), 1, 8), 16, 10)"
-    return f"(CAST({h} AS DOUBLE) / 2147483647.5 - 1.0)"
+    No RNG state, so identical on every engine, executor, and retry.
+
+    Computed driver-side with hashlib (bit-identical to the SQL
+    md5/conv/divide chain the DuckDB oracle still runs): evaluating md5
+    inside the per-row lambda costs rows x dims x planes digests -- it
+    was 100% of ann_lsh_bucketed's runtime at the 10x scale test."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"p{plane}:d{i}".encode()).hexdigest()[:8], 16)
+        / 2147483647.5
+        - 1.0
+        for i in range(dims)
+    ]
 
 
 def lsh_signature_expr(emb_col: str, planes: int = LSH_PLANES) -> str:
-    """Spark SQL: sign-random-projection bit signature of a vector."""
+    """Spark SQL: sign-random-projection bit signature of a vector.
+    Weights are embedded as double literals (repr round-trips exactly);
+    vectors beyond LSH_MAX_DIM dims would zip against nulls -- raise the
+    constant rather than feeding longer embeddings."""
     bits = []
     for p in range(planes):
-        w = _hyperplane_weight_expr(p)
+        w_lit = "array(" + ", ".join(
+            repr(w) + "D" for w in _hyperplane_weights(p)
+        ) + ")"
         proj = (
-            f"aggregate(zip_with({emb_col}, sequence(0, size({emb_col}) - 1), "
-            f"(x, i) -> x * {w}), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            f"aggregate(zip_with({emb_col}, "
+            f"slice({w_lit}, 1, size({emb_col})), "
+            f"(x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
