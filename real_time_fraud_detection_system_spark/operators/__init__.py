@@ -16,7 +16,7 @@ def _modules():
     from . import relational
 
     mods = [relational]
-    for name in ("metrics", "dedup", "similarity", "textops", "sessionize", "multimodal", "windows", "temporal", "mlqueries", "tpch_extra", "skew", "anomaly"):
+    for name in ("metrics", "dedup", "similarity", "textops", "corpusops", "sessionize", "multimodal", "windows", "temporal", "mlqueries", "tpch_extra", "skew", "anomaly"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:
@@ -50,16 +50,18 @@ PRIORITY = [
     # (b) round-1 driver failures, fixed (oracle canonicalization)
     "null_id_check", "corpus_quality_gate", "user_sessions",
     "multimodal_features", "multimodal_resize",
-    # (c) representatives of every remaining family
+    # (c) representatives of every remaining family (scalar-component
+    #     queries like minhash_signatures/simhash_fingerprints were
+    #     driver-green in round 1 and rotate to the tail to make room)
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_revenue_change", "q10_returned_items",
-    "dedup_exact", "minhash_signatures", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "simhash_fingerprints", "dedup_simhash",
-    "dedup_clusters",
+    "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "ann_cosine_topk", "embedding_near_dup", "ann_lsh_bucketed",
     "ann_ivf_topk",
     "text_stats", "session_summary", "conversion_funnel", "daily_metrics",
-    "hourly_timeseries",
+    # (d) round-2 additions (corpus-prep family, no driver verdict yet)
+    "repetition_stats", "sequence_packing", "contamination_check",
 ]
 
 

