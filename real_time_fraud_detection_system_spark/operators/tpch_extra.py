@@ -394,8 +394,216 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+# --------------------------------------------------------------------------
+# Q4 shape: EXISTS correlated subquery -> left-semi join with a
+# cross-side predicate. No l_commitdate/l_receiptdate in this schema, so
+# "late" = shipped more than LATE_DAYS after the order date.
+LATE_DAYS = 60
+
+
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: two-way conditional routing counts. No l_shipmode column;
+# lines route into slow/fast classes by shipping delay instead.
+def q12_shipping_delay_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "delay_class",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS"),
+                "slow",
+            ).otherwise("fast"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+Q12_SQL = f"""
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+            THEN 'slow' ELSE 'fast' END AS delay_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY delay_class
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: multi-EXISTS / NOT-EXISTS decorrelated into one per-order
+# aggregate pass -- suppliers who were the SOLE late shipper on a
+# finished multi-supplier order. The classic plan is two correlated
+# subqueries; one groupBy(orderkey) computing (n suppliers, n late
+# suppliers, the late supplier when unique) replaces both, which is the
+# decorrelation that survives 100 TB (one keyed shuffle).
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+    ).cast("int")
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("late", late)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+            F.max(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+Q21_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                                  + INTERVAL {LATE_DAYS} DAY
+                             THEN l_suppkey END) AS n_late_supp,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: scalar subquery threshold + NOT EXISTS anti-join. No
+# c_phone/cntrycode; market segments stand in as the grouping, and the
+# threshold is the average positive account balance (1-row broadcast --
+# the allowlisted constant-size NLJ pattern). The threshold is computed
+# in INTEGER fixed-point (floor of the mean in 10^-4 units): a double
+# avg differs between engines in the last ulp, and a customer balance
+# within that ulp of the threshold would flip the > filter (the
+# functions/money.py failure class, applied to a predicate).
+DORMANT_SINCE = "2000-01-01"
+
+
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(DORMANT_SINCE).cast("timestamp")
+    )
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.expr(
+            f"sum({cents_sql('c_acctbal')}) div count(*)"
+        ).alias("avg_cents")
+    )
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(F.expr(cents_sql("c_acctbal")) > F.col("avg_cents"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(exact_sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       {exact_sum("c_acctbal")} AS totacctbal
+FROM customer
+WHERE {cents_sql("c_acctbal")} >
+      (SELECT sum({cents_sql("c_acctbal")}) // count(*)
+       FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{DORMANT_SINCE} 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
+    "q4_order_priority_exists": q4_order_priority_exists,
+    "q12_shipping_delay_classes": q12_shipping_delay_classes,
+    "q21_sole_late_supplier": q21_sole_late_supplier,
+    "q22_dormant_high_balance": q22_dormant_high_balance,
     "q13_customer_distribution": q13_customer_distribution,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -408,6 +616,10 @@ QUERIES = {
 
 ORACLE = {
     "q7_volume_shipping": Q7_SQL,
+    "q4_order_priority_exists": Q4_SQL,
+    "q12_shipping_delay_classes": Q12_SQL,
+    "q21_sole_late_supplier": Q21_SQL,
+    "q22_dormant_high_balance": Q22_SQL,
     "q13_customer_distribution": Q13_SQL,
     "q8_market_share": Q8_SQL,
     "q9_profit_by_nation": Q9_SQL,

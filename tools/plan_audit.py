@@ -48,6 +48,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "null_id_check": frozenset({"1PART"}),
     "q15_top_supplier": frozenset({"1PART"}),
     "q6_revenue_change": frozenset({"1PART"}),
+    # Q22 shape: the NLJ is the 1-row avg-balance threshold broadcast
+    # (constant size at any scale) and the 1PART is that scalar
+    # aggregate's own exchange feeding it -- both the allowlisted
+    # scalar-anchor pattern (same as freshness_check/windowed_rates).
+    "q22_dormant_high_balance": frozenset({"NLJ", "1PART"}),
     "windowed_rates": frozenset({"NLJ", "1PART"}),
 }
 
