@@ -49,6 +49,10 @@ HEADLINE = [
     "dedup_clusters",
     "text_stats",
     "corpus_token_stats",
+    "repetition_stats",
+    "sequence_packing",
+    "contamination_check",
+    "q21_sole_late_supplier",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "multimodal_features",
@@ -92,6 +96,13 @@ def bench_streaming_ingest(spark, seconds: int = 20) -> float:
         )
         t0 = time.time()
         time.sleep(seconds)
+        # under heavy host contention the first micro-batch can outlive
+        # the whole window (observed: eps recorded 0.0); extend rather
+        # than record a number that says "broken" when it means "busy"
+        extra = 0
+        while counts["n"] == 0 and extra < 40:
+            time.sleep(10)
+            extra += 10
         q.stop()
     if not counts["n"] or counts["t_last"] is None:
         return 0.0
@@ -133,6 +144,10 @@ def main() -> None:
             run_query(queries[name](spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # operators that cache intermediates (dedup, contamination) must
+        # not leave them pinned: accumulated caches shift later queries'
+        # GC behavior and make run N depend on runs 1..N-1
+        spark.catalog.clearCache()
 
     ingest_eps = bench_streaming_ingest(spark)
 
@@ -146,10 +161,10 @@ def main() -> None:
     }
 
     # Scale validation: if the 10x replica dataset exists (built with
-    # tools/make_scale_data.py), run the suite once there too. Single
-    # pass (the sf-dir suite above already warmed codegen); 16 MB splits
-    # -- the 1 MB local knob would shred the ~10x-larger files into
-    # thousands of scheduling-dominated tasks.
+    # tools/make_scale_data.py), run the suite there too. Best-of-2 like
+    # the main suite (the shared host's wall-clock noise swamps single
+    # passes); 16 MB splits -- the 1 MB local knob would shred the
+    # ~10x-larger files into thousands of scheduling-dominated tasks.
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale/sf1"),
@@ -160,9 +175,13 @@ def main() -> None:
         )
         sf1_timings: dict[str, float] = {}
         for name in HEADLINE:
-            t0 = time.time()
-            run_query(queries[name](spark, sf1_dir))
-            sf1_timings[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                run_query(queries[name](spark, sf1_dir))
+                best = min(best, time.time() - t0)
+            sf1_timings[name] = round(best, 3)
+            spark.catalog.clearCache()
         result["sf1"] = {
             "value": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,

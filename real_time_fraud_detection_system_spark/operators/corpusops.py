@@ -134,13 +134,18 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination report: share of training docs (doc_id >=
     EVAL_DOCS) per source that share at least one SHINGLE_N-gram with
     the held-out eval set (doc_id < EVAL_DOCS). The standard
-    benchmark-leakage sweep before training."""
+    benchmark-leakage sweep before training.
+
+    The shingle projection is the dominant cost and feeds BOTH branches
+    (eval set + train scan), so it is computed once and cached; no
+    array_distinct -- existence flags and the eval set's later distinct
+    don't need per-doc dedup."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = docs.selectExpr(
         "doc_id",
         "source",
-        f"array_distinct({shingles_expr(_TOKS)}) AS shingles",
-    )
+        f"{shingles_expr(_TOKS)} AS shingles",
+    ).cache()
     eval_sh = (
         sh.filter(F.col("doc_id") < EVAL_DOCS)
         .select(F.explode("shingles").alias("shingle"))

@@ -137,3 +137,71 @@ def test_stream_sessionize_merges_late_events_into_one_session(
     assert early[0]["session_end"] == _t(250)
     assert early[0]["n_events"] == 3
     assert abs(early[0]["total_value"] - 7.0) < 1e-9
+
+
+def test_stream_sessionizer_matches_batch_twin(spark, tmp_path):
+    """The applyInPandasWithState sessionizer and the batch gap-rule
+    (operators/sessionize.assign_sessions) must agree on every CLOSED
+    session: same (start, end, n_events, total_value) sets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.operators.sessionize import (
+        assign_sessions,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for user in range(1, 6):
+        t = 0
+        for _ in range(rng.randint(5, 15)):
+            t += rng.choice([1, 5, 20, 40, 90])  # minutes; >30 splits
+            rows.append((_t(t), user, float(rng.randint(1, 9)), eid))
+            eid += 1
+    # watermark pusher far in the future closes every session
+    rows.append((_t(100000), 99, 0.0, eid))
+
+    src = tmp_path / "src"
+    frame = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, value double, event_id long"
+    )
+    frame.coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double, event_id long"
+    ).parquet(str(src / "*"))
+    got = []
+    q = (
+        sessionize_stream(stream.drop("event_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, eid_: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        assign_sessions(frame)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    )
+    batch_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in batch if r["user_id"] != 99
+    }
+    stream_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in got if r["user_id"] != 99
+    }
+    assert stream_set == batch_set
