@@ -37,9 +37,10 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct/total bigrams) and the share of the single most frequent
     token. The classic junk signals for generated/boilerplate text.
 
-    top_token_share is O(distinct x tokens) per row -- fine for
-    web-scale docs (hundreds of tokens); chunk first for book-length
-    inputs."""
+    top_token_share = longest run in the sorted token array / n -- an
+    O(n log n) fold instead of the naive O(distinct x tokens) scan
+    (verified identical output; the oracle keeps the naive form, which
+    only has to be correct, not fast)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     bi = shingles_expr(_TOKS, 2)
     return docs.selectExpr(
@@ -48,8 +49,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""round(CASE WHEN size({bi}) > 0
              THEN 1.0 - size(array_distinct({bi})) / size({bi})
              ELSE 0.0 END, 6) AS rep_bigram_share""",
-        f"""round(array_max(transform(array_distinct({_TOKS}),
-             t -> size(filter({_TOKS}, x -> x = t)) / size({_TOKS}))), 6)
+        f"""round(aggregate(array_sort({_TOKS}),
+             named_struct('prev', '', 'run', 0, 'best', 0),
+             (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(x = acc.prev, acc.run + 1, 1),
+                'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))),
+             acc -> acc.best) / size({_TOKS}), 6)
            AS top_token_share""",
     ).orderBy("doc_id")
 

@@ -360,7 +360,7 @@ ORDER BY a_id, b_id
 
 
 # --------------------------------------------------------------------------
-def _simhash_select_spark(hashes: str = "hs") -> str:
+def _simhash_select_spark(hashes: str = "hs", n_bits: int = SIMHASH_BITS) -> str:
     """SimHash fingerprint over a PRE-HASHED token array column (one
     md5 per token, computed once upstream): per bit, sum +1/-1 votes by
     that bit of the token hash; set the bit when votes > 0. Without the
@@ -370,18 +370,18 @@ def _simhash_select_spark(hashes: str = "hs") -> str:
         f"(CASE WHEN aggregate({hashes}, 0, (acc, h) -> acc + "
         f"(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
+        for i in range(n_bits)
     )
     return f"({bits})"
 
 
-def _simhash_select_duck() -> str:
+def _simhash_select_duck(n_bits: int = SIMHASH_BITS) -> str:
     """Duck twin over a pre-hashed `hs` list column (see spark note)."""
     bits = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> "
         f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
+        for i in range(n_bits)
     )
     return f"({bits})"
 
@@ -628,6 +628,131 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Wide (60-bit) SimHash: the REAL-CORPUS scale path. The 16-bit variant
+# above saturates around 50k documents (every fingerprint collides, pair
+# counts grow quadratically -- measured at the 10x scale test); 60 bits
+# keep near-dup pairs sparse at any corpus size. 60 = 15 hex chars of
+# one md5, so the token hash stays a BIGINT in both engines. Four
+# 15-bit candidate blocks give GUARANTEED recall at Hamming <= 3
+# (pigeonhole: 3 errors cannot touch all 4 blocks), upgrading the
+# 2-block variant's all-errors-in-one-block heuristic.
+SIMHASH64_BITS = 60
+SIMHASH64_N_BLOCKS = 4
+_W_WIDTH = SIMHASH64_BITS // SIMHASH64_N_BLOCKS
+_W_MASK = (1 << _W_WIDTH) - 1
+
+_HEX60_SPARK = "CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_HASHED_DOCS_60 = (
+    "(SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), "
+    "x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs FROM documents)"
+)
+
+
+def _wide_block_exprs_spark() -> list[str]:
+    return [
+        f"concat('w{k}:', CAST((simhash >> {k * _W_WIDTH}) & {_W_MASK}"
+        f" AS STRING))"
+        for k in range(SIMHASH64_N_BLOCKS)
+    ]
+
+
+def _wide_block_exprs_duck() -> list[str]:
+    return [
+        f"'w{k}:' || CAST((simhash >> {k * _W_WIDTH}) & {_W_MASK}"
+        f" AS VARCHAR)"
+        for k in range(SIMHASH64_N_BLOCKS)
+    ]
+
+
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs at Hamming <= SIMHASH_MAX_HAMMING,
+    with guaranteed candidate recall via 4-block pigeonhole. Same
+    fingerprint-level candidacy as dedup_simhash: the self-join runs on
+    DISTINCT fingerprints, docs join back afterwards."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    fp = docs.selectExpr(
+        "doc_id",
+        f"transform(array_distinct({_TOKS}), x -> {_HEX60_SPARK}) AS hs",
+    ).selectExpr(
+        "doc_id",
+        f"CAST({_simhash_select_spark(n_bits=SIMHASH64_BITS)} AS BIGINT)"
+        " AS simhash",
+    )
+    half = fp.select("simhash").distinct().select(
+        "simhash",
+        F.explode(
+            F.array(*[F.expr(e) for e in _wide_block_exprs_spark()])
+        ).alias("block"),
+    )
+    fa, fb = half.alias("fa"), half.alias("fb")
+    fpairs = (
+        fa.join(
+            fb,
+            (F.col("fa.block") == F.col("fb.block"))
+            & (F.col("fa.simhash") <= F.col("fb.simhash")),
+        )
+        .select(
+            F.col("fa.simhash").alias("sh_a"),
+            F.col("fb.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+    da = fp.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("x_id"))
+    db = fp.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("y_id"))
+    return (
+        fpairs.join(da, "sh_a")
+        .join(db, "sh_b")
+        .filter(
+            F.when(
+                F.col("sh_a") == F.col("sh_b"), F.col("x_id") < F.col("y_id")
+            ).otherwise(F.col("x_id") != F.col("y_id"))
+        )
+        .select(
+            F.least("x_id", "y_id").alias("a_id"),
+            F.greatest("x_id", "y_id").alias("b_id"),
+            "hamming",
+        )
+    )
+
+
+DEDUP_SIMHASH_WIDE_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, CAST({_simhash_select_duck(SIMHASH64_BITS)} AS BIGINT)
+           AS simhash
+  FROM {_DUCK_HASHED_DOCS_60}
+),
+half AS (
+  SELECT DISTINCT simhash,
+         unnest([{", ".join(_wide_block_exprs_duck())}]) AS block
+  FROM fp
+),
+fpairs AS (
+  SELECT DISTINCT a.simhash AS sh_a, b.simhash AS sh_b
+  FROM half a JOIN half b
+    ON a.block = b.block AND a.simhash <= b.simhash
+),
+close_pairs AS (
+  SELECT sh_a, sh_b, bit_count(xor(sh_a, sh_b)) AS hamming
+  FROM fpairs
+  WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+)
+SELECT least(da.doc_id, db.doc_id) AS a_id,
+       greatest(da.doc_id, db.doc_id) AS b_id,
+       hamming
+FROM close_pairs
+JOIN fp da ON da.simhash = sh_a
+JOIN fp db ON db.simhash = sh_b
+WHERE CASE WHEN sh_a = sh_b THEN da.doc_id < db.doc_id
+           ELSE da.doc_id != db.doc_id END
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -635,6 +760,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_wide": dedup_simhash_wide,
     "dedup_clusters": dedup_clusters,
 }
 
@@ -645,5 +771,6 @@ ORACLE = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "simhash_fingerprints": SIMHASH_FP_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_simhash_wide": DEDUP_SIMHASH_WIDE_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }
