@@ -15,7 +15,12 @@ This is the core LLM training-data pipeline surface. Design per operator:
                     the quadratic blowup is confined to same-bucket groups,
                     which the banding makes tiny w.h.p.
   * simhash      -- 16-bit token-set SimHash; equal-fingerprint buckets and
-                    Hamming<=3 near-pairs via bit_count(xor).
+                    Hamming<=3 near-pairs via bit_count(xor). Candidates
+                    generate on DISTINCT fingerprints (bounded by the
+                    2^16 hash space), docs join back afterwards.
+  * simhash_wide -- 60-bit fingerprints, 4-block pigeonhole candidacy
+                    (guaranteed recall at Hamming<=3): the real-corpus
+                    scale path where the 16-bit space saturates.
 
 Everything is md5-based so Spark and DuckDB produce bit-identical
 signatures (see functions/text.py); every query here is oracle-checked,
