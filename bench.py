@@ -135,19 +135,25 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     # best-of-2 per query: the first run pays codegen/JIT compile and is
-    # exposed to machine noise; the min is the reproducible number
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            run_query(queries[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        # operators that cache intermediates (dedup, contamination) must
-        # not leave them pinned: accumulated caches shift later queries'
-        # GC behavior and make run N depend on runs 1..N-1
-        spark.catalog.clearCache()
+    # exposed to machine noise; the min is the reproducible number. One
+    # protocol for every measured suite -- sf0.1 and sf1 numbers must
+    # stay comparable.
+    def run_suite(dir_: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                run_query(queries[name](spark, dir_))
+                best = min(best, time.time() - t0)
+            out[name] = round(best, 3)
+            # operators that cache intermediates (dedup, contamination)
+            # must not leave them pinned: accumulated caches shift later
+            # queries' GC behavior and make run N depend on runs 1..N-1
+            spark.catalog.clearCache()
+        return out
+
+    timings = run_suite(sf_dir)
 
     ingest_eps = bench_streaming_ingest(spark)
 
@@ -173,15 +179,7 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
         )
-        sf1_timings: dict[str, float] = {}
-        for name in HEADLINE:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                run_query(queries[name](spark, sf1_dir))
-                best = min(best, time.time() - t0)
-            sf1_timings[name] = round(best, 3)
-            spark.catalog.clearCache()
+        sf1_timings = run_suite(sf1_dir)
         result["sf1"] = {
             "value": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,

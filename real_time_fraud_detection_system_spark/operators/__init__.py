@@ -50,18 +50,20 @@ PRIORITY = [
     # (b) round-1 driver failures, fixed (oracle canonicalization)
     "null_id_check", "corpus_quality_gate", "user_sessions",
     "multimodal_features", "multimodal_resize",
-    # (c) representatives of every remaining family (scalar-component
-    #     queries like minhash_signatures/simhash_fingerprints were
-    #     driver-green in round 1 and rotate to the tail to make room)
+    # (c) representatives of every remaining family (queries that were
+    #     driver-green in round 1 rotate to the tail to make room for
+    #     anything that has never had a driver verdict)
     "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue_change", "q10_returned_items",
-    "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "ann_cosine_topk", "embedding_near_dup", "ann_lsh_bucketed",
-    "ann_ivf_topk",
+    "embedding_near_dup", "ann_lsh_bucketed", "ann_ivf_topk",
     "text_stats", "session_summary", "conversion_funnel", "daily_metrics",
-    # (d) round-2 additions (corpus-prep family, no driver verdict yet)
+    # (d) round-2 additions, no driver verdict yet: corpus-prep family,
+    #     correlated-subquery TPC-H shapes, wide simhash
     "repetition_stats", "sequence_packing", "contamination_check",
+    "q4_order_priority_exists", "q12_shipping_delay_classes",
+    "q21_sole_late_supplier", "q22_dormant_high_balance",
+    "dedup_simhash_wide",
 ]
 
 

@@ -431,7 +431,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor capped at the hash space while the doc joins stay linear in
     the true output pair count (the same boundedness argument as
     dedup_clusters)."""
-    fp = simhash_fingerprints(spark, sf_dir).select("doc_id", "simhash")
+    # cached: the fingerprint projection (md5 + bit votes over every
+    # doc) feeds three branches -- distinct-half and both doc join-backs
+    fp = simhash_fingerprints(spark, sf_dir).select("doc_id", "simhash").cache()
     half = fp.select("simhash").distinct().select(
         "simhash",
         F.explode(
@@ -674,7 +676,9 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash near-dup pairs at Hamming <= SIMHASH_MAX_HAMMING,
     with guaranteed candidate recall via 4-block pigeonhole. Same
     fingerprint-level candidacy as dedup_simhash: the self-join runs on
-    DISTINCT fingerprints, docs join back afterwards."""
+    DISTINCT fingerprints, docs join back afterwards; the fingerprint
+    frame is cached (three consumers, 60-bit votes are 3.75x the 16-bit
+    projection cost)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     fp = docs.selectExpr(
         "doc_id",
@@ -683,7 +687,7 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         f"CAST({_simhash_select_spark(n_bits=SIMHASH64_BITS)} AS BIGINT)"
         " AS simhash",
-    )
+    ).cache()
     half = fp.select("simhash").distinct().select(
         "simhash",
         F.explode(

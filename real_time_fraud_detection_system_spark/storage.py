@@ -85,24 +85,35 @@ def compact_partitions(
 
     before = n_files()
     df = spark.read.parquet(store_dir)
-    counts = df.groupBy(partition_col).agg(F.count("*").alias("_prows"))
-    n_rows = sum(r["_prows"] for r in counts.collect())
-    per_part = counts.withColumn(
-        "_nf",
-        F.greatest(
-            F.lit(1), F.ceil(F.col("_prows") / target_rows_per_file)
-        ).cast("int"),
-    ).drop("_prows")
-    n_out = max(
-        1, per_part.agg(F.sum("_nf")).first()[0] or 1
+    # ONE counting scan: per-partition rows -> total, per-partition file
+    # targets, and the overall shuffle width all derive from it in Python
+    counted = df.groupBy(partition_col).agg(F.count("*").alias("_prows")).collect()
+    n_rows = sum(r["_prows"] for r in counted)
+    nf = {
+        r[partition_col]: max(1, -(-r["_prows"] // target_rows_per_file))
+        for r in counted
+    }
+    n_out = max(1, sum(nf.values()))
+    from pyspark.sql.types import IntegerType
+
+    per_part = spark.createDataFrame(
+        [(k, v) for k, v in nf.items() if k is not None],
+        df.select(partition_col).schema.add("_nf", IntegerType()),
     )
     salted = (
-        df.join(F.broadcast(per_part), partition_col)
+        # LEFT join + coalesce: rows with a NULL partition value (e.g.
+        # malformed events with no date) never equi-join -- they still
+        # must be rewritten, into the default partition, not dropped
+        df.join(F.broadcast(per_part), partition_col, "left")
         # row-unique id mod _nf spreads each store partition round-robin
         # across its _nf salt values regardless of how the scan packed
         # the small input files into splits
         .withColumn(
-            "_salt", F.pmod(F.monotonically_increasing_id(), F.col("_nf"))
+            "_salt",
+            F.pmod(
+                F.monotonically_increasing_id(),
+                F.coalesce(F.col("_nf"), F.lit(1)),
+            ),
         )
     )
     (

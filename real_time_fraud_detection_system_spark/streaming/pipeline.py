@@ -84,6 +84,7 @@ def kafka_peek(
     brokers: str,
     topic: str = "transactions",
     n: int = 1,
+    starting_offsets: str = "earliest",
 ) -> DataFrame:
     """S4: one-shot diagnostic peek at the newest parsed messages -- the
     reference's GET /peek endpoint (main.py:147-170) as a BATCH Kafka
@@ -95,15 +96,17 @@ def kafka_peek(
         spark.read.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
+        .option("startingOffsets", starting_offsets)
         .option("endingOffsets", "latest")
         .load()
     )
-    return (
-        parse_transactions(raw)
-        .orderBy(F.col("event_time").desc_nulls_last())
-        .limit(n)
-    )
+    # top-n on the broker-side timestamp FIRST (TakeOrderedAndProject --
+    # per-partition top-n, no global sort), THEN parse: parsing before
+    # selecting would run the JSON parse over the topic's full retention
+    # for an n-row diagnostic. Bound the scan itself by passing a
+    # timestamp-based starting_offsets where the client supports it.
+    newest = raw.orderBy(F.col("timestamp").desc_nulls_last()).limit(n)
+    return parse_transactions(newest)
 
 
 def kafka_sink_options(df: DataFrame, brokers: str, topic: str) -> DataFrame:

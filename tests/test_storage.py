@@ -155,3 +155,24 @@ def test_compaction_honors_file_size_target_per_partition(spark, tmp_path):
         )
         for f in files:
             assert spark.read.parquet(f).count() <= target
+
+
+def test_compaction_keeps_null_partition_rows(spark, tmp_path):
+    """Rows with a NULL partition value must be rewritten, not dropped
+    (the salt join is a left join; nulls never equi-join)."""
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, None), (4, None)],
+        "id long, d string",
+    ).selectExpr("id", "CAST(d AS DATE) AS event_date")
+    df.repartition(2).write.partitionBy("event_date").parquet(store)
+
+    from real_time_fraud_detection_system_spark.storage import (
+        compact_partitions,
+    )
+
+    stats = compact_partitions(spark, store, target_rows_per_file=100)
+    assert stats["rows"] == 4
+    after = spark.read.parquet(store)
+    assert sorted(r["id"] for r in after.collect()) == [1, 2, 3, 4]
+    assert after.filter("event_date IS NULL").count() == 2

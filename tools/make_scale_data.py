@@ -83,8 +83,10 @@ def build(src: str, out: str, factor: int = 10) -> None:
         for rep in reps[1:]:
             union = union.unionByName(rep)
         # a few files per table: enough read parallelism without
-        # thousands of tiny splits
-        n_files = max(1, min(16, union.count() // 500_000 + 1))
+        # thousands of tiny splits. Row count = base x factor by
+        # construction -- counting the union would materialize every
+        # replica transformation a second time
+        n_files = max(1, min(16, base.count() * factor // 500_000 + 1))
         union.repartition(n_files).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )

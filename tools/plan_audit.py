@@ -94,11 +94,16 @@ def audit(name: str, df) -> list[str]:
 
 
 def sweep(spark, sf_dir: str) -> dict[str, frozenset[str]]:
-    """Flag set per flagged query (un-flagged queries omitted).
-    Raises on any query whose plan fails to build."""
+    """Flag set per flagged query (un-flagged queries omitted). A query
+    whose plan fails to build gets an ERROR:<type> flag instead of
+    aborting the sweep -- the audit must always report every query."""
     out: dict[str, frozenset[str]] = {}
     for name, fn in sorted(all_queries().items()):
-        flags = audit(name, fn(spark, sf_dir))
+        try:
+            flags = audit(name, fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            out[name] = frozenset({f"ERROR:{type(exc).__name__}"})
+            continue
         if flags:
             out[name] = frozenset(flags)
     return out
