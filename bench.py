@@ -110,6 +110,7 @@ def bench_streaming_ingest(spark, seconds: int = 20) -> float:
 
 
 def main() -> None:
+    t_start = time.time()
     sf_dir = default_sf_dir()
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # local-bench scan parallelism: the sf0.1 tables are single ~1-10 MB
@@ -176,15 +177,26 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale/sf1"),
     )
     if os.path.isdir(sf1_dir):
-        spark.conf.set(
-            "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
-        )
-        sf1_timings = run_suite(sf1_dir)
-        result["sf1"] = {
-            "value": round(sum(sf1_timings.values()), 3),
-            "queries": sf1_timings,
-            "sf": 1.0,
-        }
+        # skip gracefully when the main suite already burned the wall
+        # clock (host-noise storm): a truncated-by-timeout bench line
+        # is worse than a bench line that says the scale section was
+        # skipped and why
+        if time.time() - t_start > 600:
+            result["sf1_skipped"] = (
+                f"main suite took {round(time.time() - t_start)}s "
+                "(host contention); scale section skipped to stay "
+                "inside the harness window"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
+            )
+            sf1_timings = run_suite(sf1_dir)
+            result["sf1"] = {
+                "value": round(sum(sf1_timings.values()), 3),
+                "queries": sf1_timings,
+                "sf": 1.0,
+            }
 
     print(json.dumps(result))
     spark.stop()
