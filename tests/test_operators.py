@@ -27,6 +27,14 @@ def test_registry_complete():
         "text_stats",
         "user_sessions",
         "multimodal_features",
+        "q4_order_priority_exists",
+        "q12_shipping_delay_classes",
+        "q21_sole_late_supplier",
+        "q22_dormant_high_balance",
+        "dedup_simhash_wide",
+        "repetition_stats",
+        "sequence_packing",
+        "contamination_check",
     ],
 )
 def test_query_runs_at_smoke_sf(spark, sf_dir, name):
