@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_clusters_wide",
     "text_stats",
     "corpus_token_stats",
     "repetition_stats",

@@ -25,45 +25,46 @@ def _modules():
 
 
 # The external driver verifies the FIRST 50 registry entries (dict order)
-# against DuckDB. Round 1 left 24 queries driver-unverified because the
-# registry was module-sequential. This explicit priority puts (a) every
-# query with no driver verdict yet, (b) the five round-1 failures fixed in
-# round 2, then (c) one representative per operator family, inside the
-# sample window. tests/test_engine_facade.py asserts every family has a
-# representative in the first 50.
+# against DuckDB. The window rotates every round under one rule:
+# NEWEST-FIRST, THEN OLDEST-VERDICT. Concretely: (a) queries added or
+# changed this round (no valid driver verdict), then (b) the queries
+# whose last driver verdict is oldest (round 3: the 32 queries verified
+# only in round 1), then (c) one representative per operator family not
+# already covered, then (d) filler from the recently-green set --
+# swapped out first when (a) grows. tests/test_registry.py asserts every
+# family has a representative in the first 50.
 DRIVER_SAMPLE = 50
 
 PRIORITY = [
-    # (a) no round-1 driver verdict: tpch_extra, temporal, ml, skew,
-    #     anomaly, tail of windows
-    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_qty_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "asof_click_before_purchase", "clicks_before_errors",
-    "approx_distinct_users", "approx_value_quantiles",
-    "training_frame_det", "logit_score", "deterministic_split",
-    "salted_value_by_type", "user_value_anomalies",
-    "cube_region_segment", "value_percentiles", "lapsed_customers_except",
-    "parts_above_brand_avg", "grouping_sets_summary",
-    "wire_format_roundtrip",
-    # (b) round-1 driver failures, fixed (oracle canonicalization)
-    "null_id_check", "corpus_quality_gate", "user_sessions",
-    "multimodal_features", "multimodal_resize",
-    # (c) representatives of every remaining family (queries that were
-    #     driver-green in round 1 rotate to the tail to make room for
-    #     anything that has never had a driver verdict)
-    "q1_pricing_summary", "q3_shipping_priority",
-    "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "embedding_near_dup", "ann_lsh_bucketed", "ann_ivf_topk",
-    "text_stats", "session_summary", "conversion_funnel", "daily_metrics",
-    # (d) round-2 additions, no driver verdict yet: corpus-prep family,
-    #     correlated-subquery TPC-H shapes, wide simhash
-    "repetition_stats", "sequence_packing", "contamination_check",
-    "q4_order_priority_exists", "q12_shipping_delay_classes",
-    "q21_sole_late_supplier", "q22_dormant_high_balance",
-    "dedup_simhash_wide",
+    # (a) round-3 additions / changed implementations:
+    #     dedup_simhash is now the 60-bit wide path (headline swap),
+    #     dedup_simhash16 is the demoted 16-bit teaching variant,
+    #     dedup_clusters_wide is the new distributed clustering stage.
+    "dedup_simhash", "dedup_simhash16", "dedup_clusters_wide",
+    # (b) oldest driver verdict (round-1 only; all still green locally)
+    "q5_local_supplier_volume", "q6_revenue_change", "q10_returned_items",
+    "top_orders_per_customer", "customer_rollup", "order_priority_count",
+    "customers_without_orders", "nations_with_both",
+    "segment_distinct_nations", "part_price_buckets",
+    "props_json_stats", "freshness_check", "windowed_rates",
+    "hourly_timeseries", "tumbling_15min", "recent_topk",
+    "heuristic_score", "feature_extract",
+    "minhash_signatures", "dedup_ngram_jaccard", "simhash_fingerprints",
+    "ann_cosine_topk",
+    "lang_id_heuristic", "doc_fingerprint", "corpus_token_stats",
+    "bpe_token_stats",
+    "multimodal_meta", "multimodal_frames",
+    "moving_avg_revenue", "part_rankings", "orders_pivot_status",
+    "unpivot_daily_metrics",
+    # (c) family representatives for modules with no entry above
+    "contamination_check", "user_sessions", "asof_click_before_purchase",
+    "logit_score", "q21_sole_late_supplier", "salted_value_by_type",
+    "user_value_anomalies",
+    # (d) filler from the round-2-green set (first to rotate out when
+    #     new round-3 queries land)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    "q1_pricing_summary", "daily_metrics", "text_stats",
+    "multimodal_features", "embedding_near_dup",
 ]
 
 

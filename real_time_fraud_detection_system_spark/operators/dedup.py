@@ -14,13 +14,19 @@ This is the core LLM training-data pipeline surface. Design per operator:
                     Shuffles are keyed by band bucket (high cardinality);
                     the quadratic blowup is confined to same-bucket groups,
                     which the banding makes tiny w.h.p.
-  * simhash      -- 16-bit token-set SimHash; equal-fingerprint buckets and
-                    Hamming<=3 near-pairs via bit_count(xor). Candidates
-                    generate on DISTINCT fingerprints (bounded by the
-                    2^16 hash space), docs join back afterwards.
-  * simhash_wide -- 60-bit fingerprints, 4-block pigeonhole candidacy
-                    (guaranteed recall at Hamming<=3): the real-corpus
-                    scale path where the 16-bit space saturates.
+  * simhash      -- the DEFAULT SimHash path: 60-bit fingerprints,
+                    4-block pigeonhole candidacy (guaranteed recall at
+                    Hamming<=3). Candidates generate on DISTINCT
+                    fingerprints; docs join back afterwards.
+  * simhash16    -- 16-bit teaching variant. The 2^16 fingerprint space
+                    saturates around 50k documents (near-cartesian pair
+                    output measured at the 10x scale test), so it exists
+                    to demonstrate the algorithm on toy corpora and to
+                    bound dedup_clusters' driver-side union-find -- NOT
+                    for real corpora.
+  * clusters_wide-- connected components over the 60-bit near-dup graph
+                    via distributed min-label propagation (graph.py):
+                    the production 'keep one doc per cluster' stage.
 
 Everything is md5-based so Spark and DuckDB produce bit-identical
 signatures (see functions/text.py); every query here is oracle-checked,
@@ -416,12 +422,20 @@ ORDER BY doc_id
 """
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance <= SIMHASH_MAX_HAMMING via
-    bit_count(xor). Pairing is restricted to docs sharing a fingerprint
-    block (the classic SimHash block-permutation trick, SIMHASH_N_BLOCKS
-    blocks) so candidacy is bucketed, not all-pairs; the oracle applies
-    the identical rule.
+def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEACHING VARIANT -- 16-bit SimHash near-dup pairs. The 2^16
+    fingerprint space saturates around 50k documents (pair output goes
+    near-cartesian: 144M pairs measured at sf1); use ``dedup_simhash``
+    (60-bit, pigeonhole blocks) on any real corpus. Kept because the
+    bounded fingerprint space is what justifies ``dedup_clusters``'
+    driver-side union-find, and because it demonstrates the algorithm
+    end-to-end on a space small enough to inspect.
+
+    Hamming distance <= SIMHASH_MAX_HAMMING via bit_count(xor). Pairing
+    is restricted to docs sharing a fingerprint block (the classic
+    SimHash block-permutation trick, SIMHASH_N_BLOCKS blocks) so
+    candidacy is bucketed, not all-pairs; the oracle applies the
+    identical rule.
 
     Scale shape: the candidate self-join runs on DISTINCT fingerprints
     -- bounded by the 2^SIMHASH_BITS hash space regardless of corpus
@@ -485,7 +499,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SIMHASH_SQL = f"""
+DEDUP_SIMHASH16_SQL = f"""
 WITH fp AS (
   SELECT doc_id, CAST({_simhash_select_duck()} AS BIGINT) AS simhash
   FROM {_DUCK_HASHED_DOCS}
@@ -505,18 +519,15 @@ ORDER BY a_id, b_id
 
 # --------------------------------------------------------------------------
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the SimHash near-dup graph: every doc
-    gets the min doc_id of its component as cluster_id (singletons are
-    their own cluster). The canonical 'group near-duplicates, keep one
-    representative' step after any pairwise dedup.
-
-    Spark-first iterative algorithm (no GraphFrames dependency):
-    min-label propagation to a fixed point. Each iteration is one
-    shuffle (edge join + groupBy node); labels are monotonically
-    non-increasing so convergence is guaranteed in <= diameter
-    iterations, and the loop exits when an iteration changes nothing.
-    localCheckpoint() truncates the growing lineage each round -- the
-    thing that kills naive iterative DataFrame code at scale.
+    """Connected components over the 16-BIT SimHash near-dup graph:
+    every doc gets the min doc_id of its component as cluster_id
+    (singletons are their own cluster). Companion to the
+    ``dedup_simhash16`` teaching variant -- the bounded 2^16
+    fingerprint space is exactly what licenses the driver-side
+    union-find below. The PRODUCTION clustering stage over the default
+    60-bit fingerprints is ``dedup_clusters_wide`` (distributed label
+    propagation; the 60-bit node set grows with the corpus and cannot
+    be collected).
 
     Oracle: DuckDB WITH RECURSIVE transitive closure, min over the
     reachable set -- different algorithm, identical fixpoint."""
@@ -636,14 +647,14 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
-# Wide (60-bit) SimHash: the REAL-CORPUS scale path. The 16-bit variant
-# above saturates around 50k documents (every fingerprint collides, pair
-# counts grow quadratically -- measured at the 10x scale test); 60 bits
-# keep near-dup pairs sparse at any corpus size. 60 = 15 hex chars of
-# one md5, so the token hash stays a BIGINT in both engines. Four
-# 15-bit candidate blocks give GUARANTEED recall at Hamming <= 3
-# (pigeonhole: 3 errors cannot touch all 4 blocks), upgrading the
-# 2-block variant's all-errors-in-one-block heuristic.
+# Wide (60-bit) SimHash: the DEFAULT and real-corpus scale path. The
+# 16-bit variant above saturates around 50k documents (every fingerprint
+# collides, pair counts grow quadratically -- measured at the 10x scale
+# test); 60 bits keep near-dup pairs sparse at any corpus size. 60 = 15
+# hex chars of one md5, so the token hash stays a BIGINT in both
+# engines. Four 15-bit candidate blocks give GUARANTEED recall at
+# Hamming <= 3 (pigeonhole: 3 errors cannot touch all 4 blocks),
+# upgrading the 2-block variant's all-errors-in-one-block heuristic.
 SIMHASH64_BITS = 60
 SIMHASH64_N_BLOCKS = 4
 _W_WIDTH = SIMHASH64_BITS // SIMHASH64_N_BLOCKS
@@ -672,22 +683,33 @@ def _wide_block_exprs_duck() -> list[str]:
     ]
 
 
-def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash near-dup pairs at Hamming <= SIMHASH_MAX_HAMMING,
-    with guaranteed candidate recall via 4-block pigeonhole. Same
-    fingerprint-level candidacy as dedup_simhash: the self-join runs on
-    DISTINCT fingerprints, docs join back afterwards; the fingerprint
-    frame is cached (three consumers, 60-bit votes are 3.75x the 16-bit
-    projection cost)."""
+def wide_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) with 60-bit fingerprints -- the projection both
+    ``dedup_simhash`` and ``dedup_clusters_wide`` build on."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    fp = docs.selectExpr(
+    return docs.selectExpr(
         "doc_id",
         f"transform(array_distinct({_TOKS}), x -> {_HEX60_SPARK}) AS hs",
     ).selectExpr(
         "doc_id",
         f"CAST({_simhash_select_spark(n_bits=SIMHASH64_BITS)} AS BIGINT)"
         " AS simhash",
-    ).cache()
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT SimHash near-dup path: 60-bit fingerprints, near-dup
+    pairs at Hamming <= SIMHASH_MAX_HAMMING, with GUARANTEED candidate
+    recall via 4-block pigeonhole (3 bit errors cannot touch all 4
+    blocks, so every qualifying pair shares at least one block).
+
+    Fingerprint-level candidacy (same shape as dedup_simhash16): the
+    self-join runs on DISTINCT fingerprints, docs join back afterwards;
+    the fingerprint frame is cached (three consumers, 60-bit votes are
+    3.75x the 16-bit projection cost). Unlike the 16-bit space the
+    60-bit space never saturates, so candidate buckets stay sparse at
+    any corpus size -- this is the 100 TB shape."""
+    fp = wide_fingerprints(spark, sf_dir).cache()
     half = fp.select("simhash").distinct().select(
         "simhash",
         F.explode(
@@ -730,7 +752,7 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SIMHASH_WIDE_SQL = f"""
+DEDUP_SIMHASH_SQL = f"""
 WITH fp AS (
   SELECT doc_id, CAST({_simhash_select_duck(SIMHASH64_BITS)} AS BIGINT)
            AS simhash
@@ -762,6 +784,102 @@ WHERE CASE WHEN sh_a = sh_b THEN da.doc_id < db.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+def dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the DEFAULT (60-bit) SimHash near-dup
+    graph -- the production 'group near-duplicates, keep one
+    representative' stage. Every doc gets the min doc_id of its
+    component as cluster_id (singletons are their own cluster).
+
+    Unlike ``dedup_clusters`` (16-bit space, <= 2^16 nodes, driver
+    union-find), the 60-bit fingerprint node set GROWS WITH THE CORPUS
+    (~1 distinct fingerprint per distinct doc), so clustering must stay
+    distributed: min-label propagation (graph.label_propagation) -- one
+    shuffle per iteration, monotone labels, fixpoint exit, checkpointed
+    lineage. Edges are fingerprint pairs at Hamming <= 3 from the
+    4-block pigeonhole join; because edges depend only on fingerprints,
+    propagation runs on the (much smaller) fingerprint graph and docs
+    join the component labels back at the end.
+
+    Oracle: DuckDB WITH RECURSIVE transitive closure over the identical
+    fingerprint edge set -- different algorithm, identical fixpoint."""
+    from .graph import label_propagation
+
+    fp = wide_fingerprints(spark, sf_dir).cache()
+    nodes = fp.select(F.col("simhash").alias("node")).distinct()
+    half = nodes.select(F.col("node").alias("simhash")).select(
+        "simhash",
+        F.explode(
+            F.array(*[F.expr(e) for e in _wide_block_exprs_spark()])
+        ).alias("block"),
+    )
+    a, b = half.alias("a"), half.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= SIMHASH_MAX_HAMMING
+        )
+        .select(
+            F.col("a.simhash").alias("src"), F.col("b.simhash").alias("dst")
+        )
+        .distinct()
+    )
+    labels = label_propagation(nodes, edges)
+    doc_fp = fp.join(
+        labels, fp["simhash"] == labels["node"]
+    ).select("doc_id", "label")
+    root_min = doc_fp.groupBy("label").agg(
+        F.min("doc_id").alias("cluster_id")
+    )
+    return (
+        doc_fp.join(root_min, "label")
+        .select("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_WIDE_SQL = f"""
+WITH RECURSIVE fp AS (
+  SELECT doc_id, CAST({_simhash_select_duck(SIMHASH64_BITS)} AS BIGINT)
+           AS simhash
+  FROM {_DUCK_HASHED_DOCS_60}
+),
+nodes AS (SELECT DISTINCT simhash FROM fp),
+half AS (
+  SELECT DISTINCT simhash,
+         unnest([{", ".join(_wide_block_exprs_duck())}]) AS block
+  FROM nodes
+),
+pairs AS (
+  SELECT DISTINCT a.simhash AS src, b.simhash AS dst
+  FROM half a JOIN half b
+    ON a.block = b.block AND a.simhash < b.simhash
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+reach(src, dst) AS (
+  SELECT simhash, simhash FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+fplabel AS (SELECT src AS simhash, min(dst) AS label FROM reach GROUP BY src),
+doclab AS (
+  SELECT f.doc_id, l.label FROM fp f JOIN fplabel l ON f.simhash = l.simhash
+),
+rootmin AS (SELECT label, min(doc_id) AS cluster_id FROM doclab GROUP BY label)
+SELECT d.doc_id, r.cluster_id
+FROM doclab d JOIN rootmin r ON d.label = r.label
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -769,8 +887,9 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
-    "dedup_simhash_wide": dedup_simhash_wide,
+    "dedup_simhash16": dedup_simhash16,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_wide": dedup_clusters_wide,
 }
 
 ORACLE = {
@@ -780,6 +899,7 @@ ORACLE = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "simhash_fingerprints": SIMHASH_FP_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
-    "dedup_simhash_wide": DEDUP_SIMHASH_WIDE_SQL,
+    "dedup_simhash16": DEDUP_SIMHASH16_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_wide": DEDUP_CLUSTERS_WIDE_SQL,
 }

@@ -31,7 +31,9 @@ def test_registry_complete():
         "q12_shipping_delay_classes",
         "q21_sole_late_supplier",
         "q22_dormant_high_balance",
-        "dedup_simhash_wide",
+        "dedup_simhash",
+        "dedup_simhash16",
+        "dedup_clusters_wide",
         "repetition_stats",
         "sequence_packing",
         "contamination_check",
