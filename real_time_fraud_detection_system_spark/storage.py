@@ -48,11 +48,37 @@ def write_bucketed(
     return spark.table(table)
 
 
+class CompactionError(RuntimeError):
+    """Base for compaction concurrency failures."""
+
+
+class CompactionInProgress(CompactionError):
+    """Another compaction holds the store's lock file."""
+
+
+class ConcurrentAppend(CompactionError):
+    """Files appeared in the store between the compaction read and its
+    rewrite -- aborting instead of silently dropping those rows."""
+
+
+COMPACTION_LOCK = "_COMPACTION_LOCK"
+
+
+def compaction_locked(store_dir: str) -> bool:
+    """True while a compaction rewrite holds the store. Cooperative
+    writers (prediction_sink_writer) check this and fail loudly rather
+    than appending rows the in-flight rewrite would silently drop."""
+    import os
+
+    return os.path.exists(os.path.join(store_dir, COMPACTION_LOCK))
+
+
 def compact_partitions(
     spark: SparkSession,
     store_dir: str,
     partition_col: str = "event_date",
     target_rows_per_file: int = 1_000_000,
+    _pre_write_hook=None,
 ) -> dict:
     """Small-files compaction for a partitioned store.
 
@@ -67,14 +93,28 @@ def compact_partitions(
     value. Dynamic partition overwrite replaces ONLY rewritten
     partitions, so concurrent appends to OTHER partitions survive.
 
-    Concurrency caveat: rows appended to a partition BETWEEN this read
-    and the overwrite commit are lost with that partition's rewrite --
-    run compaction on partitions the stream has moved past (e.g.
-    yesterday and older), never on the hot partition.
+    Concurrency protocol (plain parquet has no transaction log, so this
+    is guard + detect, not a transaction):
 
-    Idempotent; returns before/after file counts.
+      * a ``_COMPACTION_LOCK`` sentinel is held for the duration; a
+        second compaction raises CompactionInProgress, and cooperative
+        writers (``compaction_locked``) refuse to append while it is up;
+      * the file listing captured at read time is re-audited immediately
+        before the rewrite is issued -- any file that appeared since
+        (a non-cooperative concurrent append) raises ConcurrentAppend
+        and the store is left untouched;
+      * the unguardable remainder is the rewrite itself: rows appended
+        by a non-cooperative writer DURING the overwrite commit are lost
+        with their partition's rewrite. Run compaction on partitions the
+        stream has moved past (e.g. yesterday and older), never on the
+        hot partition.
+
+    ``_pre_write_hook`` is a test seam invoked between the audit
+    snapshot and the audit check. Idempotent; returns before/after file
+    counts.
     """
     import glob
+    import os
 
     from pyspark.sql import functions as F
 
@@ -83,7 +123,33 @@ def compact_partitions(
             glob.glob(f"{store_dir}/{partition_col}=*/*.parquet")
         )
 
+    def listing() -> set[str]:
+        return set(glob.glob(f"{store_dir}/{partition_col}=*/*.parquet"))
+
+    lock_path = os.path.join(store_dir, COMPACTION_LOCK)
+    try:
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CompactionInProgress(
+            f"{lock_path} exists -- another compaction is rewriting this "
+            "store (remove the file only if that process is dead)"
+        )
+    os.close(lock_fd)
+    try:
+        return _compact_locked(
+            spark, store_dir, partition_col, target_rows_per_file,
+            n_files, listing, F, _pre_write_hook,
+        )
+    finally:
+        os.remove(lock_path)
+
+
+def _compact_locked(
+    spark, store_dir, partition_col, target_rows_per_file,
+    n_files, listing, F, _pre_write_hook,
+):
     before = n_files()
+    snapshot = listing()
     df = spark.read.parquet(store_dir)
     # ONE counting scan: per-partition rows -> total, per-partition file
     # targets, and the overall shuffle width all derive from it in Python
@@ -116,6 +182,17 @@ def compact_partitions(
             ),
         )
     )
+    if _pre_write_hook is not None:
+        _pre_write_hook()
+    # write-audit: catch non-cooperative appends that landed between the
+    # counting read and this point; the remaining race is the write
+    # duration itself (see docstring)
+    appeared = listing() - snapshot
+    if appeared:
+        raise ConcurrentAppend(
+            f"{len(appeared)} file(s) appended during compaction, e.g. "
+            f"{sorted(appeared)[0]!r}; aborting before any rewrite"
+        )
     (
         salted.repartition(int(n_out), partition_col, "_salt")
         .drop("_nf", "_salt")

@@ -131,9 +131,22 @@ def scored_stream(transactions: DataFrame, model=None, model_version=None) -> Da
 def prediction_sink_writer(out_dir: str):
     """S5: foreachBatch writer appending to the date-partitioned parquet
     prediction store. Idempotent per (epoch, partition) because parquet
-    append + checkpointed offsets never replays a committed epoch."""
+    append + checkpointed offsets never replays a committed epoch.
+
+    Cooperates with storage.compact_partitions: while the store's
+    compaction lock is up, appending would hand rows to a rewrite that
+    silently drops them, so the batch raises instead -- the checkpoint
+    has not committed this epoch, so a restart replays it loss-free
+    after the lock clears."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..storage import CompactionInProgress, compaction_locked
+
+        if compaction_locked(out_dir):
+            raise CompactionInProgress(
+                f"prediction store {out_dir} is being compacted; "
+                "refusing to append (epoch will replay after restart)"
+            )
         (
             batch_df.withColumn("event_date", F.to_date("event_time"))
             .write.mode("append")

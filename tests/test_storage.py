@@ -157,6 +157,81 @@ def test_compaction_honors_file_size_target_per_partition(spark, tmp_path):
             assert spark.read.parquet(f).count() <= target
 
 
+def test_compaction_detects_concurrent_append(spark, tmp_path):
+    """A file appended between the compaction read and its rewrite must
+    abort the compaction (ConcurrentAppend), leaving every row -- old
+    and appended -- in the store."""
+    import pytest
+
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+    from real_time_fraud_detection_system_spark.storage import (
+        ConcurrentAppend,
+        compact_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    base = transactions_batch(spark, 50, seed=1).withColumn(
+        "event_date", F.to_date("event_time")
+    )
+    base.write.mode("append").partitionBy("event_date").parquet(store)
+
+    def racing_append():
+        transactions_batch(spark, 10, seed=99).withColumn(
+            "event_date", F.to_date("event_time")
+        ).write.mode("append").partitionBy("event_date").parquet(store)
+
+    with pytest.raises(ConcurrentAppend):
+        compact_partitions(
+            spark, store, target_rows_per_file=1000,
+            _pre_write_hook=racing_append,
+        )
+    # nothing lost: the 50 originals AND the 10 raced-in rows survive
+    assert spark.read.parquet(store).count() == 60
+
+
+def test_compaction_lock_blocks_second_compaction_and_sink(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+    from real_time_fraud_detection_system_spark.storage import (
+        COMPACTION_LOCK,
+        CompactionInProgress,
+        compact_partitions,
+        compaction_locked,
+    )
+    from real_time_fraud_detection_system_spark.streaming.pipeline import (
+        prediction_sink_writer,
+    )
+
+    store = str(tmp_path / "store")
+    batch = transactions_batch(spark, 20, seed=2).withColumn(
+        "event_date", F.to_date("event_time")
+    )
+    batch.write.mode("append").partitionBy("event_date").parquet(store)
+
+    lock = os.path.join(store, COMPACTION_LOCK)
+    open(lock, "w").close()
+    assert compaction_locked(store)
+    # second compaction refuses
+    with pytest.raises(CompactionInProgress):
+        compact_partitions(spark, store)
+    # cooperative sink refuses to append rows the rewrite would drop
+    writer = prediction_sink_writer(store)
+    with pytest.raises(CompactionInProgress):
+        writer(transactions_batch(spark, 5, seed=3), 0)
+    os.remove(lock)
+
+    # and a clean run takes + releases the lock
+    compact_partitions(spark, store, target_rows_per_file=1000)
+    assert not compaction_locked(store)
+
+
 def test_compaction_keeps_null_partition_rows(spark, tmp_path):
     """Rows with a NULL partition value must be rewritten, not dropped
     (the salt join is a left join; nulls never equi-join)."""
