@@ -84,14 +84,41 @@ ORDER BY media_id
 
 
 # --------------------------------------------------------------------------
-def decode_media(payload: bytes, media_type: str):
-    """Real codec decode -- NOT AVAILABLE in this container (no PIL/ffmpeg).
-    Clearly-marked stub per the build contract; callers use
-    ``byte_features`` as the deterministic fallback."""
-    raise NotImplementedError(
-        f"no codec available for media_type={media_type!r}; "
-        "install pillow/torchaudio/av and replace this stub"
-    )
+# Decoder registry: the seam where real codecs plug in. A decoder is
+# fn(payload: bytes) -> dict with the byte_features keys (n_bytes,
+# mean_byte, samples); it may raise NotImplementedError for payloads it
+# cannot parse, which falls back to byte_features per row. The registry
+# is snapshotted into the mapInPandas closure at plan-build time --
+# Python workers import this module fresh, so a driver-side module
+# global would be EMPTY on executors; closure capture ships the
+# registered functions by value (cloudpickle) instead.
+from collections.abc import Callable
+
+_DECODERS: dict[str, Callable[[bytes], dict]] = {}
+
+
+def register_decoder(media_type: str, fn: Callable[[bytes], dict]) -> None:
+    """Install a real codec for ``media_type`` ('image'/'audio'/'video').
+    Queries built AFTER registration use it; the byte-feature fallback
+    remains the default for unregistered types and unparseable rows."""
+    _DECODERS[media_type] = fn
+
+
+def unregister_decoder(media_type: str) -> None:
+    _DECODERS.pop(media_type, None)
+
+
+def decode_media(payload: bytes, media_type: str, decoders=None):
+    """Codec decode via the registry. No decoder registered (this
+    container ships no PIL/ffmpeg) -> NotImplementedError, and callers
+    use ``byte_features`` as the deterministic fallback."""
+    fn = (_DECODERS if decoders is None else decoders).get(media_type)
+    if fn is None:
+        raise NotImplementedError(
+            f"no codec registered for media_type={media_type!r}; "
+            "install pillow/torchaudio/av and register_decoder() it"
+        )
+    return fn(payload)
 
 
 def byte_features(payload: bytes, n_samples: int = 4) -> dict:
@@ -122,29 +149,43 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one Arrow batch in, one feature frame out.
-    Tries the real decoder, falls back to the byte featurizer."""
-    for pdf in batches:
-        rows = []
-        for media_id, payload, mtype in zip(
-            pdf["media_id"], pdf["payload"], pdf["media_type"]
-        ):
-            data = bytes(payload)
-            try:
-                feats = decode_media(data, mtype)  # always NotImplemented here
-            except NotImplementedError:
-                feats = byte_features(data)
-            rows.append(
-                {
-                    "media_id": media_id,
-                    "media_type": mtype,
-                    "n_bytes": feats["n_bytes"],
-                    "mean_byte": feats["mean_byte"],
-                    "samples": feats["samples"],
-                }
-            )
-        yield pd.DataFrame(rows)
+def _feature_kernel(decoders: dict):
+    """Build the mapInPandas kernel with the decoder snapshot baked into
+    its closure (see registry note above): one Arrow batch in, one
+    feature frame out. Tries the registered decoder, falls back to the
+    byte featurizer per row."""
+
+    def _feature_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                data = bytes(payload)
+                try:
+                    feats = decode_media(data, mtype, decoders)
+                except NotImplementedError:
+                    feats = byte_features(data)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "media_type": mtype,
+                        "n_bytes": feats["n_bytes"],
+                        "mean_byte": feats["mean_byte"],
+                        "samples": feats["samples"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _feature_batches
+
+
+def media_features(m: DataFrame) -> DataFrame:
+    """Feature extraction over any (media_id, payload, media_type)
+    frame, using whatever decoders are registered at plan-build time."""
+    return m.mapInPandas(_feature_kernel(dict(_DECODERS)), FEATURES_SCHEMA)
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,8 +196,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "payload", F.col("meta.media_type").alias("media_type")
     )
     return (
-        m
-        .mapInPandas(_feature_batches, FEATURES_SCHEMA)
+        media_features(m)
         .select(
             "media_id",
             "media_type",

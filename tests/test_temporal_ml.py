@@ -100,3 +100,64 @@ def test_multimodal_frames_shape(spark, sf_dir):
     df = multimodal_frames(spark, sf_dir)
     counts = df.groupBy("media_id").count().select("count").distinct().collect()
     assert {r["count"] for r in counts} == {N_FRAMES}
+
+
+def test_registered_decoder_replaces_byte_fallback(spark):
+    """register_decoder plugs a real codec into the mapInPandas path:
+    P6 payloads decode through it (header excluded from the features),
+    non-PPM payloads of the same media_type still fall back, and the
+    registry snapshot reaches executor workers via the closure."""
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        media_features,
+        register_decoder,
+        unregister_decoder,
+    )
+
+    # nested so cloudpickle ships it BY VALUE into the Python workers
+    # (a test-module-level function would pickle by reference and fail
+    # to import there -- exactly what register_decoder's closure
+    # snapshot exists to handle for real codec adapters)
+    def _ppm_decoder(payload: bytes) -> dict:
+        """Pure-python binary-PPM (P6) codec: parse the header, feature
+        the PIXEL bytes only (the point of a real decoder vs the byte
+        fallback, which also eats the header)."""
+        if not payload.startswith(b"P6"):
+            raise NotImplementedError("not a P6 PPM payload")
+        parts, idx = [], 2
+        while len(parts) < 3:  # width, height, maxval; '#' comments legal
+            nxt = payload.index(b"\n", idx)
+            line = payload[idx:nxt].strip()
+            idx = nxt + 1
+            if line and not line.startswith(b"#"):
+                parts.extend(int(v) for v in line.split())
+        w, h, _maxval = parts[:3]
+        pixels = payload[idx : idx + 3 * w * h]
+        return {
+            "n_bytes": len(pixels),
+            "mean_byte": float(sum(pixels)) / len(pixels),
+            "samples": [int(b) for b in pixels[:4]],
+        }
+
+    ppm = b"P6\n2 2\n255\n" + bytes([10, 20, 30] * 4)
+    raw = b"\xff\x00\xff\x00"
+    m = spark.createDataFrame(
+        [(1, bytearray(ppm), "image"), (2, bytearray(raw), "image")],
+        "media_id long, payload binary, media_type string",
+    )
+    register_decoder("image", _ppm_decoder)
+    try:
+        rows = {r["media_id"]: r for r in media_features(m).collect()}
+    finally:
+        unregister_decoder("image")
+
+    # decoded: 12 pixel bytes, header's 'P'/'6' never counted
+    assert rows[1]["n_bytes"] == 12
+    assert abs(rows[1]["mean_byte"] - 20.0) < 1e-9
+    assert rows[1]["samples"] == [10, 20, 30, 10]
+    # fallback: whole payload featured byte-wise
+    assert rows[2]["n_bytes"] == 4
+    assert abs(rows[2]["mean_byte"] - 127.5) < 1e-9
+
+    # default path (nothing registered) is unchanged
+    fb = {r["media_id"]: r for r in media_features(m).collect()}
+    assert fb[1]["n_bytes"] == len(ppm)
