@@ -168,36 +168,42 @@ def main() -> None:
         "streaming_ingest_eps": round(ingest_eps, 1),
     }
 
-    # Scale validation: if the 10x replica dataset exists (built with
-    # tools/make_scale_data.py), run the suite there too. Best-of-2 like
-    # the main suite (the shared host's wall-clock noise swamps single
-    # passes); 16 MB splits -- the 1 MB local knob would shred the
-    # ~10x-larger files into thousands of scheduling-dominated tasks.
-    sf1_dir = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale/sf1"),
-    )
-    if os.path.isdir(sf1_dir):
-        # skip gracefully when the main suite already burned the wall
+    # Scale validation: run the suite over whichever replica datasets
+    # exist (built with tools/make_scale_data.py): sf1 = 10x sf0.1,
+    # sf10 = 100x. Best-of-2 like the main suite (the shared host's
+    # wall-clock noise swamps single passes); split sizes grow with the
+    # data -- the 1 MB local knob would shred the larger files into
+    # thousands of scheduling-dominated tasks.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scale_sections = [
+        ("sf1", os.environ.get("SPARK_GRAFT_SF1_DIR",
+                               os.path.join(repo, ".scale/sf1")),
+         1.0, 16 * 1024 * 1024, 600),
+        ("sf10", os.environ.get("SPARK_GRAFT_SF10_DIR",
+                                os.path.join(repo, ".scale/sf10")),
+         10.0, 64 * 1024 * 1024, 900),
+    ]
+    for label, dir_, sf_val, split, budget_s in scale_sections:
+        if not os.path.isdir(dir_):
+            continue
+        # skip gracefully when earlier sections already burned the wall
         # clock (host-noise storm): a truncated-by-timeout bench line
         # is worse than a bench line that says the scale section was
         # skipped and why
-        if time.time() - t_start > 600:
-            result["sf1_skipped"] = (
-                f"main suite took {round(time.time() - t_start)}s "
+        if time.time() - t_start > budget_s:
+            result[f"{label}_skipped"] = (
+                f"suite at {round(time.time() - t_start)}s elapsed "
                 "(host contention); scale section skipped to stay "
                 "inside the harness window"
             )
-        else:
-            spark.conf.set(
-                "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
-            )
-            sf1_timings = run_suite(sf1_dir)
-            result["sf1"] = {
-                "value": round(sum(sf1_timings.values()), 3),
-                "queries": sf1_timings,
-                "sf": 1.0,
-            }
+            continue
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        timings_s = run_suite(dir_)
+        result[label] = {
+            "value": round(sum(timings_s.values()), 3),
+            "queries": timings_s,
+            "sf": sf_val,
+        }
 
     print(json.dumps(result))
     spark.stop()

@@ -15,9 +15,9 @@ This is the core LLM training-data pipeline surface. Design per operator:
                     the quadratic blowup is confined to same-bucket groups,
                     which the banding makes tiny w.h.p.
   * simhash      -- the DEFAULT SimHash path: 60-bit fingerprints,
-                    4-block pigeonhole candidacy (guaranteed recall at
-                    Hamming<=3). Candidates generate on DISTINCT
-                    fingerprints; docs join back afterwards.
+                    20-key 3-of-6-block candidacy (guaranteed recall at
+                    Hamming<=3, 30-bit keys). Candidates generate on
+                    DISTINCT fingerprints; docs join back afterwards.
   * simhash16    -- 16-bit teaching variant. The 2^16 fingerprint space
                     saturates around 50k documents (near-cartesian pair
                     output measured at the 10x scale test), so it exists
@@ -239,18 +239,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       1. signature: zero-shuffle map-side pass -- per-row array exprs
          (_sig_cols) over the shingle array, no explode/groupBy;
-      2. banding: each doc emits LSH_BANDS (band, md5(sig-slice)) keys;
-      3. candidates: self-equi-join on the band bucket -- only docs agreeing
-         on an entire band collide, so the join is near-linear;
-      4. verification: exact Jaccard (array_intersect) on candidate pairs
-         only, after a broadcast semi-join cuts the array table to them.
+      2. banding: each doc emits LSH_BANDS (band, md5(sig-slice)) keys,
+         CARRYING its 60-bit-hashed shingle array (8 bytes/shingle vs
+         ~30 for the strings -- the shuffle payload shrinks ~4x and
+         array_intersect compares longs, not strings);
+      3. candidates + verification IN ONE JOIN: the self-equi-join on
+         the band bucket computes exact Jaccard inline in the join
+         projection. The old shape materialized a global candidate-pair
+         table and joined the arrays back onto it -- at a 100x scale
+         test that intermediate (25M pairs x shingle arrays) was a
+         ~25 GB shuffle and 97% of the query's 175 s; fused, the only
+         array shuffle is the band table itself (docs x LSH_BANDS
+         rows), and pair rows never carry arrays at all;
+      4. a final DISTINCT dedupes pairs caught by several bands
+         (re-computing Jaccard on a multi-band collision is cheap CPU;
+         re-shuffling arrays to avoid it is not).
 
     Emits verified pairs >= JACCARD_THRESHOLD. False negatives are the
     LSH tradeoff (pairs no band catches); the oracle runs the identical
-    algorithm so results match exactly."""
-    sh = _doc_shingle_arrays(spark, sf_dir).cache()
+    algorithm -- including the 60-bit shingle hashing -- so results
+    match exactly (a cross-engine hash collision would alter both
+    sides identically)."""
+    sh = _doc_shingle_arrays(spark, sf_dir)
     sig = sh.filter(F.size("shingles") > 0).selectExpr(
-        "doc_id", *_sig_cols()
+        "doc_id",
+        f"array_distinct(transform(shingles, x -> {_HEX60_SPARK})) AS hsh",
+        *_sig_cols(),
     )
     band_structs = [
         F.struct(
@@ -262,67 +276,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(LSH_BANDS)
     ]
     bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        "doc_id",
+        "hsh",
+        F.size("hsh").alias("n_sh"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(
+        "doc_id", "hsh", "n_sh",
+        F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"),
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    n_inter = F.size(F.array_intersect(F.col("a.hsh"), F.col("b.hsh")))
+    n_union = F.col("a.n_sh") + F.col("b.n_sh") - n_inter
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter((n_inter / n_union) >= JACCARD_THRESHOLD)
         .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.round(n_inter / n_union, 6).alias("jaccard"),
         )
         .distinct()
-        # cached: reused as both the broadcast semi-join filter and the
-        # probe side of the final verification joins -- without this the
-        # whole band-join subplan executes twice
-        .cache()
-    )
-
-    # Verify ONLY candidate docs: semi-join the shingle-array table down
-    # to ids appearing in some candidate pair -- at scale this is the
-    # difference between shuffling arrays for every document vs a few
-    # hundred. Sets are already per-row arrays, so no collect_set agg.
-    cand_ids = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .union(cand.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    sets_ = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
-        "doc_id", "shingles", F.size("shingles").alias("n_sh")
-    )
-    sa = sets_.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    sb = sets_.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n_sh").alias("n_b"),
-    )
-    return (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
-        )
-        .filter(
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            >= JACCARD_THRESHOLD
-        )
-        .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")
     )
 
@@ -652,13 +631,37 @@ ORDER BY doc_id
 # collides, pair counts grow quadratically -- measured at the 10x scale
 # test); 60 bits keep near-dup pairs sparse at any corpus size. 60 = 15
 # hex chars of one md5, so the token hash stays a BIGINT in both
-# engines. Four 15-bit candidate blocks give GUARANTEED recall at
-# Hamming <= 3 (pigeonhole: 3 errors cannot touch all 4 blocks),
-# upgrading the 2-block variant's all-errors-in-one-block heuristic.
+# engines.
+#
+# Candidate scheme (Manku/Jain/Sarma-style multi-table): 6 blocks of 10
+# bits, one candidate key per 3-block COMBINATION -- C(6,3) = 20 keys of
+# 30 bits each. Hamming <= 3 corrupts at most 3 blocks, leaving >= 3
+# intact, so some intact 3-combo always matches: recall is guaranteed,
+# like the earlier 4x15-bit pigeonhole -- but the keys are twice as
+# wide. That width is what survives template-heavy corpora: at the 100x
+# scale test a single 15-bit block bucket held 28,844 fingerprints
+# (~2.4e9 candidate evaluations, the whole query's blow-up); 30-bit
+# keys need three slices to agree at once, which near-dups do and
+# template cousins overwhelmingly do not.
+#
+# Each qualifying pair would match several combos, so the join filters
+# on the FIRST matching combo (computable from the xor alone): every
+# pair is emitted exactly once and the global candidate DISTINCT -- a
+# shuffle proportional to (pairs x redundancy) -- disappears entirely.
+import itertools
+
 SIMHASH64_BITS = 60
-SIMHASH64_N_BLOCKS = 4
-_W_WIDTH = SIMHASH64_BITS // SIMHASH64_N_BLOCKS
-_W_MASK = (1 << _W_WIDTH) - 1
+W_BLOCK_BITS = 10
+W_NBLOCKS = SIMHASH64_BITS // W_BLOCK_BITS  # 6
+W_COMBO_R = 3
+_W_SLICE_MASK = (1 << W_BLOCK_BITS) - 1
+_W_COMBOS = list(itertools.combinations(range(W_NBLOCKS), W_COMBO_R))
+# full-fingerprint mask of each combo's bits: pair (a,b) matches combo t
+# iff (a XOR b) & _W_COMBO_MASKS[t] == 0
+_W_COMBO_MASKS = [
+    sum(_W_SLICE_MASK << (W_BLOCK_BITS * blk) for blk in combo)
+    for combo in _W_COMBOS
+]
 
 _HEX60_SPARK = "CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)"
 _DUCK_HASHED_DOCS_60 = (
@@ -667,20 +670,91 @@ _DUCK_HASHED_DOCS_60 = (
 )
 
 
-def _wide_block_exprs_spark() -> list[str]:
-    return [
-        f"concat('w{k}:', CAST((simhash >> {k * _W_WIDTH}) & {_W_MASK}"
-        f" AS STRING))"
-        for k in range(SIMHASH64_N_BLOCKS)
+def _combo_key_expr(t: int, concat_op: str) -> str:
+    """One combo's candidate key: 'c<t>:' + the three 10-bit slices.
+    concat_op: Spark uses concat(...), DuckDB uses ||."""
+    slices = [
+        f"CAST((simhash >> {W_BLOCK_BITS * blk}) & {_W_SLICE_MASK} AS STRING)"
+        for blk in _W_COMBOS[t]
     ]
+    if concat_op == "concat":
+        parts = ", '_', ".join(slices)
+        return f"concat('c{t}:', {parts})"
+    joined = " || '_' || ".join(
+        s.replace("AS STRING", "AS VARCHAR") for s in slices
+    )
+    return f"'c{t}:' || {joined}"
 
 
-def _wide_block_exprs_duck() -> list[str]:
-    return [
-        f"'w{k}:' || CAST((simhash >> {k * _W_WIDTH}) & {_W_MASK}"
-        f" AS VARCHAR)"
-        for k in range(SIMHASH64_N_BLOCKS)
-    ]
+def _first_combo_case(xor_expr: str) -> str:
+    """Smallest combo index whose 30 bits are untouched by ``xor_expr``
+    (valid SQL in both engines: CASE / & / = only)."""
+    whens = " ".join(
+        f"WHEN (({xor_expr}) & {m}) = 0 THEN {t}"
+        for t, m in enumerate(_W_COMBO_MASKS)
+    )
+    return f"CASE {whens} ELSE -1 END"
+
+
+def _wide_half(fps: DataFrame) -> DataFrame:
+    """(simhash, t, ckey): one row per distinct fingerprint per combo."""
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(_combo_key_expr(t, "concat")).alias("ckey"),
+            )
+            for t in range(len(_W_COMBOS))
+        ]
+    )
+    return (
+        fps.select("simhash")
+        .distinct()
+        .select("simhash", F.explode(keys).alias("k"))
+        .select("simhash", F.col("k.t").alias("t"), F.col("k.ckey").alias("ckey"))
+    )
+
+
+def _wide_fp_pairs(fps: DataFrame) -> DataFrame:
+    """All (sh_a, sh_b, hamming) fingerprint pairs at Hamming <=
+    SIMHASH_MAX_HAMMING, sh_a <= sh_b, each emitted EXACTLY ONCE (the
+    first-combo filter replaces a global DISTINCT). Input: any frame
+    with a ``simhash`` column; pairs are between DISTINCT fingerprints
+    (equal-fp pairs appear as sh_a == sh_b once)."""
+    half = _wide_half(fps)
+    fa, fb = half.alias("fa"), half.alias("fb")
+    xor = "(fa.simhash ^ fb.simhash)"
+    cond = (
+        "fa.ckey = fb.ckey AND fa.simhash <= fb.simhash "
+        f"AND bit_count({xor}) <= {SIMHASH_MAX_HAMMING} "
+        f"AND fa.t = {_first_combo_case(xor)}"
+    )
+    return fa.join(fb, F.expr(cond)).select(
+        F.col("fa.simhash").alias("sh_a"),
+        F.col("fb.simhash").alias("sh_b"),
+        F.expr(f"bit_count({xor})").alias("hamming"),
+    )
+
+
+def _duck_wide_half(nodes_cte: str) -> str:
+    """DuckDB twin of _wide_half as a UNION ALL over the 20 combos."""
+    return " UNION ALL ".join(
+        f"SELECT simhash, {t} AS t, {_combo_key_expr(t, '||')} AS ckey "
+        f"FROM {nodes_cte}"
+        for t in range(len(_W_COMBOS))
+    )
+
+
+_DUCK_XOR = "xor(a.simhash, b.simhash)"
+
+_DUCK_WIDE_PAIRS = f"""
+  SELECT a.simhash AS sh_a, b.simhash AS sh_b,
+         bit_count({_DUCK_XOR}) AS hamming
+  FROM half a JOIN half b
+    ON a.ckey = b.ckey AND a.simhash <= b.simhash
+  WHERE bit_count({_DUCK_XOR}) <= {SIMHASH_MAX_HAMMING}
+    AND a.t = {_first_combo_case(_DUCK_XOR)}
+"""
 
 
 def wide_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,40 +774,18 @@ def wide_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFAULT SimHash near-dup path: 60-bit fingerprints, near-dup
     pairs at Hamming <= SIMHASH_MAX_HAMMING, with GUARANTEED candidate
-    recall via 4-block pigeonhole (3 bit errors cannot touch all 4
-    blocks, so every qualifying pair shares at least one block).
+    recall via the 20-key 3-of-6-block scheme (see the section comment
+    above) and exactly-once pair emission via the first-combo filter.
 
     Fingerprint-level candidacy (same shape as dedup_simhash16): the
     self-join runs on DISTINCT fingerprints, docs join back afterwards;
     the fingerprint frame is cached (three consumers, 60-bit votes are
     3.75x the 16-bit projection cost). Unlike the 16-bit space the
-    60-bit space never saturates, so candidate buckets stay sparse at
-    any corpus size -- this is the 100 TB shape."""
+    60-bit space never saturates, and the 30-bit candidate keys keep
+    buckets sparse even on template-heavy corpora -- this is the
+    100 TB shape."""
     fp = wide_fingerprints(spark, sf_dir).cache()
-    half = fp.select("simhash").distinct().select(
-        "simhash",
-        F.explode(
-            F.array(*[F.expr(e) for e in _wide_block_exprs_spark()])
-        ).alias("block"),
-    )
-    fa, fb = half.alias("fa"), half.alias("fb")
-    fpairs = (
-        fa.join(
-            fb,
-            (F.col("fa.block") == F.col("fb.block"))
-            & (F.col("fa.simhash") <= F.col("fb.simhash")),
-        )
-        .select(
-            F.col("fa.simhash").alias("sh_a"),
-            F.col("fb.simhash").alias("sh_b"),
-        )
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
-        )
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-    )
+    fpairs = _wide_fp_pairs(fp)
     da = fp.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("x_id"))
     db = fp.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("y_id"))
     return (
@@ -758,21 +810,9 @@ WITH fp AS (
            AS simhash
   FROM {_DUCK_HASHED_DOCS_60}
 ),
-half AS (
-  SELECT DISTINCT simhash,
-         unnest([{", ".join(_wide_block_exprs_duck())}]) AS block
-  FROM fp
-),
-fpairs AS (
-  SELECT DISTINCT a.simhash AS sh_a, b.simhash AS sh_b
-  FROM half a JOIN half b
-    ON a.block = b.block AND a.simhash <= b.simhash
-),
-close_pairs AS (
-  SELECT sh_a, sh_b, bit_count(xor(sh_a, sh_b)) AS hamming
-  FROM fpairs
-  WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
-)
+nodes AS (SELECT DISTINCT simhash FROM fp),
+half AS ({_duck_wide_half("nodes")}),
+close_pairs AS ({_DUCK_WIDE_PAIRS})
 SELECT least(da.doc_id, db.doc_id) AS a_id,
        greatest(da.doc_id, db.doc_id) AS b_id,
        hamming
@@ -797,9 +837,9 @@ def dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed: min-label propagation (graph.label_propagation) -- one
     shuffle per iteration, monotone labels, fixpoint exit, checkpointed
     lineage. Edges are fingerprint pairs at Hamming <= 3 from the
-    4-block pigeonhole join; because edges depend only on fingerprints,
-    propagation runs on the (much smaller) fingerprint graph and docs
-    join the component labels back at the end.
+    20-key 3-of-6-block join; because edges depend only on
+    fingerprints, propagation runs on the (much smaller) fingerprint
+    graph and docs join the component labels back at the end.
 
     Oracle: DuckDB WITH RECURSIVE transitive closure over the identical
     fingerprint edge set -- different algorithm, identical fixpoint."""
@@ -807,27 +847,10 @@ def dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = wide_fingerprints(spark, sf_dir).cache()
     nodes = fp.select(F.col("simhash").alias("node")).distinct()
-    half = nodes.select(F.col("node").alias("simhash")).select(
-        "simhash",
-        F.explode(
-            F.array(*[F.expr(e) for e in _wide_block_exprs_spark()])
-        ).alias("block"),
-    )
-    a, b = half.alias("a"), half.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.simhash") < F.col("b.simhash")),
-        )
-        .filter(
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-            <= SIMHASH_MAX_HAMMING
-        )
-        .select(
-            F.col("a.simhash").alias("src"), F.col("b.simhash").alias("dst")
-        )
-        .distinct()
+    # edges between DISTINCT fingerprints; the first-combo filter inside
+    # _wide_fp_pairs already emits each edge exactly once (no DISTINCT)
+    edges = _wide_fp_pairs(fp).filter(F.col("sh_a") != F.col("sh_b")).select(
+        F.col("sh_a").alias("src"), F.col("sh_b").alias("dst")
     )
     labels = label_propagation(nodes, edges)
     doc_fp = fp.join(
@@ -850,16 +873,11 @@ WITH RECURSIVE fp AS (
   FROM {_DUCK_HASHED_DOCS_60}
 ),
 nodes AS (SELECT DISTINCT simhash FROM fp),
-half AS (
-  SELECT DISTINCT simhash,
-         unnest([{", ".join(_wide_block_exprs_duck())}]) AS block
-  FROM nodes
-),
+half AS ({_duck_wide_half("nodes")}),
 pairs AS (
-  SELECT DISTINCT a.simhash AS src, b.simhash AS dst
-  FROM half a JOIN half b
-    ON a.block = b.block AND a.simhash < b.simhash
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+  SELECT sh_a AS src, sh_b AS dst
+  FROM ({_DUCK_WIDE_PAIRS}) wp
+  WHERE sh_a != sh_b
 ),
 edges AS (
   SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
