@@ -40,18 +40,29 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read as raw nanos and truncate to microseconds with
-        # integer division (ts div 1000 -- double division would lose
-        # precision at 1e18 ns magnitudes). Matches DuckDB's ns->us
-        # truncation, so oracle comparisons agree.
+        # events.parquet has shipped with two physical types for ``ts``:
+        # TIMESTAMP(NANOS) (which Spark's reader rejects unless read as raw
+        # long nanos) and plain TIMESTAMP(MICROS). Handle both: when the
+        # column arrives as a long it is epoch nanos -- truncate to micros
+        # with integer division (double division would lose precision at
+        # 1e18 ns magnitudes, and DuckDB also truncates ns->us, so oracle
+        # comparisons agree). When it arrives as TIMESTAMP_NTZ, cast to
+        # TIMESTAMP: the session runs in UTC so the instant is unchanged,
+        # and downstream operators (unix_micros, window, date_trunc) expect
+        # the LTZ type this loader has always produced.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
+        from pyspark.sql.types import IntegerType, LongType, TimestampNTZType
 
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        dt = raw.schema["ts"].dataType
+        if isinstance(dt, (LongType, IntegerType)):
+            raw = raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(dt, TimestampNTZType):
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     return spark.read.parquet(table_path(sf_dir, name))
 
 
