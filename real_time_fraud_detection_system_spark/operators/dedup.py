@@ -209,20 +209,33 @@ def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sig_cols() -> list[str]:
-    """MinHash signatures as per-row array expressions over the shingle
-    array: sig_j = min over shingles of 16-bit hex window j of ONE md5
-    per shingle. Entirely map-side -- the signature stage costs zero
-    shuffles, which at 100 TB removes the largest exchange of the
+def _sig_cols(src: str = "hms") -> list[str]:
+    """MinHash signatures as per-row array expressions over ``src``, an
+    array of per-shingle md5 hex strings: sig_j = min over shingles of
+    16-bit hex window j. Entirely map-side -- the signature stage costs
+    zero shuffles, which at 100 TB removes the largest exchange of the
     pipeline (the (doc, shingle) explode is ~50x the doc row count).
+
+    The md5 array is computed ONCE in a separate projection and every
+    window slices it: higher-order functions are interpreted (never
+    whole-stage-codegen'd), so an md5 call inside each of the k lambdas
+    costs k full digest passes per shingle -- measured 9x the CPU of
+    this shape at sf0.1. CollapseProject keeps the split because the
+    alias is non-cheap and multiply-referenced.
+
     min(hex-slice) == min over a 16-bit hash family; the coarser space
     only adds candidate false positives, removed by exact-Jaccard
     verification."""
     return [
-        "array_min(transform(shingles, s -> "
-        f"substr(md5(s), {1 + 4 * j}, 4))) AS s{j}"
+        f"array_min(transform({src}, h -> "
+        f"substr(h, {1 + 4 * j}, 4))) AS s{j}"
         for j in range(MINHASH_K)
     ]
+
+
+# One md5 per distinct shingle; everything downstream (sig windows, the
+# 60-bit shingle hash) slices this array instead of re-hashing.
+_HMS_COL = "transform(shingles, s -> md5(s)) AS hms"
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,6 +243,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _doc_shingle_arrays(spark, sf_dir)
         .filter(F.size("shingles") > 0)
+        .selectExpr("doc_id", _HMS_COL)
         .selectExpr("doc_id", *_sig_cols())
     )
 
@@ -261,10 +275,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     match exactly (a cross-engine hash collision would alter both
     sides identically)."""
     sh = _doc_shingle_arrays(spark, sf_dir)
-    sig = sh.filter(F.size("shingles") > 0).selectExpr(
-        "doc_id",
-        f"array_distinct(transform(shingles, x -> {_HEX60_SPARK})) AS hsh",
-        *_sig_cols(),
+    # One md5 pass per shingle; sig windows and the 60-bit hash all
+    # slice the shared hms array (see _sig_cols). Cached: the self-join
+    # below references the signature table twice, and without the cache
+    # the whole interpreted-expression pipeline executes once per side.
+    # The cached table is tiny relative to the corpus (doc_id, 8 short
+    # sig strings, one long per distinct shingle), so it fits executor
+    # storage at any corpus the banding itself can handle.
+    sig = (
+        sh.filter(F.size("shingles") > 0)
+        .selectExpr("doc_id", _HMS_COL)
+        .selectExpr(
+            "doc_id",
+            "array_distinct(transform(hms, h -> "
+            "CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT))) AS hsh",
+            *_sig_cols(),
+        )
+        .cache()
     )
     band_structs = [
         F.struct(

@@ -26,9 +26,17 @@ def label_propagation(
     """nodes(node: long), edges(src: long, dst: long) undirected input
     (pass each edge once; both directions are derived). Returns
     (node, label) with label = min node id of the component."""
+    spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Repartition ONCE on the join key: the union would otherwise carry
+    # 2x the input partition count into every iteration's join (each a
+    # fixed per-task scheduling cost that dwarfs the work on sparse
+    # graphs), and hash-partitioning by src lets each iteration's join
+    # reuse the layout.
     sym = (
         edges.selectExpr("src", "dst")
         .union(edges.selectExpr("dst AS src", "src AS dst"))
+        .repartition(n_parts, "src")
         .cache()
     )
     # Iterate ONLY over edge-touched nodes: a node with no incident
@@ -48,6 +56,7 @@ def label_propagation(
         )
         stepped = labels.join(prop, "node", "left").select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce("nbr_label", "label")
             ).alias("label"),
@@ -56,24 +65,41 @@ def label_propagation(
         # itself a node id in the iterated set, so composing the
         # mapping with itself halves every label chain -- convergence
         # drops from O(diameter) iterations to O(log diameter)
-        # (measured: 11 rounds -> 5 on the sf0.1 near-dup graph).
+        # (measured: 11 rounds -> 5 on the sf0.1 near-dup graph;
+        # composing twice per round was tried and LOST -- the extra
+        # small shuffle per round cost more than the rounds it saved).
         ll = stepped.selectExpr("node AS label", "label AS label2")
-        new_labels = (
+        checkpointed = (
             stepped.join(ll, "label", "left")
             .select(
-                "node", F.coalesce("label2", "label").alias("label")
+                "node",
+                F.coalesce("label2", "label").alias("label"),
+                "old_label",
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # Convergence check is a scan of the just-materialized blocks
+        # (old_label rides along through the iteration), NOT a join of
+        # two label tables -- on sparse graphs the per-iteration fixed
+        # cost of that extra shuffle job exceeded the propagation work
+        # itself.
+        changed = checkpointed.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        # Free the superseded iteration's checkpoint blocks: without
+        # this every round leaks its predecessor's storage, and a long
+        # benchmark session (or a many-component corpus) accumulates
+        # diameter-many copies of the label table in executor memory.
+        labels.unpersist()
+        labels = checkpointed.select("node", "label")
         if changed == 0:
             break
-    return nodes.join(labels, "node", "left").select(
+    out = nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", "node").alias("label")
     )
+    # The caller consumes a plain DataFrame; materialize the final
+    # labels into it before dropping the loop-internal caches.
+    out = out.localCheckpoint()
+    labels.unpersist()
+    sym.unpersist()
+    return out
