@@ -36,35 +36,39 @@ def _modules():
 DRIVER_SAMPLE = 50
 
 PRIORITY = [
-    # (a) round-3 additions / changed implementations:
-    #     dedup_simhash is now the 60-bit wide path (headline swap),
-    #     dedup_simhash16 is the demoted 16-bit teaching variant,
-    #     dedup_clusters_wide is the new distributed clustering stage.
-    "dedup_simhash", "dedup_simhash16", "dedup_clusters_wide",
-    # (b) oldest driver verdict (round-1 only; all still green locally)
-    "q5_local_supplier_volume", "q6_revenue_change", "q10_returned_items",
-    "top_orders_per_customer", "customer_rollup", "order_priority_count",
-    "customers_without_orders", "nations_with_both",
-    "segment_distinct_nations", "part_price_buckets",
-    "props_json_stats", "freshness_check", "windowed_rates",
-    "hourly_timeseries", "tumbling_15min", "recent_topk",
-    "heuristic_score", "feature_extract",
-    "minhash_signatures", "dedup_ngram_jaccard", "simhash_fingerprints",
-    "ann_cosine_topk",
-    "lang_id_heuristic", "doc_fingerprint", "corpus_token_stats",
-    "bpe_token_stats",
-    "multimodal_meta", "multimodal_frames",
-    "moving_avg_revenue", "part_rankings", "orders_pivot_status",
-    "unpivot_daily_metrics",
-    # (c) family representatives for modules with no entry above
-    "contamination_check", "user_sessions", "asof_click_before_purchase",
-    "logit_score", "q21_sole_late_supplier", "salted_value_by_type",
+    # (a) no VALID driver verdict on the round-4 testdata: these 14
+    #     errored in round 3 (events.ts arrived as TIMESTAMP_NTZ and
+    #     the old loader raised; fixed in catalog.load_table) -- their
+    #     last green verdicts predate both the fix and the regenerated
+    #     parquet, so they verify first.
+    "daily_metrics", "props_json_stats", "freshness_check",
+    "windowed_rates", "hourly_timeseries", "tumbling_15min",
+    "recent_topk", "heuristic_score", "feature_extract",
+    "unpivot_daily_metrics", "user_sessions",
+    "asof_click_before_purchase", "salted_value_by_type",
     "user_value_anomalies",
-    # (d) filler from the round-2-green set (first to rotate out when
-    #     new round-3 queries land)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
-    "q1_pricing_summary", "daily_metrics", "text_stats",
-    "multimodal_features", "embedding_near_dup",
+    # (a') implementations changed this round: shared-md5 signature
+    #      restructure (minhash family) and the label_propagation
+    #      iteration rework (clusters_wide).
+    "minhash_signatures", "dedup_minhash_lsh", "dedup_clusters_wide",
+    # (b) oldest remaining verdict (round 2) -- all 33 of them fit, so
+    #     after this round every query's verdict is at most one round
+    #     old: the 33 round-3-green queries outside this window are the
+    #     only ones not re-checked, and they rotate in next round.
+    "q3_shipping_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_profit_by_nation", "q12_shipping_delay_classes",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q4_order_priority_exists",
+    "q22_dormant_high_balance",
+    "ann_ivf_topk", "ann_lsh_bucketed",
+    "approx_distinct_users", "approx_value_quantiles",
+    "clicks_before_errors", "conversion_funnel", "corpus_quality_gate",
+    "cube_region_segment", "deterministic_split",
+    "grouping_sets_summary", "lapsed_customers_except",
+    "multimodal_resize", "null_id_check", "parts_above_brand_avg",
+    "repetition_stats", "sequence_packing", "session_summary",
+    "training_frame_det", "value_percentiles", "wire_format_roundtrip",
 ]
 
 
