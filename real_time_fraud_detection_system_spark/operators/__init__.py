@@ -47,7 +47,10 @@ PRIORITY = [
     "unpivot_daily_metrics", "user_sessions",
     "asof_click_before_purchase", "salted_value_by_type",
     "user_value_anomalies",
-    # (a') implementations changed this round: shared-md5 signature
+    # (a') new this round (no verdict yet): tokenizer-vocab coverage,
+    #      cross-shard shingle overlap, stratified sampling.
+    "vocab_coverage", "shard_overlap", "stratified_sample",
+    # (a'') implementations changed this round: shared-md5 signature
     #      restructure (minhash family) and the label_propagation
     #      iteration rework (clusters_wide).
     "minhash_signatures", "dedup_minhash_lsh", "dedup_clusters_wide",
@@ -68,7 +71,9 @@ PRIORITY = [
     "grouping_sets_summary", "lapsed_customers_except",
     "multimodal_resize", "null_id_check", "parts_above_brand_avg",
     "repetition_stats", "sequence_packing", "session_summary",
-    "training_frame_det", "value_percentiles", "wire_format_roundtrip",
+    # (value_percentiles, wire_format_roundtrip, training_frame_det
+    # displaced to keep the window at 50; they carry round-2 verdicts
+    # and rotate back in next round)
 ]
 
 

@@ -214,14 +214,160 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+VOCAB_TOP_K = 50
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sweep: the VOCAB_TOP_K most frequent tokens
+    with their corpus share and cumulative coverage -- the curve a
+    tokenizer-training pipeline inspects before fixing a vocab size.
+
+    Scale shape: explode + count is the canonical word-count (map-side
+    partial agg, one shuffle keyed by token); the global ordering only
+    materializes the TOP K via TakeOrderedAndProject (no full-vocab
+    single-partition sort), and the corpus token total rides in as a
+    broadcast scalar. Ties break on the token string so the cut is
+    deterministic across engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    counts = (
+        docs.selectExpr(f"explode({_TOKS}) AS token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    topk = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_TOP_K)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .alias("rank"),
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.sum("cnt").over(w) / F.col("total"), 6).alias(
+                "cum_coverage"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+),
+total AS (SELECT sum(cnt) AS total FROM counts),
+topk AS (
+  SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {VOCAB_TOP_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+       token, cnt,
+       round(cnt / total, 6) AS share,
+       round(sum(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) / total, 6)
+         AS cum_coverage
+FROM topk, total
+ORDER BY rank
+"""
+
+
+# --------------------------------------------------------------------------
+def shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard near-duplication sweep: for every pair of sources
+    (crawl dumps / data shards), the count of shared distinct
+    SHINGLE_N-gram shingles and the Jaccard overlap of their shingle
+    sets. This is the dump-vs-dump triage a pipeline runs to decide
+    which snapshots are worth deduplicating against each other.
+
+    Scale shape: one (source, shingle) DISTINCT projection (shuffle
+    keyed by the pair), a self-equi-join on the shingle -- candidate
+    work is proportional to shared shingles, never |A| x |B| -- and a
+    pair-keyed count. Output is O(sources^2) rows, tiny by
+    construction; the shingle columns are 60-bit hashed longs so the
+    join shuffles 8-byte keys, not n-gram strings."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.selectExpr(
+        "source",
+        f"explode(array_distinct(transform({shingles_expr(_TOKS)},"
+        " x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)))) AS h",
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SHARD_OVERLAP_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform({_DUCK_SH},
+           x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)))) AS h
+  FROM documents
+),
+sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+       round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
     "contamination_check": contamination_check,
+    "vocab_coverage": vocab_coverage,
+    "shard_overlap": shard_overlap,
 }
 
 ORACLE = {
     "repetition_stats": REPETITION_STATS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
+    "vocab_coverage": VOCAB_COVERAGE_SQL,
+    "shard_overlap": SHARD_OVERLAP_SQL,
 }

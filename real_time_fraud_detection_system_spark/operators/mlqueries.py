@@ -178,14 +178,75 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 DETERMINISTIC_SPLIT_SQL = _split_sql("duck")
 
 
+# Per-class sampling rates: keep every rare/high-value class, thin the
+# bulk ones -- the standard class-rebalancing pass before training.
+STRATA_RATES = {"purchase": 1.0, "error": 1.0, "click": 0.1, "view": 0.25}
+STRATA_DEFAULT_RATE = 0.5
+
+
+def _stratified_sql(dialect: str) -> str:
+    """Deterministic stratified sampling summary, one scan: membership
+    is md5(event_id) mapped to [0,1) (engine/retry/partitioning
+    invariant -- the same idiom as deterministic_split, so re-runs and
+    cluster resizes keep the identical sample), compared to a per-class
+    rate. Emits per-class totals, kept counts, the realized rate vs the
+    target, and the kept rows' average value. At 100 TB this is a
+    map-side projection + one small keyed agg; no sampled rows are ever
+    materialized to the driver."""
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+            " AS DOUBLE)"
+        )
+    else:
+        h = (
+            "CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)"
+            " AS BIGINT) AS DOUBLE)"
+        )
+    frac = f"({h} / 4294967296.0)"
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items())
+    )
+    # CAST: a bare Spark decimal literal list would widen to
+    # DECIMAL(3,2) and render '0.10' vs DuckDB's '0.1'
+    rate = (
+        f"CAST(CASE event_type {whens} ELSE {STRATA_DEFAULT_RATE} END"
+        " AS DOUBLE)"
+    )
+    kept = f"CASE WHEN {frac} < {rate} THEN 1 ELSE 0 END"
+    return f"""
+SELECT event_type,
+       {rate} AS target_rate,
+       count(*) AS n_total,
+       CAST(sum({kept}) AS BIGINT) AS n_kept,
+       round(CAST(sum({kept}) AS BIGINT) / count(*), 6) AS realized_rate,
+       round(avg(CASE WHEN {kept} = 1 THEN value END), 6) AS kept_avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class deterministic downsampling summary (see
+    _stratified_sql)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_stratified_sql("spark"))
+
+
+STRATIFIED_SAMPLE_SQL = _stratified_sql("duck")
+
+
 QUERIES = {
     "training_frame_det": training_frame_det,
     "logit_score": logit_score,
     "deterministic_split": deterministic_split,
+    "stratified_sample": stratified_sample,
 }
 
 ORACLE = {
     "training_frame_det": TRAINING_FRAME_SQL,
     "logit_score": LOGIT_SCORE_SQL,
     "deterministic_split": DETERMINISTIC_SPLIT_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
 }

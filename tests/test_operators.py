@@ -37,6 +37,9 @@ def test_registry_complete():
         "repetition_stats",
         "sequence_packing",
         "contamination_check",
+        "vocab_coverage",
+        "shard_overlap",
+        "stratified_sample",
     ],
 )
 def test_query_runs_at_smoke_sf(spark, sf_dir, name):
@@ -44,6 +47,50 @@ def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     rows = df.take(5)
     assert df.columns  # stable schema
     assert rows is not None
+
+
+def test_vocab_coverage_invariants(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        vocab_coverage,
+    )
+
+    rows = vocab_coverage(spark, sf_dir).collect()
+    assert rows, "top-k must be non-empty on a non-empty corpus"
+    cov = [r["cum_coverage"] for r in rows]
+    # cumulative coverage is nondecreasing and bounded by 1
+    assert all(a <= b + 1e-9 for a, b in zip(cov, cov[1:]))
+    assert cov[-1] <= 1.0 + 1e-9
+    # counts sorted descending (rank order)
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_shard_overlap_invariants(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        shard_overlap,
+    )
+
+    rows = shard_overlap(spark, sf_dir).collect()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]  # each unordered pair once
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["n_shared"] >= 1
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.mlqueries import (
+        STRATA_RATES,
+        stratified_sample,
+    )
+
+    rows = {r["event_type"]: r for r in stratified_sample(spark, sf_dir).collect()}
+    for et, r in rows.items():
+        assert r["n_kept"] <= r["n_total"]
+        # rate-1.0 strata keep everything, deterministically
+        if STRATA_RATES.get(et) == 1.0:
+            assert r["n_kept"] == r["n_total"]
+        # realized rate tracks the target within statistical noise
+        assert abs(r["realized_rate"] - r["target_rate"]) < 0.2
 
 
 def test_minhash_lsh_subset_of_exact(spark, sf_dir):
