@@ -53,6 +53,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # aggregate's own exchange feeding it -- both the allowlisted
     # scalar-anchor pattern (same as freshness_check/windowed_rates).
     "q22_dormant_high_balance": frozenset({"NLJ", "1PART"}),
+    # vocab_coverage: everything after the word-count shuffle operates
+    # on the TakeOrdered TOP-K rows only -- the GLOBALWIN/1PART cover
+    # VOCAB_TOP_K (=50) rows regardless of corpus size, and the NLJ is
+    # the 1-row corpus-total broadcast (the scalar-anchor pattern).
+    "vocab_coverage": frozenset({"NLJ", "GLOBALWIN", "1PART"}),
     "windowed_rates": frozenset({"NLJ", "1PART"}),
 }
 
