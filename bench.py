@@ -140,9 +140,16 @@ def main() -> None:
     # exposed to machine noise; the min is the reproducible number. One
     # protocol for every measured suite -- sf0.1 and sf1 numbers must
     # stay comparable.
-    def run_suite(dir_: str) -> dict[str, float]:
+    def run_suite(dir_: str, deadline: float | None = None) -> dict[str, float]:
+        """deadline (abs epoch seconds): between queries, if the clock
+        has passed it, remaining queries record -1 ("not run") instead
+        of blocking the harness window -- a partial suite with an
+        explicit marker beats a bench line that never prints."""
         out: dict[str, float] = {}
         for name in HEADLINE:
+            if deadline is not None and time.time() > deadline:
+                out[name] = -1.0
+                continue
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
@@ -198,10 +205,14 @@ def main() -> None:
             )
             continue
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-        timings_s = run_suite(dir_)
+        # hard mid-suite stop: a single pathological query at 100x data
+        # must not eat the whole harness window (-1 marks "not run")
+        timings_s = run_suite(dir_, deadline=t_start + budget_s + 600)
+        ran = {k: v for k, v in timings_s.items() if v >= 0}
         result[label] = {
-            "value": round(sum(timings_s.values()), 3),
+            "value": round(sum(ran.values()), 3),
             "queries": timings_s,
+            "n_skipped": len(timings_s) - len(ran),
             "sf": sf_val,
         }
 

@@ -37,27 +37,54 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct/total bigrams) and the share of the single most frequent
     token. The classic junk signals for generated/boilerplate text.
 
-    top_token_share = longest run in the sorted token array / n -- an
-    O(n log n) fold instead of the naive O(distinct x tokens) scan
-    (verified identical output; the oracle keeps the naive form, which
-    only has to be correct, not fast)."""
+    Shape: explode + codegen'd hash aggregations, NOT per-row
+    higher-order folds -- lambdas evaluate interpreted, and the sorted
+    fold version of top_token_share measured 87 s over 500k docs at the
+    100x scale test. Docs are hash-partitioned by doc_id (spread) and
+    explode preserves that partitioning, so BOTH aggregations and the
+    joins back run shuffle-free; docs with no tokens/bigrams rejoin
+    with the fold's exact zero values via the left joins."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    bi = shingles_expr(_TOKS, 2)
-    return docs.selectExpr(
-        "doc_id",
-        f"size({_TOKS}) AS n_tokens",
-        f"""round(CASE WHEN size({bi}) > 0
-             THEN 1.0 - size(array_distinct({bi})) / size({bi})
-             ELSE 0.0 END, 6) AS rep_bigram_share""",
-        f"""round(aggregate(array_sort({_TOKS}),
-             named_struct('prev', '', 'run', 0, 'best', 0),
-             (acc, x) -> named_struct(
-                'prev', x,
-                'run', IF(x = acc.prev, acc.run + 1, 1),
-                'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))),
-             acc -> acc.best) / size({_TOKS}), 6)
-           AS top_token_share""",
-    ).orderBy("doc_id")
+    # token array staged before shingling: an inline split inside the
+    # bigram lambda re-tokenizes the text once per bigram (O(tokens^2)
+    # interpreted work; measured 142 s over 500k docs before staging)
+    bi = shingles_expr("toks", 2)
+    base = docs.selectExpr("doc_id", f"size({_TOKS}) AS n_tokens")
+    bigrams = (
+        docs.selectExpr("doc_id", f"{_TOKS} AS toks")
+        .selectExpr("doc_id", f"explode({bi}) AS bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bi"),
+            F.countDistinct("bg").alias("n_bi_d"),
+        )
+    )
+    top_tok = (
+        docs.selectExpr("doc_id", f"explode({_TOKS}) AS t")
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_cnt"))
+    )
+    return (
+        base.join(bigrams, "doc_id", "left")
+        .join(top_tok, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.when(
+                    F.col("n_bi") > 0,
+                    F.lit(1.0) - F.col("n_bi_d") / F.col("n_bi"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("rep_bigram_share"),
+            F.round(
+                F.coalesce(F.col("max_cnt"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("top_token_share"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _DUCK_BI = duck_shingles_expr(_DUCK_TOKS, 2)
@@ -147,11 +174,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_distinct -- existence flags and the eval set's later distinct
     don't need per-doc dedup."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = docs.selectExpr(
-        "doc_id",
-        "source",
-        f"{shingles_expr(_TOKS)} AS shingles",
-    ).cache()
+    sh = (
+        docs.selectExpr("doc_id", "source", f"{_TOKS} AS toks")
+        .selectExpr(
+            "doc_id",
+            "source",
+            f"{shingles_expr('toks')} AS shingles",
+        )
+        .cache()
+    )
     eval_sh = (
         sh.filter(F.col("doc_id") < EVAL_DOCS)
         .select(F.explode("shingles").alias("shingle"))
@@ -296,11 +327,16 @@ def shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; the shingle columns are 60-bit hashed longs so the
     join shuffles 8-byte keys, not n-gram strings."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = docs.selectExpr(
-        "source",
-        f"explode(array_distinct(transform({shingles_expr(_TOKS)},"
-        " x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)))) AS h",
-    ).distinct()
+    sh = (
+        docs.selectExpr("source", f"{_TOKS} AS toks")
+        .selectExpr(
+            "source",
+            f"explode(array_distinct(transform({shingles_expr('toks')},"
+            " x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT))))"
+            " AS h",
+        )
+        .distinct()
+    )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -87,10 +87,18 @@ _DUCK_TOKS = "string_split(text, ' ')"
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) pairs, distinct per doc."""
+    """(doc_id, shingle) pairs, distinct per doc.
+
+    The token array is STAGED in its own projection before shingling:
+    shingles_expr references its token operand from inside a lambda,
+    and an inline split() there re-tokenizes the text once per shingle
+    -- O(tokens^2) interpreted regex work per document (the dominant
+    cost of every shingle consumer at the 100x scale test). Staging
+    survives CollapseProject because the alias is non-cheap and
+    multiply-referenced."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = shingles_expr(_TOKS, SHINGLE_N)
-    return docs.selectExpr(
+    sh = shingles_expr("toks", SHINGLE_N)
+    return docs.selectExpr("doc_id", f"{_TOKS} AS toks").selectExpr(
         "doc_id", f"explode(array_distinct({sh})) AS shingle"
     )
 
@@ -201,10 +209,12 @@ ORDER BY a_id, b_id
 # --------------------------------------------------------------------------
 def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles array<string>) -- distinct shingles per doc,
-    computed as a per-row expression: no explode, no shuffle."""
+    computed as a per-row expression: no explode, no shuffle. Token
+    array staged first (see _doc_shingles: an inline split inside the
+    shingle lambda re-tokenizes per shingle)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = shingles_expr(_TOKS, SHINGLE_N)
-    return docs.selectExpr(
+    sh = shingles_expr("toks", SHINGLE_N)
+    return docs.selectExpr("doc_id", f"{_TOKS} AS toks").selectExpr(
         "doc_id", f"array_distinct({sh}) AS shingles"
     )
 
@@ -377,19 +387,37 @@ ORDER BY a_id, b_id
 
 
 # --------------------------------------------------------------------------
-def _simhash_select_spark(hashes: str = "hs", n_bits: int = SIMHASH_BITS) -> str:
-    """SimHash fingerprint over a PRE-HASHED token array column (one
-    md5 per token, computed once upstream): per bit, sum +1/-1 votes by
-    that bit of the token hash; set the bit when votes > 0. Without the
-    staging every bit lambda recomputed the md5 -- 16x the hash work,
-    the dominant CPU cost of the fingerprint at any scale."""
-    bits = " + ".join(
-        f"(CASE WHEN aggregate({hashes}, 0, (acc, h) -> acc + "
-        f"(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
+def _vote_fingerprints(
+    docs: DataFrame, hash_sql: str, n_bits: int
+) -> DataFrame:
+    """(doc_id, simhash): explode the distinct-token array, hash each
+    token ONCE, then n_bits codegen'd conditional SUMs produce the bit
+    votes in a single hash aggregation.
+
+    Why not a per-row aggregate() fold: higher-order lambdas evaluate
+    interpreted (never whole-stage codegen), so n_bits folds walk an
+    expression tree per token per bit -- measured 185 s for the 60-bit
+    fingerprint over 500k docs at the 100x scale test. The explode form
+    keeps everything inside codegen; docs arrive hash-partitioned by
+    doc_id (spread), explode preserves that partitioning, and
+    HashPartitioning(doc_id) satisfies the groupBy's distribution, so
+    the aggregation runs SHUFFLE-FREE. Docs whose token array is empty
+    or null rejoin with fingerprint 0 -- the exact value the fold gave
+    them (zero votes on every bit)."""
+    tok = docs.selectExpr(
+        "doc_id", f"explode(array_distinct({_TOKS})) AS x"
+    ).selectExpr("doc_id", f"{hash_sql} AS h")
+    bit_sum = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(n_bits)
     )
-    return f"({bits})"
+    votes = tok.groupBy("doc_id").agg(
+        F.expr(f"CAST(({bit_sum}) AS BIGINT)").alias("simhash")
+    )
+    return docs.select("doc_id").join(votes, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def _simhash_select_duck(n_bits: int = SIMHASH_BITS) -> str:
@@ -412,12 +440,8 @@ _DUCK_HASHED_DOCS = (
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document {SIMHASH_BITS}-bit SimHash fingerprint."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    hashed = docs.selectExpr(
-        "doc_id",
-        f"transform(array_distinct({_TOKS}), x -> {hex16_expr('x')}) AS hs",
-    )
-    return hashed.selectExpr(
-        "doc_id", f"CAST({_simhash_select_spark()} AS BIGINT) AS simhash"
+    return _vote_fingerprints(
+        docs, hex16_expr("x"), SIMHASH_BITS
     ).orderBy("doc_id")
 
 
@@ -788,14 +812,7 @@ def wide_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) with 60-bit fingerprints -- the projection both
     ``dedup_simhash`` and ``dedup_clusters_wide`` build on."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    return docs.selectExpr(
-        "doc_id",
-        f"transform(array_distinct({_TOKS}), x -> {_HEX60_SPARK}) AS hs",
-    ).selectExpr(
-        "doc_id",
-        f"CAST({_simhash_select_spark(n_bits=SIMHASH64_BITS)} AS BIGINT)"
-        " AS simhash",
-    )
+    return _vote_fingerprints(docs, _HEX60_SPARK, SIMHASH64_BITS)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

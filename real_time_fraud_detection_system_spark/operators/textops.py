@@ -131,10 +131,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles (a 1-hash MinHash -- the winnowing-style content fingerprint).
     Documents shorter than the shingle width fall back to md5(text)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = shingles_expr(_TOKS, SHINGLE_N)
-    return docs.selectExpr(
+    # token array staged: an inline split inside the shingle lambda
+    # re-tokenizes the text once per shingle (O(tokens^2) interpreted
+    # work; see dedup._doc_shingles)
+    sh = shingles_expr("toks", SHINGLE_N)
+    return docs.selectExpr("doc_id", "text", f"{_TOKS} AS toks").selectExpr(
         "doc_id",
-        f"CASE WHEN size({_TOKS}) >= {SHINGLE_N} "
+        f"CASE WHEN size(toks) >= {SHINGLE_N} "
         f"THEN array_min(transform({sh}, s -> md5(s))) "
         f"ELSE md5(text) END AS fingerprint",
     ).orderBy("doc_id")

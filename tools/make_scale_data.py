@@ -11,10 +11,19 @@ with this script). Replication semantics:
     stay consistent within a replica and key cardinality scales 10x --
     the realistic scale-up (more users/orders, same per-entity behavior);
   * region/nation are spec-fixed dimensions -- copied once;
-  * document text gets a per-replica suffix token and embeddings a
-    per-replica scale factor, so replicas are NEAR each other, not exact
-    duplicates -- otherwise every dedup family degenerates to quadratic
-    within 10-way identical groups, which is a data bug, not a scale test;
+  * document replicas keep a REALISTIC near-dup density: replica 1 of
+    every 20th base doc is a suffix-only variant (a true near-dup of
+    replica 0), while every other replica mutates every 3rd token with
+    a replica tag -- no word 3-gram survives, so those replicas are
+    genuinely distinct documents. The first version of this script made
+    EVERY replica a suffix-variant; at factor=100 that corpus was 99%
+    near-duplicates and the dedup output itself grew quadratically in
+    the factor (25M true pairs at sf10) -- measuring output explosion,
+    not engine scaling. Real corpora carry a few percent near-dups and
+    the dup count scales linearly with corpus size, which this scheme
+    reproduces at any factor;
+  * embeddings get a per-replica scale factor (norm changes, cosine
+    neighborhoods preserved);
   * timestamps are left as-is: time-range density scales 10x, which is
     what stresses the windowed/sessionize operators.
 
@@ -68,8 +77,19 @@ def build(src: str, out: str, factor: int = 10) -> None:
             for k in keys:
                 rep = rep.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast("long"))
             if t == "documents" and i > 0:
+                # doc_id is already replica-shifted; % OFFSET recovers
+                # the base id, every 20th of which gets a near-dup
+                near_dup = (F.col("doc_id") % OFFSET) % 20 == 0
+                suffix_text = F.concat(F.col("text"), F.lit(f" r{i}"))
+                mutated_text = F.expr(
+                    "concat_ws(' ', transform(split(text, ' '), "
+                    f"(x, i) -> IF(i % 3 = 2, concat(x, '_r{i}'), x)))"
+                )
                 rep = rep.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" r{i}"))
+                    "text",
+                    F.when(near_dup & F.lit(i == 1), suffix_text).otherwise(
+                        mutated_text
+                    ),
                 ).withColumn("n_chars", F.length("text").cast("long"))
             if t == "embeddings" and i > 0:
                 rep = rep.withColumn(
