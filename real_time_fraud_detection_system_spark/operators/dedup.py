@@ -722,19 +722,25 @@ _DUCK_HASHED_DOCS_60 = (
 
 
 def _combo_key_expr(t: int, concat_op: str) -> str:
-    """One combo's candidate key: 'c<t>:' + the three 10-bit slices.
-    concat_op: Spark uses concat(...), DuckDB uses ||."""
+    """One combo's candidate key. Bucket EQUALITY is all that matters
+    (keys never appear in output), so each engine uses its cheapest
+    encoding: Spark packs combo index + the three 10-bit slices into
+    one BIGINT -- the 10M-row half-table then shuffles/sorts 8-byte
+    longs instead of ~14-char strings, which was the dominant cost of
+    the candidate join at the 100x scale test -- while DuckDB keeps the
+    readable string form in the oracle (it only has to be correct)."""
+    if concat_op == "concat":
+        parts = " + ".join(
+            f"(((simhash >> {W_BLOCK_BITS * blk}) & {_W_SLICE_MASK}L)"
+            f" * {1 << (W_BLOCK_BITS * (W_COMBO_R - 1 - j))}L)"
+            for j, blk in enumerate(_W_COMBOS[t])
+        )
+        return f"({t}L * {1 << (W_BLOCK_BITS * W_COMBO_R)}L) + {parts}"
     slices = [
-        f"CAST((simhash >> {W_BLOCK_BITS * blk}) & {_W_SLICE_MASK} AS STRING)"
+        f"CAST((simhash >> {W_BLOCK_BITS * blk}) & {_W_SLICE_MASK} AS VARCHAR)"
         for blk in _W_COMBOS[t]
     ]
-    if concat_op == "concat":
-        parts = ", '_', ".join(slices)
-        return f"concat('c{t}:', {parts})"
-    joined = " || '_' || ".join(
-        s.replace("AS STRING", "AS VARCHAR") for s in slices
-    )
-    return f"'c{t}:' || {joined}"
+    return f"'c{t}:' || " + " || '_' || ".join(slices)
 
 
 def _first_combo_case(xor_expr: str) -> str:
