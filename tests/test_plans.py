@@ -122,3 +122,32 @@ def test_interval_join_is_equi_join(spark, sf_dir):
     # bucketing turns the range predicate into an equi-join; a
     # BroadcastNestedLoopJoin here would mean the rewrite regressed
     assert "NestedLoop" not in plan
+
+
+def _no_induced_hash_shuffle(df):
+    """Every hash exchange must be an explicit spread() repartition
+    (REPARTITION_BY_NUM); an ENSURE_REQUIREMENTS hash exchange means an
+    aggregation or join stopped riding the doc_id partitioning and the
+    planner had to insert its own shuffle -- the regression these
+    operators' explode + codegen-agg rewrite specifically avoids.
+    (Range exchanges for orderBy and broadcast exchanges are fine.)"""
+    plan = simple_plan(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "ENSURE_REQUIREMENTS" not in line, plan
+
+
+def test_wide_fingerprints_vote_agg_is_shuffle_free(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.dedup import (
+        wide_fingerprints,
+    )
+
+    _no_induced_hash_shuffle(wide_fingerprints(spark, sf_dir))
+
+
+def test_repetition_stats_aggs_are_shuffle_free(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        repetition_stats,
+    )
+
+    _no_induced_hash_shuffle(repetition_stats(spark, sf_dir))
