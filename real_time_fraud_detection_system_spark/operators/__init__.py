@@ -48,8 +48,10 @@ PRIORITY = [
     "asof_click_before_purchase", "salted_value_by_type",
     "user_value_anomalies",
     # (a') new this round (no verdict yet): tokenizer-vocab coverage,
-    #      cross-shard shingle overlap, stratified sampling.
+    #      cross-shard shingle overlap, stratified sampling, per-source
+    #      duplication rollup.
     "vocab_coverage", "shard_overlap", "stratified_sample",
+    "dup_rate_by_source",
     # (a'') implementations changed this round: shared-md5 signature
     #      restructure (minhash family) and the label_propagation
     #      iteration rework (clusters_wide).
@@ -70,10 +72,10 @@ PRIORITY = [
     "cube_region_segment", "deterministic_split",
     "grouping_sets_summary", "lapsed_customers_except",
     "multimodal_resize", "null_id_check", "parts_above_brand_avg",
-    "repetition_stats", "sequence_packing", "session_summary",
-    # (value_percentiles, wire_format_roundtrip, training_frame_det
-    # displaced to keep the window at 50; they carry round-2 verdicts
-    # and rotate back in next round)
+    "repetition_stats", "sequence_packing",
+    # (session_summary, value_percentiles, wire_format_roundtrip,
+    # training_frame_det displaced to keep the window at 50; they carry
+    # round-2 verdicts and rotate back in next round)
 ]
 
 

@@ -916,7 +916,10 @@ def dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CLUSTERS_WIDE_SQL = f"""
+# Shared CTE chain ending in clusters(doc_id, cluster_id) -- the
+# transitive-closure twin of the distributed clustering; reused by the
+# dup-rate rollup oracle below.
+_DUCK_WIDE_CLUSTERS_CTES = f"""
 WITH RECURSIVE fp AS (
   SELECT doc_id, CAST({_simhash_select_duck(SIMHASH64_BITS)} AS BIGINT)
            AS simhash
@@ -941,10 +944,56 @@ fplabel AS (SELECT src AS simhash, min(dst) AS label FROM reach GROUP BY src),
 doclab AS (
   SELECT f.doc_id, l.label FROM fp f JOIN fplabel l ON f.simhash = l.simhash
 ),
-rootmin AS (SELECT label, min(doc_id) AS cluster_id FROM doclab GROUP BY label)
-SELECT d.doc_id, r.cluster_id
-FROM doclab d JOIN rootmin r ON d.label = r.label
-ORDER BY doc_id
+rootmin AS (SELECT label, min(doc_id) AS cluster_id FROM doclab GROUP BY label),
+clusters AS (
+  SELECT d.doc_id, r.cluster_id
+  FROM doclab d JOIN rootmin r ON d.label = r.label
+)"""
+
+DEDUP_CLUSTERS_WIDE_SQL = f"""{_DUCK_WIDE_CLUSTERS_CTES}
+SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication triage: how much of each dump sits inside
+    a multi-document near-dup cluster -- the rollup a pipeline reads to
+    decide which sources are worth aggressive dedup (and the sanity
+    number quoted in every dataset card). Composes the production
+    clustering stage (dedup_clusters_wide: 60-bit fingerprints,
+    distributed label propagation) with a broadcast-sized per-cluster
+    size table and a source-keyed rollup; output is O(sources) rows."""
+    clusters = dedup_clusters_wide(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    is_dup = (F.col("csize") > 1).cast("int")
+    return (
+        clusters.join(sizes, "cluster_id")
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(is_dup).alias("n_dup_docs"),
+            F.round(F.sum(is_dup) / F.count("*"), 6).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+DUP_RATE_BY_SOURCE_SQL = f"""{_DUCK_WIDE_CLUSTERS_CTES},
+sizes AS (SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1)
+SELECT doc.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(sum(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END) / count(*), 6)
+         AS dup_share
+FROM clusters c
+JOIN sizes s USING (cluster_id)
+JOIN documents doc ON doc.doc_id = c.doc_id
+GROUP BY doc.source
+ORDER BY doc.source
 """
 
 
@@ -958,6 +1007,7 @@ QUERIES = {
     "dedup_simhash16": dedup_simhash16,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_wide": dedup_clusters_wide,
+    "dup_rate_by_source": dup_rate_by_source,
 }
 
 ORACLE = {
@@ -970,4 +1020,5 @@ ORACLE = {
     "dedup_simhash16": DEDUP_SIMHASH16_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_wide": DEDUP_CLUSTERS_WIDE_SQL,
+    "dup_rate_by_source": DUP_RATE_BY_SOURCE_SQL,
 }

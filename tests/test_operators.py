@@ -40,6 +40,7 @@ def test_registry_complete():
         "vocab_coverage",
         "shard_overlap",
         "stratified_sample",
+        "dup_rate_by_source",
     ],
 )
 def test_query_runs_at_smoke_sf(spark, sf_dir, name):
