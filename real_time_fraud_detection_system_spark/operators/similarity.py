@@ -272,17 +272,39 @@ ORDER BY q_id, neighbor_id
 
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN: the coarse-quantizer scale path. Centroids are
-# a deterministic sample of the corpus (every CENTROID_MOD-th vector --
-# K ~ n/CENTROID_MOD grows with the corpus, the IVF convention of
-# K ~ sqrt(n) without an iterative k-means fit, which would not be
-# reproducible across engines). Each vector is assigned to its
-# nearest-cosine centroid (one broadcast pass); each query probes its
-# NPROBE nearest cells and computes exact cosines only over those cells'
-# members. At 100 TB: assignment is a map-side broadcast pass, the
-# search shuffle is keyed by cell, and per-cell candidate lists are
-# ~n/K -- the classic IVF candidate-shrink.
-CENTROID_MOD = 29
+# a deterministic HASH SAMPLE of the corpus at a sqrt(n) rate: keep
+# vec_id where md5(vec_id) % m == 0 with m = floor(sqrt(n)), so the
+# centroid count K ~ n/m ~ sqrt(n) -- SUBLINEAR in the corpus (the IVF
+# convention), broadcastable at any scale, without an iterative k-means
+# fit (which would not be reproducible across engines). The md5-hex
+# sampler is engine-portable (same trick as the LSH hyperplanes above)
+# so the DuckDB oracle applies the identical rule. Each vector is
+# assigned to its nearest-cosine centroid (one broadcast pass); each
+# query probes its NPROBE nearest cells and computes exact cosines only
+# over those cells' members. At 100 TB with n = 1e9: K ~ 31k centroids
+# (a few MB broadcast), assignment is a map-side broadcast pass doing
+# O(n*sqrt(n)) total dot products spread over all executors, the search
+# shuffle is keyed by cell, and per-cell candidate lists are ~sqrt(n) --
+# the classic IVF candidate-shrink.
 NPROBE = 3
+
+# Portable uniform bucket in [0, 2^32): first 8 md5 hex digits of the id.
+# Spark and DuckDB spell it differently but hash identically.
+_SPARK_ID_HASH = (
+    "CAST(conv(substr(md5(CAST({id} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+)
+_DUCK_ID_HASH = (
+    "CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+
+
+def centroid_modulus(n: int) -> int:
+    """Sampling modulus m = floor(sqrt(n)): keep-rate 1/m gives an
+    expected centroid count of n/m ~ sqrt(n). floor(sqrt(double)) is
+    bit-identical to DuckDB's floor(sqrt(count(*)))."""
+    import math
+
+    return max(1, int(math.floor(math.sqrt(float(n)))))
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,8 +312,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate (cell misses possible); ann_cosine_topk is the recall
     baseline. All ranking on rounded cosine + id tie-breaks so both
     engines agree exactly."""
+    # One cheap aggregate (parquet row-count metadata) to size the
+    # sampling rate; bounded single-row result, not a data collect.
+    n = load_table(spark, sf_dir, "embeddings").count()
+    m = centroid_modulus(n)
     vecs = _vectors(spark, sf_dir)
-    cents = vecs.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cents = vecs.filter(
+        F.expr(_SPARK_ID_HASH.format(id="vec_id")) % m == 0
+    ).select(
         F.col("vec_id").alias("c_id"),
         F.col("emb").alias("c_emb"),
         F.col("norm").alias("c_norm"),
@@ -356,7 +384,10 @@ ANN_IVF_TOPK_SQL = f"""
 WITH vecs AS ({_DUCK_VECTORS}),
 cents AS (
   SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
-  FROM vecs WHERE vec_id % {CENTROID_MOD} = 0
+  FROM vecs
+  WHERE {_DUCK_ID_HASH.format(id='vec_id')}
+        % (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
+           FROM vecs) = 0
 ),
 assign_scored AS (
   SELECT v.vec_id, v.emb, v.norm, c.c_id,

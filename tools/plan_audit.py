@@ -30,6 +30,10 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #   * NLJ on ann_* / freshness_check / windowed_rates /
 #     customers_without_orders: 1-row or N_QUERIES-row broadcasts (scalar
 #     "now" anchor / query fan-out) -- constant-size at any data scale.
+#     ann_ivf_topk's NLJ is its centroid-table broadcast: centroids are
+#     a sqrt(n)-rate hash sample (similarity.py:centroid_modulus), so
+#     the broadcast is O(sqrt(n)) rows -- ~31k at n=1e9 -- and the
+#     assignment pass does O(n*sqrt(n)) work total, not O(n^2).
 #   * NLJ on embedding_near_dup: the documented all-pairs verification
 #     primitive (LSH/IVF variants are the scale paths); guarded by a
 #     row-count bound (operators/similarity.py).
