@@ -883,17 +883,23 @@ def dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike ``dedup_clusters`` (16-bit space, <= 2^16 nodes, driver
     union-find), the 60-bit fingerprint node set GROWS WITH THE CORPUS
-    (~1 distinct fingerprint per distinct doc), so clustering must stay
-    distributed: min-label propagation (graph.label_propagation) -- one
-    shuffle per iteration, monotone labels, fixpoint exit, checkpointed
-    lineage. Edges are fingerprint pairs at Hamming <= 3 from the
-    20-key 3-of-6-block join; because edges depend only on
-    fingerprints, propagation runs on the (much smaller) fingerprint
-    graph and docs join the component labels back at the end.
+    (~1 distinct fingerprint per distinct doc), so clustering cannot
+    assume a collectable graph: ``graph.connected_components`` counts
+    the edge set and dispatches -- below a bounded threshold one driver
+    union-find job (the per-iteration scheduling constant of the
+    distributed loop dominated small corpora: ~8.7 s fixed at sf0.1 on
+    a 14k-edge graph), above it min-label propagation (one shuffle per
+    iteration, monotone labels, fixpoint exit, checkpointed lineage) --
+    identical fixpoint either way. Edges are fingerprint pairs at
+    Hamming <= 3 from the 20-key 3-of-6-block join; because edges
+    depend only on fingerprints, clustering runs on the (much smaller)
+    fingerprint graph and docs join the component labels back at the
+    end. At 100 TB the edge count is far past the threshold and every
+    run takes the distributed path.
 
     Oracle: DuckDB WITH RECURSIVE transitive closure over the identical
     fingerprint edge set -- different algorithm, identical fixpoint."""
-    from .graph import label_propagation
+    from .graph import connected_components
 
     fp = wide_fingerprints(spark, sf_dir).cache()
     nodes = fp.select(F.col("simhash").alias("node")).distinct()
@@ -902,7 +908,7 @@ def dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _wide_fp_pairs(fp).filter(F.col("sh_a") != F.col("sh_b")).select(
         F.col("sh_a").alias("src"), F.col("sh_b").alias("dst")
     )
-    labels = label_propagation(nodes, edges)
+    labels = connected_components(nodes, edges)
     doc_fp = fp.join(
         labels, fp["simhash"] == labels["node"]
     ).select("doc_id", "label")

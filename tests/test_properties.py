@@ -150,6 +150,35 @@ def test_label_propagation_matches_union_find(spark, edges):
     assert got == want
 
 
+def test_connected_components_dispatch_paths_agree(spark):
+    """The hybrid dispatcher's two paths (driver union-find under the
+    edge threshold, label propagation above) must reach the identical
+    fixpoint; threshold=0 forces the distributed path on the same
+    graph."""
+    from real_time_fraud_detection_system_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "node long")
+    # a 4-chain, a triangle, a 2-cycle duplicate edge, and singletons
+    edge_rows = [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7), (7, 5), (9, 10), (10, 9)]
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+    driver = {
+        r["node"]: r["label"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    distributed = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            nodes, edges, driver_edge_threshold=0
+        ).collect()
+    }
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5,
+            8: 8, 9: 9, 10: 9, 11: 11}
+    assert driver == want
+    assert distributed == want
+
+
 @PROP
 @given(
     vals=st.lists(
