@@ -7,11 +7,14 @@ frame-sample run as Arrow-batched pandas stages (mapInPandas), which is the
 only sane shape at 100 TB -- bytes never round-trip through Python row by
 row, and each batch is one Arrow buffer.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode_media`` raises NotImplementedError for real codecs and the
-feature extractor falls back to a deterministic byte-level featurizer
-(documented fake). The Spark-side plumbing -- schema, partitioning, UDF
-signature, batch shape -- is real and tested.
+The container has no image/audio codec LIBRARIES, so the decoder
+registry ships one real pure-python codec -- binary PPM (P6), installed
+for 'image' by default -- and the feature extractor falls back to a
+deterministic byte-level featurizer (documented fake) for audio/video
+and for payloads the codec cannot parse. ``multimodal_features`` wraps
+image payloads into true P6 containers so the default oracle run
+exercises the real decode path end to end. The Spark-side plumbing --
+schema, partitioning, UDF signature, batch shape -- is real and tested.
 
 The corpus here is synthesized from the documents table (text -> utf-8
 bytes) so every engine sees identical payloads.
@@ -94,24 +97,66 @@ ORDER BY media_id
 # registered functions by value (cloudpickle) instead.
 from collections.abc import Callable
 
-_DECODERS: dict[str, Callable[[bytes], dict]] = {}
+
+def ppm_image_decoder(payload: bytes) -> dict:
+    """The PACKAGED example codec: pure-python binary-PPM (P6). Parses
+    the header (width/height/maxval; '#' comments legal) and features
+    the PIXEL bytes only -- the point of a real decoder vs the byte
+    fallback, which also eats the header. Registered for 'image' by
+    default; non-P6 payloads raise NotImplementedError so raw image
+    bytes still take the byte-feature fallback. Replace via
+    ``register_decoder('image', fn)`` when PIL/ffmpeg are available."""
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError("not a P6 PPM payload")
+    try:
+        parts: list[int] = []
+        idx = 2
+        while len(parts) < 3:
+            nxt = payload.index(b"\n", idx)
+            line = payload[idx:nxt].strip()
+            idx = nxt + 1
+            if line and not line.startswith(b"#"):
+                parts.extend(int(v) for v in line.split())
+        w, h, _maxval = parts[:3]
+        pixels = payload[idx : idx + 3 * w * h]
+        if not pixels:
+            raise ValueError("empty pixel section")
+    except (ValueError, IndexError) as exc:
+        raise NotImplementedError(f"malformed P6 payload: {exc}") from exc
+    return {
+        "n_bytes": len(pixels),
+        "mean_byte": float(sum(pixels)) / len(pixels),
+        "samples": [int(b) for b in pixels[:4]],
+    }
+
+
+_DEFAULT_DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "image": ppm_image_decoder,
+}
+_DECODERS: dict[str, Callable[[bytes], dict]] = dict(_DEFAULT_DECODERS)
 
 
 def register_decoder(media_type: str, fn: Callable[[bytes], dict]) -> None:
-    """Install a real codec for ``media_type`` ('image'/'audio'/'video').
-    Queries built AFTER registration use it; the byte-feature fallback
-    remains the default for unregistered types and unparseable rows."""
+    """Install a real codec for ``media_type`` ('image'/'audio'/'video'),
+    replacing the packaged default if any. Queries built AFTER
+    registration use it; the byte-feature fallback remains the default
+    for unregistered types and unparseable rows."""
     _DECODERS[media_type] = fn
 
 
 def unregister_decoder(media_type: str) -> None:
+    """Remove a custom codec, restoring the packaged default for the
+    media type (the P6 decoder for 'image', nothing otherwise)."""
     _DECODERS.pop(media_type, None)
+    if media_type in _DEFAULT_DECODERS:
+        _DECODERS[media_type] = _DEFAULT_DECODERS[media_type]
 
 
 def decode_media(payload: bytes, media_type: str, decoders=None):
-    """Codec decode via the registry. No decoder registered (this
-    container ships no PIL/ffmpeg) -> NotImplementedError, and callers
-    use ``byte_features`` as the deterministic fallback."""
+    """Codec decode via the registry. 'image' ships the P6 decoder by
+    default; no decoder registered (this container has no PIL/ffmpeg
+    for audio/video) -> NotImplementedError, and callers use
+    ``byte_features`` as the deterministic fallback."""
     fn = (_DECODERS if decoders is None else decoders).get(media_type)
     if fn is None:
         raise NotImplementedError(
@@ -189,11 +234,28 @@ def media_features(m: DataFrame) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column. The
-    repartition spreads payload bytes evenly before the pandas stage --
-    the knob that matters at scale (each task decodes one batch)."""
+    """Arrow-batched feature extraction over the binary column. Image
+    payloads are wrapped into true binary-PPM (P6) containers -- width
+    n//3, height 1, pixel section = the leading 3*(n//3) payload bytes
+    -- so the packaged P6 decoder runs a REAL parse+decode on every
+    image row (header excluded from the features); audio/video rows
+    keep raw bytes and take the byte-feature fallback. All the
+    container assembly is JVM-side concat/substring on binary."""
     m = media_catalog(spark, sf_dir).select(
         "media_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    npix = (F.length("payload") / F.lit(3)).cast("long")
+    header = F.encode(
+        F.concat(F.lit("P6\n"), npix.cast("string"), F.lit(" 1\n255\n")),
+        "UTF-8",
+    )
+    m = m.withColumn(
+        "payload",
+        F.when(
+            (F.col("media_type") == "image") & (npix > 0),
+            F.concat(header, F.expr("substring(payload, 1, "
+                                    "3 * (length(payload) div 3))")),
+        ).otherwise(F.col("payload")),
     )
     return (
         media_features(m)
@@ -213,24 +275,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Oracle: text is ASCII, so byte values == character codes; DuckDB
-# recomputes the same features character-wise. (The pandas path reads real
-# bytes -- the test suite additionally asserts the two agree.)
+# recomputes the same features character-wise. Image rows mirror the
+# P6 decode: features over the PIXEL section only (the leading
+# 3*(n//3) bytes; the wrapped header is excluded), samples = first 4
+# pixel bytes. Audio/video rows mirror the byte fallback (whole
+# payload, strided samples). (The pandas path reads real bytes -- the
+# test suite additionally asserts the two agree.)
 MULTIMODAL_FEATURES_SQL = """
 WITH b AS (
   SELECT doc_id AS media_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
               WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
          text,
-         octet_length(encode(text)) AS n_bytes
+         octet_length(encode(text)) AS raw_n,
+         CASE WHEN CAST(doc_id % 3 AS INT) = 0
+                   AND octet_length(encode(text)) >= 3
+              THEN 3 * (octet_length(encode(text)) // 3)
+              ELSE octet_length(encode(text)) END AS n_bytes,
+         (CAST(doc_id % 3 AS INT) = 0
+          AND octet_length(encode(text)) >= 3) AS decoded
   FROM documents
 )
-SELECT media_id, media_type, n_bytes,
+SELECT media_id, media_type, CAST(n_bytes AS INT) AS n_bytes,
        round(list_sum(list_transform(range(1, n_bytes + 1),
                                      i -> ascii(text[i]))) / n_bytes, 6)
          AS mean_byte,
-       array_to_string(list_transform(range(0, 4),
-           k -> ascii(text[least(k * greatest(1, n_bytes // 4) + 1, n_bytes)])),
-         ',') AS samples
+       CASE WHEN decoded
+            THEN array_to_string(list_transform(
+                   range(1, least(4, n_bytes) + 1), i -> ascii(text[i])), ',')
+            ELSE array_to_string(list_transform(range(0, 4),
+                   k -> ascii(text[least(k * greatest(1, raw_n // 4) + 1,
+                                         raw_n)])), ',')
+       END AS samples
 FROM b
 ORDER BY media_id
 """

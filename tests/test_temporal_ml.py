@@ -103,40 +103,16 @@ def test_multimodal_frames_shape(spark, sf_dir):
 
 
 def test_registered_decoder_replaces_byte_fallback(spark):
-    """register_decoder plugs a real codec into the mapInPandas path:
-    P6 payloads decode through it (header excluded from the features),
-    non-PPM payloads of the same media_type still fall back, and the
-    registry snapshot reaches executor workers via the closure."""
+    """The PACKAGED P6 decoder is the default image codec (real parse,
+    header excluded from the features; non-PPM payloads fall back);
+    register_decoder REPLACES it with a custom codec shipped by value
+    into the Python workers via the closure snapshot; unregister
+    restores the packaged default."""
     from real_time_fraud_detection_system_spark.operators.multimodal import (
         media_features,
         register_decoder,
         unregister_decoder,
     )
-
-    # nested so cloudpickle ships it BY VALUE into the Python workers
-    # (a test-module-level function would pickle by reference and fail
-    # to import there -- exactly what register_decoder's closure
-    # snapshot exists to handle for real codec adapters)
-    def _ppm_decoder(payload: bytes) -> dict:
-        """Pure-python binary-PPM (P6) codec: parse the header, feature
-        the PIXEL bytes only (the point of a real decoder vs the byte
-        fallback, which also eats the header)."""
-        if not payload.startswith(b"P6"):
-            raise NotImplementedError("not a P6 PPM payload")
-        parts, idx = [], 2
-        while len(parts) < 3:  # width, height, maxval; '#' comments legal
-            nxt = payload.index(b"\n", idx)
-            line = payload[idx:nxt].strip()
-            idx = nxt + 1
-            if line and not line.startswith(b"#"):
-                parts.extend(int(v) for v in line.split())
-        w, h, _maxval = parts[:3]
-        pixels = payload[idx : idx + 3 * w * h]
-        return {
-            "n_bytes": len(pixels),
-            "mean_byte": float(sum(pixels)) / len(pixels),
-            "samples": [int(b) for b in pixels[:4]],
-        }
 
     ppm = b"P6\n2 2\n255\n" + bytes([10, 20, 30] * 4)
     raw = b"\xff\x00\xff\x00"
@@ -144,20 +120,49 @@ def test_registered_decoder_replaces_byte_fallback(spark):
         [(1, bytearray(ppm), "image"), (2, bytearray(raw), "image")],
         "media_id long, payload binary, media_type string",
     )
-    register_decoder("image", _ppm_decoder)
-    try:
-        rows = {r["media_id"]: r for r in media_features(m).collect()}
-    finally:
-        unregister_decoder("image")
 
-    # decoded: 12 pixel bytes, header's 'P'/'6' never counted
+    # default path: the shipped P6 codec decodes image payloads --
+    # 12 pixel bytes, header's 'P'/'6' never counted -- while raw
+    # (non-PPM) image payloads byte-fall-back over the whole payload
+    rows = {r["media_id"]: r for r in media_features(m).collect()}
     assert rows[1]["n_bytes"] == 12
     assert abs(rows[1]["mean_byte"] - 20.0) < 1e-9
     assert rows[1]["samples"] == [10, 20, 30, 10]
-    # fallback: whole payload featured byte-wise
     assert rows[2]["n_bytes"] == 4
     assert abs(rows[2]["mean_byte"] - 127.5) < 1e-9
 
-    # default path (nothing registered) is unchanged
-    fb = {r["media_id"]: r for r in media_features(m).collect()}
-    assert fb[1]["n_bytes"] == len(ppm)
+    # nested so cloudpickle ships it BY VALUE into the Python workers
+    # (a test-module-level function would pickle by reference and fail
+    # to import there -- exactly what register_decoder's closure
+    # snapshot exists to handle for real codec adapters); recognizes a
+    # made-up 'Z9' container so override vs default is distinguishable
+    def _z9_decoder(payload: bytes) -> dict:
+        if not payload.startswith(b"Z9"):
+            raise NotImplementedError("not a Z9 payload")
+        body = payload[2:]
+        return {
+            "n_bytes": len(body),
+            "mean_byte": float(sum(body)) / len(body),
+            "samples": [int(b) for b in body[:4]],
+        }
+
+    z9 = b"Z9" + bytes([7, 9])
+    m2 = spark.createDataFrame(
+        [(1, bytearray(ppm), "image"), (3, bytearray(z9), "image")],
+        "media_id long, payload binary, media_type string",
+    )
+    register_decoder("image", _z9_decoder)
+    try:
+        over = {r["media_id"]: r for r in media_features(m2).collect()}
+    finally:
+        unregister_decoder("image")
+
+    # override REPLACES (not chains): Z9 decodes through the custom
+    # codec; the P6 payload now byte-falls-back over the whole container
+    assert over[3]["n_bytes"] == 2
+    assert abs(over[3]["mean_byte"] - 8.0) < 1e-9
+    assert over[1]["n_bytes"] == len(ppm)
+
+    # unregister restored the packaged default: P6 decodes again
+    back = {r["media_id"]: r for r in media_features(m).collect()}
+    assert back[1]["n_bytes"] == 12
