@@ -79,6 +79,21 @@ def kafka_source(
     )
 
 
+def peek_newest(raw: DataFrame, n: int = 1) -> DataFrame:
+    """The peek core: newest-n-then-parse over any BATCH frame carrying
+    the Kafka wire columns (``value`` binary, ``timestamp``). Top-n on
+    the broker-side timestamp FIRST (TakeOrderedAndProject --
+    per-partition top-n, no global sort), THEN parse: parsing before
+    selecting would run the JSON parse over the topic's full retention
+    for an n-row diagnostic. Corrupt payloads are NOT filtered -- a
+    peek is exactly where an operator wants to SEE the malformed bytes
+    (raw_payload rides along, _corrupt flags them). Separated from
+    ``kafka_peek`` so the recorded-segment harness
+    (tests/test_replay_resume.py) can drive it without a broker."""
+    newest = raw.orderBy(F.col("timestamp").desc_nulls_last()).limit(n)
+    return parse_transactions(newest)
+
+
 def kafka_peek(
     spark: SparkSession,
     brokers: str,
@@ -89,9 +104,11 @@ def kafka_peek(
     """S4: one-shot diagnostic peek at the newest parsed messages -- the
     reference's GET /peek endpoint (main.py:147-170) as a BATCH Kafka
     read (spark.read, not readStream: runs once, releases the consumer).
-    Broker-gated like kafka_source: needs spark-sql-kafka on the
-    classpath; the parse path it shares with the hot path is covered by
-    tests/test_streaming.py."""
+    The broker connection is the only untested seam (no spark-sql-kafka
+    in this container); the newest-first + parse semantics run in
+    tests/test_replay_resume.py over recorded wire segments. Bound the
+    scan itself by passing a timestamp-based starting_offsets where the
+    client supports it."""
     raw = (
         spark.read.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -100,13 +117,7 @@ def kafka_peek(
         .option("endingOffsets", "latest")
         .load()
     )
-    # top-n on the broker-side timestamp FIRST (TakeOrderedAndProject --
-    # per-partition top-n, no global sort), THEN parse: parsing before
-    # selecting would run the JSON parse over the topic's full retention
-    # for an n-row diagnostic. Bound the scan itself by passing a
-    # timestamp-based starting_offsets where the client supports it.
-    newest = raw.orderBy(F.col("timestamp").desc_nulls_last()).limit(n)
-    return parse_transactions(newest)
+    return peek_newest(raw, n)
 
 
 def kafka_sink_options(df: DataFrame, brokers: str, topic: str) -> DataFrame:

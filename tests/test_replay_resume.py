@@ -141,3 +141,56 @@ def test_crash_after_append_replays_exactly_once(spark, tmp_path):
     store = spark.read.parquet(out)
     assert store.count() == 20  # no duplicate appends from the replay
     assert store.select("transaction_id").distinct().count() == 20
+
+
+def test_kafka_peek_newest_first_over_recorded_segment(spark, tmp_path):
+    """S4 (kafka_peek) semantics without a broker: a batch read of a
+    recorded wire segment through ``peek_newest`` returns the n NEWEST
+    messages by broker timestamp, parsed, with corrupt payloads
+    surfaced (not filtered) -- the diagnostic contract of the
+    reference's GET /peek."""
+    from real_time_fraud_detection_system_spark.streaming.pipeline import (
+        peek_newest,
+    )
+
+    seg = str(tmp_path / "peek_seg")
+    rows = [
+        (f"P{i:02d}", 5.0 + i, (1, 0.5, 9.0), TS + datetime.timedelta(minutes=i))
+        for i in range(8)
+    ]
+    txns = spark.createDataFrame(rows, TXN_SCHEMA)
+    # broker timestamp tracks the event minute so newest-first is
+    # observable; one garbage record lands SECOND-newest
+    wire = kafka_sink_options(txns, "replay:9092", "transactions").select(
+        F.encode("value", "UTF-8").alias("value"),
+        F.get_json_object(F.col("value"), "$.event_time").alias("_et"),
+    ).select(
+        F.lit(None).cast("binary").alias("key"),
+        "value",
+        F.lit("transactions").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.to_timestamp("_et").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    corrupt = spark.createDataFrame(
+        [(None, bytearray(b"{not json!"), "transactions", 0, 99)],
+        "key binary, value binary, topic string, partition int, offset long",
+    ).select(
+        "key", "value", "topic", "partition", "offset",
+        F.lit(TS + datetime.timedelta(minutes=6, seconds=30)).alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    wire.unionByName(corrupt).coalesce(1).write.parquet(seg)
+
+    raw = spark.read.schema(KAFKA_WIRE_SCHEMA).parquet(seg)
+    got = peek_newest(raw, 3).collect()
+    assert len(got) == 3
+    # newest first: P07 (minute 7), then the corrupt record (6:30),
+    # then P06 (minute 6)
+    assert got[0]["transaction_id"] == "P07" and not got[0]["_corrupt"]
+    assert got[1]["_corrupt"] and got[1]["raw_payload"] == "{not json!"
+    assert got[2]["transaction_id"] == "P06" and not got[2]["_corrupt"]
+    # parse parity with the hot path: amount/event_time round-trip
+    assert abs(got[0]["amount"] - 12.0) < 1e-9
+    assert got[0]["event_time"] == TS + datetime.timedelta(minutes=7)
