@@ -209,14 +209,25 @@ def main() -> None:
         # must not eat the whole harness window (-1 marks "not run")
         timings_s = run_suite(dir_, deadline=t_start + budget_s + 600)
         ran = {k: v for k, v in timings_s.items() if v >= 0}
+        # per-query scale detail goes out IMMEDIATELY as its own JSON
+        # line; the contract line below carries only the totals. The
+        # round-4 artifact arrived with parsed=null because everything
+        # shared one very long line and the harness's tail-capture cut
+        # its head off -- short independent lines survive capture, and
+        # the contract line prints LAST so a tail-capture always keeps
+        # it.
+        print(json.dumps({
+            "scale_section": label,
+            "queries": timings_s,
+            "sf": sf_val,
+        }), flush=True)
         result[label] = {
             "value": round(sum(ran.values()), 3),
-            "queries": timings_s,
             "n_skipped": len(timings_s) - len(ran),
             "sf": sf_val,
         }
 
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     spark.stop()
 
 

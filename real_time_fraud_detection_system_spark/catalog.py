@@ -49,8 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # comparisons agree). When it arrives as TIMESTAMP_NTZ, cast to
         # TIMESTAMP: the session runs in UTC so the instant is unchanged,
         # and downstream operators (unix_micros, window, date_trunc) expect
-        # the LTZ type this loader has always produced.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the LTZ type this loader has always produced. The nanosAsLong
+        # conf is baked into get_spark sessions; ensure_runtime_conf
+        # covers externally-built ones (idempotent, no-op once set).
+        from .session import ensure_runtime_conf
+
+        ensure_runtime_conf(spark)
         raw = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
         from pyspark.sql.types import IntegerType, LongType, TimestampNTZType

@@ -291,7 +291,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole interpreted-expression pipeline executes once per side.
     # The cached table is tiny relative to the corpus (doc_id, 8 short
     # sig strings, one long per distinct shingle), so it fits executor
-    # storage at any corpus the banding itself can handle.
+    # storage at any corpus the banding itself can handle. Lifetime:
+    # the returned frame is lazy, so the cache cannot be unpersisted
+    # here; like contamination_check's shingle cache, reclamation is
+    # LRU eviction (and bench.py clearCache()s between queries).
     sig = (
         sh.filter(F.size("shingles") > 0)
         .selectExpr("doc_id", _HMS_COL)

@@ -10,11 +10,46 @@ paths (multimodal decode, pyfunc scoring).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "rtfds-spark"
+
+# events.parquet has shipped with TIMESTAMP(NANOS) columns, which
+# Spark's reader rejects unless told to surface them as raw longs; the
+# catalog loader then truncates ns -> us to agree with DuckDB. Baked
+# into every get_spark session; ensure_runtime_conf covers sessions
+# built elsewhere (the grading driver hands the engine its own).
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    """Idempotently apply the session settings the engine requires to an
+    EXTERNALLY built session. No-op on get_spark sessions (already baked
+    at build time), so callers may invoke it freely."""
+    if spark.conf.get(NANOS_AS_LONG, "false") != "true":
+        spark.conf.set(NANOS_AS_LONG, "true")
+
+
+@contextlib.contextmanager
+def conf_override(spark: SparkSession, key: str, value: str):
+    """Scoped session-conf override: set, yield, restore the prior value
+    (or unset if there was none). The ONE sanctioned way to flip session
+    state mid-flight -- all other conf writes live in this module."""
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 def cpu_count() -> int:
@@ -48,6 +83,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(NANOS_AS_LONG, "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )

@@ -39,17 +39,17 @@ def daily_metrics_upsert(
     """A7: keyed overwrite of the day partitions. With
     partitionOverwriteMode=dynamic only partitions present in the new
     frame are replaced -- the parquet-native ON CONFLICT (day) DO UPDATE."""
-    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from ..session import conf_override
+
+    with conf_override(
+        spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    ):
         (
             daily_metrics_frame(predictions, days_filter)
             .write.mode("overwrite")
             .partitionBy("day")
             .parquet(metrics_dir)
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
 
 
 class DataQualityError(AssertionError):

@@ -203,3 +203,53 @@ def test_exact_sum_matches_decimal_reference(spark, vals):
         )
     )
     assert abs(got - want) < 1e-9
+
+
+def test_partitioning_invariance_of_deterministic_ops(spark, sf_dir, monkeypatch):
+    """deterministic_split / stratified_sample / minhash_signatures
+    claim engine/retry/cluster-size invariance: per-row membership and
+    signatures derive from md5 of stable keys, never from rand(),
+    monotonically_increasing_id, or partition ids. Regression-gate the
+    claim by running each under a 1-partition and a 64-partition input
+    layout and demanding identical output (exact for ints/strings,
+    1e-9 for the rounded double aggregates, whose summation order is
+    the only thing partitioning may legally change)."""
+    import real_time_fraud_detection_system_spark.operators.dedup as dd
+    import real_time_fraud_detection_system_spark.operators.mlqueries as mlq
+
+    def rows_equal(a, b):
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            for va, vb in zip(ra, rb):
+                if isinstance(va, float):
+                    assert abs(va - vb) < 1e-9
+                else:
+                    assert va == vb
+
+    real_load = mlq.load_table
+
+    def run_all(parts):
+        monkeypatch.setattr(
+            mlq, "load_table",
+            lambda s, d, n: real_load(s, d, n).repartition(parts),
+        )
+        monkeypatch.setattr(
+            dd, "spread",
+            lambda df, key=None, p=None: (
+                df.repartition(parts, key) if key else df.repartition(parts)
+            ),
+        )
+        # collect order is not part of the contract -- values are
+        return (
+            sorted(mlq.deterministic_split(spark, sf_dir).collect()),
+            sorted(mlq.stratified_sample(spark, sf_dir).collect()),
+            sorted(
+                dd.minhash_signatures(spark, sf_dir).collect(),
+                key=lambda r: r["doc_id"],
+            ),
+        )
+
+    one = run_all(1)
+    many = run_all(64)
+    for a, b in zip(one, many):
+        rows_equal(a, b)
