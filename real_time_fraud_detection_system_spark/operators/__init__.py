@@ -36,46 +36,40 @@ def _modules():
 DRIVER_SAMPLE = 50
 
 PRIORITY = [
-    # (a) no VALID driver verdict on the round-4 testdata: these 14
-    #     errored in round 3 (events.ts arrived as TIMESTAMP_NTZ and
-    #     the old loader raised; fixed in catalog.load_table) -- their
-    #     last green verdicts predate both the fix and the regenerated
-    #     parquet, so they verify first.
-    "daily_metrics", "props_json_stats", "freshness_check",
-    "windowed_rates", "hourly_timeseries", "tumbling_15min",
-    "recent_topk", "heuristic_score", "feature_extract",
-    "unpivot_daily_metrics", "user_sessions",
-    "asof_click_before_purchase", "salted_value_by_type",
-    "user_value_anomalies",
-    # (a') new this round (no verdict yet): tokenizer-vocab coverage,
-    #      cross-shard shingle overlap, stratified sampling, per-source
-    #      duplication rollup.
-    "vocab_coverage", "shard_overlap", "stratified_sample",
-    "dup_rate_by_source",
-    # (a'') implementations changed this round: shared-md5 signature
-    #      restructure (minhash family) and the label_propagation
-    #      iteration rework (clusters_wide).
-    "minhash_signatures", "dedup_minhash_lsh", "dedup_clusters_wide",
-    # (b) oldest remaining verdict (round 2) -- all 33 of them fit, so
-    #     after this round every query's verdict is at most one round
-    #     old: the 33 round-3-green queries outside this window are the
-    #     only ones not re-checked, and they rotate in next round.
-    "q3_shipping_priority", "q7_volume_shipping", "q8_market_share",
-    "q9_profit_by_nation", "q12_shipping_delay_classes",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_qty_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q4_order_priority_exists",
-    "q22_dormant_high_balance",
-    "ann_ivf_topk", "ann_lsh_bucketed",
-    "approx_distinct_users", "approx_value_quantiles",
-    "clicks_before_errors", "conversion_funnel", "corpus_quality_gate",
-    "cube_region_segment", "deterministic_split",
-    "grouping_sets_summary", "lapsed_customers_except",
-    "multimodal_resize", "null_id_check", "parts_above_brand_avg",
-    "repetition_stats", "sequence_packing",
-    # (session_summary, value_percentiles, wire_format_roundtrip,
-    # training_frame_det displaced to keep the window at 50; they carry
-    # round-2 verdicts and rotate back in next round)
+    # (a) changed in round 5 (no verdict on the new code): ann_ivf_topk
+    #     (sqrt(n)-rate centroid sample, oracle changed with it),
+    #     dedup_clusters_wide (hybrid connected-components dispatch; its
+    #     rollup dup_rate_by_source rides the same path), and
+    #     multimodal_features (packaged P6 decoder now runs a real
+    #     decode; oracle changed with it).
+    "ann_ivf_topk", "dedup_clusters_wide", "dup_rate_by_source",
+    "multimodal_features",
+    # (b) the 36 queries whose latest driver verdict predates round 4
+    #     (33 round-3 greens + session_summary / value_percentiles /
+    #     wire_format_roundtrip / training_frame_det, displaced last
+    #     round on round-2 verdicts). All fit, so after this round no
+    #     registered query's verdict is older than one round.
+    "q1_pricing_summary", "q5_local_supplier_volume", "q6_revenue_change",
+    "q10_returned_items", "q21_sole_late_supplier",
+    "top_orders_per_customer", "customer_rollup", "order_priority_count",
+    "customers_without_orders", "nations_with_both",
+    "segment_distinct_nations", "part_price_buckets",
+    "moving_avg_revenue", "part_rankings", "orders_pivot_status",
+    "value_percentiles", "session_summary", "wire_format_roundtrip",
+    "training_frame_det", "logit_score",
+    "dedup_exact", "dedup_ngram_jaccard", "simhash_fingerprints",
+    "dedup_simhash", "dedup_simhash16", "dedup_clusters",
+    "ann_cosine_topk", "embedding_near_dup",
+    "text_stats", "lang_id_heuristic", "doc_fingerprint",
+    "corpus_token_stats", "bpe_token_stats", "contamination_check",
+    "multimodal_meta", "multimodal_frames",
+    # (c) filler from the round-4-green set, keeping one representative
+    #     per operator family in the window (test_registry.py gate):
+    #     metrics, temporal, skew, anomaly + four more recent greens.
+    "daily_metrics", "windowed_rates", "null_id_check", "heuristic_score",
+    "asof_click_before_purchase", "approx_distinct_users",
+    "salted_value_by_type", "user_value_anomalies",
+    "sequence_packing", "stratified_sample",
 ]
 
 
