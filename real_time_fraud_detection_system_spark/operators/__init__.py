@@ -41,7 +41,10 @@ PRIORITY = [
     #     dedup_clusters_wide (hybrid connected-components dispatch; its
     #     rollup dup_rate_by_source rides the same path), and
     #     multimodal_features (packaged P6 decoder now runs a real
-    #     decode; oracle changed with it).
+    #     decode; oracle changed with it). New in round 5 (no verdict
+    #     yet): per-doc tf-idf keywords and SemDeDup-style embedding
+    #     clusters.
+    "tfidf_top_terms", "semantic_dedup_clusters",
     "ann_ivf_topk", "dedup_clusters_wide", "dup_rate_by_source",
     "multimodal_features",
     # (b) the 36 queries whose latest driver verdict predates round 4
@@ -69,7 +72,6 @@ PRIORITY = [
     "daily_metrics", "windowed_rates", "null_id_check", "heuristic_score",
     "asof_click_before_purchase", "approx_distinct_users",
     "salted_value_by_type", "user_value_anomalies",
-    "sequence_packing", "stratified_sample",
 ]
 
 

@@ -422,11 +422,98 @@ ORDER BY q_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: group embedding-space near-
+    duplicates (cosine >= {COSINE_THRESHOLD} within an LSH bucket) into
+    clusters; every vector gets the min vec_id of its component as
+    cluster_id (singletons are their own cluster). A curation pipeline
+    keeps one representative per cluster.
+
+    Scale shape: the edge pass is the bucketed self-join from
+    ann_lsh_bucketed (candidates shrink exponentially with signature
+    bits -- never all-pairs), and clustering is
+    graph.connected_components: bounded edge sets run one driver
+    union-find job, larger ones distributed label propagation.
+
+    Oracle: DuckDB recursive transitive closure over the identical
+    bucket-confined edge set -- different algorithm, same fixpoint."""
+    from .graph import connected_components
+
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "sig", F.expr(lsh_signature_expr("emb"))
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+        F.col("sig").alias("a_sig"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+        F.col("sig").alias("b_sig"),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a_sig") == F.col("b_sig"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .filter(
+            F.round(
+                F.expr(_DOT.format(a="a_emb", b="b_emb"))
+                / (F.col("a_norm") * F.col("b_norm")),
+                6,
+            )
+            >= COSINE_THRESHOLD
+        )
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    nodes = vecs.select(F.col("vec_id").alias("node"))
+    labels = connected_components(nodes, edges)
+    return (
+        labels.select(
+            F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE vecs AS (
+  SELECT vec_id, emb, norm, {_duck_lsh_signature('emb')} AS sig
+  FROM ({_DUCK_VECTORS})
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM vecs a JOIN vecs b
+    ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE round({_DUCK_DOT.format(a='a.emb', b='b.emb')}
+              / (a.norm * b.norm), 6) >= {COSINE_THRESHOLD}
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM vecs
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id, min(dst) AS cluster_id
+FROM reach
+GROUP BY src
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "semantic_dedup_clusters": semantic_dedup_clusters,
 }
 
 ORACLE = {
@@ -434,4 +521,5 @@ ORACLE = {
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
+    "semantic_dedup_clusters": SEMANTIC_DEDUP_CLUSTERS_SQL,
 }

@@ -290,6 +290,72 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOP_K} terms by tf-idf -- the keyword-
+    extraction pass a curation pipeline uses for topic/domain tagging.
+    idf = ln((N+1)/(df+1)) (add-one smoothed); ranking on the ROUNDED
+    score with a term tie-break so both engines order identically.
+
+    Scale shape: explode -> (doc_id, term) count [one shuffle on a
+    high-cardinality composite key], term document-frequency from the
+    tf table [second, much smaller shuffle], tf x idf join keyed by
+    term, per-doc top-k window keyed by doc_id. Every shuffle key is
+    fine-grained; nothing is collected or broadcast except the scalar
+    corpus size (parquet row-count metadata)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+            6,
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(((SELECT count(*) FROM documents) + 1.0)
+                          / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "corpus_quality_gate": corpus_quality_gate,
@@ -297,6 +363,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "corpus_token_stats": corpus_token_stats,
     "bpe_token_stats": bpe_token_stats,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLE = {
@@ -306,4 +373,5 @@ ORACLE = {
     "corpus_token_stats": CORPUS_TOKEN_STATS_SQL,
     "bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "corpus_quality_gate": CORPUS_QUALITY_GATE_SQL,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
 }
