@@ -423,6 +423,23 @@ ORDER BY q_id, rank
 
 
 # --------------------------------------------------------------------------
+# Mean LSH-bucket occupancy the semantic-dedup edge join aims for: the
+# plane count is chosen as ceil(log2(n / SEM_BUCKET_TARGET)), so the
+# within-bucket pairwise verification stays ~n * SEM_BUCKET_TARGET
+# total (LINEAR in the corpus) instead of n^2 / 2^planes blowing up as
+# the corpus outgrows a fixed signature width (a fixed 8 planes = 256
+# buckets measured 100 s at the 100x scale test; log-scaled planes
+# measure seconds). Powers of two are exact in IEEE log2, so the ceil
+# agrees bit-for-bit across engines.
+SEM_BUCKET_TARGET = 16
+
+
+def sem_planes(n: int) -> int:
+    import math
+
+    return max(1, math.ceil(math.log2(max(n, 2) / float(SEM_BUCKET_TARGET))))
+
+
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: group embedding-space near-
     duplicates (cosine >= {COSINE_THRESHOLD} within an LSH bucket) into
@@ -430,18 +447,21 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id (singletons are their own cluster). A curation pipeline
     keeps one representative per cluster.
 
-    Scale shape: the edge pass is the bucketed self-join from
-    ann_lsh_bucketed (candidates shrink exponentially with signature
-    bits -- never all-pairs), and clustering is
+    Scale shape: sign-LSH signature whose plane count grows with
+    log2(n) (constant expected bucket occupancy -- the edge join does
+    linear total work at any corpus size; finer buckets trade a little
+    recall for that bound, the standard SemDeDup tradeoff), then
     graph.connected_components: bounded edge sets run one driver
     union-find job, larger ones distributed label propagation.
 
     Oracle: DuckDB recursive transitive closure over the identical
-    bucket-confined edge set -- different algorithm, same fixpoint."""
+    bucket-confined edge set (same dynamic plane count, same md5
+    hyperplanes) -- different algorithm, same fixpoint."""
     from .graph import connected_components
 
+    n = load_table(spark, sf_dir, "embeddings").count()
     vecs = _vectors(spark, sf_dir).withColumn(
-        "sig", F.expr(lsh_signature_expr("emb"))
+        "sig", F.expr(lsh_signature_expr("emb", planes=sem_planes(n)))
     )
     a = vecs.select(
         F.col("vec_id").alias("a_id"),
@@ -481,10 +501,31 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dynamic-plane-count signature: planes = ceil(log2(n / target)) is
+# computed IN SQL from the same corpus count the Spark side reads, and
+# the hyperplane weights are the same md5('p<plane>:d<dim>') construction
+# as _hyperplane_weights -- evaluated per row here (fine at oracle
+# scale; the Spark side materializes them as literals).
+_DUCK_SEM_SIG = (
+    "list_sum(list_transform(range(0, p.planes), pl -> "
+    "CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), "
+    "i -> emb[i] * (CAST(CAST('0x' || substr(md5('p' || CAST(pl AS VARCHAR)"
+    " || ':d' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)"
+    " / 2147483647.5 - 1.0))) > 0 "
+    "THEN CAST(power(2, pl) AS BIGINT) ELSE 0 END))"
+)
+
 SEMANTIC_DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE vecs AS (
-  SELECT vec_id, emb, norm, {_duck_lsh_signature('emb')} AS sig
-  FROM ({_DUCK_VECTORS})
+WITH RECURSIVE base AS ({_DUCK_VECTORS}),
+params AS (
+  SELECT greatest(1, CAST(ceil(log2(greatest(count(*), 2)
+                                    / {float(SEM_BUCKET_TARGET)})) AS INT))
+           AS planes
+  FROM base
+),
+vecs AS (
+  SELECT vec_id, emb, norm, {_DUCK_SEM_SIG} AS sig
+  FROM base CROSS JOIN params p
 ),
 pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
