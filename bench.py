@@ -58,6 +58,9 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "multimodal_features",
     "multimodal_frames",
+    # round-5 additions
+    "tfidf_top_terms",
+    "semantic_dedup_clusters",
 ]
 
 

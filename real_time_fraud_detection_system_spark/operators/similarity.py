@@ -460,9 +460,14 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import connected_components
 
     n = load_table(spark, sf_dir, "embeddings").count()
+    # Cached: the self-join below references the signature table twice
+    # and the node list a third time; without the cache the interpreted
+    # projection pipeline (norms + planes x dims products per row) runs
+    # once per reference. Lifetime is LRU eviction, like the minhash
+    # signature cache (bench.py clearCache()s between queries).
     vecs = _vectors(spark, sf_dir).withColumn(
         "sig", F.expr(lsh_signature_expr("emb", planes=sem_planes(n)))
-    )
+    ).cache()
     a = vecs.select(
         F.col("vec_id").alias("a_id"),
         F.col("emb").alias("a_emb"),
