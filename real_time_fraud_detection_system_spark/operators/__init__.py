@@ -42,9 +42,9 @@ PRIORITY = [
     #     rollup dup_rate_by_source rides the same path), and
     #     multimodal_features (packaged P6 decoder now runs a real
     #     decode; oracle changed with it). New in round 5 (no verdict
-    #     yet): per-doc tf-idf keywords and SemDeDup-style embedding
-    #     clusters.
-    "tfidf_top_terms", "semantic_dedup_clusters",
+    #     yet): per-doc tf-idf keywords, SemDeDup-style embedding
+    #     clusters, and the MinHash-path cluster stage.
+    "tfidf_top_terms", "semantic_dedup_clusters", "dedup_minhash_clusters",
     "ann_ivf_topk", "dedup_clusters_wide", "dup_rate_by_source",
     "multimodal_features",
     # (b) the 36 queries whose latest driver verdict predates round 4
@@ -69,7 +69,7 @@ PRIORITY = [
     # (c) filler from the round-4-green set, keeping one representative
     #     per operator family in the window (test_registry.py gate):
     #     metrics, temporal, skew, anomaly + four more recent greens.
-    "daily_metrics", "windowed_rates", "null_id_check", "heuristic_score",
+    "daily_metrics", "windowed_rates", "heuristic_score",
     "asof_click_before_purchase", "approx_distinct_users",
     "salted_value_by_type", "user_value_anomalies",
 ]

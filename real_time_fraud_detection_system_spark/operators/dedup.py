@@ -357,8 +357,9 @@ _DUCK_SIG_COLS = ", ".join(
     for j in range(MINHASH_K)
 )
 
-DEDUP_MINHASH_LSH_SQL = f"""
-WITH d AS (
+# CTE body shared by the pair query and the clusters oracle below
+# (usable after either WITH or WITH RECURSIVE).
+_DUCK_MINHASH_PAIRS_CTES = f"""d AS (
   SELECT doc_id,
          list_distinct({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)}) AS shingles
   FROM documents
@@ -372,20 +373,75 @@ cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-)
-SELECT c.a_id, c.b_id,
-       round(len(list_intersect(da.shingles, db.shingles))
-             / (len(da.shingles) + len(db.shingles)
-                - len(list_intersect(da.shingles, db.shingles))), 6)
-         AS jaccard
-FROM cand c
-JOIN d da ON da.doc_id = c.a_id
-JOIN d db ON db.doc_id = c.b_id
-WHERE len(list_intersect(da.shingles, db.shingles))
-      / (len(da.shingles) + len(db.shingles)
-         - len(list_intersect(da.shingles, db.shingles)))
-      >= {JACCARD_THRESHOLD}
+),
+mh_pairs AS (
+  SELECT c.a_id, c.b_id,
+         round(len(list_intersect(da.shingles, db.shingles))
+               / (len(da.shingles) + len(db.shingles)
+                  - len(list_intersect(da.shingles, db.shingles))), 6)
+           AS jaccard
+  FROM cand c
+  JOIN d da ON da.doc_id = c.a_id
+  JOIN d db ON db.doc_id = c.b_id
+  WHERE len(list_intersect(da.shingles, db.shingles))
+        / (len(da.shingles) + len(db.shingles)
+           - len(list_intersect(da.shingles, db.shingles)))
+        >= {JACCARD_THRESHOLD}
+)"""
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_DUCK_MINHASH_PAIRS_CTES}
+SELECT a_id, b_id, jaccard FROM mh_pairs
 ORDER BY a_id, b_id
+"""
+
+
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'keep one representative' stage of the MinHash path: verified
+    LSH pairs become edges, connected components give every document
+    the min doc_id of its near-dup group as cluster_id (singletons are
+    their own cluster) -- the standard shape of large-corpus fuzzy
+    dedup (band-bucket candidates -> Jaccard verify -> union groups).
+
+    Node ids ARE doc_ids, so the component label (min node id) is the
+    cluster id directly. Clustering via graph.connected_components:
+    bounded edge sets run one driver union-find job, larger ones
+    distributed label propagation. Oracle: recursive transitive closure
+    over the identical verified-pair set."""
+    from .graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    labels = connected_components(nodes, edges)
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_MINHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_DUCK_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+  UNION ALL
+  SELECT b_id, a_id FROM mh_pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach
+GROUP BY src
+ORDER BY doc_id
 """
 
 
@@ -1011,6 +1067,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_clusters": dedup_minhash_clusters,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash16": dedup_simhash16,
@@ -1024,6 +1081,7 @@ ORACLE = {
     "minhash_signatures": MINHASH_SIGNATURES_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "simhash_fingerprints": SIMHASH_FP_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash16": DEDUP_SIMHASH16_SQL,
