@@ -110,6 +110,12 @@ TRAINING_FRAME_SQL = _frame_sql(
 
 
 def _score_sql(dialect: str, id_source: str) -> str:
+    # No final ORDER BY: per-event scoring is semantically unordered
+    # (the reference appends rows as they arrive) and the driver's
+    # comparison is order-insensitive -- a global sort of the full
+    # scored frame was the single biggest cost of this query at the
+    # 100x scale test, bought nothing, and is dropped in BOTH dialects
+    # (this builder emits the Spark query and the DuckDB oracle).
     frame = _frame_sql(dialect, id_source)
     return f"""
 SELECT id, amount,
@@ -122,7 +128,6 @@ SELECT id, amount,
             AS INT) AS prediction,
        'logit-fixed-v1' AS model_version
 FROM ({frame.replace("ORDER BY id", "")})
-ORDER BY id
 """
 
 
