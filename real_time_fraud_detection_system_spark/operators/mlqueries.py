@@ -46,7 +46,13 @@ def _frame_sql(dialect: str, id_source: str) -> str:
     Staged: digests d0..d6 are named once in an inner SELECT, the 28
     uniforms slice them in the next stage -- without the staging the
     md5s appear 4x each in the expression tree and codegen compiles a
-    28-way-duplicated plan (measured ~3.5 s of compile at sf0.1)."""
+    28-way-duplicated plan (measured ~3.5 s of compile at sf0.1).
+
+    No final ORDER BY: a generated frame is semantically a SET of rows
+    (training consumers shuffle anyway) and the driver's comparison is
+    order-insensitive; a global sort of the full frame is pure cost at
+    scale. Applies to both dialects -- this builder emits the Spark
+    query and the DuckDB oracle."""
     if dialect == "spark":
         cast_id = "CAST(id AS STRING)"
         hex2num = lambda h: f"CAST(conv({h}, 16, 10) AS DOUBLE)"  # noqa: E731
@@ -82,7 +88,6 @@ FROM (
     FROM (SELECT id, {digests} FROM ({id_source}))
   )
 )
-ORDER BY id
 """
 
 
@@ -127,7 +132,7 @@ SELECT id, amount,
                             THEN 1.0 ELSE 0.0 END) - 2.5))) >= 0.5
             AS INT) AS prediction,
        'logit-fixed-v1' AS model_version
-FROM ({frame.replace("ORDER BY id", "")})
+FROM ({frame})
 """
 
 
