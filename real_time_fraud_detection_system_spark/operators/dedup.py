@@ -650,30 +650,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("src"), F.col("b.simhash").alias("dst")
         )
         .distinct()
-        .cache()
     )
     # The fingerprint graph is BOUNDED (<= 65536 nodes, whatever the
-    # corpus size), so union-find on the driver is the right call here:
-    # one collect of the distinct fingerprint pairs, no iterative jobs.
-    # (label_propagation below is the distributed path for graphs whose
-    # node set grows with the data -- use it when nodes do not fit.)
-    parent: dict[int, int] = {}
+    # corpus size), so the connected-components dispatch always lands on
+    # its driver union-find arm: one collect of the distinct fingerprint
+    # pairs, no iterative jobs.
+    from .graph import connected_components
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for row in nodes.collect():
-        find(row["simhash"])
-    for row in fpairs.collect():
-        ra, rb = find(row["src"]), find(row["dst"])
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    labels = fp.sparkSession.createDataFrame(
-        [(h, find(h)) for h in parent], "simhash long, label long"
-    )
+    labels = connected_components(
+        nodes.select(F.col("simhash").alias("node")),
+        fpairs.filter(F.col("src") < F.col("dst")),
+    ).select(F.col("node").alias("simhash"), "label")
     # cluster_id = min doc_id over the fingerprint component
     doc_fp = fp.join(F.broadcast(labels), "simhash").select("doc_id", "label")
     root_min = doc_fp.groupBy("label").agg(

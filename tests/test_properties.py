@@ -216,6 +216,7 @@ def test_partitioning_invariance_of_deterministic_ops(spark, sf_dir, monkeypatch
     the only thing partitioning may legally change)."""
     import real_time_fraud_detection_system_spark.operators.dedup as dd
     import real_time_fraud_detection_system_spark.operators.mlqueries as mlq
+    import real_time_fraud_detection_system_spark.operators.textops as tx
 
     def rows_equal(a, b):
         assert len(a) == len(b)
@@ -233,12 +234,13 @@ def test_partitioning_invariance_of_deterministic_ops(spark, sf_dir, monkeypatch
             mlq, "load_table",
             lambda s, d, n: real_load(s, d, n).repartition(parts),
         )
-        monkeypatch.setattr(
-            dd, "spread",
-            lambda df, key=None, p=None: (
-                df.repartition(parts, key) if key else df.repartition(parts)
-            ),
-        )
+        for mod in (dd, tx):
+            monkeypatch.setattr(
+                mod, "spread",
+                lambda df, key=None, p=None: (
+                    df.repartition(parts, key) if key else df.repartition(parts)
+                ),
+            )
         # collect order is not part of the contract -- values are
         return (
             sorted(mlq.deterministic_split(spark, sf_dir).collect()),
@@ -246,6 +248,10 @@ def test_partitioning_invariance_of_deterministic_ops(spark, sf_dir, monkeypatch
             sorted(
                 dd.minhash_signatures(spark, sf_dir).collect(),
                 key=lambda r: r["doc_id"],
+            ),
+            sorted(
+                tx.tfidf_top_terms(spark, sf_dir).collect(),
+                key=lambda r: (r["doc_id"], r["rank"]),
             ),
         )
 
