@@ -151,3 +151,20 @@ def test_repetition_stats_aggs_are_shuffle_free(spark, sf_dir):
     )
 
     _no_induced_hash_shuffle(repetition_stats(spark, sf_dir))
+
+
+def test_tfidf_scan_prunes_to_two_columns(spark, sf_dir):
+    """tfidf reads only (doc_id, text) from the documents scan; a scan
+    carrying lang/source/n_chars for a 2-column projection would read
+    extra corpus bytes at every scale."""
+    from real_time_fraud_detection_system_spark.operators.textops import (
+        tfidf_top_terms,
+    )
+    from real_time_fraud_detection_system_spark.plans.explain_checks import (
+        assert_no_cartesian,
+        assert_pruned_schema,
+    )
+
+    df = tfidf_top_terms(spark, sf_dir)
+    assert_pruned_schema(df, "documents", 2)
+    assert_no_cartesian(df)
