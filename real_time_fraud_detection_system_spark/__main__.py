@@ -1,0 +1,142 @@
+"""Command-line surface: ``python -m real_time_fraud_detection_system_spark <cmd>``.
+
+Maps each reference entry point to one subcommand over the Engine
+facade (engine.py documents the correspondence), so a user of the
+reference system drives this repo the way they drove docker services
+and Airflow DAGs -- locally or via spark-submit on a cluster:
+
+  list                        catalog of registered queries
+  query NAME                  run a registered query, print rows
+  sql "SELECT ..."            ad-hoc SQL over the registered tables
+  train                       train + register + promote (training DAG)
+  score-one JSON              score one transaction (POST /predict)
+  serve                       score a stream to the prediction store
+                              (fraud_service hot path; rate source by
+                              default, Kafka via --brokers)
+  daily-metrics               upsert day-grain metrics (metrics DAG)
+  dq                          run the data-quality checks (DQ DAG)
+
+Exit status is the job's success: ``dq`` exits 1 on a failed check the
+way the reference DAG task fails, so schedulers can alert on it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .session import default_sf_dir
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m real_time_fraud_detection_system_spark",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("--sf-dir", default=default_sf_dir(),
+                   help="table directory (default: $SPARK_GRAFT_SF_DIR)")
+    p.add_argument("--registry-dir", default=None,
+                   help="model registry directory (training/scoring)")
+    p.add_argument("--limit", type=int, default=20,
+                   help="max rows printed by query/sql (default 20)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list")
+    q = sub.add_parser("query")
+    q.add_argument("name")
+    s = sub.add_parser("sql")
+    s.add_argument("statement")
+    t = sub.add_parser("train")
+    t.add_argument("--n", type=int, default=5000)
+    t.add_argument("--seed", type=int, default=42)
+    so = sub.add_parser("score-one")
+    so.add_argument("transaction", help="transaction JSON")
+    sv = sub.add_parser("serve")
+    sv.add_argument("--out-dir", required=True)
+    sv.add_argument("--checkpoint-dir", required=True)
+    sv.add_argument("--brokers", default=None,
+                    help="Kafka bootstrap servers; omit for the rate source")
+    sv.add_argument("--topic", default="transactions")
+    sv.add_argument("--rows-per-second", type=int, default=100)
+    sv.add_argument("--timeout-s", type=int, default=None,
+                    help="stop after N seconds (default: run until killed)")
+    dm = sub.add_parser("daily-metrics")
+    dm.add_argument("--predictions-dir", required=True)
+    dm.add_argument("--metrics-dir", required=True)
+    dq = sub.add_parser("dq")
+    dq.add_argument("--predictions-dir", required=True)
+    return p
+
+
+def _print_df(df, limit: int, out) -> None:
+    rows = df.limit(limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str), file=out)
+
+
+def main(argv: list[str] | None = None, out=sys.stdout) -> int:
+    args = _build_parser().parse_args(argv)
+    from .engine import Engine
+
+    eng = Engine(sf_dir=args.sf_dir, registry_dir=args.registry_dir)
+
+    if args.cmd == "list":
+        for name in eng.queries():
+            print(name, file=out)
+        return 0
+    if args.cmd == "query":
+        _print_df(eng.query(args.name), args.limit, out)
+        return 0
+    if args.cmd == "sql":
+        _print_df(eng.sql(args.statement), args.limit, out)
+        return 0
+    if args.cmd == "train":
+        info = eng.train_and_register(n=args.n, seed=args.seed)
+        print(json.dumps(info, default=str), file=out)
+        return 0
+    if args.cmd == "score-one":
+        result = eng.score_one(json.loads(args.transaction))
+        print(json.dumps(result, default=str), file=out)
+        return 0
+    if args.cmd == "serve":
+        if args.brokers:
+            from .streaming.pipeline import kafka_source, parse_transactions
+
+            raw = kafka_source(eng.spark, args.brokers, args.topic)
+            txns = parse_transactions(raw)
+        else:
+            from .sources.generators import transactions_stream
+
+            txns = transactions_stream(
+                eng.spark, rows_per_second=args.rows_per_second
+            )
+        query = eng.run_stream(txns, args.out_dir, args.checkpoint_dir)
+        if args.timeout_s is not None:
+            query.awaitTermination(args.timeout_s)
+            query.stop()
+        else:
+            query.awaitTermination()
+        return 0
+    if args.cmd == "daily-metrics":
+        preds = eng.spark.read.parquet(args.predictions_dir)
+        eng.daily_metrics_upsert(preds, args.metrics_dir)
+        print(json.dumps({"status": "ok"}), file=out)
+        return 0
+    if args.cmd == "dq":
+        from .streaming.jobs import DataQualityError
+
+        preds = eng.spark.read.parquet(args.predictions_dir)
+        try:
+            checks = eng.dq_checks(preds)
+        except DataQualityError as exc:
+            print(json.dumps({"status": "fail", "error": str(exc)}), file=out)
+            return 1
+        print(json.dumps({"status": "ok", **checks}, default=str), file=out)
+        return 0
+    raise AssertionError(f"unhandled command {args.cmd}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

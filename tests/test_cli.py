@@ -1,0 +1,94 @@
+"""CLI surface (__main__.py): each reference entry point drives the
+engine through the subcommand a migrating user would run."""
+
+import io
+import json
+
+from real_time_fraud_detection_system_spark.__main__ import main
+
+
+def _run(argv):
+    out = io.StringIO()
+    code = main(argv, out=out)
+    return code, out.getvalue().strip().splitlines()
+
+
+def test_cli_list_and_query_and_sql(spark, sf_dir):
+    code, lines = _run(["--sf-dir", sf_dir, "list"])
+    assert code == 0
+    assert "q1_pricing_summary" in lines and "tfidf_top_terms" in lines
+
+    code, lines = _run(["--sf-dir", sf_dir, "--limit", "3", "query", "recent_topk"])
+    assert code == 0
+    assert len(lines) == 3
+    assert "event_id" in json.loads(lines[0])
+
+    code, lines = _run(
+        ["--sf-dir", sf_dir, "sql", "SELECT count(*) AS n FROM region"]
+    )
+    assert code == 0
+    assert json.loads(lines[0])["n"] == 5
+
+
+def test_cli_score_one_heuristic_fallback(spark, sf_dir):
+    txn = {
+        "transaction_id": "T1",
+        "amount": 9000.0,
+        "features": {"num_items": 1, "merchant_risk": 0.9, "hour": 2.0},
+    }
+    code, lines = _run(["--sf-dir", sf_dir, "score-one", json.dumps(txn)])
+    assert code == 0
+    result = json.loads(lines[0])
+    assert result["prediction"] in (0, 1)
+    assert 0.0 <= float(result["proba"]) <= 1.0
+
+
+def test_cli_dq_exit_codes(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+
+    good = str(tmp_path / "good")
+    preds = transactions_batch(spark, 50).select(
+        "transaction_id", "amount", "event_time",
+        F.lit(0).alias("prediction"), F.lit(0.1).alias("proba"),
+    )
+    preds.write.parquet(good)
+    code, lines = _run(["--sf-dir", sf_dir, "dq", "--predictions-dir", good])
+    assert code == 0
+    assert json.loads(lines[0])["status"] == "ok"
+
+    # a NULL transaction_id violates the reference's second check -> rc 1
+    bad = str(tmp_path / "bad")
+    preds.withColumn(
+        "transaction_id", F.lit(None).cast("string")
+    ).write.parquet(bad)
+    code, lines = _run(["--sf-dir", sf_dir, "dq", "--predictions-dir", bad])
+    assert code == 1
+    assert json.loads(lines[0])["status"] == "fail"
+
+
+def test_cli_daily_metrics_upsert(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+
+    preds_dir = str(tmp_path / "preds")
+    metrics_dir = str(tmp_path / "metrics")
+    transactions_batch(spark, 50).select(
+        "transaction_id", "amount", "event_time",
+        F.lit(1).alias("prediction"), F.lit(0.9).alias("proba"),
+    ).write.parquet(preds_dir)
+    code, lines = _run([
+        "--sf-dir", sf_dir, "daily-metrics",
+        "--predictions-dir", preds_dir, "--metrics-dir", metrics_dir,
+    ])
+    assert code == 0
+    assert json.loads(lines[0])["status"] == "ok"
+    got = spark.read.parquet(metrics_dir)
+    assert got.count() >= 1
+    assert "num_predictions" in got.columns
