@@ -49,7 +49,6 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram lambda re-tokenizes the text once per bigram (O(tokens^2)
     # interpreted work; measured 142 s over 500k docs before staging)
     bi = shingles_expr("toks", 2)
-    base = docs.selectExpr("doc_id", f"size({_TOKS}) AS n_tokens")
     bigrams = (
         docs.selectExpr("doc_id", f"{_TOKS} AS toks")
         .selectExpr("doc_id", f"explode({bi}) AS bg")
@@ -59,16 +58,21 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bg").alias("n_bi_d"),
         )
     )
-    top_tok = (
+    # n_tokens rides the token aggregation (sum of per-token counts ==
+    # size of the token array, every doc yields >= 1 exploded row), so
+    # the corpus is scanned+tokenized twice, not three times
+    tok_stats = (
         docs.selectExpr("doc_id", f"explode({_TOKS}) AS t")
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("cnt"))
         .groupBy("doc_id")
-        .agg(F.max("cnt").alias("max_cnt"))
+        .agg(
+            F.max("cnt").alias("max_cnt"),
+            F.sum("cnt").alias("n_tokens"),
+        )
     )
     return (
-        base.join(bigrams, "doc_id", "left")
-        .join(top_tok, "doc_id", "left")
+        tok_stats.join(bigrams, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -80,7 +84,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("rep_bigram_share"),
             F.round(
-                F.coalesce(F.col("max_cnt"), F.lit(0)) / F.col("n_tokens"), 6
+                F.col("max_cnt") / F.col("n_tokens"), 6
             ).alias("top_token_share"),
         )
         .orderBy("doc_id")
