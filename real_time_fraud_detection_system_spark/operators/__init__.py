@@ -43,8 +43,10 @@ PRIORITY = [
     #     multimodal_features (packaged P6 decoder now runs a real
     #     decode; oracle changed with it). New in round 5 (no verdict
     #     yet): per-doc tf-idf keywords, SemDeDup-style embedding
-    #     clusters, and the MinHash-path cluster stage.
+    #     clusters, the MinHash-path cluster stage, and cohort
+    #     retention.
     "tfidf_top_terms", "semantic_dedup_clusters", "dedup_minhash_clusters",
+    "weekly_retention_cohorts",
     "ann_ivf_topk", "dedup_clusters_wide", "dup_rate_by_source",
     "multimodal_features",
     # (b) the 36 queries whose latest driver verdict predates round 4
@@ -69,7 +71,7 @@ PRIORITY = [
     # (c) filler from the round-4-green set, keeping one representative
     #     per operator family in the window (test_registry.py gate):
     #     metrics, temporal, skew, anomaly + four more recent greens.
-    "daily_metrics", "windowed_rates", "heuristic_score",
+    "daily_metrics", "heuristic_score",
     "asof_click_before_purchase", "approx_distinct_users",
     "salted_value_by_type", "user_value_anomalies",
 ]

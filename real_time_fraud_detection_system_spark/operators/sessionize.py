@@ -204,14 +204,87 @@ LEFT JOIN purchases USING (user_id)
 """
 
 
+# --------------------------------------------------------------------------
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, retention
+    = share of the cohort active again k weeks later -- the canonical
+    product-analytics rollup (the reference's Grafana time-series slot,
+    generalized to per-cohort curves).
+
+    Shape: one (user, week) distinct pass, a per-user min-week
+    aggregate reusing the same user_id partitioning, one broadcast-size
+    join back, and a (cohort_week, offset) count agg -- output is
+    O(weeks^2) rows regardless of corpus size. date_trunc('week')
+    truncates to Monday in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    joined = weeks.join(cohorts, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(F.col("week"), F.col("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+        "user_id",
+    )
+    active = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("active_users")
+    )
+    return (
+        active.join(cohort_sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+            "cohort_users",
+            "active_users",
+            F.round(
+                F.col("active_users") / F.col("cohort_users"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+WEEKLY_RETENTION_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_users FROM cohorts GROUP BY 1
+),
+active AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, w.week) / 7 AS INT)
+           AS week_offset,
+         count(*) AS active_users
+  FROM weeks w JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(a.cohort_week AS DATE) AS cohort_week, a.week_offset,
+       s.cohort_users, a.active_users,
+       round(a.active_users / s.cohort_users, 6) AS retention
+FROM active a JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "user_sessions": user_sessions,
     "session_summary": session_summary,
     "conversion_funnel": conversion_funnel,
+    "weekly_retention_cohorts": weekly_retention_cohorts,
 }
 
 ORACLE = {
     "user_sessions": USER_SESSIONS_SQL,
     "session_summary": SESSION_SUMMARY_SQL,
     "conversion_funnel": CONVERSION_FUNNEL_SQL,
+    "weekly_retention_cohorts": WEEKLY_RETENTION_SQL,
 }
