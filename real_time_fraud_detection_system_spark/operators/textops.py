@@ -306,8 +306,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, per-doc top-k window keyed by doc_id. Every shuffle key is
     fine-grained; nothing is collected or broadcast except the scalar
     corpus size (parquet row-count metadata)."""
+    # count the RAW table (answered by parquet row-group metadata);
+    # counting the spread frame would pay a full shuffle for a scalar
+    n_docs = load_table(spark, sf_dir, "documents").count()
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    n_docs = docs.count()
     tf = (
         docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
         .groupBy("doc_id", "term")
