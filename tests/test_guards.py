@@ -28,3 +28,36 @@ def test_guard_allows_within_bound(spark, sf_dir):
     assert embedding_near_dup(spark, sf_dir).columns == [
         "a_id", "b_id", "cosine",
     ]
+
+
+def test_sublinear_scaling_helpers_boundaries():
+    """The sqrt(n)-rate centroid modulus and log2(n) plane count are the
+    two knobs that keep IVF / semantic-dedup sublinear; pin their
+    boundary behavior (powers of two are exact in IEEE log2/sqrt, so
+    the engine-side Python matches the in-SQL computations)."""
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        SEM_BUCKET_TARGET,
+        centroid_modulus,
+        sem_planes,
+    )
+
+    assert centroid_modulus(0) == 1
+    assert centroid_modulus(1) == 1
+    assert centroid_modulus(16) == 4
+    assert centroid_modulus(17) == 4          # floor, not round
+    assert centroid_modulus(1_000_000) == 1000
+    # K ~ n/m stays within 2x of sqrt(n) across six orders of magnitude
+    for n in (100, 10_000, 1_000_000, 10**8):
+        k = n / centroid_modulus(n)
+        assert 0.5 * n ** 0.5 <= k <= 2.2 * n ** 0.5
+
+    assert sem_planes(0) == 1
+    assert sem_planes(SEM_BUCKET_TARGET) == 1
+    assert sem_planes(SEM_BUCKET_TARGET * 2) == 1      # log2(2) = 1
+    assert sem_planes(SEM_BUCKET_TARGET * 2 + 1) == 2  # ceil past the power
+    assert sem_planes(500) == 5
+    assert sem_planes(200_000) == 14
+    # expected occupancy n / 2^planes stays within [target/2, target]
+    for n in (1_000, 50_000, 10**7):
+        occ = n / (1 << sem_planes(n))
+        assert SEM_BUCKET_TARGET / 2 <= occ <= SEM_BUCKET_TARGET
