@@ -61,6 +61,8 @@ HEADLINE = [
     # round-5 additions
     "tfidf_top_terms",
     "semantic_dedup_clusters",
+    "dedup_minhash_clusters",
+    "weekly_retention_cohorts",
 ]
 
 
