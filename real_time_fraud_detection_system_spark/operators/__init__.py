@@ -43,10 +43,10 @@ PRIORITY = [
     #     multimodal_features (packaged P6 decoder now runs a real
     #     decode; oracle changed with it). New in round 5 (no verdict
     #     yet): per-doc tf-idf keywords, SemDeDup-style embedding
-    #     clusters, the MinHash-path cluster stage, and cohort
-    #     retention.
+    #     clusters, the MinHash-path cluster stage, cohort retention,
+    #     the domain-mixture sampling planner, and PSI value-drift.
     "tfidf_top_terms", "semantic_dedup_clusters", "dedup_minhash_clusters",
-    "weekly_retention_cohorts",
+    "weekly_retention_cohorts", "source_mixture_plan", "value_drift_psi",
     "ann_ivf_topk", "dedup_clusters_wide", "dup_rate_by_source",
     "multimodal_features",
     # (b) the 36 queries whose latest driver verdict predates round 4
@@ -71,9 +71,10 @@ PRIORITY = [
     # (c) filler from the round-4-green set, keeping one representative
     #     per operator family in the window (test_registry.py gate):
     #     metrics, temporal, skew, anomaly + four more recent greens.
+    #     (anomaly and corpusops now have round-5 representatives in
+    #     (a), so their fillers rotated out)
     "daily_metrics", "heuristic_score",
-    "asof_click_before_purchase", "approx_distinct_users",
-    "salted_value_by_type", "user_value_anomalies",
+    "asof_click_before_purchase", "salted_value_by_type",
 ]
 
 

@@ -90,5 +90,126 @@ ORDER BY event_id
 """
 
 
-QUERIES = {"user_value_anomalies": user_value_anomalies}
-ORACLE = {"user_value_anomalies": USER_ANOMALIES_SQL}
+# --------------------------------------------------------------------------
+# Population-stability drift check: PSI of the value distribution
+# between the first and second half of the time range, per event_type.
+PSI_BUCKET_WIDTH = 5.0
+PSI_MAX_BUCKET = 9
+PSI_ALERT = 0.2  # the conventional "significant shift" threshold
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift detection: Population Stability Index of ``value`` between
+    the first and second half of the event-time range, per event_type
+    -- the monitoring pass a scoring pipeline runs to decide whether
+    the feature distribution its model was trained on still holds.
+
+    Buckets are FIXED-WIDTH (floor(value/width), clamped to 0..9), not
+    quantiles: quantile edges are engine-interpolation-specific and
+    data-order-sensitive, fixed edges are reproducible everywhere.
+    Counts are add-0.5 smoothed over the per-type observed bucket set,
+    so empty-vs-tiny buckets cannot blow up the log. The time midpoint
+    is integer epoch-microsecond arithmetic (bit-identical across
+    engines); it comes from one bounded min/max aggregate (answered by
+    parquet stats, a 1-row driver scalar, not a data collect).
+
+    Shape at scale: one scan -> (event_type, bucket) count agg (one
+    shuffle on a tiny composite key), then window+sum arithmetic over
+    an O(types x buckets) frame."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("m0"),
+        F.max(F.unix_micros("ts")).alias("m1"),
+    ).first()
+    thr = b["m0"] + (b["m1"] - b["m0"]) // 2
+    bucket = F.least(
+        F.lit(PSI_MAX_BUCKET),
+        F.greatest(
+            F.lit(0), F.floor(F.col("value") / PSI_BUCKET_WIDTH).cast("int")
+        ),
+    )
+    counts = (
+        ev.select(
+            "event_type",
+            bucket.alias("bucket"),
+            (F.unix_micros("ts") < F.lit(thr)).cast("int").alias("h1"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("h1").alias("n1"),
+            F.sum(F.lit(1) - F.col("h1")).alias("n2"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    p = (F.col("n1") + 0.5) / (F.sum("n1").over(w) + 0.5 * F.count("*").over(w))
+    q = (F.col("n2") + 0.5) / (F.sum("n2").over(w) + 0.5 * F.count("*").over(w))
+    stats = counts.select(
+        "event_type",
+        F.sum("n1").over(w).alias("n_first"),
+        F.sum("n2").over(w).alias("n_second"),
+        F.count("*").over(w).alias("n_buckets"),
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    return (
+        stats.groupBy("event_type", "n_first", "n_second", "n_buckets")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .withColumn(
+            "drifted", (F.col("psi") > PSI_ALERT).cast("int")
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_DRIFT_PSI_SQL = f"""
+WITH params AS (
+  SELECT min(epoch_us(ts)) AS m0, max(epoch_us(ts)) AS m1 FROM events
+),
+base AS (
+  SELECT event_type,
+         least({PSI_MAX_BUCKET},
+               greatest(0, CAST(floor(value / {PSI_BUCKET_WIDTH}) AS INT)))
+           AS bucket,
+         CASE WHEN epoch_us(ts) < p.m0 + (p.m1 - p.m0) // 2
+              THEN 1 ELSE 0 END AS h1
+  FROM events, params p
+),
+counts AS (
+  SELECT event_type, bucket, sum(h1) AS n1, sum(1 - h1) AS n2
+  FROM base GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, n1, n2,
+         sum(n1) OVER (PARTITION BY event_type) AS t1,
+         sum(n2) OVER (PARTITION BY event_type) AS t2,
+         count(*) OVER (PARTITION BY event_type) AS nb
+  FROM counts
+)
+SELECT event_type,
+       CAST(max(t1) AS BIGINT) AS n_first,
+       CAST(max(t2) AS BIGINT) AS n_second,
+       CAST(max(nb) AS BIGINT) AS n_buckets,
+       round(sum(((n1 + 0.5) / (t1 + 0.5 * nb) - (n2 + 0.5) / (t2 + 0.5 * nb))
+                 * ln(((n1 + 0.5) / (t1 + 0.5 * nb))
+                      / ((n2 + 0.5) / (t2 + 0.5 * nb)))), 6) AS psi,
+       CAST(round(sum(((n1 + 0.5) / (t1 + 0.5 * nb)
+                       - (n2 + 0.5) / (t2 + 0.5 * nb))
+                 * ln(((n1 + 0.5) / (t1 + 0.5 * nb))
+                      / ((n2 + 0.5) / (t2 + 0.5 * nb)))), 6) > {PSI_ALERT}
+            AS INT) AS drifted
+FROM stats
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "user_value_anomalies": user_value_anomalies,
+    "value_drift_psi": value_drift_psi,
+}
+ORACLE = {
+    "user_value_anomalies": USER_ANOMALIES_SQL,
+    "value_drift_psi": VALUE_DRIFT_PSI_SQL,
+}

@@ -396,12 +396,81 @@ ORDER BY src_a, src_b
 """
 
 
+# --------------------------------------------------------------------------
+# Token budget the mixture planner fills (kept small so the rates are
+# non-trivial at test scale; at production scale it is the training
+# token budget).
+MIX_TOKEN_BUDGET = 50_000
+
+
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling plan: given per-source token inventories
+    and a total training-token budget split UNIFORMLY across sources
+    (the Pile/LLaMA-style domain-weights pass with uniform target
+    weights), emit each source's sampling rate = min(1, share/have) and
+    the tokens it contributes. Undersized sources cap at rate 1 --
+    planners reallocate their shortfall in a second pass; this emits
+    the first-pass plan plus the shortfall so that pass is a trivial
+    follow-up.
+
+    Shape: one explode + (source) count agg, then arithmetic on an
+    O(sources)-row frame -- the planning math never touches the corpus
+    again. The source count scalar rides a window over the tiny rollup
+    (no second scan, no collect)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    inv = (
+        docs.select("source", F.explode(F.expr(_TOKS)).alias("t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    from pyspark.sql.window import Window
+
+    all_w = Window.partitionBy()
+    share = F.lit(MIX_TOKEN_BUDGET) / F.count("*").over(all_w)
+    rate = F.least(F.lit(1.0), share / F.col("n_tokens"))
+    return (
+        inv.select(
+            "source",
+            "n_tokens",
+            F.round(share, 6).alias("target_tokens"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(F.least(share, F.col("n_tokens").cast("double")), 6)
+              .alias("planned_tokens"),
+            F.round(F.greatest(F.lit(0.0), share - F.col("n_tokens")), 6)
+              .alias("shortfall_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_MIXTURE_PLAN_SQL = f"""
+WITH inv AS (
+  SELECT source, count(*) AS n_tokens
+  FROM (SELECT source, unnest({_DUCK_TOKS}) AS t FROM documents)
+  GROUP BY source
+),
+planned AS (
+  SELECT source, n_tokens,
+         {MIX_TOKEN_BUDGET} / (SELECT count(*) FROM inv) AS share
+  FROM inv
+)
+SELECT source, n_tokens,
+       round(share, 6) AS target_tokens,
+       round(least(1.0, share / n_tokens), 6) AS sample_rate,
+       round(least(share, CAST(n_tokens AS DOUBLE)), 6) AS planned_tokens,
+       round(greatest(0.0, share - n_tokens), 6) AS shortfall_tokens
+FROM planned
+ORDER BY source
+"""
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
     "contamination_check": contamination_check,
     "vocab_coverage": vocab_coverage,
     "shard_overlap": shard_overlap,
+    "source_mixture_plan": source_mixture_plan,
 }
 
 ORACLE = {
@@ -410,4 +479,5 @@ ORACLE = {
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "shard_overlap": SHARD_OVERLAP_SQL,
+    "source_mixture_plan": SOURCE_MIXTURE_PLAN_SQL,
 }

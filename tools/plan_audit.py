@@ -52,6 +52,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "null_id_check": frozenset({"1PART"}),
     "q15_top_supplier": frozenset({"1PART"}),
     "q6_revenue_change": frozenset({"1PART"}),
+    # source_mixture_plan: the budget-share window runs over the
+    # per-source token inventory -- O(sources) rows regardless of
+    # corpus size (the corpus-sized work is the keyed count agg before
+    # it); the near-scalar pattern.
+    "source_mixture_plan": frozenset({"1PART"}),
     # Q22 shape: the NLJ is the 1-row avg-balance threshold broadcast
     # (constant size at any scale) and the 1PART is that scalar
     # aggregate's own exchange feeding it -- both the allowlisted
