@@ -47,6 +47,7 @@ PRIORITY = [
     #     the domain-mixture sampling planner, and PSI value-drift.
     "tfidf_top_terms", "semantic_dedup_clusters", "dedup_minhash_clusters",
     "weekly_retention_cohorts", "source_mixture_plan", "value_drift_psi",
+    "lang_mismatch_rate",
     "ann_ivf_topk", "dedup_clusters_wide", "dup_rate_by_source",
     "multimodal_features",
     # (b) the 36 queries whose latest driver verdict predates round 4
@@ -73,8 +74,8 @@ PRIORITY = [
     #     metrics, temporal, skew, anomaly + four more recent greens.
     #     (anomaly and corpusops now have round-5 representatives in
     #     (a), so their fillers rotated out)
-    "daily_metrics", "heuristic_score",
-    "asof_click_before_purchase", "salted_value_by_type",
+    "heuristic_score", "asof_click_before_purchase",
+    "salted_value_by_type",
 ]
 
 

@@ -125,6 +125,79 @@ ORDER BY doc_id
 LANG_ID_SQL = _duck_lang_sql()
 
 
+def lang_mismatch_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language QA: share of documents whose detected
+    language disagrees with the declared ``lang`` column (detected
+    'und' -- no marker hit -- reported separately, not counted as a
+    mismatch). The triage a pipeline runs to decide which dumps have
+    unreliable language metadata. Composes the lang_id_heuristic
+    projection with a (source) rollup -- map-side projection + one tiny
+    keyed shuffle."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    def cnt(lang):
+        return (
+            f"size(filter({_TOKS}, x -> x IN ({sql_in_list(LANG_MARKERS[lang])})))"
+        )
+
+    det = docs.selectExpr(
+        "source",
+        "lang AS declared_lang",
+        f"{_lang_case(cnt)} AS detected_lang",
+    )
+    mism = F.when(
+        (F.col("detected_lang") != F.lit("und"))
+        & (F.col("detected_lang") != F.col("declared_lang")),
+        1,
+    ).otherwise(0)
+    und = F.when(F.col("detected_lang") == "und", 1).otherwise(0)
+    return (
+        det.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(mism).alias("n_mismatched"),
+            F.sum(und).alias("n_undetected"),
+        )
+        .withColumn(
+            "mismatch_rate",
+            F.round(F.col("n_mismatched") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+def _duck_lang_mismatch_sql() -> str:
+    def cnt(lang):
+        return (
+            f"len(list_filter({_DUCK_TOKS},"
+            f" x -> x IN ({sql_in_list(LANG_MARKERS[lang])})))"
+        )
+
+    return f"""
+WITH det AS (
+  SELECT source, lang AS declared_lang,
+         {_lang_case(cnt)} AS detected_lang
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN detected_lang != 'und'
+                 AND detected_lang != declared_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatched,
+       CAST(sum(CASE WHEN detected_lang = 'und' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_undetected,
+       round(sum(CASE WHEN detected_lang != 'und'
+                       AND detected_lang != declared_lang THEN 1 ELSE 0 END)
+             / count(*), 6) AS mismatch_rate
+FROM det
+GROUP BY source
+ORDER BY source
+"""
+
+
+LANG_MISMATCH_RATE_SQL = _duck_lang_mismatch_sql()
+
+
 # --------------------------------------------------------------------------
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-shingle fingerprint: min md5 over word {SHINGLE_N}-gram
@@ -366,6 +439,7 @@ QUERIES = {
     "corpus_token_stats": corpus_token_stats,
     "bpe_token_stats": bpe_token_stats,
     "tfidf_top_terms": tfidf_top_terms,
+    "lang_mismatch_rate": lang_mismatch_rate,
 }
 
 ORACLE = {
@@ -376,4 +450,5 @@ ORACLE = {
     "bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "corpus_quality_gate": CORPUS_QUALITY_GATE_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "lang_mismatch_rate": LANG_MISMATCH_RATE_SQL,
 }
