@@ -63,6 +63,9 @@ HEADLINE = [
     "semantic_dedup_clusters",
     "dedup_minhash_clusters",
     "weekly_retention_cohorts",
+    "source_mixture_plan",
+    "value_drift_psi",
+    "lang_mismatch_rate",
 ]
 
 
