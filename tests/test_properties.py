@@ -259,3 +259,22 @@ def test_partitioning_invariance_of_deterministic_ops(spark, sf_dir, monkeypatch
     many = run_all(64)
     for a, b in zip(one, many):
         rows_equal(a, b)
+
+
+def test_connected_components_empty_edges(spark):
+    """Zero edges: every node is its own component on both dispatch
+    arms (the driver arm must survive an empty collect/createDataFrame)."""
+    from real_time_fraud_detection_system_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    for thr in (10, 0):
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components(
+                nodes, edges, driver_edge_threshold=thr
+            ).collect()
+        }
+        assert got == {i: i for i in range(5)}
