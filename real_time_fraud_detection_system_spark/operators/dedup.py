@@ -207,62 +207,58 @@ ORDER BY a_id, b_id
 
 
 # --------------------------------------------------------------------------
-def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles array<string>) -- distinct shingles per doc,
-    computed as a per-row expression: no explode, no shuffle. Token
-    array staged first (see _doc_shingles: an inline split inside the
-    shingle lambda re-tokenizes per shingle)."""
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = shingles_expr("toks", SHINGLE_N)
-    return docs.selectExpr("doc_id", f"{_TOKS} AS toks").selectExpr(
-        "doc_id", f"array_distinct({sh}) AS shingles"
-    )
+def _sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s{k-1}, hsh): MinHash signature windows (sig_j =
+    min over the doc's shingles of 16-bit md5 hex window j) plus the
+    distinct 60-bit shingle-hash set, via explode + CODEGEN'D
+    aggregations.
 
-
-def _sig_cols(src: str = "hms") -> list[str]:
-    """MinHash signatures as per-row array expressions over ``src``, an
-    array of per-shingle md5 hex strings: sig_j = min over shingles of
-    16-bit hex window j. Entirely map-side -- the signature stage costs
-    zero shuffles, which at 100 TB removes the largest exchange of the
-    pipeline (the (doc, shingle) explode is ~50x the doc row count).
-
-    The md5 array is computed ONCE in a separate projection and every
-    window slices it: higher-order functions are interpreted (never
-    whole-stage-codegen'd), so an md5 call inside each of the k lambdas
-    costs k full digest passes per shingle -- measured 9x the CPU of
-    this shape at sf0.1. CollapseProject keeps the split because the
-    alias is non-cheap and multiply-referenced.
+    Why explode: the per-row array shape
+    (array_min(transform(hms, ...))) keeps the md5, every substr
+    window, and the 60-bit conv inside higher-order lambdas, which
+    evaluate interpreted -- ~92 s cold over 500k docs at the 100x
+    scale test. Exploded to (doc_id, shingle) rows, all of them are
+    top-level whole-stage-codegen'd expressions, one md5 per distinct
+    shingle, and the groupBy(doc_id) runs SHUFFLE-FREE on the spread
+    partitioning (the simhash-vote / repetition_stats pattern; explode
+    preserves hash partitioning). min(substr window) == the old
+    array_min over the same set; collect_set == the old
+    array_distinct, so signatures and hash sets are value-identical.
 
     min(hex-slice) == min over a 16-bit hash family; the coarser space
     only adds candidate false positives, removed by exact-Jaccard
     verification."""
-    return [
-        f"array_min(transform({src}, h -> "
-        f"substr(h, {1 + 4 * j}, 4))) AS s{j}"
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = shingles_expr("toks", SHINGLE_N)
+    h = (
+        docs.selectExpr("doc_id", f"{_TOKS} AS toks")
+        .selectExpr("doc_id", f"explode(array_distinct({sh})) AS shingle")
+        .select("doc_id", F.md5("shingle").alias("h"))
+    )
+    aggs = [
+        F.min(F.expr(f"substr(h, {1 + 4 * j}, 4)")).alias(f"s{j}")
         for j in range(MINHASH_K)
     ]
-
-
-# One md5 per distinct shingle; everything downstream (sig windows, the
-# 60-bit shingle hash) slices this array instead of re-hashing.
-_HMS_COL = "transform(shingles, s -> md5(s)) AS hms"
+    aggs.append(
+        F.collect_set(
+            F.expr("CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT)")
+        ).alias("hsh")
+    )
+    return h.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k MinHash signatures per document (columns s0..s{k-1})."""
-    return (
-        _doc_shingle_arrays(spark, sf_dir)
-        .filter(F.size("shingles") > 0)
-        .selectExpr("doc_id", _HMS_COL)
-        .selectExpr("doc_id", *_sig_cols())
+    return _sig_table(spark, sf_dir).select(
+        "doc_id", *[f"s{j}" for j in range(MINHASH_K)]
     )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding dedup, the 100 TB-scale near-dup path:
 
-      1. signature: zero-shuffle map-side pass -- per-row array exprs
-         (_sig_cols) over the shingle array, no explode/groupBy;
+      1. signature: explode + codegen'd min/collect_set aggregation
+         (_sig_table), shuffle-free on the doc_id spread partitioning;
       2. banding: each doc emits LSH_BANDS (band, md5(sig-slice)) keys,
          CARRYING its 60-bit-hashed shingle array (8 bytes/shingle vs
          ~30 for the strings -- the shuffle payload shrinks ~4x and
@@ -284,28 +280,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm -- including the 60-bit shingle hashing -- so results
     match exactly (a cross-engine hash collision would alter both
     sides identically)."""
-    sh = _doc_shingle_arrays(spark, sf_dir)
-    # One md5 pass per shingle; sig windows and the 60-bit hash all
-    # slice the shared hms array (see _sig_cols). Cached: the self-join
-    # below references the signature table twice, and without the cache
-    # the whole interpreted-expression pipeline executes once per side.
-    # The cached table is tiny relative to the corpus (doc_id, 8 short
-    # sig strings, one long per distinct shingle), so it fits executor
-    # storage at any corpus the banding itself can handle. Lifetime:
-    # the returned frame is lazy, so the cache cannot be unpersisted
-    # here; like contamination_check's shingle cache, reclamation is
-    # LRU eviction (and bench.py clearCache()s between queries).
-    sig = (
-        sh.filter(F.size("shingles") > 0)
-        .selectExpr("doc_id", _HMS_COL)
-        .selectExpr(
-            "doc_id",
-            "array_distinct(transform(hms, h -> "
-            "CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT))) AS hsh",
-            *_sig_cols(),
-        )
-        .cache()
-    )
+    # Cached: the self-join below references the signature table twice,
+    # and without the cache the whole signature pipeline executes once
+    # per side. The cached table is tiny relative to the corpus
+    # (doc_id, 8 short sig strings, one long per distinct shingle), so
+    # it fits executor storage at any corpus the banding itself can
+    # handle. Lifetime: the returned frame is lazy, so the cache cannot
+    # be unpersisted here; like contamination_check's shingle cache,
+    # reclamation is LRU eviction (and bench.py clearCache()s between
+    # queries).
+    sig = _sig_table(spark, sf_dir).cache()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
