@@ -331,13 +331,21 @@ def shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; the shingle columns are 60-bit hashed longs so the
     join shuffles 8-byte keys, not n-gram strings."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    # hash AFTER the explode: md5+conv inside the transform lambda
+    # would evaluate interpreted per shingle; as top-level expressions
+    # over the exploded rows they whole-stage-codegen (the _sig_table
+    # lesson). The per-doc array_distinct stays to cut explode volume.
     sh = (
         docs.selectExpr("source", f"{_TOKS} AS toks")
         .selectExpr(
             "source",
-            f"explode(array_distinct(transform({shingles_expr('toks')},"
-            " x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT))))"
-            " AS h",
+            f"explode(array_distinct({shingles_expr('toks')})) AS s",
+        )
+        .select(
+            "source",
+            F.expr(
+                "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
         )
         .distinct()
     )

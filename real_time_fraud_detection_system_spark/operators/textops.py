@@ -206,14 +206,29 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # token array staged: an inline split inside the shingle lambda
     # re-tokenizes the text once per shingle (O(tokens^2) interpreted
-    # work; see dedup._doc_shingles)
+    # work; see dedup._doc_shingles). md5 runs AFTER the explode so it
+    # whole-stage-codegens (in the transform lambda it evaluates
+    # interpreted per shingle); min-agg == the old array_min, the
+    # groupBy is shuffle-free on the spread partitioning, and short
+    # docs (no shingles -> absent from the agg) rejoin via the left
+    # join to take the md5(text) fallback.
     sh = shingles_expr("toks", SHINGLE_N)
-    return docs.selectExpr("doc_id", "text", f"{_TOKS} AS toks").selectExpr(
-        "doc_id",
-        f"CASE WHEN size(toks) >= {SHINGLE_N} "
-        f"THEN array_min(transform({sh}, s -> md5(s))) "
-        f"ELSE md5(text) END AS fingerprint",
-    ).orderBy("doc_id")
+    base = docs.selectExpr("doc_id", "text", f"{_TOKS} AS toks")
+    fp_sh = (
+        base.selectExpr("doc_id", f"explode({sh}) AS s")
+        .select("doc_id", F.md5("s").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fp_sh"))
+    )
+    return (
+        base.join(fp_sh, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN size(toks) >= {SHINGLE_N} "
+            "THEN fp_sh ELSE md5(text) END AS fingerprint",
+        )
+        .orderBy("doc_id")
+    )
 
 
 DOC_FINGERPRINT_SQL = f"""
