@@ -191,15 +191,19 @@ def _hyperplane_weights(plane: int, dims: int = LSH_MAX_DIM) -> list[float]:
     ]
 
 
-def lsh_signature_expr(emb_col: str, planes: int = LSH_PLANES) -> str:
+def lsh_signature_expr(
+    emb_col: str, planes: int = LSH_PLANES, plane_offset: int = 0
+) -> str:
     """Spark SQL: sign-random-projection bit signature of a vector.
     Weights are embedded as double literals (repr round-trips exactly);
     vectors beyond LSH_MAX_DIM dims would zip against nulls -- raise the
-    constant rather than feeding longer embeddings."""
+    constant rather than feeding longer embeddings. ``plane_offset``
+    selects an independent hyperplane family (table t uses planes
+    [t*planes, (t+1)*planes) of the md5 stream) for multi-table LSH."""
     bits = []
     for p in range(planes):
         w_lit = "array(" + ", ".join(
-            repr(w) + "D" for w in _hyperplane_weights(p)
+            repr(w) + "D" for w in _hyperplane_weights(plane_offset + p)
         ) + ")"
         proj = (
             f"aggregate(zip_with({emb_col}, "
@@ -424,78 +428,133 @@ ORDER BY q_id, rank
 
 # --------------------------------------------------------------------------
 # Mean LSH-bucket occupancy the semantic-dedup edge join aims for: the
-# plane count is chosen as ceil(log2(n / SEM_BUCKET_TARGET)), so the
-# within-bucket pairwise verification stays ~n * SEM_BUCKET_TARGET
-# total (LINEAR in the corpus) instead of n^2 / 2^planes blowing up as
-# the corpus outgrows a fixed signature width (a fixed 8 planes = 256
+# per-table plane count is chosen as ceil(log2(n*T / SEM_BUCKET_TARGET))
+# so that ACROSS the SEM_TABLES independent hyperplane families the
+# total within-bucket pairwise verification stays ~n * SEM_BUCKET_TARGET
+# (LINEAR in the corpus) instead of n^2 / 2^planes blowing up as the
+# corpus outgrows a fixed signature width (a fixed 8 planes = 256
 # buckets measured 100 s at the 100x scale test; log-scaled planes
-# measure seconds). Powers of two are exact in IEEE log2, so the ceil
-# agrees bit-for-bit across engines.
+# measure seconds). Multi-table is the recall half of the same story:
+# a single table's recall for a cosine-c pair decays as
+# (1 - theta/pi)^planes with the growing plane count; T tables with
+# (log2 T) extra planes each keep the SAME total candidate work while
+# recall becomes 1 - (1 - p^planes)^T -- at the 100x scale (planes=16,
+# T=4) that is ~2.4x the single-table recall for cosine-0.95 pairs.
+# Powers of two are exact in IEEE log2, so the ceil agrees bit-for-bit
+# across engines.
 SEM_BUCKET_TARGET = 16
+SEM_TABLES = 4
 
 
 def sem_planes(n: int) -> int:
+    """Per-table plane count for the multi-table scheme: occupancy
+    SEM_BUCKET_TARGET/SEM_TABLES per table, total work ~n * target."""
     import math
 
-    return max(1, math.ceil(math.log2(max(n, 2) / float(SEM_BUCKET_TARGET))))
+    return max(
+        1,
+        math.ceil(
+            math.log2(max(n * SEM_TABLES, 2) / float(SEM_BUCKET_TARGET))
+        ),
+    )
 
 
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: group embedding-space near-
-    duplicates (cosine >= {COSINE_THRESHOLD} within an LSH bucket) into
-    clusters; every vector gets the min vec_id of its component as
+    duplicates (cosine >= {COSINE_THRESHOLD} within some LSH bucket)
+    into clusters; every vector gets the min vec_id of its component as
     cluster_id (singletons are their own cluster). A curation pipeline
     keeps one representative per cluster.
 
-    Scale shape: sign-LSH signature whose plane count grows with
-    log2(n) (constant expected bucket occupancy -- the edge join does
-    linear total work at any corpus size; finer buckets trade a little
-    recall for that bound, the standard SemDeDup tradeoff), then
-    graph.connected_components: bounded edge sets run one driver
+    Scale shape: SEM_TABLES independent sign-LSH tables whose per-table
+    plane count grows with log2(n) (constant total bucket work -- the
+    edge join is linear in the corpus at any size -- while the
+    multi-table union keeps recall from decaying with the plane count),
+    then graph.connected_components: bounded edge sets run one driver
     union-find job, larger ones distributed label propagation.
 
     Oracle: DuckDB recursive transitive closure over the identical
     bucket-confined edge set (same dynamic plane count, same md5
-    hyperplanes) -- different algorithm, same fixpoint."""
+    hyperplane families, same table union) -- different algorithm,
+    same fixpoint."""
     from .graph import connected_components
 
     n = load_table(spark, sf_dir, "embeddings").count()
-    # Cached: the self-join below references the signature table twice
-    # and the node list a third time; without the cache the interpreted
-    # projection pipeline (norms + planes x dims products per row) runs
-    # once per reference. Lifetime is LRU eviction, like the minhash
+    planes = sem_planes(n)
+    sig_arr = F.array(
+        *[
+            F.expr(
+                lsh_signature_expr(
+                    "emb", planes=planes, plane_offset=t * planes
+                )
+            )
+            for t in range(SEM_TABLES)
+        ]
+    )
+    vecs = _vectors(spark, sf_dir)
+    # Cache AFTER the signature projection: the tables x planes x dims
+    # interpreted products are the dominant cost and both sides of the
+    # self-join reference them (caching the pre-signature vectors was
+    # measured 2x slower at the 100x scale -- each side re-ran the
+    # whole plane pipeline). Lifetime is LRU eviction, like the minhash
     # signature cache (bench.py clearCache()s between queries).
-    vecs = _vectors(spark, sf_dir).withColumn(
-        "sig", F.expr(lsh_signature_expr("emb", planes=sem_planes(n)))
-    ).cache()
-    a = vecs.select(
+    buckets = (
+        vecs
+        .select("vec_id", "emb", "norm", sig_arr.alias("sigs"))
+        .select(
+            "vec_id", "emb", "norm", "sigs",
+            F.posexplode("sigs").alias("t", "sig"),
+        )
+        .cache()
+    )
+    a = buckets.select(
         F.col("vec_id").alias("a_id"),
         F.col("emb").alias("a_emb"),
         F.col("norm").alias("a_norm"),
+        F.col("sigs").alias("a_sigs"),
+        F.col("t").alias("a_t"),
         F.col("sig").alias("a_sig"),
     )
-    b = vecs.select(
+    b = buckets.select(
         F.col("vec_id").alias("b_id"),
         F.col("emb").alias("b_emb"),
         F.col("norm").alias("b_norm"),
+        F.col("sigs").alias("b_sigs"),
+        F.col("t").alias("b_t"),
         F.col("sig").alias("b_sig"),
     )
-    edges = (
-        a.join(
-            b,
-            (F.col("a_sig") == F.col("b_sig"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
-        .filter(
-            F.round(
-                F.expr(_DOT.format(a="a_emb", b="b_emb"))
-                / (F.col("a_norm") * F.col("b_norm")),
-                6,
-            )
-            >= COSINE_THRESHOLD
-        )
-        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    # Each colliding pair is emitted exactly once, at the FIRST table
+    # where its signatures agree (rows carry the full sigs array, so
+    # "no earlier table collided" is a per-row array compare) -- the
+    # dedup_simhash first-combo trick. On a corpus with many-way
+    # duplicate directions this removes both the (T-1) redundant
+    # cosine verifications per true pair and the edge DISTINCT shuffle
+    # that a union of tables would need.
+    first_hit = F.expr(
+        "size(filter(zip_with(slice(a_sigs, 1, a_t), slice(b_sigs, 1, a_t),"
+        " (x, y) -> x = y), v -> v)) = 0"
     )
+    cosine_ok = (
+        F.round(
+            F.expr(_DOT.format(a="a_emb", b="b_emb"))
+            / (F.col("a_norm") * F.col("b_norm")),
+            6,
+        )
+        >= COSINE_THRESHOLD
+    )
+    # Both predicates live IN the join condition: evaluated during the
+    # merge with the cheap first-hit guard short-circuiting ahead of
+    # the 64-dim dot product, so non-surviving candidate rows are never
+    # materialized into output rows (the candidate set is T x the edge
+    # set on a heavily duplicated corpus).
+    edges = a.join(
+        b,
+        (F.col("a_t") == F.col("b_t"))
+        & (F.col("a_sig") == F.col("b_sig"))
+        & (F.col("a_id") < F.col("b_id"))
+        & first_hit
+        & cosine_ok,
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     nodes = vecs.select(F.col("vec_id").alias("node"))
     labels = connected_components(nodes, edges)
     return (
@@ -506,37 +565,49 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Dynamic-plane-count signature: planes = ceil(log2(n / target)) is
-# computed IN SQL from the same corpus count the Spark side reads, and
-# the hyperplane weights are the same md5('p<plane>:d<dim>') construction
-# as _hyperplane_weights -- evaluated per row here (fine at oracle
-# scale; the Spark side materializes them as literals).
-_DUCK_SEM_SIG = (
+# Dynamic-plane-count multi-table signature: per-table planes =
+# ceil(log2(n*T / target)) is computed IN SQL from the same corpus
+# count the Spark side reads; table t uses hyperplane family
+# [t*planes, (t+1)*planes) of the same md5('p<plane>:d<dim>')
+# construction as _hyperplane_weights -- evaluated per row here (fine
+# at oracle scale; the Spark side materializes them as literals). The
+# sigs ARRAY rides every bucketed row so the first-colliding-table
+# emission rule is the identical per-row array compare as Spark's.
+_DUCK_SEM_SIGS = (
+    f"list_transform(range(0, {{T}}), t -> "
     "list_sum(list_transform(range(0, p.planes), pl -> "
     "CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), "
-    "i -> emb[i] * (CAST(CAST('0x' || substr(md5('p' || CAST(pl AS VARCHAR)"
+    "i -> emb[i] * (CAST(CAST('0x' || substr(md5('p' ||"
+    " CAST(t * p.planes + pl AS VARCHAR)"
     " || ':d' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)"
     " / 2147483647.5 - 1.0))) > 0 "
-    "THEN CAST(power(2, pl) AS BIGINT) ELSE 0 END))"
-)
+    "THEN CAST(power(2, pl) AS BIGINT) ELSE 0 END)))"
+).format(T=SEM_TABLES)
 
 SEMANTIC_DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE base AS ({_DUCK_VECTORS}),
 params AS (
-  SELECT greatest(1, CAST(ceil(log2(greatest(count(*), 2)
+  SELECT greatest(1, CAST(ceil(log2(greatest(count(*) * {SEM_TABLES}, 2)
                                     / {float(SEM_BUCKET_TARGET)})) AS INT))
            AS planes
   FROM base
 ),
 vecs AS (
-  SELECT vec_id, emb, norm, {_DUCK_SEM_SIG} AS sig
+  SELECT vec_id, emb, norm, {_DUCK_SEM_SIGS} AS sigs
   FROM base CROSS JOIN params p
+),
+bucketed AS (
+  SELECT vec_id, emb, norm, sigs, tt.t AS t, sigs[tt.t + 1] AS sig
+  FROM vecs
+  CROSS JOIN (SELECT unnest(range(0, {SEM_TABLES})) AS t) tt
 ),
 pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM vecs a JOIN vecs b
-    ON a.sig = b.sig AND a.vec_id < b.vec_id
-  WHERE round({_DUCK_DOT.format(a='a.emb', b='b.emb')}
+  FROM bucketed a JOIN bucketed b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE len(list_filter(range(1, a.t + 1),
+                        u -> a.sigs[u] = b.sigs[u])) = 0
+    AND round({_DUCK_DOT.format(a='a.emb', b='b.emb')}
               / (a.norm * b.norm), 6) >= {COSINE_THRESHOLD}
 ),
 edges AS (
