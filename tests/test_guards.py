@@ -37,6 +37,7 @@ def test_sublinear_scaling_helpers_boundaries():
     the engine-side Python matches the in-SQL computations)."""
     from real_time_fraud_detection_system_spark.operators.similarity import (
         SEM_BUCKET_TARGET,
+        SEM_TABLES,
         centroid_modulus,
         sem_planes,
     )
@@ -51,13 +52,14 @@ def test_sublinear_scaling_helpers_boundaries():
         k = n / centroid_modulus(n)
         assert 0.5 * n ** 0.5 <= k <= 2.2 * n ** 0.5
 
+    # per-table planes for the multi-table scheme: planes(n) =
+    # ceil(log2(n*T / target)), so T tables together do ~n*target work
     assert sem_planes(0) == 1
-    assert sem_planes(SEM_BUCKET_TARGET) == 1
-    assert sem_planes(SEM_BUCKET_TARGET * 2) == 1      # log2(2) = 1
-    assert sem_planes(SEM_BUCKET_TARGET * 2 + 1) == 2  # ceil past the power
-    assert sem_planes(500) == 5
-    assert sem_planes(200_000) == 14
-    # expected occupancy n / 2^planes stays within [target/2, target]
+    assert sem_planes(SEM_BUCKET_TARGET // SEM_TABLES) == 1
+    assert sem_planes(SEM_BUCKET_TARGET) == 2          # log2(T) = 2
+    assert sem_planes(500) == 7
+    assert sem_planes(200_000) == 16
+    # expected TOTAL occupancy n*T / 2^planes stays in [target/2, target]
     for n in (1_000, 50_000, 10**7):
-        occ = n / (1 << sem_planes(n))
+        occ = n * SEM_TABLES / (1 << sem_planes(n))
         assert SEM_BUCKET_TARGET / 2 <= occ <= SEM_BUCKET_TARGET
