@@ -48,6 +48,7 @@ PRIORITY = [
     "tfidf_top_terms", "semantic_dedup_clusters", "dedup_minhash_clusters",
     "weekly_retention_cohorts", "source_mixture_plan", "value_drift_psi",
     "lang_mismatch_rate",
+    "predictions_profile", "event_gap_buckets", "shuffle_balance_profile",
     "ann_ivf_topk", "dedup_clusters_wide", "dup_rate_by_source",
     "multimodal_features",
     # (b) the 36 queries whose latest driver verdict predates round 4
@@ -69,13 +70,13 @@ PRIORITY = [
     "text_stats", "lang_id_heuristic", "doc_fingerprint",
     "corpus_token_stats", "bpe_token_stats", "contamination_check",
     "multimodal_meta", "multimodal_frames",
-    # (c) filler from the round-4-green set, keeping one representative
-    #     per operator family in the window (test_registry.py gate):
-    #     metrics, temporal, skew, anomaly + four more recent greens.
-    #     (anomaly and corpusops now have round-5 representatives in
-    #     (a), so their fillers rotated out)
-    "heuristic_score", "asof_click_before_purchase",
-    "salted_value_by_type",
+    # (c) the former metrics/temporal/skew fillers (heuristic_score,
+    #     asof_click_before_purchase, salted_value_by_type -- all
+    #     round-4 green) rotated out for the three NEW queries in those
+    #     same modules (predictions_profile / event_gap_buckets /
+    #     shuffle_balance_profile, section (a)), which keep every
+    #     family represented (test_registry.py gate) while spending the
+    #     window on code with no verdict yet.
 ]
 
 

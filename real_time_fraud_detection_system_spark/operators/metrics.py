@@ -327,6 +327,97 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Whole-table profiling: per-column null/distinct/min/max in ONE scan.
+# The operational answer to "can I trust this predictions table?" -- the
+# reference runs three hand-written DQ probes (Data_quality_checks.py:
+# 20-40); a profile is the general form, and the first thing run against
+# any new 100 TB table. min/max are emitted UNROUNDED: they are selection
+# (not arithmetic) aggregates, so both engines return the identical
+# stored bits and no decimal-rounding parity risk exists. Timestamps
+# profile as exact integer microseconds (< 2^53, exact in DOUBLE).
+PROFILE_COLS = [
+    ("event_id", "num"),
+    ("user_id", "num"),
+    ("value", "num"),
+    ("ts", "epoch_us"),
+    ("event_type", None),
+    ("props", None),
+]
+
+
+def predictions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per column: n_rows, n_nulls, n_distinct, min/max (as
+    DOUBLE; NULL for string columns).
+
+    Scale: a single scan; the exact per-column distinct counts make
+    Catalyst plan one Expand (row x |columns|) feeding partial aggs --
+    the honest cost of exact multi-column NDV anywhere. At 100 TB swap
+    ``countDistinct`` for ``approx_count_distinct`` (HLL++) and the plan
+    collapses to one pass of mergeable sketches; the exact form is kept
+    here because the oracle value-matches it."""
+    ev = _events(spark, sf_dir)
+    aggs = [F.count("*").alias("_n")]
+    for c, kind in PROFILE_COLS:
+        src = F.unix_micros(F.col(c)) if kind == "epoch_us" else F.col(c)
+        aggs += [
+            F.count(src).alias(f"{c}_nn"),
+            F.countDistinct(src).alias(f"{c}_nd"),
+        ]
+        if kind is not None:
+            aggs += [
+                F.min(src).cast("double").alias(f"{c}_min"),
+                F.max(src).cast("double").alias(f"{c}_max"),
+            ]
+    entries = []
+    for c, kind in PROFILE_COLS:
+        mn, mx = (
+            (f"{c}_min", f"{c}_max")
+            if kind is not None
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        )
+        entries.append(f"'{c}', {c}_nn, {c}_nd, {mn}, {mx}")
+    unpivot = (
+        f"stack({len(PROFILE_COLS)}, {', '.join(entries)}) "
+        "AS (col_name, n_nonnull, n_distinct, min_value, max_value)"
+    )
+    return (
+        ev.agg(*aggs)
+        .select("_n", F.expr(unpivot))
+        .select(
+            "col_name",
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col("n_nonnull")).alias("n_nulls"),
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("col_name")
+    )
+
+
+def _profile_oracle_sql() -> str:
+    rows = []
+    for c, kind in PROFILE_COLS:
+        src = f"epoch_us({c})" if kind == "epoch_us" else c
+        mn, mx = (
+            (f"CAST(min({src}) AS DOUBLE)", f"CAST(max({src}) AS DOUBLE)")
+            if kind is not None
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        )
+        rows.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows,\n"
+            f"       count(*) - count({src}) AS n_nulls,\n"
+            f"       count(DISTINCT {src}) AS n_distinct,\n"
+            f"       {mn} AS min_value, {mx} AS max_value\n"
+            "FROM events"
+        )
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY col_name"
+
+
+PROFILE_SQL = _profile_oracle_sql()
+
+
 QUERIES = {
     "props_json_stats": props_json_stats,
     "daily_metrics": daily_metrics,
@@ -338,6 +429,7 @@ QUERIES = {
     "recent_topk": recent_topk,
     "heuristic_score": heuristic_score,
     "feature_extract": feature_extract,
+    "predictions_profile": predictions_profile,
 }
 
 ORACLE = {
@@ -351,4 +443,5 @@ ORACLE = {
     "recent_topk": RECENT_TOPK_SQL,
     "heuristic_score": HEURISTIC_SCORE_SQL,
     "feature_extract": FEATURE_EXTRACT_SQL,
+    "predictions_profile": PROFILE_SQL,
 }

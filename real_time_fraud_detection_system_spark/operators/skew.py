@@ -76,5 +76,56 @@ ORDER BY event_type
 """
 
 
-QUERIES = {"salted_value_by_type": salted_value_by_type}
-ORACLE = {"salted_value_by_type": SALTED_SQL}
+# --------------------------------------------------------------------------
+# Shuffle-balance profiler: the diagnostic that DECIDES whether a key
+# needs the salting above. Buckets are derived from md5 (not xxhash64)
+# solely so the DuckDB oracle can reproduce them bit-for-bit; a real
+# deployment would profile with the engine's own partitioner hash --
+# the imbalance statistics are hash-agnostic for any well-mixed hash.
+N_PROFILE_BUCKETS = 32
+
+
+def shuffle_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulate the reducer-side row distribution of a shuffle keyed on
+    events.user_id at N_PROFILE_BUCKETS partitions: rows and distinct
+    keys per bucket. A skewed key surfaces here as one bucket holding a
+    disproportionate n_rows share BEFORE you pay for the real shuffle --
+    the input to choosing n_salts / AQE skew thresholds.
+
+    Scale: cost is one aggregation keyed (bucket, user_id) -- exactly the
+    cardinality of the shuffle being modeled -- then a trivial rollup to
+    N_PROFILE_BUCKETS rows. Output size is constant in the data size."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        "pmod(CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4), 16, 10)"
+        f" AS INT), {N_PROFILE_BUCKETS})"
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+BALANCE_SQL = f"""
+SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+           % {N_PROFILE_BUCKETS} AS bucket_id,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_keys
+FROM events
+GROUP BY 1
+ORDER BY bucket_id
+"""
+
+
+QUERIES = {
+    "salted_value_by_type": salted_value_by_type,
+    "shuffle_balance_profile": shuffle_balance_profile,
+}
+ORACLE = {
+    "salted_value_by_type": SALTED_SQL,
+    "shuffle_balance_profile": BALANCE_SQL,
+}

@@ -286,11 +286,81 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Inter-arrival gap histogram. Thresholds in integer MICROSECONDS so both
+# engines bucket on exact int64 arithmetic -- no float boundary drift.
+GAP_EDGES_US = [
+    (60_000_000, "a_lt_1m"),
+    (300_000_000, "b_1m_5m"),
+    (3_600_000_000, "c_5m_1h"),
+]
+GAP_LAST = "d_ge_1h"
+
+
+def event_gap_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user inter-event gaps, attributed to the LATER
+    event's type: for each user's event stream ordered by (ts, event_id),
+    the gap to the previous event (any type) is bucketed into
+    <1m / 1-5m / 5m-1h / >=1h.
+
+    This is the arrival-process profile behind every streaming knob the
+    pipeline exposes (watermark delay, session gap, trigger interval --
+    the reference hard-codes 15 min / 1 h windows, Data_quality_checks.py
+    :24,37, with no way to know whether those fit the stream).
+
+    Scale: ONE shuffle (partitionBy user_id) shared by the lag window --
+    the same key the sessionizer shuffles on; the final groupBy is on
+    ~4x|event_type| rows of partial counts. Gap arithmetic stays in int64
+    microseconds end-to-end: bucket edges compare exactly in both engines,
+    min/max per bucket divide down to whole seconds with integer DIV."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    bucket = F.when(F.col("gap_us") < GAP_EDGES_US[0][0], GAP_EDGES_US[0][1])
+    for edge, label in GAP_EDGES_US[1:]:
+        bucket = bucket.when(F.col("gap_us") < edge, label)
+    bucket = bucket.otherwise(GAP_LAST)
+    return (
+        ev.select("event_type", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type", bucket.alias("gap_bucket"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.expr("min(gap_us) DIV 1000000").alias("min_gap_s"),
+            F.expr("max(gap_us) DIV 1000000").alias("max_gap_s"),
+        )
+        .orderBy("event_type", "gap_bucket")
+    )
+
+
+GAP_BUCKETS_SQL = f"""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN gap_us < {GAP_EDGES_US[0][0]} THEN '{GAP_EDGES_US[0][1]}'
+            WHEN gap_us < {GAP_EDGES_US[1][0]} THEN '{GAP_EDGES_US[1][1]}'
+            WHEN gap_us < {GAP_EDGES_US[2][0]} THEN '{GAP_EDGES_US[2][1]}'
+            ELSE '{GAP_LAST}' END AS gap_bucket,
+       count(*) AS n_gaps,
+       min(gap_us) // 1000000 AS min_gap_s,
+       max(gap_us) // 1000000 AS max_gap_s
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY 1, 2
+ORDER BY event_type, gap_bucket
+"""
+
+
 QUERIES = {
     "asof_click_before_purchase": asof_click_before_purchase,
     "clicks_before_errors": clicks_before_errors,
     "approx_distinct_users": approx_distinct_users,
     "approx_value_quantiles": approx_value_quantiles,
+    "event_gap_buckets": event_gap_buckets,
 }
 
 ORACLE = {
@@ -298,4 +368,5 @@ ORACLE = {
     "clicks_before_errors": INTERVAL_JOIN_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "approx_value_quantiles": APPROX_QUANTILES_SQL,
+    "event_gap_buckets": GAP_BUCKETS_SQL,
 }

@@ -219,3 +219,69 @@ def test_repetition_stats_bounds(spark, sf_dir):
     for r in repetition_stats(spark, sf_dir).take(200):
         assert 0.0 <= r["rep_bigram_share"] <= 1.0
         assert 0.0 < r["top_token_share"] <= 1.0
+
+
+def test_predictions_profile_invariants(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.metrics import (
+        PROFILE_COLS,
+        predictions_profile,
+    )
+
+    rows = {r["col_name"]: r for r in predictions_profile(spark, sf_dir).collect()}
+    assert set(rows) == {c for c, _ in PROFILE_COLS}
+    n = load_table(spark, sf_dir, "events").count()
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert r["n_distinct"] <= n - r["n_nulls"]
+    # string columns profile min/max as NULL; numeric/epoch columns don't
+    for c, kind in PROFILE_COLS:
+        if kind is None:
+            assert rows[c]["min_value"] is None and rows[c]["max_value"] is None
+        elif rows[c]["n_nulls"] < n:
+            assert rows[c]["min_value"] <= rows[c]["max_value"]
+
+
+def test_event_gap_buckets_invariants(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.temporal import (
+        GAP_EDGES_US,
+        GAP_LAST,
+        event_gap_buckets,
+    )
+
+    rows = event_gap_buckets(spark, sf_dir).collect()
+    labels = {lbl for _, lbl in GAP_EDGES_US} | {GAP_LAST}
+    assert {r["gap_bucket"] for r in rows} <= labels
+    # each user's k events contribute exactly k-1 gaps
+    ev = load_table(spark, sf_dir, "events")
+    expected = ev.count() - ev.select("user_id").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == expected
+    for r in rows:
+        assert 0 <= r["min_gap_s"] <= r["max_gap_s"]
+        # bucket edges respected (whole-second resolution)
+        if r["gap_bucket"] == GAP_EDGES_US[0][1]:
+            assert r["max_gap_s"] < 60
+        if r["gap_bucket"] == GAP_LAST:
+            assert r["min_gap_s"] >= 3600
+
+
+def test_shuffle_balance_profile_partitions_the_table(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.skew import (
+        N_PROFILE_BUCKETS,
+        shuffle_balance_profile,
+    )
+
+    rows = shuffle_balance_profile(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    # buckets partition rows AND keys: totals must reconcile exactly
+    assert sum(r["n_rows"] for r in rows) == ev.count()
+    assert sum(r["n_keys"] for r in rows) == (
+        ev.select("user_id").distinct().count()
+    )
+    for r in rows:
+        if r["bucket_id"] is not None:  # null user_ids bucket as NULL
+            assert 0 <= r["bucket_id"] < N_PROFILE_BUCKETS
+        assert r["n_keys"] >= 1

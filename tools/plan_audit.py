@@ -50,6 +50,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "freshness_check": frozenset({"NLJ", "1PART"}),
     "moving_avg_revenue": frozenset({"GLOBALWIN", "1PART"}),
     "null_id_check": frozenset({"1PART"}),
+    # predictions_profile: the final merge of the one-scan profile is a
+    # global aggregate over partial (count/NDV/min/max) states -- the
+    # exchange carries |columns| x n_partitions partial rows into one
+    # 6-row result, the near-scalar summary pattern (same class as
+    # conversion_funnel / null_id_check).
+    "predictions_profile": frozenset({"1PART"}),
     "q15_top_supplier": frozenset({"1PART"}),
     "q6_revenue_change": frozenset({"1PART"}),
     # source_mixture_plan: the budget-share window runs over the
