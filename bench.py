@@ -66,6 +66,9 @@ HEADLINE = [
     "source_mixture_plan",
     "value_drift_psi",
     "lang_mismatch_rate",
+    "predictions_profile",
+    "event_gap_buckets",
+    "shuffle_balance_profile",
 ]
 
 
