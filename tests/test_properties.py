@@ -278,3 +278,30 @@ def test_connected_components_empty_edges(spark):
             ).collect()
         }
         assert got == {i: i for i in range(5)}
+
+
+def test_partitioning_invariance_of_new_diagnostics(spark, sf_dir, monkeypatch):
+    """predictions_profile / event_gap_buckets / shuffle_balance_profile
+    are exact (selection aggregates, int64 gap arithmetic, md5 buckets):
+    output must be bit-identical under a 1-partition vs 64-partition
+    input layout -- no rand(), no partition-id dependence, no float
+    accumulation order to hide behind."""
+    import real_time_fraud_detection_system_spark.operators.metrics as mx
+    import real_time_fraud_detection_system_spark.operators.skew as sk
+    import real_time_fraud_detection_system_spark.operators.temporal as tp
+
+    reals = {mod: mod.load_table for mod in (mx, sk, tp)}
+
+    def run_all(parts):
+        for mod, real in reals.items():
+            monkeypatch.setattr(
+                mod, "load_table",
+                lambda s, d, n, _r=real: _r(s, d, n).repartition(parts),
+            )
+        return (
+            sorted(map(tuple, mx.predictions_profile(spark, sf_dir).collect())),
+            sorted(map(tuple, tp.event_gap_buckets(spark, sf_dir).collect())),
+            sorted(map(tuple, sk.shuffle_balance_profile(spark, sf_dir).collect())),
+        )
+
+    assert run_all(1) == run_all(64)
