@@ -77,6 +77,14 @@ PRIORITY = [
     #     shuffle_balance_profile, section (a)), which keep every
     #     family represented (test_registry.py gate) while spending the
     #     window on code with no verdict yet.
+    #
+    # ROUND-6 WINDOW HEAD (registered past position 50 this round; the
+    # window was already full with the 36 stale-verdict queries):
+    # q2_min_cost_supplier / q11_important_stock /
+    # q16_parts_supplier_counts / q20_excess_stock_suppliers -- the
+    # derived-partsupp queries completing the 22-query TPC-H surface,
+    # local-checker green at sf0.01; they take section-(a) slots in the
+    # round-6 rotation, displacing round-5-verified filler.
 ]
 
 

@@ -41,6 +41,10 @@ def test_registry_complete():
         "shard_overlap",
         "stratified_sample",
         "dup_rate_by_source",
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q16_parts_supplier_counts",
+        "q20_excess_stock_suppliers",
     ],
 )
 def test_query_runs_at_smoke_sf(spark, sf_dir, name):

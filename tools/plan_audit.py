@@ -63,6 +63,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # corpus size (the corpus-sized work is the keyed count agg before
     # it); the near-scalar pattern.
     "source_mixture_plan": frozenset({"1PART"}),
+    # Q11 shape: same class as q22 below -- the NLJ is the 1-row
+    # nation-total-value broadcast and the 1PART is that scalar
+    # aggregate's own single-row exchange; both constant-size at any
+    # data scale (the corpus-sized work is the keyed per-part agg).
+    "q11_important_stock": frozenset({"NLJ", "1PART"}),
     # Q22 shape: the NLJ is the 1-row avg-balance threshold broadcast
     # (constant size at any scale) and the 1PART is that scalar
     # aggregate's own exchange feeding it -- both the allowlisted
