@@ -82,9 +82,11 @@ PRIORITY = [
     # window was already full with the 36 stale-verdict queries):
     # q2_min_cost_supplier / q11_important_stock /
     # q16_parts_supplier_counts / q20_excess_stock_suppliers -- the
-    # derived-partsupp queries completing the 22-query TPC-H surface,
-    # local-checker green at sf0.01; they take section-(a) slots in the
-    # round-6 rotation, displacing round-5-verified filler.
+    # derived-partsupp queries completing the 22-query TPC-H surface --
+    # and customer_blocking_er (record linkage: blocking + in-block
+    # Levenshtein verify). All local-checker green at sf0.01; they take
+    # section-(a) slots in the round-6 rotation, displacing
+    # round-5-verified filler.
 ]
 
 

@@ -1033,6 +1033,77 @@ ORDER BY doc.source
 """
 
 
+# --------------------------------------------------------------------------
+# Record linkage (entity resolution): blocking + in-block edit-distance
+# verification over the customer dimension. The classic ER discipline:
+# NEVER all-pairs -- candidates are confined to blocks keyed by cheap
+# exact attributes, and the quadratic verifier runs only inside a block.
+ER_BLOCK_COLS = ["c_nationkey", "c_mktsegment"]
+ER_MAX_DIST = 2
+
+
+def customer_blocking_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate duplicate-identity pairs among customers: block on
+    (nationkey, mktsegment), then verify every in-block pair with
+    Levenshtein distance <= {ER_MAX_DIST} on the name. Emits one row
+    per surviving pair (a < b) with its distance.
+
+    Scale: the self-join is an EQUI-join on the block key -- work is
+    sum(|block|^2), never |customers|^2; block attributes are chosen so
+    blocks stay bounded (at 100 TB add a salt or a second blocking pass
+    on skewed blocks -- same recipe as the LSH band joins above). The
+    verify predicate lives IN the join condition, so non-matching pairs
+    never materialize. Oracle: the identical join in DuckDB; both
+    engines implement classic Levenshtein, so distances agree exactly."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        *ER_BLOCK_COLS, "c_custkey", "c_name"
+    )
+    a = cust.select(
+        *ER_BLOCK_COLS,
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        *ER_BLOCK_COLS,
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            [*ER_BLOCK_COLS]
+        )
+        .filter(
+            (F.col("custkey_a") < F.col("custkey_b"))
+            & (
+                F.levenshtein("name_a", "name_b") <= ER_MAX_DIST
+            )
+        )
+        .select(
+            "custkey_a",
+            "custkey_b",
+            F.col(ER_BLOCK_COLS[1]).alias("block_segment"),
+            F.levenshtein("name_a", "name_b").alias("name_dist"),
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )
+
+
+CUSTOMER_ER_SQL = f"""
+SELECT a.c_custkey AS custkey_a,
+       b.c_custkey AS custkey_b,
+       a.c_mktsegment AS block_segment,
+       levenshtein(a.c_name, b.c_name) AS name_dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= {ER_MAX_DIST}
+ORDER BY custkey_a, custkey_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -1045,6 +1116,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_wide": dedup_clusters_wide,
     "dup_rate_by_source": dup_rate_by_source,
+    "customer_blocking_er": customer_blocking_er,
 }
 
 ORACLE = {
@@ -1059,4 +1131,5 @@ ORACLE = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_wide": DEDUP_CLUSTERS_WIDE_SQL,
     "dup_rate_by_source": DUP_RATE_BY_SOURCE_SQL,
+    "customer_blocking_er": CUSTOMER_ER_SQL,
 }

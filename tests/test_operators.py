@@ -289,3 +289,19 @@ def test_shuffle_balance_profile_partitions_the_table(spark, sf_dir):
         if r["bucket_id"] is not None:  # null user_ids bucket as NULL
             assert 0 <= r["bucket_id"] < N_PROFILE_BUCKETS
         assert r["n_keys"] >= 1
+
+
+def test_customer_blocking_er_invariants(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.dedup import (
+        ER_MAX_DIST,
+        customer_blocking_er,
+    )
+
+    rows = customer_blocking_er(spark, sf_dir).collect()
+    assert rows, "sequential synthetic names must yield close pairs"
+    seen = set()
+    for r in rows:
+        assert r["custkey_a"] < r["custkey_b"]  # each unordered pair once
+        assert 0 <= r["name_dist"] <= ER_MAX_DIST
+        assert (r["custkey_a"], r["custkey_b"]) not in seen
+        seen.add((r["custkey_a"], r["custkey_b"]))
