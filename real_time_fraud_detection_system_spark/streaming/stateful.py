@@ -129,3 +129,126 @@ def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ==========================================================================
+# Streaming arrival-process monitor: the streaming-native twin of
+# operators/temporal.py event_gap_buckets (same bucket edges, same
+# later-event attribution). Per-user state holds the last FINALIZED
+# event time (the gap anchor) plus the events still inside the
+# watermark horizon; a gap row is emitted exactly once, when its later
+# event's ts falls at or below the current watermark (no earlier event
+# can legally arrive before it anymore). Late-but-in-horizon events
+# therefore produce the same gaps the batch twin computes -- the buffer
+# re-sorts them -- while beyond-watermark events are already dropped
+# upstream by withWatermark.
+#
+# Scale posture: state is per-user and bounded by the watermark horizon
+# (buffered events age out as the watermark advances; a TTL timeout
+# removes users gone GAP_STATE_TTL_S past their last event), and lives
+# in the state store partitioned with the shuffle -- nothing
+# driver-side.
+
+GAP_STATE_TTL_S = 24 * 3600
+
+GAP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("gap_us", T.LongType()),
+        T.StructField("gap_bucket", T.StringType()),
+    ]
+)
+
+GAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("anchor_us", T.LongType()),  # -1 = no finalized event
+        T.StructField("pend_ts_us", T.ArrayType(T.LongType())),
+        T.StructField("pend_type", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _gap_bucket(gap_us: int) -> str:
+    from ..operators.temporal import GAP_EDGES_US, GAP_LAST
+
+    for edge, label in GAP_EDGES_US:
+        if gap_us < edge:
+            return label
+    return GAP_LAST
+
+
+def _gap_monitor_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Invoked on data for this user OR on timeout. Groups absent from
+    a batch are never called with data, so finalization when the
+    watermark passes a pending event is driven by an event-time timeout
+    set at the NEWEST pending event; once nothing is pending the
+    timeout degrades to the TTL cleanup."""
+    (user_id,) = key
+    anchor, pend = -1, []
+    if state.exists:
+        anchor, pend_ts, pend_ty = state.get
+        pend = list(zip(pend_ts, pend_ty))
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for ts, ty in zip(pdf["ts"], pdf["event_type"]):
+                pend.append((int(ts.value // 1000), str(ty)))
+        pend.sort()
+
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+    out, keep = [], []
+    for ts_us, ty in pend:
+        if ts_us <= wm_us:  # a timeout firing implies wm passed them all
+            if anchor >= 0:
+                gap = ts_us - anchor
+                out.append((user_id, ty, gap, _gap_bucket(gap)))
+            anchor = ts_us
+        else:
+            keep.append((ts_us, ty))
+
+    if state.hasTimedOut and not keep and not out:
+        state.remove()  # TTL fired on a drained user: drop the anchor
+    else:
+        state.update(
+            (anchor, [t for t, _ in keep], [y for _, y in keep])
+        )
+        if keep:
+            # fire as soon as the watermark passes the newest pending
+            # event (> wm now, so always a legal timeout timestamp)
+            timeout_ms = max(t for t, _ in keep) // 1000
+        else:
+            timeout_ms = max(anchor // 1000, wm_ms) + GAP_STATE_TTL_S * 1000
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
+
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [o[0] for o in out],
+                "event_type": [o[1] for o in out],
+                "gap_us": [o[2] for o in out],
+                "gap_bucket": [o[3] for o in out],
+            }
+        )
+
+
+def gap_monitor_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """events(ts TIMESTAMP, user_id LONG, event_type STRING) streaming
+    frame -> one row per finalized inter-event gap (the batch twin's
+    rows, emitted incrementally). Aggregate downstream for the live
+    histogram."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _gap_monitor_fn,
+            outputStructType=GAP_SCHEMA,
+            stateStructType=GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

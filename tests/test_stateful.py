@@ -205,3 +205,73 @@ def test_stream_sessionizer_matches_batch_twin(spark, tmp_path):
         for r in got if r["user_id"] != 99
     }
     assert stream_set == batch_set
+
+
+def test_stream_gap_monitor_emits_batch_twin_gaps(spark, tmp_path):
+    """Gap rows appear exactly when the later event crosses the
+    watermark, with the batch twin's ordering semantics: the late
+    minute-50 event (arriving a batch after minute-130) must slot
+    BETWEEN minutes 10 and 130, splitting what a naive monitor would
+    emit as one 120-minute gap."""
+    from real_time_fraud_detection_system_spark.streaming.stateful import (
+        gap_monitor_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    out_rows = []
+
+    batches = [
+        [(_t(0), 1, "click"), (_t(10), 1, "view"), (_t(5), 2, "click")],
+        # minute-50 arrives LATE (after 130 exists) but inside the 1 h
+        # watermark horizon; user 3 pushes the watermark to minute 741
+        [(_t(130), 1, "purchase"), (_t(50), 1, "error"),
+         (_t(800), 3, "click"), (_t(801), 3, "view")],
+        # dummy user advances nothing for itself; its batch runs with
+        # watermark at 741, finalizing every user-1 event
+        [(_t(900), 4, "click")],
+    ]
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    gaps = gap_monitor_stream(stream)
+
+    def collect(batch_df, epoch_id):
+        out_rows.extend(batch_df.collect())
+
+    ckpt = tmp_path / "ckpt"
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        q = (
+            gaps.writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .foreachBatch(collect)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["event_type"], r["gap_us"], r["gap_bucket"])
+        for r in out_rows
+    )
+    # user 1: 0 -> 10 -> 50 -> 130; gap attributed to the LATER event.
+    # user 3's 800 -> 801 gap finalizes inside run 3 as well: the
+    # minute-900 batch advances the watermark to 840, and availableNow
+    # runs one more timeout batch before stopping.
+    want = [
+        (1, "error", 2400 * 1_000_000, "c_5m_1h"),     # 10 -> 50
+        (1, "purchase", 4800 * 1_000_000, "d_ge_1h"),  # 50 -> 130
+        (1, "view", 600 * 1_000_000, "c_5m_1h"),       # 0 -> 10
+        (3, "view", 60 * 1_000_000, "b_1m_5m"),        # 800 -> 801
+    ]
+    assert got == sorted(want)
