@@ -168,3 +168,29 @@ def test_tfidf_scan_prunes_to_two_columns(spark, sf_dir):
     df = tfidf_top_terms(spark, sf_dir)
     assert_pruned_schema(df, "documents", 2)
     assert_no_cartesian(df)
+
+
+def test_derived_partsupp_is_map_side(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.tpch_extra import (
+        derived_partsupp,
+    )
+
+    df = derived_partsupp(spark, sf_dir)
+    # part scan -> project -> explode -> project: generation must not
+    # shuffle (the queries that consume it pay for their own joins)
+    assert count_exchanges(df) == 0
+    assert_pruned_schema(df, "part", max_cols=1)
+
+
+def test_partsupp_queries_broadcast_dims(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.tpch_extra import (
+        q2_min_cost_supplier,
+        q16_parts_supplier_counts,
+        q20_excess_stock_suppliers,
+    )
+
+    for fn in (q2_min_cost_supplier, q16_parts_supplier_counts,
+               q20_excess_stock_suppliers):
+        df = fn(spark, sf_dir)
+        assert_broadcast_join(df)
+        assert_no_cartesian(df)
