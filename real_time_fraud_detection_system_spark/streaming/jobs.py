@@ -94,3 +94,106 @@ def dq_checks(predictions: DataFrame, now_col=None) -> dict:
     if fr is not None and not (0.0 <= fr <= 1.0):
         raise DataQualityError(f"fraud rate out of bounds: {result}")
     return result
+
+
+# ==========================================================================
+# Incremental table profiling (T9/T10 general form). The batch operator
+# operators/metrics.py predictions_profile is exact and one-shot; this
+# is the job form for a table that GROWS: each micro-batch (or each
+# scheduled run over new partitions) emits a tiny MERGEABLE partial --
+# counts, min/max, and a DataSketches HLL sketch per column -- and the
+# current profile is an aggregation over partials, never a rescan of
+# history. Exactly the sketch-merge posture a 100 TB store needs: the
+# only non-mergeable exact statistic (NDV) degrades to the sketch
+# estimate, everything else stays exact.
+
+
+def profile_partial(df: DataFrame, cols) -> DataFrame:
+    """One-row frame of mergeable per-column states for this batch.
+    ``cols``: [(name, 'num' | 'epoch_us' | None)] -- the
+    operators/metrics.py PROFILE_COLS convention."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in cols:
+        src = F.unix_micros(F.col(c)) if kind == "epoch_us" else F.col(c)
+        # HLL input must be int/long/string/binary: doubles profile
+        # their string image (same cardinality, engine-stable)
+        sk = src.cast("string") if kind == "num" else src
+        aggs += [
+            F.count(src).alias(f"{c}_nn"),
+            F.hll_sketch_agg(sk).alias(f"{c}_hll"),
+        ]
+        if kind is not None:
+            aggs += [
+                F.min(src).cast("double").alias(f"{c}_min"),
+                F.max(src).cast("double").alias(f"{c}_max"),
+            ]
+    return df.agg(*aggs)
+
+
+def profile_merge(partials: DataFrame, cols) -> DataFrame:
+    """Fold any number of partials into the per-column profile frame
+    (same shape as predictions_profile, with approx_ndv in place of the
+    exact n_distinct)."""
+    aggs = [F.sum("n_rows").alias("_n")]
+    for c, kind in cols:
+        aggs += [
+            F.sum(f"{c}_nn").alias(f"{c}_nn"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col(f"{c}_hll"), True)
+            ).alias(f"{c}_nd"),
+        ]
+        if kind is not None:
+            aggs += [
+                F.min(f"{c}_min").alias(f"{c}_min"),
+                F.max(f"{c}_max").alias(f"{c}_max"),
+            ]
+    entries = []
+    for c, kind in cols:
+        mn, mx = (
+            (f"{c}_min", f"{c}_max")
+            if kind is not None
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        )
+        entries.append(f"'{c}', {c}_nn, {c}_nd, {mn}, {mx}")
+    unpivot = (
+        f"stack({len(cols)}, {', '.join(entries)}) "
+        "AS (col_name, n_nonnull, approx_ndv, min_value, max_value)"
+    )
+    return (
+        profile_partial_rollup_select(partials.agg(*aggs), unpivot)
+    )
+
+
+def profile_partial_rollup_select(agged: DataFrame, unpivot: str) -> DataFrame:
+    return (
+        agged.select("_n", F.expr(unpivot))
+        .select(
+            "col_name",
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col("n_nonnull")).alias("n_nulls"),
+            "approx_ndv",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("col_name")
+    )
+
+
+def profile_sink_writer(partials_dir: str, cols):
+    """foreachBatch hook: append one partial row per micro-batch."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            profile_partial(batch_df, cols)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    return write_batch
+
+
+def profile_from_partials(spark: SparkSession, partials_dir: str, cols) -> DataFrame:
+    return profile_merge(
+        spark.read.parquet(partials_dir).drop("epoch_id"), cols
+    )

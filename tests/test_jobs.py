@@ -93,3 +93,40 @@ def test_dq_checks_freshness_fires(spark, predictions):
         dq_checks(
             predictions, now_col=F.lit("2024-06-01 00:00:00").cast("timestamp")
         )
+
+
+def test_incremental_profile_matches_one_shot(spark, sf_dir):
+    """Three disjoint partials merged = one-shot profile: exact fields
+    (counts, nulls, min/max) identical, HLL NDV within sketch error of
+    the exact distinct counts."""
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.metrics import (
+        PROFILE_COLS,
+        predictions_profile,
+    )
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        profile_merge,
+        profile_partial,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        profile_partial(ev.filter(F.pmod("event_id", F.lit(3)) == i), PROFILE_COLS)
+        for i in range(3)
+    ]
+    partials = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = {
+        r["col_name"]: r for r in profile_merge(partials, PROFILE_COLS).collect()
+    }
+    exact = {
+        r["col_name"]: r for r in predictions_profile(spark, sf_dir).collect()
+    }
+    assert set(merged) == set(exact)
+    for c in exact:
+        assert merged[c]["n_rows"] == exact[c]["n_rows"]
+        assert merged[c]["n_nulls"] == exact[c]["n_nulls"]
+        assert merged[c]["min_value"] == exact[c]["min_value"]
+        assert merged[c]["max_value"] == exact[c]["max_value"]
+        nd, nd_exact = merged[c]["approx_ndv"], exact[c]["n_distinct"]
+        assert abs(nd - nd_exact) <= max(0.05 * nd_exact, 2), c
