@@ -130,3 +130,62 @@ def test_incremental_profile_matches_one_shot(spark, sf_dir):
         assert merged[c]["max_value"] == exact[c]["max_value"]
         nd, nd_exact = merged[c]["approx_ndv"], exact[c]["n_distinct"]
         assert abs(nd - nd_exact) <= max(0.05 * nd_exact, 2), c
+
+
+def test_profile_sink_accumulates_partials_over_stream(spark, tmp_path):
+    """Drive profile_sink_writer through a real file stream: two
+    micro-batches -> two appended partial rows -> merged profile equals
+    the one-shot profile of the union."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        profile_from_partials,
+        profile_merge,
+        profile_partial,
+        profile_sink_writer,
+    )
+
+    cols = [("user_id", "num"), ("ts", "epoch_us"), ("event_type", None)]
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    batches = [
+        [(t0, 1, "click"), (t0, 2, "view")],
+        [(t0, 2, "click"), (t0, 3, None)],
+    ]
+    src = tmp_path / "src"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(profile_sink_writer(str(tmp_path / "partials"), cols))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    prof = {
+        r["col_name"]: r
+        for r in profile_from_partials(
+            spark, str(tmp_path / "partials"), cols
+        ).collect()
+    }
+    assert prof["user_id"]["n_rows"] == 4
+    assert prof["user_id"]["approx_ndv"] == 3  # tiny set: HLL is exact
+    assert prof["user_id"]["min_value"] == 1.0
+    assert prof["user_id"]["max_value"] == 3.0
+    assert prof["event_type"]["n_nulls"] == 1
+    assert prof["event_type"]["min_value"] is None
