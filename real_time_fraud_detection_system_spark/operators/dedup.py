@@ -1036,69 +1036,114 @@ ORDER BY doc.source
 # --------------------------------------------------------------------------
 # Record linkage (entity resolution): blocking + in-block edit-distance
 # verification over the customer dimension. The classic ER discipline:
-# NEVER all-pairs -- candidates are confined to blocks keyed by cheap
-# exact attributes, and the quadratic verifier runs only inside a block.
+# NEVER all-pairs -- candidates are confined to blocks, the quadratic
+# verifier runs only inside a block, and (the part that decides whether
+# the design survives 100 TB) block SIZES must be bounded by the key
+# construction, not by the data size. Blocking on attributes alone
+# (nationkey, mktsegment) fails that test: attribute cardinality is
+# constant, so blocks grow linearly with the table and the in-block
+# pair count quadratically -- measured as a >10-min blowup at the 100x
+# replica scale. The name STEM (the name minus its last ER_STEM_DROP
+# characters) joins the key instead: stem cardinality grows with the
+# table, block membership is bounded by the id-suffix alphabet
+# (10^ER_STEM_DROP decimal names here), and total candidate work is
+# LINEAR in the corpus. The recall tradeoff is explicit and standard:
+# single-pass prefix blocking finds variants differing only in the
+# dropped suffix; higher recall = more passes with complementary keys
+# (drop a middle slice, phonetic keys, ...), each the same linear
+# shape.
 ER_BLOCK_COLS = ["c_nationkey", "c_mktsegment"]
-ER_MAX_DIST = 2
+ER_STEM_DROP = 2
+ER_MAX_DIST = 1
 
 
 def customer_blocking_er(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate duplicate-identity pairs among customers: block on
-    (nationkey, mktsegment), then verify every in-block pair with
-    Levenshtein distance <= {ER_MAX_DIST} on the name. Emits one row
-    per surviving pair (a < b) with its distance.
+    """Candidate duplicate-identity pairs among customers.
 
-    Scale: the self-join is an EQUI-join on the block key -- work is
-    sum(|block|^2), never |customers|^2; block attributes are chosen so
-    blocks stay bounded (at 100 TB add a salt or a second blocking pass
-    on skewed blocks -- same recipe as the LSH band joins above). The
-    verify predicate lives IN the join condition, so non-matching pairs
-    never materialize. Oracle: the identical join in DuckDB; both
-    engines implement classic Levenshtein, so distances agree exactly."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        *ER_BLOCK_COLS, "c_custkey", "c_name"
+    Two-stage, both linear:
+      1. EXACT collapse -- group records to distinct identities
+         (nationkey, mktsegment, name), keeping min custkey + record
+         count: the dedup_exact pattern. Exact duplicates are resolved
+         HERE (reported as n_records), never re-discovered pairwise --
+         a corpus where every identity appears k times would otherwise
+         emit O(k^2) pairs per identity (measured: the 100x replica
+         corpus, ~100 copies/name, blew the per-record pair join past
+         10 minutes; the collapsed form is replica-invariant).
+      2. NEAR match -- block distinct identities on (attributes +
+         name-stem), verify in-block pairs with Levenshtein <=
+         {ER_MAX_DIST} on the full name. One row per surviving
+         identity pair (name_a < name_b) with both representatives.
+
+    The verifier is NOT decorative under this blocking: in-block pairs
+    may differ in up to {ER_STEM_DROP} suffix positions, the
+    distance-{ER_MAX_DIST} gate rejects the rest. Oracle: identical
+    two-stage SQL in DuckDB; both engines implement classic
+    Levenshtein, so distances agree exactly."""
+    stem = F.expr(f"substring(c_name, 1, length(c_name) - {ER_STEM_DROP})")
+    idents = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(*ER_BLOCK_COLS, "c_name")
+        .agg(
+            F.min("c_custkey").alias("keep_id"),
+            F.count("*").alias("n_records"),
+        )
+        .select(
+            *ER_BLOCK_COLS, "c_name", "keep_id", "n_records",
+            stem.alias("name_stem"),
+        )
     )
-    a = cust.select(
-        *ER_BLOCK_COLS,
-        F.col("c_custkey").alias("custkey_a"),
+    block = [*ER_BLOCK_COLS, "name_stem"]
+    a = idents.select(
+        *block,
         F.col("c_name").alias("name_a"),
+        F.col("keep_id").alias("custkey_a"),
+        F.col("n_records").alias("n_records_a"),
     )
-    b = cust.select(
-        *ER_BLOCK_COLS,
-        F.col("c_custkey").alias("custkey_b"),
+    b = idents.select(
+        *block,
         F.col("c_name").alias("name_b"),
+        F.col("keep_id").alias("custkey_b"),
+        F.col("n_records").alias("n_records_b"),
     )
     return (
-        a.join(
-            b,
-            [*ER_BLOCK_COLS]
-        )
+        a.join(b, block)
         .filter(
-            (F.col("custkey_a") < F.col("custkey_b"))
-            & (
-                F.levenshtein("name_a", "name_b") <= ER_MAX_DIST
-            )
+            (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= ER_MAX_DIST)
         )
         .select(
             "custkey_a",
             "custkey_b",
             F.col(ER_BLOCK_COLS[1]).alias("block_segment"),
             F.levenshtein("name_a", "name_b").alias("name_dist"),
+            "n_records_a",
+            "n_records_b",
         )
         .orderBy("custkey_a", "custkey_b")
     )
 
 
 CUSTOMER_ER_SQL = f"""
-SELECT a.c_custkey AS custkey_a,
-       b.c_custkey AS custkey_b,
+WITH idents AS (
+  SELECT c_nationkey, c_mktsegment, c_name,
+         min(c_custkey) AS keep_id,
+         count(*) AS n_records,
+         substr(c_name, 1, length(c_name) - {ER_STEM_DROP}) AS name_stem
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT a.keep_id AS custkey_a,
+       b.keep_id AS custkey_b,
        a.c_mktsegment AS block_segment,
-       levenshtein(a.c_name, b.c_name) AS name_dist
-FROM customer a
-JOIN customer b
+       levenshtein(a.c_name, b.c_name) AS name_dist,
+       a.n_records AS n_records_a,
+       b.n_records AS n_records_b
+FROM idents a
+JOIN idents b
   ON a.c_nationkey = b.c_nationkey
  AND a.c_mktsegment = b.c_mktsegment
- AND a.c_custkey < b.c_custkey
+ AND a.name_stem = b.name_stem
+ AND a.c_name < b.c_name
  AND levenshtein(a.c_name, b.c_name) <= {ER_MAX_DIST}
 ORDER BY custkey_a, custkey_b
 """

@@ -301,7 +301,10 @@ def test_customer_blocking_er_invariants(spark, sf_dir):
     assert rows, "sequential synthetic names must yield close pairs"
     seen = set()
     for r in rows:
-        assert r["custkey_a"] < r["custkey_b"]  # each unordered pair once
-        assert 0 <= r["name_dist"] <= ER_MAX_DIST
-        assert (r["custkey_a"], r["custkey_b"]) not in seen
-        seen.add((r["custkey_a"], r["custkey_b"]))
+        assert r["custkey_a"] != r["custkey_b"]
+        # identical names collapse in stage 1, so near pairs are strict
+        assert 1 <= r["name_dist"] <= ER_MAX_DIST
+        assert r["n_records_a"] >= 1 and r["n_records_b"] >= 1
+        pair = tuple(sorted((r["custkey_a"], r["custkey_b"])))
+        assert pair not in seen  # each identity pair exactly once
+        seen.add(pair)
