@@ -21,6 +21,8 @@ All vector math is double-precision Catalyst higher-order functions
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -459,6 +461,46 @@ def sem_planes(n: int) -> int:
     )
 
 
+def sem_signatures_udf(planes: int):
+    """Arrow-batched twin of ``lsh_signature_expr`` for the multi-table
+    signatures: all SEM_TABLES x planes projections of a batch in one
+    numpy pass. The per-plane SQL fold (aggregate over zip_with) is
+    evaluated INTERPRETED by Spark -- profiled at 39 of 43 s per 100x
+    semantic-dedup run; this kernel is the same arithmetic at numpy
+    speed.
+
+    BIT-EXACT by construction, which is what lets the DuckDB oracle
+    keep running the SQL fold: the accumulator is built by one
+    vectorized add PER DIMENSION in ascending order, so every element
+    sees the identical left-to-right IEEE sequence
+    ((0 + x0*w0) + x1*w1) + ... as the SQL aggregate() and DuckDB's
+    list_sum. A matmul would re-associate the sum and flip near-zero
+    signs against the oracle. Weights come from the same
+    _hyperplane_weights md5 stream the SQL literals embed."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = SEM_TABLES * planes
+    w_rows = [_hyperplane_weights(p) for p in range(n_planes)]
+
+    @pandas_udf("array<bigint>")
+    def sigs(emb: pd.Series) -> pd.Series:
+        E = np.stack(emb.to_numpy())  # (rows, dims) float64
+        W = np.asarray(w_rows, dtype=np.float64)[:, : E.shape[1]]
+        acc = np.zeros((E.shape[0], n_planes))
+        for i in range(E.shape[1]):  # ascending dims = the fold order
+            acc += E[:, i : i + 1] * W[:, i]
+        bits = acc > 0
+        out = np.zeros((E.shape[0], SEM_TABLES), dtype=np.int64)
+        for t in range(SEM_TABLES):
+            for p in range(planes):
+                out[:, t] += bits[:, t * planes + p].astype(np.int64) << p
+        return pd.Series(list(out))
+
+    return sigs
+
+
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: group embedding-space near-
     duplicates (cosine >= {COSINE_THRESHOLD} within some LSH bucket)
@@ -479,19 +521,49 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixpoint."""
     from .graph import connected_components
 
-    n = load_table(spark, sf_dir, "embeddings").count()
-    planes = sem_planes(n)
-    sig_arr = F.array(
-        *[
-            F.expr(
-                lsh_signature_expr(
-                    "emb", planes=planes, plane_offset=t * planes
+    # Stage 0 -- DIRECTION collapse. Cosine depends only on the
+    # direction, so vectors whose normalized forms agree at 6 decimals
+    # have pairwise cosine >= 1 - ~6e-11 -- unconditionally above
+    # COSINE_THRESHOLD, no verification needed: they are the same
+    # semantic point. The replica corpus repeats each direction ~100x
+    # under varying scales (bit-level exact-dup collapse finds nothing;
+    # this finds all of it), and without the collapse the bucket join
+    # must EMIT every within-direction pair -- profiled at ~10M
+    # verified edges / 26 of 35 s per 100x run. Reps carry the
+    # vec_id-minimal member's exact embedding (min_by, mirrored as
+    # arg_min in the oracle) so near-threshold cosines are computed on
+    # identical bits in both engines; members take their rep's cluster
+    # label at the end, preserving cluster_id = min vec_id.
+    # Grouping/joining on the rounded ARRAY itself is pathological
+    # (the array-keyed member join alone profiled 100 s at 100x);
+    # the key is compacted to md5 of the array's string image --
+    # engine-internal, so the oracle can keep grouping by the list --
+    # and membership is ONE window-min shuffle on that 32-char key
+    # instead of a join. Reps keep their own row (vec_id == rep_id),
+    # which IS the vec_id-minimal member's exact embedding.
+    tagged = (
+        _vectors(spark, sf_dir)
+        .withColumn(
+            "skey",
+            F.md5(
+                F.expr(
+                    "cast(transform(emb, x -> round(x / norm, 6)) as string)"
                 )
-            )
-            for t in range(SEM_TABLES)
-        ]
+            ),
+        )
+        .withColumn(
+            "rep_id", F.min("vec_id").over(Window.partitionBy("skey"))
+        )
+        .cache()
     )
-    vecs = _vectors(spark, sf_dir)
+    members = tagged.select("vec_id", "rep_id")
+    reps = tagged.filter(F.col("vec_id") == F.col("rep_id")).select(
+        "vec_id", "emb", "norm"
+    )
+    n = reps.count()
+    planes = sem_planes(n)
+    sig_arr = sem_signatures_udf(planes)(F.col("emb"))
+    vecs = reps
     # Cache AFTER the signature projection: the tables x planes x dims
     # interpreted products are the dominant cost and both sides of the
     # self-join reference them (caching the pre-signature vectors was
@@ -557,10 +629,11 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     nodes = vecs.select(F.col("vec_id").alias("node"))
     labels = connected_components(nodes, edges)
+    # members inherit their rep's label; label = min rep_id of the
+    # component = min vec_id overall (reps are their groups' minima)
     return (
-        labels.select(
-            F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
-        )
+        members.join(labels, members.rep_id == labels.node)
+        .select("vec_id", F.col("label").alias("cluster_id"))
         .orderBy("vec_id")
     )
 
@@ -586,15 +659,31 @@ _DUCK_SEM_SIGS = (
 
 SEMANTIC_DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE base AS ({_DUCK_VECTORS}),
+keyed AS (
+  SELECT *, list_transform(range(1, len(emb) + 1),
+                           i -> round(emb[i] / norm, 6)) AS dkey
+  FROM base
+),
+dedup AS (
+  SELECT dkey,
+         min(vec_id) AS rep_id,
+         arg_min(emb, vec_id) AS emb,
+         arg_min(norm, vec_id) AS norm
+  FROM keyed GROUP BY dkey
+),
+members AS (
+  SELECT k.vec_id, d.rep_id
+  FROM keyed k JOIN dedup d ON k.dkey = d.dkey
+),
 params AS (
   SELECT greatest(1, CAST(ceil(log2(greatest(count(*) * {SEM_TABLES}, 2)
                                     / {float(SEM_BUCKET_TARGET)})) AS INT))
            AS planes
-  FROM base
+  FROM dedup
 ),
 vecs AS (
-  SELECT vec_id, emb, norm, {_DUCK_SEM_SIGS} AS sigs
-  FROM base CROSS JOIN params p
+  SELECT rep_id AS vec_id, emb, norm, {_DUCK_SEM_SIGS} AS sigs
+  FROM dedup CROSS JOIN params p
 ),
 bucketed AS (
   SELECT vec_id, emb, norm, sigs, tt.t AS t, sigs[tt.t + 1] AS sig
@@ -617,10 +706,14 @@ reach(src, dst) AS (
   SELECT vec_id, vec_id FROM vecs
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+rep_labels AS (
+  SELECT src AS rep_id, min(dst) AS cluster_id
+  FROM reach
+  GROUP BY src
 )
-SELECT src AS vec_id, min(dst) AS cluster_id
-FROM reach
-GROUP BY src
+SELECT m.vec_id, r.cluster_id
+FROM members m JOIN rep_labels r USING (rep_id)
 ORDER BY vec_id
 """
 
