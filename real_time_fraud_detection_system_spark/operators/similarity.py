@@ -486,6 +486,8 @@ def sem_signatures_udf(planes: int):
 
     @pandas_udf("array<bigint>")
     def sigs(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # np.stack rejects an empty batch
+            return pd.Series([], dtype=object)
         E = np.stack(emb.to_numpy())  # (rows, dims) float64
         W = np.asarray(w_rows, dtype=np.float64)[:, : E.shape[1]]
         acc = np.zeros((E.shape[0], n_planes))
