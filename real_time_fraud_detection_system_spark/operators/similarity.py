@@ -532,10 +532,11 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this finds all of it), and without the collapse the bucket join
     # must EMIT every within-direction pair -- profiled at ~10M
     # verified edges / 26 of 35 s per 100x run. Reps carry the
-    # vec_id-minimal member's exact embedding (min_by, mirrored as
-    # arg_min in the oracle) so near-threshold cosines are computed on
-    # identical bits in both engines; members take their rep's cluster
-    # label at the end, preserving cluster_id = min vec_id.
+    # vec_id-minimal member's exact embedding (here the rep IS that
+    # member's row; the oracle's arg_min(emb, vec_id) picks the same
+    # bits) so near-threshold cosines are computed on identical bits in
+    # both engines; members take their rep's cluster label at the end,
+    # preserving cluster_id = min vec_id.
     # Grouping/joining on the rounded ARRAY itself is pathological
     # (the array-keyed member join alone profiled 100 s at 100x);
     # the key is compacted to md5 of the array's string image --
