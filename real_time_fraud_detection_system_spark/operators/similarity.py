@@ -14,9 +14,12 @@
                             scale path: shuffle keyed by bucket signature,
                             candidate sets shrink exponentially with bits.
 
-All vector math is double-precision Catalyst higher-order functions
-(transform/aggregate) -- JVM codegen, no Python. Products are exact
-(float widened to double), so rounded cosines agree with DuckDB.
+All vector math is double-precision. Cosines and single-table
+signatures are Catalyst higher-order functions (transform/aggregate);
+the multi-table semantic-dedup signatures run as an Arrow-batched
+numpy kernel (sem_signatures_udf) that replays the identical
+left-to-right IEEE fold, so every rounded value still agrees
+bit-for-bit with the DuckDB oracle's plain SQL.
 """
 
 from __future__ import annotations
