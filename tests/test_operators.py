@@ -308,3 +308,59 @@ def test_customer_blocking_er_invariants(spark, sf_dir):
         pair = tuple(sorted((r["custkey_a"], r["custkey_b"])))
         assert pair not in seen  # each identity pair exactly once
         seen.add(pair)
+
+
+def test_sem_signature_kernel_matches_sql_fold(spark, sf_dir):
+    """The numpy signature kernel claims BIT-EXACT parity with the SQL
+    aggregate() fold (that claim is what keeps the DuckDB oracle on
+    plain SQL). Evaluate both over the real embeddings and demand zero
+    differing rows."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        SEM_TABLES,
+        _vectors,
+        lsh_signature_expr,
+        sem_signatures_udf,
+    )
+
+    planes = 9  # odd width, exercises multi-table offsets
+    vecs = _vectors(spark, sf_dir)
+    sql_sigs = F.array(
+        *[
+            F.expr(
+                lsh_signature_expr("emb", planes=planes, plane_offset=t * planes)
+            ).cast("bigint")
+            for t in range(SEM_TABLES)
+        ]
+    )
+    both = vecs.select(
+        sql_sigs.alias("a"),
+        sem_signatures_udf(planes)(F.col("emb")).alias("b"),
+    )
+    assert both.filter("a != b").count() == 0
+
+
+def test_semantic_dedup_collapses_scalar_multiples(spark, tmp_path, monkeypatch):
+    """Direction collapse: a vector and its positive scalar multiple
+    must land in one cluster (cosine exactly 1) while an orthogonal
+    vector stays apart; cluster_id is the min member vec_id."""
+    import real_time_fraud_detection_system_spark.operators.similarity as sim
+
+    rows = [
+        (10, [1.0, 2.0, 2.0]),
+        (11, [2.0, 4.0, 4.0]),   # 2x row 10: same direction
+        (12, [-2.0, 2.0, -1.0]), # orthogonal to row 10
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    real_load = sim.load_table
+    monkeypatch.setattr(
+        sim,
+        "load_table",
+        lambda s, d, n, _r=real_load: df if n == "embeddings" else _r(s, d, n),
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim.semantic_dedup_clusters(spark, str(tmp_path)).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 12}
