@@ -86,7 +86,11 @@ PRIORITY = [
     # and customer_blocking_er (record linkage: blocking + in-block
     # Levenshtein verify). All local-checker green at sf0.01; they take
     # section-(a) slots in the round-6 rotation, displacing
-    # round-5-verified filler.
+    # round-5-verified filler. ALSO round-6 (a): hourly_timeseries,
+    # tumbling_15min, user_sessions -- changed late in round 5 (their
+    # double-rounding aggregates moved to exact fixed-point after the
+    # sf0.1 parity sweep caught the round-boundary class; verdicts on
+    # the old code are round 4).
 ]
 
 

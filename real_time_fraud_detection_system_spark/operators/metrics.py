@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.money import cents_sql, exact_sum
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,8 +153,21 @@ WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
 # --------------------------------------------------------------------------
 def hourly_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/O2: time-series aggregation by hour bucket + type
-    (grafana predictions.json:18, GROUP BY event_time ORDER BY 1)."""
+    (grafana predictions.json:18, GROUP BY event_time ORDER BY 1).
+
+    avg_value is computed ENTIRELY in integer fixed-point
+    (functions/money.py rationale): ``round(avg(double), 4)`` was the
+    one sf0.1 cross-engine mismatch this suite ever produced -- the
+    order-dependent double sum lands half an ulp either side of a
+    rounding boundary (51.51125 -> 51.5113 vs 51.5112). Summing exact
+    1e-4 cents and rounding half-up with integer division cannot
+    disagree. (Half-up integer div assumes non-negative sums -- value
+    is a price-like positive column.)"""
     ev = _events(spark, sf_dir)
+    avg4 = F.expr(
+        f"CAST((sum({cents_sql('value')}) * 2 + count(*))"
+        " DIV (2 * count(*)) AS DOUBLE) / 10000"
+    )
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -163,17 +177,18 @@ def hourly_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            avg4.alias("avg_value"),
         )
         .orderBy("hour_bucket", "event_type")
     )
 
 
-HOURLY_TIMESERIES_SQL = """
+HOURLY_TIMESERIES_SQL = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
        event_type,
        count(*) AS n,
-       round(avg(value), 4) AS avg_value
+       CAST((sum({cents_sql('value')}) * 2 + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000 AS avg_value
 FROM events
 GROUP BY 1, 2
 ORDER BY hour_bucket, event_type
@@ -195,17 +210,19 @@ def tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # order-independent fixed-point sum (same fragility class
+            # as hourly_timeseries's avg; see that docstring)
+            F.expr(exact_sum("value", 4)).alias("sum_value"),
         )
         .orderBy("window_start")
     )
 
 
-TUMBLING_15MIN_SQL = """
+TUMBLING_15MIN_SQL = f"""
 SELECT strftime(to_timestamp(floor(epoch(ts) / 900) * 900), '%Y-%m-%d %H:%M:%S')
          AS window_start,
        count(*) AS n,
-       round(sum(value), 4) AS sum_value
+       {exact_sum("value", 4)} AS sum_value
 FROM events
 GROUP BY 1
 ORDER BY window_start

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.money import exact_sum
 
 GAP_MINUTES = 30
 
@@ -55,7 +56,8 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
                 "duration_us"
             ),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # order-independent fixed-point sum (money.py rationale)
+            F.expr(exact_sum("value", 4)).alias("sum_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -80,7 +82,7 @@ sessions AS (
 SELECT user_id, session_seq,
        count(*) AS n_events,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
-       round(sum(value), 4) AS sum_value
+       CAST(sum(CAST(round((value) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value
 FROM sessions
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
@@ -88,14 +90,31 @@ ORDER BY user_id, session_seq
 
 
 def session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session stats -- the 'how many sessions, how long' report."""
+    """Per-user session stats -- the 'how many sessions, how long' report.
+
+    The averages are over exact INTEGERS (event counts, microsecond
+    durations), so they stay in integer space end-to-end: sum them as
+    BIGINT, scale by 1e6, and round half-up with integer division.
+    ``round(avg(bigint), 6)`` was one of the two sf0.1 cross-engine
+    mismatches this suite ever produced -- Spark's round reads the
+    double's SHORTEST decimal repr while DuckDB rounds the exact binary
+    value, and a quotient landing on a ...5 boundary in the shortest
+    repr splits them (86545889.4920635 -> .492064 vs .492063). Integer
+    half-up division has no such boundary to disagree on."""
+
+    def avg6(col: str) -> F.Column:
+        return F.expr(
+            f"CAST((sum({col}) * 2000000 + count(*))"
+            " DIV (2 * count(*)) AS DOUBLE) / 1000000"
+        )
+
     return (
         user_sessions(spark, sf_dir)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions"),
-            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
-            F.round(F.avg("duration_us"), 6).alias("avg_duration_us"),
+            avg6("n_events").alias("avg_events_per_session"),
+            avg6("duration_us").alias("avg_duration_us"),
         )
         .orderBy("user_id")
     )
@@ -124,8 +143,10 @@ per_session AS (
 )
 SELECT user_id,
        count(*) AS n_sessions,
-       round(avg(n_events), 6) AS avg_events_per_session,
-       round(avg(duration_us), 6) AS avg_duration_us
+       CAST((sum(n_events) * 2000000 + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1000000 AS avg_events_per_session,
+       CAST((sum(duration_us) * 2000000 + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1000000 AS avg_duration_us
 FROM per_session
 GROUP BY user_id
 ORDER BY user_id
