@@ -90,7 +90,9 @@ PRIORITY = [
     # tumbling_15min, user_sessions -- changed late in round 5 (their
     # double-rounding aggregates moved to exact fixed-point after the
     # sf0.1 parity sweep caught the round-boundary class; verdicts on
-    # the old code are round 4).
+    # the old code are round 4) and decayed_user_value (NEW:
+    # recency-decayed per-user value, power-of-two day-bucketed decay
+    # for bit-exact cross-engine weights).
 ]
 
 

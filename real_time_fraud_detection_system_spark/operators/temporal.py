@@ -355,12 +355,75 @@ ORDER BY event_type, gap_bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Recency-decayed value: the fraud-feature form of "how active is this
+# account lately". Decay is DAY-GRANULAR with a power-of-two half-life:
+# weight = 2^-floor(age_days / HALFLIFE_DAYS). Designed for exactness,
+# not approximation convenience: integer age buckets + power-of-two
+# weights mean both engines compute bit-identical weights (pow(2, -k)
+# is exact in IEEE for integer k; exp()-based decay differs in the
+# last ulp across libm implementations), and each weighted term is
+# fixed-pointed BEFORE the sum, so the aggregate is order-independent
+# (functions/money.py rationale).
+DECAY_HALFLIFE_DAYS = 7
+
+
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted value: sum(value * 2^-(age_days div
+    halflife)) with age measured back from max(ts) (the deterministic
+    'now' anchor), plus the undecayed total for contrast. One scan, one
+    broadcast scalar anchor, one groupBy(user_id) -- scale shape
+    identical to any keyed rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    weighted = (
+        "CAST(round(value * pow(2, -CAST(datediff(now_ts, ts) AS INT)"
+        f" DIV {DECAY_HALFLIFE_DAYS}) * 10000, 0) AS BIGINT)"
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                f"CAST(sum({weighted}) AS DOUBLE) / 10000"
+            ).alias("decayed_value"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 10000, 0) AS BIGINT))"
+                " AS DOUBLE) / 10000"
+            ).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+DECAYED_VALUE_SQL = f"""
+WITH anchored AS (
+  SELECT user_id, value,
+         datediff('day', CAST(ts AS DATE),
+                  CAST((SELECT max(ts) FROM events) AS DATE)) AS age_days
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * pow(2, -(age_days // {DECAY_HALFLIFE_DAYS}))
+                           * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000
+         AS decayed_value,
+       CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000
+         AS total_value
+FROM anchored
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "asof_click_before_purchase": asof_click_before_purchase,
     "clicks_before_errors": clicks_before_errors,
     "approx_distinct_users": approx_distinct_users,
     "approx_value_quantiles": approx_value_quantiles,
     "event_gap_buckets": event_gap_buckets,
+    "decayed_user_value": decayed_user_value,
 }
 
 ORACLE = {
@@ -369,4 +432,5 @@ ORACLE = {
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "approx_value_quantiles": APPROX_QUANTILES_SQL,
     "event_gap_buckets": GAP_BUCKETS_SQL,
+    "decayed_user_value": DECAYED_VALUE_SQL,
 }

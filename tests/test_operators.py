@@ -364,3 +364,18 @@ def test_semantic_dedup_collapses_scalar_multiples(spark, tmp_path, monkeypatch)
         for r in sim.semantic_dedup_clusters(spark, str(tmp_path)).collect()
     }
     assert got == {10: 10, 11: 10, 12: 12}
+
+
+def test_decayed_user_value_bounds(spark, sf_dir):
+    """Decay can only shrink: 0 < decayed_value <= total_value, with
+    equality iff every event is inside the first half-life bucket."""
+    from real_time_fraud_detection_system_spark.operators.temporal import (
+        decayed_user_value,
+    )
+
+    rows = decayed_user_value(spark, sf_dir).collect()
+    assert rows
+    assert any(r["decayed_value"] < r["total_value"] for r in rows)
+    for r in rows:
+        assert 0 < r["decayed_value"] <= r["total_value"] + 1e-9
+        assert r["n_events"] >= 1

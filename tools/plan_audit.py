@@ -49,6 +49,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "embedding_near_dup": frozenset({"NLJ"}),
     "freshness_check": frozenset({"NLJ", "1PART"}),
     "moving_avg_revenue": frozenset({"GLOBALWIN", "1PART"}),
+    # decayed_user_value: the NLJ is the 1-row max(ts) anchor broadcast
+    # and the 1PART is that scalar aggregate's own exchange -- the
+    # freshness_check/windowed_rates scalar-anchor pattern.
+    "decayed_user_value": frozenset({"NLJ", "1PART"}),
     "null_id_check": frozenset({"1PART"}),
     # predictions_profile: the final merge of the one-scan profile is a
     # global aggregate over partial (count/NDV/min/max) states -- the
