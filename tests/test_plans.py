@@ -194,3 +194,36 @@ def test_partsupp_queries_broadcast_dims(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert_broadcast_join(df)
         assert_no_cartesian(df)
+
+
+def test_q20_semi_join_below_lineitem_aggregate(spark, sf_dir):
+    from real_time_fraud_detection_system_spark.operators.tpch_extra import (
+        q20_excess_stock_suppliers,
+    )
+
+    df = q20_excess_stock_suppliers(spark, sf_dir)
+    lines = simple_plan(df).splitlines()
+    # the selective part filter must reach lineitem BEFORE the
+    # (l_partkey, l_suppkey) aggregate: in the printed tree, the partial
+    # HashAggregate's subtree must contain a LeftSemi broadcast join
+    # above the lineitem scan (else the agg runs over 25x the rows)
+    idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "HashAggregate" in ln
+        and "l_partkey" in ln
+        and "l_suppkey" in ln
+        and "partial_sum" in ln
+    )
+    semi = next(
+        (
+            i
+            for i, ln in enumerate(lines[idx:], idx)
+            if "BroadcastHashJoin" in ln and "LeftSemi" in ln
+        ),
+        None,
+    )
+    scan = next(
+        i for i, ln in enumerate(lines[idx:], idx) if "lineitem" in ln
+    )
+    assert semi is not None and semi < scan, "\n".join(lines)
