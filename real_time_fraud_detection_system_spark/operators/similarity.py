@@ -527,8 +527,11 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import connected_components
 
     # Stage 0 -- DIRECTION collapse. Cosine depends only on the
-    # direction, so vectors whose normalized forms agree at 6 decimals
-    # have pairwise cosine >= 1 - ~6e-11 -- unconditionally above
+    # direction, so vectors whose normalized forms agree after 1e6
+    # fixed-point rounding (integer round: half-integers are exact in
+    # double, so the boundary cannot split across engines the way
+    # round-to-6-decimals can) have pairwise cosine >= 1 - ~6e-11 --
+    # unconditionally above
     # COSINE_THRESHOLD, no verification needed: they are the same
     # semantic point. The replica corpus repeats each direction ~100x
     # under varying scales (bit-level exact-dup collapse finds nothing;
@@ -553,7 +556,8 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skey",
             F.md5(
                 F.expr(
-                    "cast(transform(emb, x -> round(x / norm, 6)) as string)"
+                    "cast(transform(emb, x -> cast(round(x / norm * 1000000,"
+                    " 0) as bigint)) as string)"
                 )
             ),
         )
@@ -574,8 +578,8 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted products are the dominant cost and both sides of the
     # self-join reference them (caching the pre-signature vectors was
     # measured 2x slower at the 100x scale -- each side re-ran the
-    # whole plane pipeline). Lifetime is LRU eviction, like the minhash
-    # signature cache (bench.py clearCache()s between queries).
+    # whole plane pipeline). Unpersisted after the final labels
+    # materialize (graph.py convention).
     buckets = (
         vecs
         .select("vec_id", "emb", "norm", sig_arr.alias("sigs"))
@@ -612,13 +616,18 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size(filter(zip_with(slice(a_sigs, 1, a_t), slice(b_sigs, 1, a_t),"
         " (x, y) -> x = y), v -> v)) = 0"
     )
+    # Fixed-point compare: round the 1e6-scaled cosine TO AN INTEGER
+    # (half-integers are exactly representable in double, so the
+    # boundary is engine-independent) instead of round(x, 6), whose
+    # Spark shortest-repr vs DuckDB binary .5-handling can diverge.
     cosine_ok = (
         F.round(
             F.expr(_DOT.format(a="a_emb", b="b_emb"))
-            / (F.col("a_norm") * F.col("b_norm")),
-            6,
-        )
-        >= COSINE_THRESHOLD
+            / (F.col("a_norm") * F.col("b_norm"))
+            * F.lit(1000000.0),
+            0,
+        ).cast("bigint")
+        >= int(round(COSINE_THRESHOLD * 1_000_000))
     )
     # Both predicates live IN the join condition: evaluated during the
     # merge with the cheap first-hit guard short-circuiting ahead of
@@ -637,11 +646,18 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(nodes, edges)
     # members inherit their rep's label; label = min rep_id of the
     # component = min vec_id overall (reps are their groups' minima)
-    return (
+    out = (
         members.join(labels, members.rep_id == labels.node)
         .select("vec_id", F.col("label").alias("cluster_id"))
         .orderBy("vec_id")
+        # graph.py convention: materialize, THEN drop the caches the
+        # plan referenced -- (vec_id, cluster_id) is two longs per row,
+        # bounded at any corpus size
+        .localCheckpoint()
     )
+    tagged.unpersist()
+    buckets.unpersist()
+    return out
 
 
 # Dynamic-plane-count multi-table signature: per-table planes =
@@ -667,7 +683,8 @@ SEMANTIC_DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE base AS ({_DUCK_VECTORS}),
 keyed AS (
   SELECT *, list_transform(range(1, len(emb) + 1),
-                           i -> round(emb[i] / norm, 6)) AS dkey
+                           i -> CAST(round(emb[i] / norm * 1000000, 0)
+                                     AS BIGINT)) AS dkey
   FROM base
 ),
 dedup AS (
@@ -702,8 +719,9 @@ pairs AS (
     ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
   WHERE len(list_filter(range(1, a.t + 1),
                         u -> a.sigs[u] = b.sigs[u])) = 0
-    AND round({_DUCK_DOT.format(a='a.emb', b='b.emb')}
-              / (a.norm * b.norm), 6) >= {COSINE_THRESHOLD}
+    AND CAST(round({_DUCK_DOT.format(a='a.emb', b='b.emb')}
+                   / (a.norm * b.norm) * 1000000, 0) AS BIGINT)
+        >= {int(round(COSINE_THRESHOLD * 1_000_000))}
 ),
 edges AS (
   SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs

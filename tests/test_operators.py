@@ -366,6 +366,20 @@ def test_semantic_dedup_collapses_scalar_multiples(spark, tmp_path, monkeypatch)
     assert got == {10: 10, 11: 10, 12: 12}
 
 
+def test_semantic_dedup_unpersists_sql_caches(spark, sf_dir):
+    """The two .cache()s (tagged directions, bucketed signatures) must
+    be unpersisted once the labels materialize -- only localCheckpoint
+    RDD blocks (graph.py's lineage truncation) may outlive the call."""
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        semantic_dedup_clusters,
+    )
+
+    spark.catalog.clearCache()
+    df = semantic_dedup_clusters(spark, sf_dir)
+    assert df.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_decayed_user_value_bounds(spark, sf_dir):
     """Decay can only shrink: 0 < decayed_value <= total_value, with
     equality iff every event is inside the first half-life bucket."""
