@@ -116,8 +116,11 @@ def profile_partial(df: DataFrame, cols) -> DataFrame:
     for c, kind in cols:
         src = F.unix_micros(F.col(c)) if kind == "epoch_us" else F.col(c)
         # HLL input must be int/long/string/binary: doubles profile
-        # their string image (same cardinality, engine-stable)
-        sk = src.cast("string") if kind == "num" else src
+        # their string image (same cardinality, engine-stable).
+        # + 0.0 first: -0.0 and 0.0 stringify differently but compare
+        # equal under countDistinct, so normalize the sign of zero
+        # before imaging (-0.0 + 0.0 == +0.0 in IEEE).
+        sk = (src + F.lit(0.0)).cast("string") if kind == "num" else src
         aggs += [
             F.count(src).alias(f"{c}_nn"),
             F.hll_sketch_agg(sk).alias(f"{c}_hll"),

@@ -164,6 +164,7 @@ GAP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("anchor_us", T.LongType()),  # -1 = no finalized event
         T.StructField("pend_ts_us", T.ArrayType(T.LongType())),
+        T.StructField("pend_id", T.ArrayType(T.LongType())),
         T.StructField("pend_type", T.ArrayType(T.StringType())),
     ]
 )
@@ -191,36 +192,48 @@ def _gap_monitor_fn(
     (user_id,) = key
     anchor, pend = -1, []
     if state.exists:
-        anchor, pend_ts, pend_ty = state.get
-        pend = list(zip(pend_ts, pend_ty))
+        anchor, pend_ts, pend_id, pend_ty = state.get
+        pend = list(zip(pend_ts, pend_id, pend_ty))
     if not state.hasTimedOut:
         for pdf in pdfs:
-            for ts, ty in zip(pdf["ts"], pdf["event_type"]):
-                pend.append((int(ts.value // 1000), str(ty)))
+            ids = (
+                pdf["event_id"]
+                if "event_id" in pdf.columns
+                else [-1] * len(pdf)
+            )
+            for ts, eid, ty in zip(pdf["ts"], ids, pdf["event_type"]):
+                pend.append((int(ts.value // 1000), int(eid), str(ty)))
+        # (ts, event_id) -- the batch twin's ordering; event_type only
+        # decides ties when the input carries no event_id (all -1)
         pend.sort()
 
     wm_ms = state.getCurrentWatermarkMs()
     wm_us = wm_ms * 1000
     out, keep = [], []
-    for ts_us, ty in pend:
+    for ts_us, eid, ty in pend:
         if ts_us <= wm_us:  # a timeout firing implies wm passed them all
             if anchor >= 0:
                 gap = ts_us - anchor
                 out.append((user_id, ty, gap, _gap_bucket(gap)))
             anchor = ts_us
         else:
-            keep.append((ts_us, ty))
+            keep.append((ts_us, eid, ty))
 
     if state.hasTimedOut and not keep and not out:
         state.remove()  # TTL fired on a drained user: drop the anchor
     else:
         state.update(
-            (anchor, [t for t, _ in keep], [y for _, y in keep])
+            (
+                anchor,
+                [t for t, _, _ in keep],
+                [i for _, i, _ in keep],
+                [y for _, _, y in keep],
+            )
         )
         if keep:
             # fire as soon as the watermark passes the newest pending
             # event (> wm now, so always a legal timeout timestamp)
-            timeout_ms = max(t for t, _ in keep) // 1000
+            timeout_ms = max(t for t, _, _ in keep) // 1000
         else:
             timeout_ms = max(anchor // 1000, wm_ms) + GAP_STATE_TTL_S * 1000
         state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
@@ -237,10 +250,24 @@ def _gap_monitor_fn(
 
 
 def gap_monitor_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """events(ts TIMESTAMP, user_id LONG, event_type STRING) streaming
-    frame -> one row per finalized inter-event gap (the batch twin's
-    rows, emitted incrementally). Aggregate downstream for the live
-    histogram."""
+    """events(ts TIMESTAMP, user_id LONG, event_type STRING[, event_id
+    LONG]) streaming frame -> one row per finalized inter-event gap
+    (the batch twin's rows, emitted incrementally). Aggregate
+    downstream for the live histogram.
+
+    Parity with the batch twin (event_gap_buckets), precisely:
+
+    * Tie-break: with ``event_id`` present, equal-timestamp events are
+      ordered by (ts, event_id) exactly as the batch twin's window; if
+      the input carries no event_id, ties fall back to event_type
+      order (a documented divergence -- feed event_id for exact
+      attribution parity).
+    * TTL: once a user is silent past GAP_STATE_TTL_S (24 h) with no
+      pending events, the anchor is dropped to bound state size, so a
+      gap that SPANS the silence is never emitted; the batch twin
+      counts that gap in d_ge_1h. At any TTL the gap is already known
+      to be >= 1 h, so the live histogram's d_ge_1h is a lower bound.
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

@@ -189,3 +189,20 @@ def test_profile_sink_accumulates_partials_over_stream(spark, tmp_path):
     assert prof["user_id"]["max_value"] == 3.0
     assert prof["event_type"]["n_nulls"] == 1
     assert prof["event_type"]["min_value"] is None
+
+
+def test_profile_partial_normalizes_signed_zero(spark):
+    """-0.0 and 0.0 have distinct string images but countDistinct
+    treats them as one value; the HLL feed must normalize the sign of
+    zero so approx_ndv agrees with the exact profile."""
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        profile_merge,
+        profile_partial,
+    )
+
+    cols = [("v", "num")]
+    a = spark.createDataFrame([(-0.0,), (1.0,)], "v double")
+    b = spark.createDataFrame([(0.0,), (1.0,)], "v double")
+    partials = profile_partial(a, cols).unionByName(profile_partial(b, cols))
+    row = profile_merge(partials, cols).collect()[0]
+    assert row["approx_ndv"] == 2  # {0.0, 1.0}, not {-0.0, 0.0, 1.0}

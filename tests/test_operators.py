@@ -280,15 +280,23 @@ def test_shuffle_balance_profile_partitions_the_table(spark, sf_dir):
 
     rows = shuffle_balance_profile(spark, sf_dir).collect()
     ev = load_table(spark, sf_dir, "events")
-    # buckets partition rows AND keys: totals must reconcile exactly
+    # buckets partition rows AND keys: totals must reconcile exactly.
+    # NULL user_ids land in a NULL bucket whose countDistinct is 0, so
+    # key reconciliation and the >=1 floor apply to non-NULL buckets
+    # only (distinct() would count NULL as one extra key).
     assert sum(r["n_rows"] for r in rows) == ev.count()
-    assert sum(r["n_keys"] for r in rows) == (
-        ev.select("user_id").distinct().count()
+    assert sum(
+        r["n_keys"] for r in rows if r["bucket_id"] is not None
+    ) == (
+        ev.filter(ev.user_id.isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
     )
     for r in rows:
         if r["bucket_id"] is not None:  # null user_ids bucket as NULL
             assert 0 <= r["bucket_id"] < N_PROFILE_BUCKETS
-        assert r["n_keys"] >= 1
+            assert r["n_keys"] >= 1
 
 
 def test_customer_blocking_er_invariants(spark, sf_dir):

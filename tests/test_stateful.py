@@ -222,20 +222,27 @@ def test_stream_gap_monitor_emits_batch_twin_gaps(spark, tmp_path):
             T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
         ]
     )
     src = tmp_path / "src"
     out_rows = []
 
     batches = [
-        [(_t(0), 1, "click"), (_t(10), 1, "view"), (_t(5), 2, "click")],
+        # user 5: two events at the SAME minute whose event_id order
+        # (zeta=2 before alpha=3) contradicts event_type order -- the
+        # batch twin's (ts, event_id) tie-break must win
+        [(_t(0), 1, "click", 0), (_t(10), 1, "view", 1),
+         (_t(5), 2, "click", 4),
+         (_t(0), 5, "seed", 9), (_t(10), 5, "zeta", 2),
+         (_t(10), 5, "alpha", 3)],
         # minute-50 arrives LATE (after 130 exists) but inside the 1 h
         # watermark horizon; user 3 pushes the watermark to minute 741
-        [(_t(130), 1, "purchase"), (_t(50), 1, "error"),
-         (_t(800), 3, "click"), (_t(801), 3, "view")],
+        [(_t(130), 1, "purchase", 5), (_t(50), 1, "error", 6),
+         (_t(800), 3, "click", 7), (_t(801), 3, "view", 8)],
         # dummy user advances nothing for itself; its batch runs with
         # watermark at 741, finalizing every user-1 event
-        [(_t(900), 4, "click")],
+        [(_t(900), 4, "click", 10)],
     ]
 
     stream = spark.readStream.schema(schema).option(
@@ -273,5 +280,9 @@ def test_stream_gap_monitor_emits_batch_twin_gaps(spark, tmp_path):
         (1, "purchase", 4800 * 1_000_000, "d_ge_1h"),  # 50 -> 130
         (1, "view", 600 * 1_000_000, "c_5m_1h"),       # 0 -> 10
         (3, "view", 60 * 1_000_000, "b_1m_5m"),        # 800 -> 801
+        # user 5 ties at minute 10: zeta (id 2) precedes alpha (id 3),
+        # so zeta takes the 10-minute gap and alpha the zero gap
+        (5, "zeta", 600 * 1_000_000, "c_5m_1h"),       # 0 -> 10(id2)
+        (5, "alpha", 0, "a_lt_1m"),                    # 10(id2) -> 10(id3)
     ]
     assert got == sorted(want)
