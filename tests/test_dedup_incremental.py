@@ -1,0 +1,74 @@
+"""Incremental dedup lifecycle: a persisted signature index, an
+arriving shard, verified pairs touching only the shard, and an
+idempotent index update -- the daily-ingest shape of a 100 TB corpus
+(full-corpus re-pairing is the thing this operator exists to avoid)."""
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_spark.catalog import load_table
+from real_time_fraud_detection_system_spark.operators.dedup import (
+    _shard_pred_spark,
+    dedup_incremental,
+    dedup_minhash_lsh,
+    incremental_dedup_pairs,
+    signature_index,
+    update_signature_index,
+)
+
+
+def _pairs_set(df):
+    return {(r["a_id"], r["b_id"], r["jaccard"]) for r in df.collect()}
+
+
+def test_incremental_equals_full_lsh_restricted_to_shard(spark, sf_dir):
+    """The incremental pair set must be exactly the one-shot LSH pair
+    set restricted to pairs touching the shard: nothing missed, and no
+    corpus-vs-corpus pair ever formed."""
+    full = dedup_minhash_lsh(spark, sf_dir)
+    want = _pairs_set(
+        full.filter(
+            F.expr(_shard_pred_spark("a_id"))
+            | F.expr(_shard_pred_spark("b_id"))
+        )
+    )
+    got = _pairs_set(dedup_incremental(spark, sf_dir))
+    assert got == want
+    assert want, "shard split must touch at least one verified pair"
+    shard = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.expr(_shard_pred_spark()))
+        .select("doc_id")
+        .collect()
+    }
+    for a_id, b_id, _ in got:
+        assert a_id in shard or b_id in shard
+
+
+def test_index_roundtrip_and_idempotent_update(spark, sf_dir, tmp_path):
+    """Drive the real deployment shape: index persisted to parquet,
+    shard signatures computed fresh, pairs off the stored index, then
+    update_signature_index -- applied twice, the second run is a
+    no-op."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.expr(_shard_pred_spark())
+    corpus, shard = docs.filter(~is_new), docs.filter(is_new)
+
+    idx_path = str(tmp_path / "sig_index")
+    signature_index(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    new_sigs = signature_index(shard)
+
+    from_disk = _pairs_set(incremental_dedup_pairs(index, new_sigs))
+    assert from_disk == _pairs_set(dedup_incremental(spark, sf_dir))
+
+    n_index = index.count()
+    n_new = new_sigs.count()
+    once = update_signature_index(index, new_sigs)
+    assert once.count() == n_index + n_new
+    twice = update_signature_index(once, new_sigs)
+    assert twice.count() == n_index + n_new  # re-run adds nothing
+    # after the update the shard IS indexed: every signature exactly once
+    assert (
+        twice.groupBy("doc_id").count().filter("count > 1").count() == 0
+    )
