@@ -69,6 +69,8 @@ HEADLINE = [
     "predictions_profile",
     "event_gap_buckets",
     "shuffle_balance_profile",
+    # round-6 additions
+    "dedup_incremental",
 ]
 
 
@@ -221,12 +223,12 @@ def main() -> None:
         timings_s = run_suite(dir_, deadline=t_start + budget_s + 600)
         ran = {k: v for k, v in timings_s.items() if v >= 0}
         # per-query scale detail goes out IMMEDIATELY as its own JSON
-        # line; the contract line below carries only the totals. The
-        # round-4 artifact arrived with parsed=null because everything
-        # shared one very long line and the harness's tail-capture cut
-        # its head off -- short independent lines survive capture, and
-        # the contract line prints LAST so a tail-capture always keeps
-        # it.
+        # line (live progress + a fallback if the contract line dies),
+        # AND rides inside the contract line itself: the harness stores
+        # the parsed FINAL line in full but keeps only a 2000-char tail
+        # of stdout, which truncated the round-5 per-query sections --
+        # only the contract line reliably survives, so it must carry
+        # everything.
         print(json.dumps({
             "scale_section": label,
             "queries": timings_s,
@@ -236,6 +238,7 @@ def main() -> None:
             "value": round(sum(ran.values()), 3),
             "n_skipped": len(timings_s) - len(ran),
             "sf": sf_val,
+            "queries": timings_s,
         }
 
     print(json.dumps(result), flush=True)

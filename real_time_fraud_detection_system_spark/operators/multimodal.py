@@ -130,8 +130,172 @@ def ppm_image_decoder(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, ch: int) -> bytearray:
+    """Reverse the per-scanline PNG filters (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) over 8-bit samples. Pure stdlib; the RFC 2083
+    reference algorithm, including the exact Paeth tie-breaking."""
+    stride = width * ch
+    recon = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        recon += line
+        prev = line
+    return recon
+
+
+def png_image_decoder(payload: bytes) -> dict:
+    """Pure-python PNG codec: stdlib zlib inflate + scanline unfilter.
+    Supports 8-bit greyscale/RGB/greyscale+alpha/RGBA (color types
+    0/2/4/6), non-interlaced; anything else raises NotImplementedError
+    so the row takes the byte-feature fallback. Features run over the
+    reconstructed SAMPLE bytes (post-unfilter pixel data), mirroring
+    ppm_image_decoder's pixels-not-container contract."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG payload")
+    try:
+        pos, idat, ihdr = len(_PNG_SIG), [], None
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + tag + data + CRC
+            if ctag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctag == b"IDAT":
+                idat.append(data)
+            elif ctag == b"IEND":
+                break
+        if ihdr is None or not idat:
+            raise ValueError("missing IHDR/IDAT")
+        width, height, depth, ctype, comp, filt, interlace = ihdr
+        if depth != 8 or ctype not in _PNG_CHANNELS:
+            raise NotImplementedError(
+                f"unsupported PNG depth={depth} color_type={ctype}"
+            )
+        if comp or filt or interlace:
+            raise NotImplementedError("unsupported PNG compression/interlace")
+        ch = _PNG_CHANNELS[ctype]
+        raw = zlib.decompress(b"".join(idat))
+        if len(raw) != height * (1 + width * ch):
+            raise ValueError("pixel data length mismatch")
+        pixels = _png_unfilter(raw, width, height, ch)
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # truncated/corrupt container
+        raise NotImplementedError(f"malformed PNG payload: {exc}") from exc
+    return {
+        "n_bytes": len(pixels),
+        "mean_byte": float(sum(pixels)) / len(pixels) if pixels else 0.0,
+        "samples": [int(b) for b in pixels[:4]],
+    }
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, color_type: int = 2,
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal PNG writer (8-bit, one filter type for every scanline) --
+    the deterministic payload generator the codec tests and sinks use;
+    round-trips exactly through png_image_decoder."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    assert len(pixels) == stride * height
+
+    def _filt(line: bytearray, prev: bytearray) -> bytearray:
+        out = bytearray(len(line))
+        for i in range(len(line)):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[i] = (line[i] - pred) & 0xFF
+        return out
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        raw += bytes([filter_type]) + _filt(line, prev)
+        prev = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def image_decoder(payload: bytes) -> dict:
+    """The default 'image' codec: container sniffing over the packaged
+    pure-python decoders -- P6 PPM or PNG by signature; anything else
+    raises NotImplementedError (byte-feature fallback)."""
+    if payload.startswith(_PNG_SIG):
+        return png_image_decoder(payload)
+    return ppm_image_decoder(payload)
+
+
 _DEFAULT_DECODERS: dict[str, Callable[[bytes], dict]] = {
-    "image": ppm_image_decoder,
+    "image": image_decoder,
 }
 _DECODERS: dict[str, Callable[[bytes], dict]] = dict(_DEFAULT_DECODERS)
 

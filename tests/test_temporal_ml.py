@@ -1,6 +1,8 @@
 """Invariant tests for the temporal operators and the deterministic ML
 frame (value-level gate is tools/check_correctness.py vs DuckDB)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_fraud_detection_system_spark.operators.mlqueries import (
@@ -166,3 +168,69 @@ def test_registered_decoder_replaces_byte_fallback(spark):
     # unregister restored the packaged default: P6 decodes again
     back = {r["media_id"]: r for r in media_features(m).collect()}
     assert back[1]["n_bytes"] == 12
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filter_types(filter_type):
+    """encode_png -> png_image_decoder must reconstruct the exact pixel
+    bytes under every scanline filter (None/Sub/Up/Average/Paeth)."""
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        encode_png,
+        png_image_decoder,
+    )
+
+    w, h = 5, 4
+    pixels = bytes((7 * i + 3) % 256 for i in range(w * h * 3))
+    payload = encode_png(w, h, pixels, color_type=2, filter_type=filter_type)
+    feats = png_image_decoder(payload)
+    assert feats["n_bytes"] == len(pixels)
+    assert feats["mean_byte"] == float(sum(pixels)) / len(pixels)
+    assert feats["samples"] == [pixels[0], pixels[1], pixels[2], pixels[3]]
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 4, 6])
+def test_png_color_types(color_type):
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        encode_png,
+        png_image_decoder,
+    )
+
+    ch = _PNG_CHANNELS[color_type]
+    w, h = 3, 3
+    pixels = bytes((11 * i) % 256 for i in range(w * h * ch))
+    feats = png_image_decoder(
+        encode_png(w, h, pixels, color_type=color_type, filter_type=4)
+    )
+    assert feats["n_bytes"] == len(pixels)
+    assert feats["mean_byte"] == float(sum(pixels)) / len(pixels)
+
+
+def test_image_decoder_sniffs_png_ppm_and_falls_back(spark):
+    """The default image codec dispatches by container signature: PNG
+    and P6 both really decode (pixel bytes only), anything else takes
+    the byte-feature fallback -- including a TRUNCATED png, whose
+    decode failure must degrade, not error."""
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        encode_png,
+        media_features,
+    )
+
+    ppm = b"P6\n2 2\n255\n" + bytes([10, 20, 30] * 4)
+    png_pix = bytes([1, 2, 3, 4, 5, 6])
+    png = encode_png(2, 1, png_pix, color_type=2, filter_type=1)
+    broken = png[: len(png) // 2]
+    m = spark.createDataFrame(
+        [
+            (1, bytearray(ppm), "image"),
+            (2, bytearray(png), "image"),
+            (3, bytearray(broken), "image"),
+        ],
+        "media_id long, payload binary, media_type string",
+    )
+    rows = {r["media_id"]: r for r in media_features(m).collect()}
+    assert rows[1]["n_bytes"] == 12  # P6 still decodes via sniffing
+    assert rows[2]["n_bytes"] == 6
+    assert rows[2]["samples"] == [1, 2, 3, 4]
+    assert abs(rows[2]["mean_byte"] - sum(png_pix) / 6) < 1e-9
+    assert rows[3]["n_bytes"] == len(broken)  # fallback over raw bytes
