@@ -71,6 +71,8 @@ HEADLINE = [
     "shuffle_balance_profile",
     # round-6 additions
     "dedup_incremental",
+    "split_leakage_check",
+    "pii_scrub_stats",
 ]
 
 

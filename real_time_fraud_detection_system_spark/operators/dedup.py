@@ -564,6 +564,70 @@ ORDER BY a_id, b_id
 
 
 # --------------------------------------------------------------------------
+# Split leakage: near-dup pairs crossing train/val/test boundaries.
+# Contamination_check guards against EXTERNAL eval sets; this guards
+# the pipeline's OWN splits -- a val doc that is a near-duplicate of a
+# train doc inflates every metric computed on it, and random splitting
+# guarantees such pairs exist at corpus scale. Split membership is the
+# deterministic_split md5 idiom (pure function of doc_id), so the
+# check is reproducible across engines/retries/cluster sizes.
+DOC_SPLIT_TRAIN, DOC_SPLIT_VAL = 0.8, 0.9
+
+
+def _doc_split_spark(col: str) -> str:
+    frac = (
+        f"CAST(conv(substr(md5(concat('dsplit:', CAST({col} AS STRING))),"
+        " 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"
+    )
+    return (
+        f"CASE WHEN {frac} < {DOC_SPLIT_TRAIN} THEN 'train'"
+        f" WHEN {frac} < {DOC_SPLIT_VAL} THEN 'val'"
+        " ELSE 'test' END"
+    )
+
+
+def _doc_split_duck(col: str) -> str:
+    frac = (
+        f"CAST(CAST('0x' || substr(md5('dsplit:' || CAST({col} AS VARCHAR)),"
+        " 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
+    )
+    return (
+        f"CASE WHEN {frac} < {DOC_SPLIT_TRAIN} THEN 'train'"
+        f" WHEN {frac} < {DOC_SPLIT_VAL} THEN 'val'"
+        " ELSE 'test' END"
+    )
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs whose documents land in DIFFERENT
+    splits: the pairs an eval-hygiene pass must break (drop the non-
+    train copy, or re-split by cluster instead of by document). Split
+    labels are pure md5 projections of the pair's ids -- no join, no
+    extra shuffle beyond the LSH pipeline itself; leaked pairs are rare
+    by construction, so the output is small at any corpus size."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return (
+        pairs.withColumn("split_a", F.expr(_doc_split_spark("a_id")))
+        .withColumn("split_b", F.expr(_doc_split_spark("b_id")))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a_id", "b_id", "split_a", "split_b", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH {_DUCK_MINHASH_PAIRS_CTES}
+SELECT a_id, b_id,
+       {_doc_split_duck('a_id')} AS split_a,
+       {_doc_split_duck('b_id')} AS split_b,
+       jaccard
+FROM mh_pairs
+WHERE {_doc_split_duck('a_id')} <> {_doc_split_duck('b_id')}
+ORDER BY a_id, b_id
+"""
+
+
+# --------------------------------------------------------------------------
 def _vote_fingerprints(
     docs: DataFrame, hash_sql: str, n_bits: int
 ) -> DataFrame:
@@ -1290,6 +1354,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_incremental": dedup_incremental,
+    "split_leakage_check": split_leakage_check,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash16": dedup_simhash16,
@@ -1306,6 +1371,7 @@ ORACLE = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "split_leakage_check": SPLIT_LEAKAGE_SQL,
     "simhash_fingerprints": SIMHASH_FP_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash16": DEDUP_SIMHASH16_SQL,

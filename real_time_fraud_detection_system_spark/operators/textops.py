@@ -446,8 +446,85 @@ ORDER BY doc_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing: the redaction pass a training-data pipeline runs before
+# anything leaves the raw zone. Pure map-side projection (regex count +
+# chained regexp_replace), so at 100 TB it is one scan with full column
+# pruning and zero shuffles; the redacted text itself would be the sink
+# column in production -- the stats query emits counts + the redacted
+# content's digest so the pass is verifiable without re-materializing
+# the corpus. Patterns stay in the Java/RE2 common subset so Spark and
+# DuckDB compile them identically.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_URL_RE = "https?://[^\\s]+"
+PII_NUM_RE = "[0-9]{6,}"  # long digit runs: account/phone/ssn-shaped
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> per-doc PII stats + redacted-text digest.
+    Redaction order is email -> url -> long-number; the replacement
+    tokens contain neither digits nor URL characters, so passes cannot
+    cascade. Spark's regexp_replace is replace-ALL, matching the
+    oracle's 'g' flag."""
+    n = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_URL_RE,
+            "<URL>",
+        ),
+        PII_NUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        n(PII_EMAIL_RE).alias("n_emails"),
+        n(PII_URL_RE).alias("n_urls"),
+        n(PII_NUM_RE).alias("n_numbers"),
+        F.md5(clean).alias("clean_hash"),
+        (F.md5(clean) != F.md5("text")).alias("changed"),
+    )
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form over the documents table. This synthetic corpus
+    carries no PII-shaped tokens, so the oracle run verifies the
+    engine-parity plumbing on all-zero counts (clean_hash == md5(text),
+    changed = false everywhere); tests/test_operators.py drives
+    pii_scrub over injected emails/urls/numbers to prove the redaction
+    itself -- the multimodal synthesized-payload pattern."""
+    return (
+        pii_scrub(load_table(spark, sf_dir, "documents"))
+        .orderBy("doc_id")
+    )
+
+
+def _pii_duck_clean() -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{PII_EMAIL_RE}', '<EMAIL>', 'g'),"
+        f" '{PII_URL_RE}', '<URL>', 'g'),"
+        f" '{PII_NUM_RE}', '<NUM>', 'g')"
+    )
+
+
+PII_SCRUB_STATS_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_URL_RE}')) AS n_urls,
+       len(regexp_extract_all(text, '{PII_NUM_RE}')) AS n_numbers,
+       md5({_pii_duck_clean()}) AS clean_hash,
+       md5({_pii_duck_clean()}) <> md5(text) AS changed
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "pii_scrub_stats": pii_scrub_stats,
     "corpus_quality_gate": corpus_quality_gate,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
@@ -459,6 +536,7 @@ QUERIES = {
 
 ORACLE = {
     "text_stats": TEXT_STATS_SQL,
+    "pii_scrub_stats": PII_SCRUB_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "corpus_token_stats": CORPUS_TOKEN_STATS_SQL,

@@ -401,3 +401,41 @@ def test_decayed_user_value_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r["decayed_value"] <= r["total_value"] + 1e-9
         assert r["n_events"] >= 1
+
+
+def test_pii_scrub_redacts_and_matches_duckdb(spark):
+    """The corpus oracle only exercises the zero-PII case, so this
+    drives pii_scrub over injected emails/urls/long numbers AND runs
+    the DuckDB oracle SQL on the same rows: redaction counts, digests,
+    and changed flags must agree engine-for-engine."""
+    import duckdb
+    import pandas as pd
+
+    from real_time_fraud_detection_system_spark.operators.textops import (
+        PII_SCRUB_STATS_SQL,
+        pii_scrub,
+    )
+
+    rows = [
+        (1, "contact john.doe+x@exa-mple.co.uk for info"),
+        (2, "see https://ex.com/a?b=1 and http://t.co now"),
+        (3, "acct 12345678 ok 123 and 999999"),
+        (4, "clean text no pii"),
+        (5, "mix a@b.io https://x.y 1234567 a@b.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["changed"]
+    assert got[2]["n_urls"] == 2 and got[2]["changed"]
+    assert got[3]["n_numbers"] == 2  # 123 is below the 6-digit floor
+    assert not got[4]["changed"]
+    assert got[5]["n_emails"] == 2 and got[5]["n_urls"] == 1
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for doc_id, n_e, n_u, n_n, h, ch in con.execute(
+        PII_SCRUB_STATS_SQL
+    ).fetchall():
+        r = got[doc_id]
+        assert (r["n_emails"], r["n_urls"], r["n_numbers"]) == (n_e, n_u, n_n)
+        assert r["clean_hash"] == h and r["changed"] == ch
