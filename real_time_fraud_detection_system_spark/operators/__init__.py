@@ -36,63 +36,53 @@ def _modules():
 DRIVER_SAMPLE = 50
 
 PRIORITY = [
-    # (a) changed in round 5 (no verdict on the new code): ann_ivf_topk
-    #     (sqrt(n)-rate centroid sample, oracle changed with it),
-    #     dedup_clusters_wide (hybrid connected-components dispatch; its
-    #     rollup dup_rate_by_source rides the same path), and
-    #     multimodal_features (packaged P6 decoder now runs a real
-    #     decode; oracle changed with it). New in round 5 (no verdict
-    #     yet): per-doc tf-idf keywords, SemDeDup-style embedding
-    #     clusters, the MinHash-path cluster stage, cohort retention,
-    #     the domain-mixture sampling planner, and PSI value-drift.
-    "tfidf_top_terms", "semantic_dedup_clusters", "dedup_minhash_clusters",
-    "weekly_retention_cohorts", "source_mixture_plan", "value_drift_psi",
-    "lang_mismatch_rate",
-    "predictions_profile", "event_gap_buckets", "shuffle_balance_profile",
-    "ann_ivf_topk", "dedup_clusters_wide", "dup_rate_by_source",
-    "multimodal_features",
-    # (b) the 36 queries whose latest driver verdict predates round 4
-    #     (33 round-3 greens + session_summary / value_percentiles /
-    #     wire_format_roundtrip / training_frame_det, displaced last
-    #     round on round-2 verdicts). All fit, so after this round no
-    #     registered query's verdict is older than one round.
-    "q1_pricing_summary", "q5_local_supplier_volume", "q6_revenue_change",
-    "q10_returned_items", "q21_sole_late_supplier",
-    "top_orders_per_customer", "customer_rollup", "order_priority_count",
-    "customers_without_orders", "nations_with_both",
-    "segment_distinct_nations", "part_price_buckets",
-    "moving_avg_revenue", "part_rankings", "orders_pivot_status",
-    "value_percentiles", "session_summary", "wire_format_roundtrip",
-    "training_frame_det", "logit_score",
-    "dedup_exact", "dedup_ngram_jaccard", "simhash_fingerprints",
-    "dedup_simhash", "dedup_simhash16", "dedup_clusters",
-    "ann_cosine_topk", "embedding_near_dup",
-    "text_stats", "lang_id_heuristic", "doc_fingerprint",
-    "corpus_token_stats", "bpe_token_stats", "contamination_check",
-    "multimodal_meta", "multimodal_frames",
-    # (c) the former metrics/temporal/skew fillers (heuristic_score,
-    #     asof_click_before_purchase, salted_value_by_type -- all
-    #     round-4 green) rotated out for the three NEW queries in those
-    #     same modules (predictions_profile / event_gap_buckets /
-    #     shuffle_balance_profile, section (a)), which keep every
-    #     family represented (test_registry.py gate) while spending the
-    #     window on code with no verdict yet.
-    #
-    # ROUND-6 WINDOW HEAD (registered past position 50 this round; the
-    # window was already full with the 36 stale-verdict queries):
-    # q2_min_cost_supplier / q11_important_stock /
-    # q16_parts_supplier_counts / q20_excess_stock_suppliers -- the
-    # derived-partsupp queries completing the 22-query TPC-H surface --
-    # and customer_blocking_er (record linkage: blocking + in-block
-    # Levenshtein verify). All local-checker green at sf0.01; they take
-    # section-(a) slots in the round-6 rotation, displacing
-    # round-5-verified filler. ALSO round-6 (a): hourly_timeseries,
-    # tumbling_15min, user_sessions -- changed late in round 5 (their
-    # double-rounding aggregates moved to exact fixed-point after the
-    # sf0.1 parity sweep caught the round-boundary class; verdicts on
-    # the old code are round 4) and decayed_user_value (NEW:
-    # recency-decayed per-user value, power-of-two day-bucketed decay
-    # for bit-exact cross-engine weights).
+    # (a) ROUND 6 -- no valid driver verdict on the current code:
+    #   * never driver-checked (registered past the full round-5
+    #     window): the four derived-partsupp queries completing the
+    #     22-query TPC-H surface, customer_blocking_er, and
+    #     decayed_user_value;
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_parts_supplier_counts", "q20_excess_stock_suppliers",
+    "customer_blocking_er", "decayed_user_value",
+    #   * changed late in round 5 (double-rounding aggregates moved to
+    #     exact fixed-point; round-4 verdicts are on the old code);
+    "hourly_timeseries", "tumbling_15min", "user_sessions",
+    #   * changed in round 6: semantic_dedup_clusters (boundary-safe
+    #     1e6 fixed-point direction key + cosine gate, caches
+    #     unpersisted), q20 (selective semi-join pushed below the
+    #     lineitem aggregate -- already listed above),
+    #     multimodal_features (default image codec is now the
+    #     PNG/P6-sniffing image_decoder), and the minhash family
+    #     (signature build refactored into signature_index +
+    #     _band_table for the incremental path);
+    "semantic_dedup_clusters", "multimodal_features",
+    "minhash_signatures", "dedup_minhash_lsh", "dedup_minhash_clusters",
+    #   * NEW in round 6: incremental shard-vs-index dedup, near-dup
+    #     split-leakage check, PII scrub stats.
+    "dedup_incremental", "split_leakage_check", "pii_scrub_stats",
+    # (b) oldest-verdict backfill: 33 of the 42 queries whose latest
+    #     driver verdict is round 4. The 9 deferred to the round-7
+    #     window head are all tpch_extra entries (q8, q9, q12, q13,
+    #     q14, q15, q17, q19, q22) -- that family already holds five
+    #     section-(a) slots, so the test_registry.py representative
+    #     gate stays green.
+    "q3_shipping_priority", "props_json_stats", "daily_metrics",
+    "freshness_check", "null_id_check", "windowed_rates",
+    "recent_topk", "heuristic_score", "feature_extract",
+    "ann_lsh_bucketed", "corpus_quality_gate", "repetition_stats",
+    "sequence_packing", "vocab_coverage", "shard_overlap",
+    "conversion_funnel", "multimodal_resize", "unpivot_daily_metrics",
+    "cube_region_segment", "lapsed_customers_except",
+    "parts_above_brand_avg", "grouping_sets_summary",
+    "asof_click_before_purchase", "clicks_before_errors",
+    "approx_distinct_users", "approx_value_quantiles",
+    "deterministic_split", "stratified_sample",
+    "q7_volume_shipping", "q4_order_priority_exists",
+    "q18_large_volume_customers",
+    "salted_value_by_type", "user_value_anomalies",
+    # Everything with a round-5 verdict sits past the window this round
+    # (verdict one round old) and rotates back in round 7 with the nine
+    # deferred round-4 tpch_extra queries.
 ]
 
 
