@@ -472,6 +472,88 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency under a corpus-trained bigram MLE language
+    model: avg log P(w2|w1) over the doc's bigrams, with P(w2|w1) =
+    C(w1 w2) / C(w1-as-prefix). The cheap KenLM-style quality signal --
+    wrong-language, shuffled, or template text scores far below the
+    corpus bulk, and the model needs no external artifact: it IS a
+    by-product of the same scan.
+
+    Determinism: each bigram's log-prob quantizes to 1e6 fixed point
+    ONCE in the model table; the per-doc aggregation then sums
+    integers (order-independent), so no float-summation drift across
+    partitionings -- the money.py posture for a float-valued model.
+
+    Scale: bigram/prefix counts are two keyed aggregations with
+    map-side partials; the prefix table is vocabulary-sized and
+    BROADCAST into the model join; the per-doc pass re-joins
+    occurrences to the model on the bigram key (the one wide shuffle)
+    and reduces per doc. Docs with no bigram (fewer than 2 tokens)
+    have no fluency signal and are absent, identically in both
+    engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    bi = shingles_expr("toks", 2)
+    bg = (
+        docs.selectExpr("doc_id", f"{_TOKS} AS toks")
+        .selectExpr("doc_id", f"explode({bi}) AS bg")
+    )
+    bcnt = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+    ucnt = (
+        bg.selectExpr("substring_index(bg, ' ', 1) AS w1")
+        .groupBy("w1")
+        .agg(F.count("*").alias("cu"))
+    )
+    model = (
+        bcnt.withColumn("w1", F.expr("substring_index(bg, ' ', 1)"))
+        .join(F.broadcast(ucnt), "w1")
+        .selectExpr(
+            "bg",
+            "CAST(round(ln(cb / cu) * 1000000, 0) AS BIGINT) AS lp_fp",
+        )
+    )
+    return (
+        bg.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp_fp").alias("s"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "CAST(s AS DOUBLE) / n_bigrams / 1000000.0 AS avg_logprob",
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LM_SCORE_SQL = f"""
+WITH bg AS (
+  SELECT doc_id, unnest({_DUCK_BI}) AS bg FROM documents
+),
+bcnt AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+ucnt AS (
+  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cu FROM bg GROUP BY 1
+),
+model AS (
+  SELECT b.bg,
+         CAST(round(ln(b.cb / u.cu) * 1000000, 0) AS BIGINT) AS lp_fp
+  FROM bcnt b JOIN ucnt u ON split_part(b.bg, ' ', 1) = u.w1
+),
+per AS (
+  SELECT g.doc_id, count(*) AS n_bigrams, sum(l.lp_fp) AS s
+  FROM bg g JOIN model l USING (bg)
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       CAST(s AS DOUBLE) / n_bigrams / 1000000.0 AS avg_logprob
+FROM per
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
@@ -479,6 +561,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "shard_overlap": shard_overlap,
     "source_mixture_plan": source_mixture_plan,
+    "bigram_lm_score": bigram_lm_score,
 }
 
 ORACLE = {
@@ -488,4 +571,5 @@ ORACLE = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "shard_overlap": SHARD_OVERLAP_SQL,
     "source_mixture_plan": SOURCE_MIXTURE_PLAN_SQL,
+    "bigram_lm_score": BIGRAM_LM_SCORE_SQL,
 }

@@ -742,12 +742,104 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding-space outlier pruning: SemDeDup removes what is TOO CLOSE
+# together; this flags what is too FAR from the corpus -- the other half
+# of embedding-based curation (off-distribution docs, encoder failures,
+# wrong-domain shards). Score = cosine to the corpus centroid direction.
+OUTLIER_COS_FP = -150_000  # cos < -0.15 (1e6 fixed-point): ~5% here
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cos_centroid, is_outlier): cosine of each vector to the
+    corpus centroid direction, outliers below OUTLIER_COS_FP.
+
+    Determinism: the centroid is accumulated in 1e6 FIXED-POINT over
+    unit-normalized components (integer sums are order-independent, so
+    no float-summation drift across partitionings or engines; cosine is
+    invariant to the centroid's positive scale, so the integer vector
+    IS the centroid -- no division, no epsilon). The final per-row
+    cosine compares through round-to-integer fixed point, the
+    boundary-safe idiom.
+
+    Scale: pass 1 explodes components and reduces to dims rows (64-key
+    groupBy, map-side combine absorbs the explosion); pass 2 streams
+    the corpus once against the BROADCAST 1-row centroid. Two scans,
+    zero wide shuffles. Integer headroom: component sums stay < 2^53
+    up to ~9e9 vectors."""
+    unit = _vectors(spark, sf_dir).selectExpr(
+        "vec_id", "emb", "norm",
+        "transform(emb, x -> CAST(round(x / norm * 1000000, 0) AS BIGINT))"
+        " AS q",
+    )
+    cent = (
+        unit.selectExpr("posexplode(q) AS (i, v)")
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s))),"
+                " x -> CAST(x.s AS DOUBLE)) AS c"
+            )
+        )
+    )
+    cos = (
+        F.expr(_DOT.format(a="emb", b="c"))
+        / (
+            F.col("norm")
+            * F.sqrt(F.expr(_DOT.format(a="c", b="c")))
+        )
+    )
+    cos_fp = F.round(cos * F.lit(1000000.0), 0).cast("bigint")
+    return (
+        unit.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            (cos_fp / F.lit(1000000.0)).alias("cos_centroid"),
+            (cos_fp < F.lit(OUTLIER_COS_FP)).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH base AS ({_DUCK_VECTORS}),
+unit AS (
+  SELECT vec_id, norm, emb,
+         list_transform(range(1, len(emb) + 1),
+                        i -> CAST(round(emb[i] / norm * 1000000, 0)
+                                  AS BIGINT)) AS q
+  FROM base
+),
+expl AS (
+  SELECT unnest(q) AS v, unnest(range(1, len(q) + 1)) AS i FROM unit
+),
+cvec AS (
+  SELECT list(CAST(s AS DOUBLE) ORDER BY i) AS c
+  FROM (SELECT i, sum(v) AS s FROM expl GROUP BY i)
+),
+scored AS (
+  SELECT vec_id,
+         CAST(round({_DUCK_DOT.format(a='emb', b='c')}
+                    / (norm * sqrt({_DUCK_DOT.format(a='c', b='c')}))
+                    * 1000000, 0) AS BIGINT) AS cos_fp
+  FROM unit CROSS JOIN cvec
+)
+SELECT vec_id, cos_fp / 1000000.0 AS cos_centroid,
+       cos_fp < {OUTLIER_COS_FP} AS is_outlier
+FROM scored
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "semantic_dedup_clusters": semantic_dedup_clusters,
+    "embedding_outliers": embedding_outliers,
 }
 
 ORACLE = {
@@ -756,4 +848,5 @@ ORACLE = {
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "semantic_dedup_clusters": SEMANTIC_DEDUP_CLUSTERS_SQL,
+    "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
 }

@@ -439,3 +439,35 @@ def test_pii_scrub_redacts_and_matches_duckdb(spark):
         r = got[doc_id]
         assert (r["n_emails"], r["n_urls"], r["n_numbers"]) == (n_e, n_u, n_n)
         assert r["clean_hash"] == h and r["changed"] == ch
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Tiny corpus whose bigram MLE is computable by hand: fixed-point
+    per-bigram log-probs, integer-summed, must reproduce the exact
+    values (and stay <= 0: MLE probabilities never exceed 1)."""
+    import math
+
+    import real_time_fraud_detection_system_spark.operators.corpusops as co
+
+    rows = [(1, "a b a c", "en", "s0"), (2, "a b", "en", "s0")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    real = co.load_table
+    co.load_table = lambda s, d, n: df if n == "documents" else real(s, d, n)
+    try:
+        got = {
+            r["doc_id"]: r
+            for r in co.bigram_lm_score(spark, "unused").collect()
+        }
+    finally:
+        co.load_table = real
+
+    # corpus: C(a b)=2, C(b a)=1, C(a c)=1; prefix counts a=3, b=1
+    lp = lambda x: int(round(math.log(x) * 1_000_000))  # noqa: E731
+    want1 = (lp(2 / 3) + lp(1 / 1) + lp(1 / 3)) / 3 / 1_000_000
+    want2 = lp(2 / 3) / 1_000_000
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 1
+    assert got[1]["avg_logprob"] == want1
+    assert got[2]["avg_logprob"] == want2
+    assert all(r["avg_logprob"] <= 0 for r in got.values())
