@@ -69,10 +69,14 @@ HEADLINE = [
     "predictions_profile",
     "event_gap_buckets",
     "shuffle_balance_profile",
-    # round-6 additions
+    # round-6 additions (q20 joined after its semi-join pushdown fix
+    # so the plan change stays measured round-over-round)
     "dedup_incremental",
     "split_leakage_check",
     "pii_scrub_stats",
+    "embedding_outliers",
+    "bigram_lm_score",
+    "q20_excess_stock_suppliers",
 ]
 
 

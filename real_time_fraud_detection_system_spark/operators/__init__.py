@@ -83,6 +83,13 @@ PRIORITY = [
     # Everything with a round-5 verdict sits past the window this round
     # (verdict one round old) and rotates back in round 7 with the nine
     # deferred round-4 tpch_extra queries.
+    #
+    # ROUND-7 WINDOW HEAD (registered past position 50 after the
+    # round-6 window filled): embedding_outliers (fixed-point
+    # cosine-to-centroid pruning) and bigram_lm_score (corpus bigram
+    # MLE fluency) -- both local-checker green at sf0.01; they take
+    # section-(a) slots next round alongside the nine deferred
+    # tpch_extra round-4 queries.
 ]
 
 
