@@ -493,28 +493,45 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reduces per doc. Docs with no bigram (fewer than 2 tokens)
     have no fluency signal and are absent, identically in both
     engines."""
+    from pyspark.sql.window import Window
+
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    bi = shingles_expr("toks", 2)
+    # bigrams via posexplode + window-lead, NOT a shingle lambda:
+    # higher-order array construction evaluates interpreted (9.8 s per
+    # corpus pass at the 100x scale test vs 5.0 s for this shape --
+    # token explode is codegen and the lead() window sorts LOCALLY on
+    # the doc_id spread partitioning, no exchange)
+    w = Window.partitionBy("doc_id").orderBy("i")
     bg = (
-        docs.selectExpr("doc_id", f"{_TOKS} AS toks")
-        .selectExpr("doc_id", f"explode({bi}) AS bg")
+        docs.selectExpr("doc_id", f"posexplode({_TOKS}) AS (i, t)")
+        .select(
+            "doc_id",
+            F.col("t").alias("w1"),
+            F.lead("t").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", F.concat_ws(" ", "w1", "w2").alias("bg"))
     )
-    bcnt = bg.groupBy("bg").agg(F.count("*").alias("cb"))
-    ucnt = (
-        bg.selectExpr("substring_index(bg, ' ', 1) AS w1")
-        .groupBy("w1")
-        .agg(F.count("*").alias("cu"))
-    )
+    bcnt = bg.groupBy("bg", "w1").agg(F.count("*").alias("cb"))
+    # prefix counts DERIVED from the bigram counts (sum over w1), not a
+    # third corpus pass: C(w1-as-prefix) == sum of C(w1 *)
+    ucnt = bcnt.groupBy("w1").agg(F.sum("cb").alias("cu"))
     model = (
-        bcnt.withColumn("w1", F.expr("substring_index(bg, ' ', 1)"))
-        .join(F.broadcast(ucnt), "w1")
+        bcnt.join(F.broadcast(ucnt), "w1")
         .selectExpr(
             "bg",
             "CAST(round(ln(cb / cu) * 1000000, 0) AS BIGINT) AS lp_fp",
         )
     )
     return (
-        bg.join(model, "bg")
+        # broadcast: the model is distinct-bigram-sized (bounded by the
+        # OBSERVED bigram vocabulary, tiny next to the corpus); with a
+        # billions-of-bigrams vocabulary drop the hint and this becomes
+        # the one wide shuffle, keyed well. Broadcast + the window-lead
+        # bigrams + derived prefix counts took the 100x run 42 -> 27 s;
+        # the residual is two honest 100M-bigram corpus passes (counts,
+        # scoring) -- the repetition_stats cost class.
+        bg.join(F.broadcast(model), "bg")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

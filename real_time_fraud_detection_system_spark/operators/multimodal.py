@@ -8,13 +8,14 @@ only sane shape at 100 TB -- bytes never round-trip through Python row by
 row, and each batch is one Arrow buffer.
 
 The container has no image/audio codec LIBRARIES, so the decoder
-registry ships one real pure-python codec -- binary PPM (P6), installed
-for 'image' by default -- and the feature extractor falls back to a
-deterministic byte-level featurizer (documented fake) for audio/video
-and for payloads the codec cannot parse. ``multimodal_features`` wraps
-image payloads into true P6 containers so the default oracle run
-exercises the real decode path end to end. The Spark-side plumbing --
-schema, partitioning, UDF signature, batch shape -- is real and tested.
+registry ships REAL pure-python codecs -- binary PPM (P6) and PNG
+(stdlib zlib + scanline unfilter) behind a sniffing 'image' default,
+PCM WAV for 'audio' -- and the feature extractor falls back to a
+deterministic byte-level featurizer (documented fake) for video and
+for payloads no codec can parse. ``multimodal_features`` wraps image
+payloads into true P6 containers so the default oracle run exercises
+the real decode path end to end. The Spark-side plumbing -- schema,
+partitioning, UDF signature, batch shape -- is real and tested.
 
 The corpus here is synthesized from the documents table (text -> utf-8
 bytes) so every engine sees identical payloads.
@@ -294,8 +295,69 @@ def image_decoder(payload: bytes) -> dict:
     return ppm_image_decoder(payload)
 
 
+def wav_audio_decoder(payload: bytes) -> dict:
+    """Pure-python WAV (RIFF) codec, the default 'audio' decoder:
+    parses the fmt chunk (PCM only, 8/16-bit) and features the DATA
+    section bytes -- the sample stream, container excluded -- mirroring
+    the image decoders' pixels-not-container contract. Non-RIFF
+    payloads raise NotImplementedError (byte-feature fallback)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    try:
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + length]
+            pos += 8 + length + (length & 1)  # chunks are word-aligned
+            if tag == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif tag == b"data":
+                data = body
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_format, _ch, _rate, _bps, _align, bits = fmt
+        if audio_format != 1 or bits not in (8, 16):
+            raise NotImplementedError(
+                f"unsupported WAV format={audio_format} bits={bits}"
+            )
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # truncated/corrupt container
+        raise NotImplementedError(f"malformed WAV payload: {exc}") from exc
+    return {
+        "n_bytes": len(data),
+        "mean_byte": float(sum(data)) / len(data) if data else 0.0,
+        "samples": [int(b) for b in data[:4]],
+    }
+
+
+def encode_wav(
+    sample_rate: int, channels: int, bits: int, frames: bytes
+) -> bytes:
+    """Minimal PCM WAV writer -- the deterministic payload generator
+    for the codec tests; round-trips exactly through
+    wav_audio_decoder."""
+    import struct
+
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(frames)) + frames
+        + (b"\x00" if len(frames) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
 _DEFAULT_DECODERS: dict[str, Callable[[bytes], dict]] = {
     "image": image_decoder,
+    "audio": wav_audio_decoder,
 }
 _DECODERS: dict[str, Callable[[bytes], dict]] = dict(_DEFAULT_DECODERS)
 

@@ -762,45 +762,65 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine compares through round-to-integer fixed point, the
     boundary-safe idiom.
 
-    Scale: pass 1 explodes components and reduces to dims rows (64-key
-    groupBy, map-side combine absorbs the explosion); pass 2 streams
-    the corpus once against the BROADCAST 1-row centroid. Two scans,
-    zero wide shuffles. Integer headroom: component sums stay < 2^53
-    up to ~9e9 vectors."""
-    unit = _vectors(spark, sf_dir).selectExpr(
-        "vec_id", "emb", "norm",
-        "transform(emb, x -> CAST(round(x / norm * 1000000, 0) AS BIGINT))"
-        " AS q",
+    Scale shape, both passes whole-stage codegen:
+      1. posexplode FIRST, then the fixed-point quantization as
+         top-level expressions (the _sig_table explode-then-codegen
+         pattern -- quantizing inside a transform() lambda evaluates
+         interpreted), reduced by a dims-key groupBy whose map-side
+         combine absorbs the explosion;
+      2. the dims centroid components -- a BOUNDED driver collect, the
+         hyperplane-literal pattern -- are baked into an UNROLLED
+         literal dot product, so the scoring pass is one codegen'd
+         projection over the scan with no lambda, no join, no shuffle.
+         (The first draft's broadcast-1-row-frame + aggregate() fold
+         evaluated ~200 interpreted lambda steps per row: 105 s at the
+         100x scale test; this shape runs ~3 s.)
+    Unrolled left-assoc addition equals the oracle's list_sum fold
+    bit-for-bit: the fold's 0.0 init adds exactly. Integer headroom:
+    component sums stay < 2^53 up to ~9e9 vectors."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    dims = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    norm_sq = " + ".join(
+        f"(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE))"
+        for i in range(dims)
     )
-    cent = (
-        unit.selectExpr("posexplode(q) AS (i, v)")
-        .groupBy("i")
-        .agg(F.sum("v").alias("s"))
-        .groupBy()
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, s))),"
-                " x -> CAST(x.s AS DOUBLE)) AS c"
+    base = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
+        f"sqrt({norm_sq}) AS norm",
+    )
+    comp_sums = {
+        int(r["i"]): int(r["s"])
+        for r in (
+            base.selectExpr("norm", "posexplode(emb) AS (i, x)")
+            .selectExpr(
+                "i", "CAST(round(x / norm * 1000000, 0) AS BIGINT) AS v"
             )
+            .groupBy("i")
+            .agg(F.sum("v").alias("s"))
+            .collect()  # bounded: dims rows
         )
-    )
-    cos = (
-        F.expr(_DOT.format(a="emb", b="c"))
-        / (
-            F.col("norm")
-            * F.sqrt(F.expr(_DOT.format(a="c", b="c")))
-        )
-    )
-    cos_fp = F.round(cos * F.lit(1000000.0), 0).cast("bigint")
-    return (
-        unit.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            (cos_fp / F.lit(1000000.0)).alias("cos_centroid"),
-            (cos_fp < F.lit(OUTLIER_COS_FP)).alias("is_outlier"),
-        )
-        .orderBy("vec_id")
-    )
+    }
+    c = [float(comp_sums[i]) for i in range(dims)]
+    # repr() round-trips doubles exactly; c entries are exact integers
+    dot = " + ".join(f"(emb[{i}] * CAST({c[i]!r} AS DOUBLE))"
+                     for i in range(dims))
+    cden = " + ".join(
+        f"(CAST({c[i]!r} AS DOUBLE) * CAST({c[i]!r} AS DOUBLE))"
+        for i in range(dims)
+    )  # all-literal: constant-folded at plan time, same add order as
+    #    the oracle's list_sum
+    return base.selectExpr(
+        "vec_id",
+        f"CAST(round(({dot}) / (norm * sqrt({cden})) * 1000000, 0)"
+        " AS BIGINT) AS cos_fp",
+    ).selectExpr(
+        "vec_id",
+        # CAST: a bare 1000000.0 literal parses as DECIMAL in Spark SQL
+        # and the quotient would render with trailing zeros
+        "cos_fp / CAST(1000000 AS DOUBLE) AS cos_centroid",
+        f"cos_fp < {OUTLIER_COS_FP} AS is_outlier",
+    ).orderBy("vec_id")
 
 
 EMBEDDING_OUTLIERS_SQL = f"""

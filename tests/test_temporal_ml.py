@@ -234,3 +234,47 @@ def test_image_decoder_sniffs_png_ppm_and_falls_back(spark):
     assert rows[2]["samples"] == [1, 2, 3, 4]
     assert abs(rows[2]["mean_byte"] - sum(png_pix) / 6) < 1e-9
     assert rows[3]["n_bytes"] == len(broken)  # fallback over raw bytes
+
+
+@pytest.mark.parametrize("bits", [8, 16])
+def test_wav_roundtrip(bits):
+    """encode_wav -> wav_audio_decoder: features run over the DATA
+    section only (RIFF container excluded), at both PCM widths."""
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        encode_wav,
+        wav_audio_decoder,
+    )
+
+    frames = bytes((5 * i + 1) % 256 for i in range(32))
+    payload = encode_wav(8000, 1, bits, frames)
+    feats = wav_audio_decoder(payload)
+    assert feats["n_bytes"] == len(frames)
+    assert feats["mean_byte"] == float(sum(frames)) / len(frames)
+    assert feats["samples"] == [frames[0], frames[1], frames[2], frames[3]]
+
+
+def test_wav_decoder_is_default_for_audio(spark):
+    """A RIFF payload in an 'audio' row decodes through the packaged
+    WAV codec (data bytes only); raw audio bytes and a truncated WAV
+    degrade to the byte-feature fallback."""
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        encode_wav,
+        media_features,
+    )
+
+    frames = bytes([9, 7, 5, 3] * 4)
+    wav = encode_wav(8000, 1, 8, frames)
+    raw = b"\x01\x02\x03\x04"
+    m = spark.createDataFrame(
+        [
+            (1, bytearray(wav), "audio"),
+            (2, bytearray(raw), "audio"),
+            (3, bytearray(wav[: len(wav) // 2]), "audio"),
+        ],
+        "media_id long, payload binary, media_type string",
+    )
+    rows = {r["media_id"]: r for r in media_features(m).collect()}
+    assert rows[1]["n_bytes"] == len(frames)
+    assert rows[1]["samples"] == [9, 7, 5, 3]
+    assert rows[2]["n_bytes"] == 4  # fallback over the raw payload
+    assert rows[3]["n_bytes"] == len(wav) // 2  # truncated -> fallback

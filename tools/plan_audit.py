@@ -47,12 +47,6 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "conversion_funnel": frozenset({"1PART"}),
     "customers_without_orders": frozenset({"NLJ", "1PART"}),
     "embedding_near_dup": frozenset({"NLJ"}),
-    # embedding_outliers: the NLJ is the broadcast of the 1-row
-    # centroid frame (scalar-anchor pattern) and the 1PART is the
-    # 64-row component-sum collapsing into that single centroid row --
-    # both constant-size at any corpus size (the corpus-sized work is
-    # the map-side-combined component aggregation before it).
-    "embedding_outliers": frozenset({"NLJ", "1PART"}),
     "freshness_check": frozenset({"NLJ", "1PART"}),
     "moving_avg_revenue": frozenset({"GLOBALWIN", "1PART"}),
     # decayed_user_value: the NLJ is the 1-row max(ts) anchor broadcast
