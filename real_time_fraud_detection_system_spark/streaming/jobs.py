@@ -200,3 +200,63 @@ def profile_from_partials(spark: SparkSession, partials_dir: str, cols) -> DataF
     return profile_merge(
         spark.read.parquet(partials_dir).drop("epoch_id"), cols
     )
+
+
+# ==========================================================================
+# Streaming incremental dedup (the dedup.py shard-vs-index path as a
+# foreachBatch job): each arriving micro-batch of documents dedups
+# against the persisted MinHash signature index, appends exactly the
+# verified pairs its arrival adds, then appends its signatures.
+#
+# Exactly-once under at-least-once foreachBatch replays, without a
+# transaction: (1) signatures enter the index through the anti-join
+# (update_signature_index semantics), so a replayed batch contributes
+# no new index rows and its `fresh` set is EMPTY; (2) pairs write with
+# dynamic-partition overwrite keyed by epoch_id (the daily-metrics A7
+# idempotent-upsert pattern) BEFORE the index append -- a crash between
+# the two replays the batch with the index still pre-batch, recomputing
+# the identical pair set into the same epoch partition.
+
+
+def dedup_index_sink_writer(index_dir: str, pairs_dir: str):
+    """foreachBatch hook over a (doc_id, text) document stream."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from ..operators.dedup import (
+            incremental_dedup_pairs,
+            signature_index,
+        )
+        from ..session import conf_override
+
+        spark = batch_df.sparkSession
+        new_sigs = signature_index(batch_df).cache()
+        try:
+            try:
+                index = spark.read.parquet(index_dir)
+                fresh = new_sigs.join(
+                    index.select("doc_id"), "doc_id", "left_anti"
+                )
+            except AnalysisException:  # first batch: no index yet
+                index = spark.createDataFrame([], new_sigs.schema)
+                fresh = new_sigs
+            fresh = fresh.localCheckpoint()  # pin: read index ONCE,
+            # before this batch mutates it
+            if fresh.isEmpty():
+                return  # full replay: everything already indexed
+            with conf_override(
+                spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            ):
+                (
+                    incremental_dedup_pairs(index, fresh)
+                    .withColumn("epoch_id", F.lit(int(epoch_id)))
+                    .write.mode("overwrite")
+                    .partitionBy("epoch_id")
+                    .parquet(pairs_dir)
+                )
+            fresh.write.mode("append").parquet(index_dir)
+        finally:
+            new_sigs.unpersist()
+
+    return write_batch

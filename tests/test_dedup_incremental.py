@@ -72,3 +72,58 @@ def test_index_roundtrip_and_idempotent_update(spark, sf_dir, tmp_path):
     assert (
         twice.groupBy("doc_id").count().filter("count > 1").count() == 0
     )
+
+
+def test_dedup_index_sink_stream_and_replay(spark, sf_dir, tmp_path):
+    """Drive dedup_index_sink_writer through a real file stream: two
+    micro-batches of documents; every verified pair lands in exactly
+    one epoch partition (at the LATER doc's arrival), the union across
+    epochs equals the one-shot LSH pair set over the full corpus, and
+    a manual replay of an already-indexed batch changes nothing (the
+    anti-join gate makes the sink idempotent under at-least-once
+    foreachBatch delivery)."""
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        dedup_index_sink_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_b0 = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    src = tmp_path / "src"
+    docs.filter(is_b0).coalesce(1).write.parquet(str(src / "b0"))
+    docs.filter(~is_b0).coalesce(1).write.parquet(str(src / "b1"))
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(dedup_index_sink_writer(index_dir, pairs_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    pairs = spark.read.parquet(pairs_dir)
+    want = _pairs_set(dedup_minhash_lsh(spark, sf_dir))
+    assert _pairs_set(pairs.drop("epoch_id")) == want
+    assert want, "corpus must contain at least one verified pair"
+    assert (
+        pairs.groupBy("a_id", "b_id").count().filter("count > 1").count()
+        == 0
+    ), "a pair must land in exactly one epoch partition"
+    assert pairs.select("epoch_id").distinct().count() >= 2
+
+    idx = spark.read.parquet(index_dir)
+    n_docs = docs.count()
+    assert idx.count() == n_docs  # every doc signed exactly once
+
+    # replay an already-processed batch: index AND pairs unchanged
+    writer = dedup_index_sink_writer(index_dir, pairs_dir)
+    writer(docs.filter(is_b0), 999)
+    assert spark.read.parquet(index_dir).count() == n_docs
+    assert _pairs_set(spark.read.parquet(pairs_dir).drop("epoch_id")) == want
