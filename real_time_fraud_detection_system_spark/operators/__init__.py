@@ -86,10 +86,14 @@ PRIORITY = [
     #
     # ROUND-7 WINDOW HEAD (registered past position 50 after the
     # round-6 window filled): embedding_outliers (fixed-point
-    # cosine-to-centroid pruning) and bigram_lm_score (corpus bigram
-    # MLE fluency) -- both local-checker green at sf0.01; they take
-    # section-(a) slots next round alongside the nine deferred
-    # tpch_extra round-4 queries.
+    # cosine-to-centroid pruning), bigram_lm_score (corpus bigram
+    # MLE fluency), crossdoc_ngram_share (per-source cross-document
+    # duplicated-shingle share), ann_recall_eval (IVF recall@k vs
+    # the exact baseline), and ann_ivf_topk AGAIN (assignment moved to
+    # the _nearest_cells_udf Arrow kernel late in round 6, so its
+    # round-5 verdict is stale) -- all local-checker green at sf0.01
+    # AND sf0.1; they take section-(a) slots next round alongside the
+    # nine deferred tpch_extra round-4 queries.
 ]
 
 

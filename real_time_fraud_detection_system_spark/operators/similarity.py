@@ -316,41 +316,81 @@ def centroid_modulus(n: int) -> int:
     return max(1, int(math.floor(math.sqrt(float(n)))))
 
 
+def _nearest_cells_udf(cent_ids, cent_embs, n: int):
+    """Arrow-batched nearest-centroid kernel: for each vector, the
+    ``n`` nearest-cosine centroid ids in rank order. Replaces the
+    |corpus| x K crossJoin + per-vector window (89M interpreted-lambda
+    dot products and a corpus-sized shuffle at the 100x scale test --
+    521 s) with one shuffle-free scan pass over the corpus.
+
+    BIT-EXACT vs the DuckDB oracle by the sem_signatures_udf
+    construction: one vectorized add per dimension in ascending order
+    replays the identical left-to-right IEEE fold as SQL aggregate()
+    and DuckDB list_sum, and BOTH norms are computed from the same
+    fold inside the kernel -- so the raw cosine doubles agree
+    bit-for-bit and cell ranking needs no rounding at all. Ties (the
+    replica corpus duplicates directions, so bit-equal cosines are
+    common) break by ascending c_id on both engines: centroids enter
+    the kernel sorted by c_id and the argsort is stable."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cent_embs, dtype=np.float64)  # (K, dims), c_id asc
+    cid = np.asarray(cent_ids, dtype=np.int64)
+    acc_c = np.zeros(C.shape[0])
+    for i in range(C.shape[1]):  # ascending dims = the fold order
+        acc_c = acc_c + C[:, i] * C[:, i]
+    c_norm = np.sqrt(acc_c)
+
+    @pandas_udf("array<bigint>")
+    def cells(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # np.stack rejects an empty batch
+            return pd.Series([], dtype=object)
+        E = np.stack(emb.to_numpy())  # (rows, dims) float64
+        acc = np.zeros((E.shape[0], C.shape[0]))
+        acc_n = np.zeros(E.shape[0])
+        for i in range(E.shape[1]):
+            acc = acc + E[:, i : i + 1] * C[:, i]
+            acc_n = acc_n + E[:, i] * E[:, i]
+        cos = acc / (np.sqrt(acc_n)[:, None] * c_norm[None, :])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(cid[order]))
+
+    return cells
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed top-{TOPK}: probe {NPROBE} nearest cells per query.
     Approximate (cell misses possible); ann_cosine_topk is the recall
-    baseline. All ranking on rounded cosine + id tie-breaks so both
-    engines agree exactly."""
+    baseline and ``ann_recall_eval`` measures the gap. Cell assignment
+    ranks on the RAW bit-exact cosine (kernel fold == DuckDB fold, see
+    _nearest_cells_udf); the final candidate ranking stays on the
+    rounded cosine + id tie-break as before.
+
+    Scale shape: the centroid set is a deterministic sqrt(n)-rate hash
+    sample, so the driver collect is dims-bounded and SUBLINEAR (the
+    embedding_outliers precedent: K*dims*8B ~ 16 MB at n = 1e9) and
+    rides into every executor inside the kernel closure. Assignment is
+    then a single shuffle-free scan; the only corpus-sized shuffle
+    left is the cell-keyed candidate join."""
     # One cheap aggregate (parquet row-count metadata) to size the
     # sampling rate; bounded single-row result, not a data collect.
     n = load_table(spark, sf_dir, "embeddings").count()
     m = centroid_modulus(n)
     vecs = _vectors(spark, sf_dir)
-    cents = vecs.filter(
-        F.expr(_SPARK_ID_HASH.format(id="vec_id")) % m == 0
-    ).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
+    cent_rows = (
+        vecs.filter(F.expr(_SPARK_ID_HASH.format(id="vec_id")) % m == 0)
+        .select("vec_id", "emb")
+        .orderBy("vec_id")
+        .collect()
     )
+    cent_ids = [r["vec_id"] for r in cent_rows]
+    cent_embs = [r["emb"] for r in cent_rows]
 
     def nearest_cells(side: DataFrame, id_col: str, n: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cents)).withColumn(
-            "c_cos",
-            F.round(
-                F.expr(_DOT.format(a="c_emb", b="emb"))
-                / (F.col("c_norm") * F.col("norm")),
-                6,
-            ),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("c_cos"), F.asc("c_id")
-        )
-        return (
-            scored.withColumn("c_rank", F.row_number().over(w))
-            .filter(F.col("c_rank") <= n)
-            .drop("c_emb", "c_norm", "c_cos", "c_rank")
-        )
+        cells = _nearest_cells_udf(cent_ids, cent_embs, n)
+        return side.withColumn("c_id", F.explode(cells(F.col("emb"))))
 
     assigned = nearest_cells(vecs, "vec_id", 1).select(
         F.col("vec_id").alias("m_id"),
@@ -399,10 +439,13 @@ cents AS (
            FROM vecs) = 0
 ),
 assign_scored AS (
+  -- RAW cosine in the cell ranking (no round): the Spark side's numpy
+  -- kernel replays this exact fold bit-for-bit, so the doubles agree
+  -- and ties (bit-equal only) break by c_id on both engines
   SELECT v.vec_id, v.emb, v.norm, c.c_id,
          row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             round({_DUCK_DOT.format(a='c.c_emb', b='v.emb')}
-                   / (c.c_norm * v.norm), 6) DESC, c.c_id ASC) AS c_rank
+             {_DUCK_DOT.format(a='c.c_emb', b='v.emb')}
+                   / (c.c_norm * v.norm) DESC, c.c_id ASC) AS c_rank
   FROM vecs v, cents c
 ),
 assigned AS (
@@ -853,6 +896,66 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK} of the IVF scale path against the brute-force
+    baseline, per query vector: |ivf_topk ∩ exact_topk| / |exact_topk|.
+    The quality gate every ANN deployment runs before trusting the
+    approximate index -- it turns "cell misses possible" into a
+    measured number (and regresses if NPROBE / the centroid rate are
+    mistuned). Recall ships in integer ppm: a ratio of two small ints
+    can land exactly on a 6-dp half boundary, and round-to-INTEGER is
+    the boundary-safe form across engines.
+
+    Scale shape: both sides reuse their own documented plans (exact =
+    one broadcast pass over the corpus, IVF = broadcast assignment +
+    cell-keyed shuffle); the eval itself joins two {TOPK}x{N_QUERIES}-
+    row frames -- driver-trivial at any corpus size. At 100 TB the
+    baseline side is the expensive half, which is exactly why it runs
+    HERE (a bounded eval set) and not in production queries."""
+    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr(
+                "CAST(round(n_hits * 1000000.0 / n_exact, 0) AS BIGINT)"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH exact AS ({ANN_COSINE_TOPK_SQL}),
+approx AS ({ANN_IVF_TOPK_SQL})
+SELECT e.q_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(round(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) * 1000000.0 / count(*), 0)
+            AS BIGINT) AS recall_ppm
+FROM exact e
+LEFT JOIN approx a
+  ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.q_id
+ORDER BY e.q_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
@@ -860,6 +963,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "semantic_dedup_clusters": semantic_dedup_clusters,
     "embedding_outliers": embedding_outliers,
+    "ann_recall_eval": ann_recall_eval,
 }
 
 ORACLE = {
@@ -869,4 +973,5 @@ ORACLE = {
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "semantic_dedup_clusters": SEMANTIC_DEDUP_CLUSTERS_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
+    "ann_recall_eval": ANN_RECALL_EVAL_SQL,
 }

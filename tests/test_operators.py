@@ -471,3 +471,62 @@ def test_bigram_lm_score_hand_computed(spark):
     assert got[1]["avg_logprob"] == want1
     assert got[2]["avg_logprob"] == want2
     assert all(r["avg_logprob"] <= 0 for r in got.values())
+
+
+def test_ann_recall_eval_matches_set_arithmetic(spark, sf_dir):
+    """The registered recall query must equal recall computed from the
+    two top-k results directly, with recall_ppm the integer-rounded
+    ratio and every count bounded by TOPK."""
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        TOPK,
+        ann_cosine_topk,
+        ann_ivf_topk,
+        ann_recall_eval,
+    )
+
+    brute, ivf = {}, {}
+    for r in ann_cosine_topk(spark, sf_dir).collect():
+        brute.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    for r in ann_ivf_topk(spark, sf_dir).collect():
+        ivf.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+
+    rows = {r["q_id"]: r for r in ann_recall_eval(spark, sf_dir).collect()}
+    assert set(rows) == set(brute)
+    for q, r in rows.items():
+        want_hits = len(brute[q] & ivf.get(q, set()))
+        assert r["n_exact"] == len(brute[q]) <= TOPK
+        assert r["n_hits"] == want_hits
+        assert r["recall_ppm"] == round(want_hits * 1_000_000 / r["n_exact"])
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+
+
+def test_crossdoc_ngram_share_invariants(spark, sf_dir):
+    """Shares live in [0, 1e6] ppm, high-dup docs are a subset of the
+    source's docs, and per-source doc counts reconcile with the number
+    of docs that produce at least one shingle."""
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        _TOKS,
+        crossdoc_ngram_share,
+    )
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.functions.text import (
+        SHINGLE_N,
+    )
+
+    rows = crossdoc_ngram_share(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dup_share_ppm"] <= 1_000_000
+        assert 0 <= r["high_dup_docs"] <= r["n_docs"]
+
+    with_shingles = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(f"size({_TOKS}) >= {SHINGLE_N} AS ok")
+        .filter("ok")
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == with_shingles
+
+    # the replica corpus recycles text between docs, so duplication
+    # must actually register somewhere
+    assert any(r["dup_share_ppm"] > 0 for r in rows)

@@ -30,10 +30,9 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #   * NLJ on ann_* / freshness_check / windowed_rates /
 #     customers_without_orders: 1-row or N_QUERIES-row broadcasts (scalar
 #     "now" anchor / query fan-out) -- constant-size at any data scale.
-#     ann_ivf_topk's NLJ is its centroid-table broadcast: centroids are
-#     a sqrt(n)-rate hash sample (similarity.py:centroid_modulus), so
-#     the broadcast is O(sqrt(n)) rows -- ~31k at n=1e9 -- and the
-#     assignment pass does O(n*sqrt(n)) work total, not O(n^2).
+#     (ann_ivf_topk no longer flags: its centroid assignment moved from
+#     a centroid-table broadcast join to the _nearest_cells_udf Arrow
+#     kernel with the sqrt(n)-rate sample collected into the closure.)
 #   * NLJ on embedding_near_dup: the documented all-pairs verification
 #     primitive (LSH/IVF variants are the scale paths); guarded by a
 #     row-count bound (operators/similarity.py).
@@ -43,7 +42,11 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #     count bounded by calendar days, not data volume.
 ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_cosine_topk": frozenset({"NLJ"}),
-    "ann_ivf_topk": frozenset({"NLJ"}),
+    # ann_recall_eval composes the two queries above, so it inherits
+    # exactly their allowlisted broadcast-nest-loop shapes (the query
+    # side is a bounded broadcast in both); the eval join itself is a
+    # TOPK x N_QUERIES-row equi-join.
+    "ann_recall_eval": frozenset({"NLJ"}),
     "conversion_funnel": frozenset({"1PART"}),
     "customers_without_orders": frozenset({"NLJ", "1PART"}),
     "embedding_near_dup": frozenset({"NLJ"}),
