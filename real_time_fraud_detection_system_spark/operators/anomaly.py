@@ -57,14 +57,53 @@ def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _score_partition(batches):
+    """Partition-wise twin of ``_score_group``: one pandas groupby
+    over ALL of a hash-partitioned partition's rows. Arrow hands a
+    partition over as multiple record batches that can SPLIT a user,
+    so the batches concatenate first -- the partition (not the group)
+    is the memory unit, exactly like the grouped-map form."""
+    import numpy as np  # noqa: F401  (parity with _score_group's env)
+
+    pdfs = [p for p in batches if not p.empty]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True)
+    med = pdf.groupby("user_id")["value"].transform("median")
+    mad = (
+        (pdf["value"] - med).abs().groupby(pdf["user_id"]).transform("median")
+    )
+    z = ((pdf["value"] - med) / (MAD_K * mad + EPS)).round(4)
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "robust_z": z,
+            "is_outlier": (z.abs() > Z_FLAG).astype("int32"),
+        }
+    )
+
+
 def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event robust z vs the user's own value distribution."""
+    """Per-event robust z vs the user's own value distribution.
+
+    Runs as repartition(user_id) + mapInPandas with a vectorized
+    pandas groupby rather than groupBy().applyInPandas(_score_group):
+    both shuffle the events once by user, but the grouped-map form
+    pays a Python call + frame construction PER GROUP (~15k groups =
+    49 s per 100x run) while the partition-wise kernel pays one call
+    per partition with C-speed grouped medians (identical
+    interpolation, identical rounding) -- the standard scale shape for
+    small-group grouped-map work. ``_score_group`` stays as the
+    reference per-group form; tests assert the two agree row-for-row.
+    """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "value"
     )
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(_score_group, ANOMALY_SCHEMA)
+        ev.repartition("user_id")
+        .mapInPandas(_score_partition, ANOMALY_SCHEMA)
         .orderBy("event_id")
     )
 

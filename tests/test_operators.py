@@ -530,3 +530,22 @@ def test_crossdoc_ngram_share_invariants(spark, sf_dir):
     # the replica corpus recycles text between docs, so duplication
     # must actually register somewhere
     assert any(r["dup_share_ppm"] > 0 for r in rows)
+
+
+def test_anomaly_partition_kernel_matches_grouped_map(spark, sf_dir):
+    """user_value_anomalies' partition-wise mapInPandas kernel must
+    equal the per-group applyInPandas reference form row-for-row."""
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.anomaly import (
+        ANOMALY_SCHEMA,
+        _score_group,
+        user_value_anomalies,
+    )
+
+    got = user_value_anomalies(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    ref = ev.groupBy("user_id").applyInPandas(_score_group, ANOMALY_SCHEMA)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
