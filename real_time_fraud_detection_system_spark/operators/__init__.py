@@ -89,11 +89,14 @@ PRIORITY = [
     # cosine-to-centroid pruning), bigram_lm_score (corpus bigram
     # MLE fluency), crossdoc_ngram_share (per-source cross-document
     # duplicated-shingle share), ann_recall_eval (IVF recall@k vs
-    # the exact baseline), and ann_ivf_topk AGAIN (assignment moved to
-    # the _nearest_cells_udf Arrow kernel late in round 6, so its
-    # round-5 verdict is stale) -- all local-checker green at sf0.01
-    # AND sf0.1; they take section-(a) slots next round alongside the
-    # nine deferred tpch_extra round-4 queries.
+    # the exact baseline), ivf_cell_stats (cell-occupancy histogram +
+    # empty-cell count -- the index balance diagnostic), ann_ivf_topk
+    # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel
+    # late in round 6, so its round-5 verdict is stale), and
+    # shard_overlap + user_value_anomalies if their in-window round-6
+    # verdicts predate the late-round rewrites -- all local-checker
+    # green at sf0.01 AND sf0.1; they take section-(a) slots next
+    # round alongside the nine deferred tpch_extra round-4 queries.
 ]
 
 

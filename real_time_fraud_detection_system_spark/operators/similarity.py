@@ -316,6 +316,19 @@ def centroid_modulus(n: int) -> int:
     return max(1, int(math.floor(math.sqrt(float(n)))))
 
 
+def _ivf_centroids(vecs: DataFrame, m: int):
+    """Deterministic sqrt(n)-rate centroid sample, sorted by id (the
+    kernel's tie-break order). Dims-bounded driver collect: K*dims*8B
+    ~ 16 MB at n = 1e9."""
+    rows = (
+        vecs.filter(F.expr(_SPARK_ID_HASH.format(id="vec_id")) % m == 0)
+        .select("vec_id", "emb")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [r["vec_id"] for r in rows], [r["emb"] for r in rows]
+
+
 def _nearest_cells_udf(cent_ids, cent_embs, n: int):
     """Arrow-batched nearest-centroid kernel: for each vector, the
     ``n`` nearest-cosine centroid ids in rank order. Replaces the
@@ -379,14 +392,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "embeddings").count()
     m = centroid_modulus(n)
     vecs = _vectors(spark, sf_dir)
-    cent_rows = (
-        vecs.filter(F.expr(_SPARK_ID_HASH.format(id="vec_id")) % m == 0)
-        .select("vec_id", "emb")
-        .orderBy("vec_id")
-        .collect()
-    )
-    cent_ids = [r["vec_id"] for r in cent_rows]
-    cent_embs = [r["emb"] for r in cent_rows]
+    cent_ids, cent_embs = _ivf_centroids(vecs, m)
 
     def nearest_cells(side: DataFrame, id_col: str, n: int) -> DataFrame:
         cells = _nearest_cells_udf(cent_ids, cent_embs, n)
@@ -956,6 +962,93 @@ ORDER BY e.q_id
 """
 
 
+# --------------------------------------------------------------------------
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance diagnostic: the power-of-two occupancy
+    histogram of the inverted cells (bucket = floor(log2(members)) via
+    binary-string length -- integer-exact on both engines, no float
+    log), plus a bucket ``-1`` row counting EMPTY cells. Cell skew is
+    shuffle skew in the search join (a hot cell concentrates candidate
+    work on one task) and empty cells are wasted probe fan-out --
+    this is the check an ANN deployment runs alongside
+    ``ann_recall_eval`` before trusting the index. Empty cells are
+    real under direction-duplicating corpora: a centroid whose
+    direction duplicates a lower-id centroid loses every member to it,
+    including itself.
+
+    Scale shape: the kernel assignment pass (shuffle-free scan), one
+    K-row occupancy aggregate pinned via localCheckpoint (K ~ sqrt(n)
+    rows -- tiny), then O(log n)-row arithmetic."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    m = centroid_modulus(n)
+    vecs = _vectors(spark, sf_dir)
+    cent_ids, cent_embs = _ivf_centroids(vecs, m)
+    cells = _nearest_cells_udf(cent_ids, cent_embs, 1)
+    occ = (
+        vecs.select(F.explode(cells(F.col("emb"))).alias("c_id"))
+        .groupBy("c_id")
+        .agg(F.count("*").alias("n_members"))
+        .localCheckpoint()  # K rows; pin so the two consumers below
+        # don't each replay the corpus-wide kernel pass
+    )
+    buckets = (
+        occ.selectExpr(
+            "CAST(length(bin(n_members)) - 1 AS BIGINT) AS occupancy_bucket",
+            "n_members",
+        )
+        .groupBy("occupancy_bucket")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n_members").alias("n_vectors"),
+        )
+    )
+    n_empty = len(cent_ids) - occ.count()
+    if n_empty > 0:
+        buckets = buckets.unionByName(
+            spark.createDataFrame(
+                [(-1, n_empty, 0)],
+                "occupancy_bucket bigint, n_cells bigint, n_vectors bigint",
+            )
+        )
+    return buckets.orderBy("occupancy_bucket")
+
+
+IVF_CELL_STATS_SQL = f"""
+WITH vecs AS ({_DUCK_VECTORS}),
+cents AS (
+  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+  FROM vecs
+  WHERE {_DUCK_ID_HASH.format(id='vec_id')}
+        % (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
+           FROM vecs) = 0
+),
+assign_scored AS (
+  SELECT v.vec_id, c.c_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_DUCK_DOT.format(a='c.c_emb', b='v.emb')}
+                   / (c.c_norm * v.norm) DESC, c.c_id ASC) AS c_rank
+  FROM vecs v, cents c
+),
+occ AS (
+  SELECT c_id, count(*) AS n_members
+  FROM assign_scored WHERE c_rank = 1
+  GROUP BY 1
+),
+buckets AS (
+  SELECT CAST(length(bin(n_members)) - 1 AS BIGINT) AS occupancy_bucket,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n_members) AS BIGINT) AS n_vectors
+  FROM occ GROUP BY 1
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+  FROM cents c
+  WHERE NOT EXISTS (SELECT 1 FROM occ o WHERE o.c_id = c.c_id)
+  HAVING count(*) > 0
+)
+SELECT * FROM buckets ORDER BY occupancy_bucket
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
@@ -964,6 +1057,7 @@ QUERIES = {
     "semantic_dedup_clusters": semantic_dedup_clusters,
     "embedding_outliers": embedding_outliers,
     "ann_recall_eval": ann_recall_eval,
+    "ivf_cell_stats": ivf_cell_stats,
 }
 
 ORACLE = {
@@ -974,4 +1068,5 @@ ORACLE = {
     "semantic_dedup_clusters": SEMANTIC_DEDUP_CLUSTERS_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
+    "ivf_cell_stats": IVF_CELL_STATS_SQL,
 }

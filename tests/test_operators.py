@@ -549,3 +549,45 @@ def test_anomaly_partition_kernel_matches_grouped_map(spark, sf_dir):
     ref = ev.groupBy("user_id").applyInPandas(_score_group, ANOMALY_SCHEMA)
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_ivf_cell_stats_reconciles(spark, sf_dir):
+    """Occupancy histogram must reconcile exactly: vectors across
+    buckets sum to the corpus, cells (incl. the -1 empty bucket) sum
+    to the centroid count, and the empty bucket carries no vectors."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        _SPARK_ID_HASH,
+        _vectors,
+        centroid_modulus,
+        ivf_cell_stats,
+    )
+
+    rows = ivf_cell_stats(spark, sf_dir).collect()
+    assert rows
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = (
+        _vectors(spark, sf_dir)
+        .filter(
+            F.expr(_SPARK_ID_HASH.format(id="vec_id"))
+            % centroid_modulus(n)
+            == 0
+        )
+        .count()
+    )
+    assert sum(r["n_vectors"] for r in rows) == n
+    assert sum(r["n_cells"] for r in rows) == k
+    for r in rows:
+        assert r["n_cells"] > 0
+        if r["occupancy_bucket"] == -1:
+            assert r["n_vectors"] == 0
+        else:
+            # bucket b holds cells with 2^b <= members < 2^(b+1)
+            assert r["occupancy_bucket"] >= 0
+            assert (
+                r["n_cells"] * (1 << r["occupancy_bucket"])
+                <= r["n_vectors"]
+                < r["n_cells"] * (1 << (r["occupancy_bucket"] + 1))
+            )
