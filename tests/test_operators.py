@@ -591,3 +591,37 @@ def test_ivf_cell_stats_reconciles(spark, sf_dir):
                 <= r["n_vectors"]
                 < r["n_cells"] * (1 << (r["occupancy_bucket"] + 1))
             )
+
+
+def test_crossdoc_ngram_share_matches_hand_reference(spark, monkeypatch):
+    """Fixed tiny corpus with known shingle overlaps: shares and
+    majority-dup counts must equal the hand-computed values (micro-
+    averaged over (doc, shingle) occurrences, integer-ppm)."""
+    import real_time_fraud_detection_system_spark.operators.corpusops as co
+
+    rows = [
+        (1, "a b c d", "en", "srcA", 7),
+        (2, "a b c x", "en", "srcA", 7),
+        (3, "z z z", "en", "srcB", 5),
+        (4, "p q", "en", "srcB", 3),  # < SHINGLE_N tokens: excluded
+        (5, "z z z q", "en", "srcB", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        co, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    got = {
+        r["source"]: r
+        for r in co.crossdoc_ngram_share(spark, "unused").collect()
+    }
+    # srcA: d1 {abc,bcd}, d2 {abc,bcx}; "a b c" shared -> 2 dup of 4
+    assert got["srcA"]["n_docs"] == 2
+    assert got["srcA"]["dup_share_ppm"] == 500000
+    assert got["srcA"]["high_dup_docs"] == 0
+    # srcB: d3 {zzz}, d5 {zzz,zzq}; "z z z" shared -> 2 dup of 3;
+    # d3 is majority-duplicated (its only shingle is shared)
+    assert got["srcB"]["n_docs"] == 2
+    assert got["srcB"]["dup_share_ppm"] == round(2 / 3 * 1_000_000)
+    assert got["srcB"]["high_dup_docs"] == 1

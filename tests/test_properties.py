@@ -383,3 +383,35 @@ def test_customer_blocking_er_matches_reference(spark, recs):
             else:
                 want.add((k2, k1, d, c2, c1))
     assert got == want
+
+
+def test_nearest_cells_kernel_ties_break_by_centroid_id(spark):
+    """Bit-equal cosines (scalar multiples of one direction) must
+    assign to the SMALLEST centroid id, and rank order must be exact
+    cosine order otherwise -- the contract the DuckDB oracle's
+    (cosine DESC, c_id ASC) ranking assumes of the Arrow kernel."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        _nearest_cells_udf,
+    )
+
+    # centroids 10 and 20 share a direction (scalar multiple): cosine
+    # against ANY vector is bit-identical, so 10 must always win.
+    cent_ids = [10, 20, 30]
+    cent_embs = [[1.0, 0.0], [2.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [5.0, 0.0]), (2, [0.0, 3.0]), (3, [1.0, 1.0])],
+        "vec_id long, emb array<double>",
+    )
+    top2 = _nearest_cells_udf(cent_ids, cent_embs, 2)
+    rows = {
+        r["vec_id"]: r["cells"]
+        for r in df.select(
+            "vec_id", top2(F.col("emb")).alias("cells")
+        ).collect()
+    }
+    assert rows[1] == [10, 20]  # tie on cos=1.0 -> ascending c_id
+    assert rows[2][0] == 30  # exact match beats the tied pair
+    assert rows[2][1] == 10  # then the tie again, smallest id first
+    assert rows[3][:1] in ([10], [30]) and set(rows[3]) <= {10, 20, 30}
