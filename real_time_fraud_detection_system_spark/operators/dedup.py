@@ -530,6 +530,86 @@ def incremental_dedup_pairs(index: DataFrame, new_sigs: DataFrame) -> DataFrame:
     )
 
 
+def persist_dedup_index(
+    docs: DataFrame, prefix: str = "dedup_idx", n_buckets: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the corpus dedup index as the two BUCKETED tables
+    the daily-ingest probe reads (the layout the incremental-path
+    docstrings promise): the full signature table hash-clustered by
+    doc_id (anti-join membership + per-candidate hsh verification
+    lookups), and a LEAN band table (band, bkey, doc_id -- no
+    shingle-hash arrays, so LSH_BANDS-way fanout doesn't multiply the
+    heavy column) clustered by (band, bkey). Clustering is the
+    pre-shuffle: every per-shard run after this probes both tables
+    with ZERO index-side exchange (plan-asserted in
+    tests/test_dedup_incremental.py), so a shard's cost scales with
+    the SHARD at any corpus size."""
+    from ..storage import write_bucketed
+
+    sig = signature_index(docs)
+    sig_t = write_bucketed(sig, f"{prefix}_sig", ["doc_id"], n_buckets)
+    band_t = write_bucketed(
+        _band_table(sig).select("band", "bkey", "doc_id"),
+        f"{prefix}_band",
+        ["band", "bkey"],
+        n_buckets,
+    )
+    return sig_t, band_t
+
+
+def incremental_dedup_pairs_indexed(
+    sig_table: DataFrame, band_table: DataFrame, new_sigs: DataFrame
+) -> DataFrame:
+    """``incremental_dedup_pairs`` against the PERSISTED bucketed
+    index from ``persist_dedup_index`` -- value-identical output,
+    index-side-shuffle-free plan. Three stages:
+
+      1. candidate probe: shard band keys equi-join the (band, bkey)-
+         clustered band table -- only the |shard| x LSH_BANDS probe
+         rows shuffle (into the bucket layout); candidates dedup on
+         the bare (shard_id, index_id) long pair, never on an array;
+      2. verification: candidate index ids join the doc_id-clustered
+         signature table for their hsh sets (again only the candidate
+         side moves); shard hsh sets ride a broadcast;
+      3. shard-vs-shard pairs reuse the in-memory band join against an
+         empty index (the a < b rule), disjoint from stage 2 by
+         construction."""
+    spark = new_sigs.sparkSession
+    a = _band_table(new_sigs).select("doc_id", "band", "bkey").alias("a")
+    b = band_table.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("s_id"),
+            F.col("b.doc_id").alias("i_id"),
+        )
+        .distinct()
+    )
+    s = new_sigs.select(F.col("doc_id").alias("s_id"), F.col("hsh").alias("s_hsh"))
+    i = sig_table.select(F.col("doc_id").alias("i_id"), F.col("hsh").alias("i_hsh"))
+    n_inter = F.size(F.array_intersect(F.col("s_hsh"), F.col("i_hsh")))
+    n_union = F.size("s_hsh") + F.size("i_hsh") - n_inter
+    cross = (
+        cand.join(F.broadcast(s), "s_id")
+        .join(i, "i_id")
+        .filter((n_inter / n_union) >= JACCARD_THRESHOLD)
+        .select(
+            F.least("s_id", "i_id").alias("a_id"),
+            F.greatest("s_id", "i_id").alias("b_id"),
+            F.round(n_inter / n_union, 6).alias("jaccard"),
+        )
+    )
+    within = incremental_dedup_pairs(
+        spark.createDataFrame([], new_sigs.schema), new_sigs
+    )
+    return cross.unionByName(within).orderBy("a_id", "b_id")
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry form of the incremental path: treat the deterministic
     ~1/{SHARD_MOD} doc_id split as the arriving shard, the rest as the

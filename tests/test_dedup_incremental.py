@@ -127,3 +127,55 @@ def test_dedup_index_sink_stream_and_replay(spark, sf_dir, tmp_path):
     writer(docs.filter(is_b0), 999)
     assert spark.read.parquet(index_dir).count() == n_docs
     assert _pairs_set(spark.read.parquet(pairs_dir).drop("epoch_id")) == want
+
+
+def test_indexed_incremental_matches_and_skips_index_shuffle(spark, sf_dir):
+    """The bucketed-index probe path must produce exactly the
+    incremental pair set, and its joins must shuffle ONLY the shard
+    side: the (band, bkey)-clustered band table and doc_id-clustered
+    signature table are pre-shuffled at persist time."""
+    from real_time_fraud_detection_system_spark.operators.dedup import (
+        _band_table,
+        incremental_dedup_pairs_indexed,
+        persist_dedup_index,
+    )
+    from real_time_fraud_detection_system_spark.plans.explain_checks import (
+        count_exchanges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.expr(_shard_pred_spark())
+    corpus, shard = docs.filter(~is_new), docs.filter(is_new)
+    try:
+        sig_t, band_t = persist_dedup_index(corpus, prefix="t_dedup_idx")
+        new_sigs = signature_index(shard)
+
+        got = incremental_dedup_pairs_indexed(sig_t, band_t, new_sigs)
+        assert _pairs_set(got) == _pairs_set(dedup_incremental(spark, sf_dir))
+
+        # band probe: joining adds exactly ONE exchange over the shard
+        # subplan's own (the shard entering the bucket layout); the
+        # persisted band table contributes none -- it scans bucketed
+        a = _band_table(new_sigs).select("doc_id", "band", "bkey").alias("a")
+        probe = a.join(
+            band_t.hint("merge").alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        import contextlib
+        import io
+
+        assert count_exchanges(probe) == count_exchanges(a) + 1
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        assert "Bucketed: true" in buf.getvalue()
+
+        # verification lookup: candidate ids shuffle, signature table
+        # does not
+        cand = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+        lookup = cand.join(sig_t.hint("merge"), "doc_id")
+        assert count_exchanges(lookup) == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dedup_idx_sig")
+        spark.sql("DROP TABLE IF EXISTS t_dedup_idx_band")
