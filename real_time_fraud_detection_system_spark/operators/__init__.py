@@ -90,7 +90,9 @@ PRIORITY = [
     # MLE fluency), crossdoc_ngram_share (per-source cross-document
     # duplicated-shingle share), ann_recall_eval (IVF recall@k vs
     # the exact baseline), ivf_cell_stats (cell-occupancy histogram +
-    # empty-cell count -- the index balance diagnostic), ann_ivf_topk
+    # empty-cell count -- the index balance diagnostic),
+    # dedup_containment (df-capped shared-shingle candidacy + exact
+    # asymmetric containment -- the doc-inside-doc gate), ann_ivf_topk
     # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel
     # late in round 6, so its round-5 verdict is stale), and
     # shard_overlap + user_value_anomalies if their in-window round-6

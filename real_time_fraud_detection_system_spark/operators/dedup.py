@@ -395,6 +395,111 @@ ORDER BY a_id, b_id
 """
 
 
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+CONTAINMENT_MAX_DF = 8  # shingles in more docs are boilerplate: pruned
+CONTAINMENT_MIN_SHARED = 2  # rare shingles shared before verification
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dups: pairs where the smaller doc's
+    shingle set is >= {CONTAINMENT_THRESHOLD} contained in the other's
+    (n_inter / min(|A|, |B|)). Catches the doc-inside-doc duplication
+    Jaccard misses -- a short document quoted wholesale inside a long
+    one has tiny Jaccard (the union is dominated by the long doc) but
+    containment ~1; the standard sub-document gate run beside the
+    symmetric one in large-corpus dedup. Jaccard rides along so the
+    report separates "same doc" from "swallowed doc".
+
+    Candidacy CANNOT reuse the MinHash bands: a band collides with
+    probability ~Jaccard^rows, so exactly the pairs this gate exists
+    for (high containment, LOW Jaccard) almost never become LSH
+    candidates. Instead: document-frequency-capped shared shingles --
+    per-shingle doc counts ride a window over the exploded (already
+    60-bit-hashed) shingle table, shingles in > CONTAINMENT_MAX_DF
+    docs are pruned as boilerplate (bounding the per-shingle self-join
+    fanout at MAX_DF^2 -- the cap is what makes this linear at 100 TB),
+    pairs sharing >= CONTAINMENT_MIN_SHARED surviving shingles verify
+    exact containment against the signature table's full hash sets. A
+    doc whose EVERY shingle is hot is unfindable by construction --
+    it is boilerplate itself."""
+    sig = _sig_table(spark, sf_dir).cache()
+    from pyspark.sql.window import Window
+
+    sh = sig.select("doc_id", F.explode("hsh").alias("h"))
+    rare = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("h"))
+    ).filter(
+        (F.col("df") >= 2) & (F.col("df") <= CONTAINMENT_MAX_DF)
+    )
+    ra, rb = rare.alias("ra"), rare.alias("rb")
+    cand = (
+        ra.join(
+            rb,
+            (F.col("ra.h") == F.col("rb.h"))
+            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        )
+        .groupBy(
+            F.col("ra.doc_id").alias("a_id"),
+            F.col("rb.doc_id").alias("b_id"),
+        )
+        .agg(F.count("*").alias("n_shared_rare"))
+        .filter(F.col("n_shared_rare") >= CONTAINMENT_MIN_SHARED)
+    )
+    da = sig.select(F.col("doc_id").alias("a_id"), F.col("hsh").alias("a_hsh"))
+    db = sig.select(F.col("doc_id").alias("b_id"), F.col("hsh").alias("b_hsh"))
+    n_inter = F.size(F.array_intersect(F.col("a_hsh"), F.col("b_hsh")))
+    n_min = F.least(F.size("a_hsh"), F.size("b_hsh"))
+    n_union = F.size("a_hsh") + F.size("b_hsh") - n_inter
+    return (
+        cand.join(da, "a_id")
+        .join(db, "b_id")
+        .filter((n_inter / n_min) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(n_inter / n_min, 6).alias("containment"),
+            F.round(n_inter / n_union, 6).alias("jaccard"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+_DUCK_NI = "len(list_intersect(da.shingles, db.shingles))"
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)}) AS shingles
+  FROM documents
+),
+sh AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+cnt AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+rare AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh JOIN cnt USING (s)
+  WHERE df BETWEEN 2 AND {CONTAINMENT_MAX_DF}
+),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {CONTAINMENT_MIN_SHARED}
+)
+SELECT c.a_id, c.b_id,
+       round({_DUCK_NI} / least(len(da.shingles), len(db.shingles)), 6)
+         AS containment,
+       round({_DUCK_NI} / (len(da.shingles) + len(db.shingles) - {_DUCK_NI}),
+             6) AS jaccard
+FROM cand c
+JOIN d da ON da.doc_id = c.a_id
+JOIN d db ON db.doc_id = c.b_id
+WHERE {_DUCK_NI} / least(len(da.shingles), len(db.shingles))
+      >= {CONTAINMENT_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'keep one representative' stage of the MinHash path: verified
     LSH pairs become edges, connected components give every document
@@ -1440,6 +1545,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_incremental": dedup_incremental,
     "split_leakage_check": split_leakage_check,
@@ -1457,6 +1563,7 @@ ORACLE = {
     "minhash_signatures": MINHASH_SIGNATURES_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "split_leakage_check": SPLIT_LEAKAGE_SQL,

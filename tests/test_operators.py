@@ -625,3 +625,29 @@ def test_crossdoc_ngram_share_matches_hand_reference(spark, monkeypatch):
     assert got["srcB"]["n_docs"] == 2
     assert got["srcB"]["dup_share_ppm"] == round(2 / 3 * 1_000_000)
     assert got["srcB"]["high_dup_docs"] == 1
+
+
+def test_dedup_containment_catches_swallowed_doc(spark, monkeypatch):
+    """A short doc quoted wholesale inside a long one must pass the
+    containment gate with containment 1.0 even though Jaccard is far
+    below the symmetric threshold."""
+    import real_time_fraud_detection_system_spark.operators.dedup as dd
+
+    short = "alpha beta gamma delta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, short, "en", "srcA", len(short)),
+        (2, f"{filler} {short}", "en", "srcA", 7),
+        (3, "unrelated text entirely different words here", "en", "srcB", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        dd, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    got = {(r["a_id"], r["b_id"]): r for r in dd.dedup_containment(spark, "unused").collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)]["containment"] == 1.0
+    assert got[(1, 2)]["jaccard"] < dd.JACCARD_THRESHOLD
+    assert not any(3 in k for k in got)
