@@ -92,7 +92,8 @@ PRIORITY = [
     # the exact baseline), ivf_cell_stats (cell-occupancy histogram +
     # empty-cell count -- the index balance diagnostic),
     # dedup_containment (df-capped shared-shingle candidacy + exact
-    # asymmetric containment -- the doc-inside-doc gate), ann_ivf_topk
+    # asymmetric containment -- the doc-inside-doc gate), doc_chunks
+    # (sliding-window token chunking, map-only), ann_ivf_topk
     # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel
     # late in round 6, so its round-5 verdict is stale), and
     # shard_overlap + user_value_anomalies if their in-window round-6

@@ -683,6 +683,78 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 64  # window size
+CHUNK_OVERLAP = 8  # consecutive chunks share this many tokens
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into
+    {CHUNK_TOKENS}-token windows advancing by {CHUNK_STRIDE} (so
+    consecutive chunks overlap by {CHUNK_OVERLAP} tokens -- the
+    standard long-document -> context-window preparation for LM
+    training). Chunk i covers tokens [i*stride, i*stride + window);
+    every token position starts exactly one chunk's stride, so chunk
+    count per doc is ceil(n_tokens / stride) and the final chunk may
+    be short. Emits boundaries + token count + an md5 content hash per
+    chunk (the hash is what downstream chunk-level dedup keys on),
+    never the chunk text itself.
+
+    Shape at scale: stage the token array once, explode a
+    sequence(0, n_chunks-1) of chunk ids, slice/concat/md5 as
+    TOP-LEVEL codegen expressions over the exploded rows (the
+    repetition_stats lesson: the same work inside a transform lambda
+    evaluates interpreted) -- map-only over the document scan, no
+    shuffle at all until the output sort."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.selectExpr("doc_id", f"{_TOKS} AS toks")
+        .selectExpr(
+            "doc_id",
+            "size(toks) AS n_tokens",
+            "toks",
+            f"explode(sequence(0, CAST(ceil(size(toks) / {CHUNK_STRIDE}.0)"
+            " AS INT) - 1)) AS chunk_id",
+        )
+        .selectExpr(
+            "doc_id",
+            "chunk_id",
+            f"CAST(chunk_id * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_token",
+            f"CAST(least({CHUNK_TOKENS}, n_tokens"
+            f" - chunk_id * {CHUNK_STRIDE}) AS BIGINT) AS chunk_tokens",
+            f"md5(concat_ws(' ', slice(toks, chunk_id * {CHUNK_STRIDE} + 1,"
+            f" {CHUNK_TOKENS}))) AS chunk_md5",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks, len({_DUCK_TOKS}) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, toks,
+         unnest(range(0, CAST(ceil(n_tokens / {CHUNK_STRIDE}.0) AS INT)))
+           AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_token,
+       CAST(least({CHUNK_TOKENS}, n_tokens - chunk_id * {CHUNK_STRIDE})
+            AS BIGINT) AS chunk_tokens,
+       md5(list_aggregate(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                     chunk_id * {CHUNK_STRIDE}
+                                     + {CHUNK_TOKENS}),
+                          'string_agg', ' ')) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
@@ -692,6 +764,7 @@ QUERIES = {
     "source_mixture_plan": source_mixture_plan,
     "bigram_lm_score": bigram_lm_score,
     "crossdoc_ngram_share": crossdoc_ngram_share,
+    "doc_chunks": doc_chunks,
 }
 
 ORACLE = {
@@ -703,4 +776,5 @@ ORACLE = {
     "source_mixture_plan": SOURCE_MIXTURE_PLAN_SQL,
     "bigram_lm_score": BIGRAM_LM_SCORE_SQL,
     "crossdoc_ngram_share": CROSSDOC_NGRAM_SHARE_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
 }

@@ -651,3 +651,36 @@ def test_dedup_containment_catches_swallowed_doc(spark, monkeypatch):
     assert got[(1, 2)]["containment"] == 1.0
     assert got[(1, 2)]["jaccard"] < dd.JACCARD_THRESHOLD
     assert not any(3 in k for k in got)
+
+
+def test_doc_chunks_tile_documents(spark, sf_dir):
+    """Chunks must tile every document under the stride rule: count =
+    ceil(n/stride), starts advance by exactly the stride, and each
+    chunk's token count is the window clipped at the doc end."""
+    import math
+    from collections import defaultdict
+
+    import real_time_fraud_detection_system_spark.operators.corpusops as co
+    from real_time_fraud_detection_system_spark.catalog import load_table
+
+    per = defaultdict(list)
+    for r in co.doc_chunks(spark, sf_dir).collect():
+        per[r["doc_id"]].append(r)
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"size({co._TOKS}) AS n")
+        .collect()
+    }
+    assert set(per) == set(sizes)
+    for d, chunks in per.items():
+        n = sizes[d]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert len(chunks) == math.ceil(n / co.CHUNK_STRIDE)
+        for i, r in enumerate(chunks):
+            assert r["chunk_id"] == i
+            assert r["start_token"] == i * co.CHUNK_STRIDE + 1
+            assert r["chunk_tokens"] == min(
+                co.CHUNK_TOKENS, n - i * co.CHUNK_STRIDE
+            )
+            assert len(r["chunk_md5"]) == 32
