@@ -1013,6 +1013,88 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.orderBy("occupancy_bucket")
 
 
+def persist_ann_index(
+    spark: SparkSession, sf_dir: str, prefix: str = "ann_idx",
+    n_buckets: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the IVF index for repeated searches: a small
+    centroid table (K ~ sqrt(n) rows -- plain parquet) and the member
+    table (every vector + its norm + assigned cell) hash-clustered by
+    c_id. Searches then pay NO assignment pass over the corpus and NO
+    member-side shuffle -- the cell-keyed candidate join reads matching
+    buckets directly (the dedup persist_dedup_index pattern applied to
+    ANN; this is what 'build the index once, query it all day' means
+    on an engine with no index structures)."""
+    from ..storage import write_bucketed
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    m = centroid_modulus(n)
+    vecs = _vectors(spark, sf_dir)
+    cent_ids, cent_embs = _ivf_centroids(vecs, m)
+    cents_df = spark.createDataFrame(
+        list(zip(cent_ids, [list(e) for e in cent_embs])),
+        "c_id bigint, c_emb array<double>",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_cents")
+    cents_df.write.mode("overwrite").saveAsTable(f"{prefix}_cents")
+    cells = _nearest_cells_udf(cent_ids, cent_embs, 1)
+    members = vecs.select(
+        F.col("vec_id").alias("m_id"),
+        F.col("emb").alias("m_emb"),
+        F.col("norm").alias("m_norm"),
+        F.explode(cells(F.col("emb"))).alias("c_id"),
+    )
+    members_t = write_bucketed(
+        members, f"{prefix}_members", ["c_id"], n_buckets
+    )
+    return spark.table(f"{prefix}_cents"), members_t
+
+
+def ann_search(
+    cents: DataFrame, members: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Top-{TOPK} search against a persisted index from
+    ``persist_ann_index``: queries (vec_id, emb array<double>) probe
+    their {NPROBE} nearest cells via the same Arrow kernel (centroids
+    are a bounded collect off the tiny table), then the candidate join
+    touches ONLY the probed cells' buckets -- per-query work is
+    NPROBE * cell size regardless of corpus size, and value-identical
+    to ann_ivf_topk run fresh over the same corpus."""
+    cent_rows = cents.orderBy("c_id").collect()
+    cent_ids = [r["c_id"] for r in cent_rows]
+    cent_embs = [r["c_emb"] for r in cent_rows]
+    cells = _nearest_cells_udf(cent_ids, cent_embs, NPROBE)
+    q = queries.selectExpr(
+        "vec_id AS q_id",
+        "transform(emb, x -> CAST(x AS DOUBLE)) AS q_emb",
+    ).withColumn(
+        "q_norm", F.expr("sqrt(" + _DOT.format(a="q_emb", b="q_emb") + ")")
+    )
+    probes = q.withColumn("c_id", F.explode(cells(F.col("q_emb"))))
+    scored = (
+        probes.join(members, "c_id")
+        .filter(F.col("m_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_DOT.format(a="q_emb", b="m_emb"))
+                / (F.col("q_norm") * F.col("m_norm")),
+                6,
+            ),
+        )
+        .select("q_id", F.col("m_id").alias("neighbor_id"), "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .orderBy("q_id", "rank")
+    )
+
+
 IVF_CELL_STATS_SQL = f"""
 WITH vecs AS ({_DUCK_VECTORS}),
 cents AS (

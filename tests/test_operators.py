@@ -684,3 +684,43 @@ def test_doc_chunks_tile_documents(spark, sf_dir):
                 co.CHUNK_TOKENS, n - i * co.CHUNK_STRIDE
             )
             assert len(r["chunk_md5"]) == 32
+
+
+def test_persisted_ann_index_matches_fresh_ivf(spark, sf_dir):
+    """Searching the persisted bucketed IVF index must equal running
+    ann_ivf_topk fresh, and the candidate join must add no
+    member-side exchange (the members table scans bucketed)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_search,
+        persist_ann_index,
+    )
+
+    try:
+        cents, members = persist_ann_index(spark, sf_dir, prefix="t_ann_idx")
+        queries = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter("vec_id < 5")
+            .selectExpr("vec_id", "embedding AS emb")
+        )
+        got = [tuple(r) for r in ann_search(cents, members, queries).collect()]
+        want = [tuple(r) for r in ann_ivf_topk(spark, sf_dir).collect()]
+        assert got == want
+        assert want  # non-vacuous
+
+        probe = spark.createDataFrame([(1,)], "c_id bigint").join(
+            members.hint("merge"), "c_id"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        assert "Bucketed: true" in buf.getvalue()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_idx_cents")
+        spark.sql("DROP TABLE IF EXISTS t_ann_idx_members")
