@@ -149,6 +149,56 @@ def logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOGIT_SCORE_SQL = _score_sql("duck", "SELECT o_orderkey AS id FROM orders")
 
 
+def _calibration_sql(dialect: str, id_source: str) -> str:
+    """Reliability report over the deterministic frame: decile bins of
+    the scored probability vs the ACTUAL label rate per bin -- the
+    standard check that a scorer's probabilities mean what they say
+    (a fraud model claiming 0.7 should be right ~70% of the time in
+    that bin), run before anyone thresholds on them. All emitted
+    values are integer or integer-ppm (per-row probas enter the
+    per-bin mean as fixed-point ints, so the sum is order-independent
+    and the final round-to-integer is half-boundary-safe)."""
+    frame = _frame_sql(dialect, id_source)
+    proba = (
+        "round(1.0 / (1.0 + exp(-(0.002 * amount + 1.5 * merchant_risk"
+        " + 0.05 * (CASE WHEN hour IN (0.0, 1.0, 2.0, 3.0, 23.0)"
+        " THEN 1.0 ELSE 0.0 END) - 2.5))), 6)"
+    )
+    return f"""
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST(round(sum(proba_ppm) * 1.0 / count(*), 0) AS BIGINT)
+         AS avg_proba_ppm,
+       CAST(round(sum(label) * 1000000.0 / count(*), 0) AS BIGINT)
+         AS pos_rate_ppm
+FROM (
+  SELECT least(9, CAST(floor({proba} * 10) AS INT)) AS bin,
+         label,
+         CAST(round({proba} * 1000000, 0) AS BIGINT) AS proba_ppm
+  FROM ({frame})
+)
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration of the fixed logistic scorer vs the frame's
+    own labels (see _calibration_sql). Shape at scale: the generator
+    projection is map-only, the rollup is one 10-key aggregate --
+    map-side partials collapse to 10 rows per task."""
+    _register_ids(spark, sf_dir)
+    return spark.sql(
+        _calibration_sql("spark", "SELECT o_orderkey AS id FROM _ml_orders")
+    )
+
+
+CALIBRATION_BINS_SQL = _calibration_sql(
+    "duck", "SELECT o_orderkey AS id FROM orders"
+)
+
+
 # --------------------------------------------------------------------------
 # Deterministic train/val split (M2 at scale): membership is a pure
 # function of the row key (md5 window < threshold), so the split is
@@ -250,6 +300,7 @@ STRATIFIED_SAMPLE_SQL = _stratified_sql("duck")
 QUERIES = {
     "training_frame_det": training_frame_det,
     "logit_score": logit_score,
+    "calibration_bins": calibration_bins,
     "deterministic_split": deterministic_split,
     "stratified_sample": stratified_sample,
 }
@@ -257,6 +308,7 @@ QUERIES = {
 ORACLE = {
     "training_frame_det": TRAINING_FRAME_SQL,
     "logit_score": LOGIT_SCORE_SQL,
+    "calibration_bins": CALIBRATION_BINS_SQL,
     "deterministic_split": DETERMINISTIC_SPLIT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
 }
