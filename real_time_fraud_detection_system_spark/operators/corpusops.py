@@ -755,6 +755,89 @@ ORDER BY doc_id, chunk_id
 """
 
 
+# --------------------------------------------------------------------------
+def chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup triage: per source, the share of
+    {CHUNK_TOKENS}-token chunks (the doc_chunks windows) whose content
+    hash appears in MORE THAN ONE document -- the coarse-grained
+    operational twin of crossdoc_ngram_share (shingles tell you
+    duplication exists; chunk hashes tell you which context-window
+    units you would actually drop). Integer-ppm shares.
+
+    Shape: the map-only chunk projection, one distinct on the
+    (md5, doc_id) long-ish pair, a window count over the hash (the
+    crossdoc lesson: no count + join-back), then the per-source
+    rollup."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    from pyspark.sql.window import Window
+
+    chunks = (
+        docs.selectExpr("doc_id", "source", f"{_TOKS} AS toks")
+        .selectExpr(
+            "doc_id",
+            "source",
+            f"explode(sequence(0, CAST(ceil(size(toks) / {CHUNK_STRIDE}.0)"
+            " AS INT) - 1)) AS chunk_id",
+            "toks",
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            f"md5(concat_ws(' ', slice(toks, chunk_id * {CHUNK_STRIDE} + 1,"
+            f" {CHUNK_TOKENS}))) AS h",
+        )
+    )
+    per_doc = chunks.select("doc_id", "source", "h").distinct()
+    counted = per_doc.withColumn(
+        "n_docs_ch", F.count("*").over(Window.partitionBy("h"))
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.expr(
+                "CAST(round(sum(CAST(n_docs_ch >= 2 AS INT)) * 1000000.0"
+                " / count(*), 0) AS BIGINT)"
+            ).alias("dup_chunk_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+CHUNK_DUP_RATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS toks, len({_DUCK_TOKS}) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, toks,
+         unnest(range(0, CAST(ceil(n_tokens / {CHUNK_STRIDE}.0) AS INT)))
+           AS chunk_id
+  FROM t
+),
+per_doc AS (
+  SELECT DISTINCT doc_id, source,
+         md5(list_aggregate(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                       chunk_id * {CHUNK_STRIDE}
+                                       + {CHUNK_TOKENS}),
+                            'string_agg', ' ')) AS h
+  FROM c
+),
+counted AS (
+  SELECT source, h,
+         count(*) OVER (PARTITION BY h) AS n_docs_ch
+  FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(round(sum(CASE WHEN n_docs_ch >= 2 THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*), 0) AS BIGINT) AS dup_chunk_ppm
+FROM counted
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
@@ -765,6 +848,7 @@ QUERIES = {
     "bigram_lm_score": bigram_lm_score,
     "crossdoc_ngram_share": crossdoc_ngram_share,
     "doc_chunks": doc_chunks,
+    "chunk_dup_rate": chunk_dup_rate,
 }
 
 ORACLE = {
@@ -777,4 +861,5 @@ ORACLE = {
     "bigram_lm_score": BIGRAM_LM_SCORE_SQL,
     "crossdoc_ngram_share": CROSSDOC_NGRAM_SHARE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
+    "chunk_dup_rate": CHUNK_DUP_RATE_SQL,
 }
