@@ -94,7 +94,9 @@ PRIORITY = [
     # dedup_containment (df-capped shared-shingle candidacy + exact
     # asymmetric containment -- the doc-inside-doc gate), doc_chunks
     # (sliding-window token chunking, map-only), chunk_dup_rate
-    # (per-source duplicated chunk-hash share), calibration_bins
+    # (per-source duplicated chunk-hash share), mixture_apply_sample
+    # (materialize the mixture plan via md5-fraction membership),
+    # calibration_bins
     # (decile reliability report of the fixed scorer), ann_ivf_topk
     # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel
     # late in round 6, so its round-5 verdict is stale), and

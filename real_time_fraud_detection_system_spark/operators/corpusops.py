@@ -838,6 +838,92 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+def mixture_apply_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSES the source_mixture_plan loop: apply each source's
+    planned sampling rate as a deterministic md5-fraction membership
+    test per document (the stratified_sample idiom -- reproducible
+    across engines, retries, and cluster sizes, unlike sample()/
+    randomSplit) and report realized vs planned tokens per source.
+    This is the pass that actually materializes a training mixture;
+    the plan query only prints the rates.
+
+    Shape: one token-count scan feeds both the per-source inventory
+    (tiny; rates broadcast back) and the membership filter -- the
+    corpus shuffles once on source for the final rollup, and realized
+    shares are integer-ppm (order-independent int sums)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    from pyspark.sql.window import Window
+
+    d = docs.selectExpr("doc_id", "source", f"size({_TOKS}) AS n_toks")
+    inv = d.groupBy("source").agg(F.sum("n_toks").alias("n_tokens"))
+    share = F.lit(MIX_TOKEN_BUDGET) / F.count("*").over(Window.partitionBy())
+    rates = inv.select(
+        "source",
+        F.least(F.lit(1.0), share / F.col("n_tokens")).alias("rate"),
+    )
+    frac = (
+        "CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))),"
+        " 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"
+    )
+    kept = d.join(F.broadcast(rates), "source").withColumn(
+        "keep", F.expr(frac) < F.col("rate")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("kept_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)"
+            ).alias("kept_tokens"),
+            F.expr("CAST(round(max(rate) * 1000000, 0) AS BIGINT)").alias(
+                "plan_rate_ppm"
+            ),
+            F.expr(
+                "CAST(round(sum(CASE WHEN keep THEN n_toks ELSE 0 END)"
+                " * 1000000.0 / sum(n_toks), 0) AS BIGINT)"
+            ).alias("realized_token_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_APPLY_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_DUCK_TOKS}) AS n_toks FROM documents
+),
+inv AS (
+  SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+  FROM d GROUP BY 1
+),
+rates AS (
+  SELECT source,
+         least(1.0, ({MIX_TOKEN_BUDGET} / (SELECT count(*) FROM inv))
+               / n_tokens) AS rate
+  FROM inv
+),
+kept AS (
+  SELECT d.source, d.n_toks, r.rate,
+         (CAST(CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) AS DOUBLE)
+          / 4294967296.0) < r.rate AS keep
+  FROM d JOIN rates r USING (source)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(round(max(rate) * 1000000, 0) AS BIGINT) AS plan_rate_ppm,
+       CAST(round(sum(CASE WHEN keep THEN n_toks ELSE 0 END) * 1000000.0
+                  / sum(n_toks), 0) AS BIGINT) AS realized_token_ppm
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
@@ -849,6 +935,7 @@ QUERIES = {
     "crossdoc_ngram_share": crossdoc_ngram_share,
     "doc_chunks": doc_chunks,
     "chunk_dup_rate": chunk_dup_rate,
+    "mixture_apply_sample": mixture_apply_sample,
 }
 
 ORACLE = {
@@ -862,4 +949,5 @@ ORACLE = {
     "crossdoc_ngram_share": CROSSDOC_NGRAM_SHARE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "chunk_dup_rate": CHUNK_DUP_RATE_SQL,
+    "mixture_apply_sample": MIXTURE_APPLY_SAMPLE_SQL,
 }

@@ -70,6 +70,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # corpus size (the corpus-sized work is the keyed count agg before
     # it); the near-scalar pattern.
     "source_mixture_plan": frozenset({"1PART"}),
+    # mixture_apply_sample: same near-scalar shape -- the n_sources
+    # window runs over the O(sources)-row inventory before the rates
+    # broadcast back to the corpus-sized filter.
+    "mixture_apply_sample": frozenset({"1PART"}),
     # Q11 shape: same class as q22 below -- the NLJ is the 1-row
     # nation-total-value broadcast and the 1PART is that scalar
     # aggregate's own single-row exchange; both constant-size at any
