@@ -218,6 +218,70 @@ def profile_from_partials(spark: SparkSession, partials_dir: str, cols) -> DataF
 # the identical pair set into the same epoch partition.
 
 
+def ann_index_sink_writer(
+    cents_table: str, members_table: str, n_buckets: int = 8
+):
+    """foreachBatch hook over an (vec_id, embedding) stream: each
+    arriving micro-batch assigns its vectors to the PERSISTED
+    centroids (the persist_ann_index set -- centroids stay fixed as
+    the corpus grows, the standard IVF practice; re-train them offline
+    when ivf_cell_stats says the balance drifted) and appends to the
+    c_id-bucketed members table, so ann_search sees new vectors at the
+    next query with no index rebuild.
+
+    Replay-idempotent the dedup_index_sink_writer way: members enter
+    through a left-anti join on m_id pinned BEFORE the append, so an
+    at-least-once redelivery contributes zero rows. The append uses
+    the same bucketBy spec as persist_ann_index -- each batch adds new
+    bucket files, it never rewrites existing ones.
+
+    Visibility: a DIFFERENT SparkSession that already read the members
+    table caches its file listing and will not see appended batches
+    until spark.catalog.refreshTable(members_table) -- standard Spark
+    managed-table behavior for out-of-band appends; the batch's own
+    session (and any fresh session) sees them immediately."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.similarity import (
+            _DOT,
+            _nearest_cells_udf,
+        )
+
+        spark = batch_df.sparkSession
+        cent_rows = spark.table(cents_table).orderBy("c_id").collect()
+        cells = _nearest_cells_udf(
+            [r["c_id"] for r in cent_rows],
+            [r["c_emb"] for r in cent_rows],
+            1,
+        )
+        vecs = batch_df.selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
+        ).withColumn(
+            "norm", F.expr("sqrt(" + _DOT.format(a="emb", b="emb") + ")")
+        )
+        members = vecs.select(
+            F.col("vec_id").alias("m_id"),
+            F.col("emb").alias("m_emb"),
+            F.col("norm").alias("m_norm"),
+            F.explode(cells(F.col("emb"))).alias("c_id"),
+        )
+        fresh = members.join(
+            spark.table(members_table).select("m_id"), "m_id", "left_anti"
+        ).localCheckpoint()  # pin: read the table once, pre-append
+        if fresh.isEmpty():
+            return  # full replay: every vector already indexed
+        (
+            fresh.write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "c_id")
+            .sortBy("c_id")
+            .saveAsTable(members_table)
+        )
+
+    return write_batch
+
+
 def dedup_index_sink_writer(index_dir: str, pairs_dir: str):
     """foreachBatch hook over a (doc_id, text) document stream."""
 

@@ -724,3 +724,80 @@ def test_persisted_ann_index_matches_fresh_ivf(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ann_idx_cents")
         spark.sql("DROP TABLE IF EXISTS t_ann_idx_members")
+
+
+def test_ann_index_sink_grows_index_and_ignores_replays(spark, sf_dir, tmp_path):
+    """Stream two micro-batches of embeddings into a persisted ANN
+    index seeded from a partial corpus: after the stream drains,
+    searching the grown index equals ann_ivf_topk... only where cell
+    CONTENTS agree -- centroids stay fixed at the seed corpus's
+    sample, so instead assert structural properties: every vector is
+    indexed exactly once, search still returns full top-k for every
+    query, and a manual replay of a processed batch adds nothing."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        TOPK,
+        ann_search,
+        persist_ann_index,
+    )
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        ann_index_sink_writer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    try:
+        # seed the index from the even vec_ids only
+        import real_time_fraud_detection_system_spark.operators.similarity as sim
+
+        seed = emb.filter(F.pmod("vec_id", F.lit(2)) == 0)
+        real = sim.load_table
+        sim.load_table = lambda s, d, n: seed if n == "embeddings" else real(s, d, n)
+        try:
+            cents, members = persist_ann_index(spark, "unused", prefix="t_grow")
+        finally:
+            sim.load_table = real
+
+        n_seed = spark.table("t_grow_members").count()
+        # stream the odd vec_ids in as two files
+        odd = emb.filter(F.pmod("vec_id", F.lit(2)) == 1)
+        src = tmp_path / "src"
+        odd.filter("vec_id % 4 = 1").coalesce(1).write.parquet(str(src / "b0"))
+        odd.filter("vec_id % 4 = 3").coalesce(1).write.parquet(str(src / "b1"))
+        stream = (
+            spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(ann_index_sink_writer("t_grow_cents", "t_grow_members"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+        # this session read the table pre-stream: refresh its cached
+        # file listing to see the out-of-band appends (documented in
+        # ann_index_sink_writer)
+        spark.catalog.refreshTable("t_grow_members")
+        grown = spark.table("t_grow_members")
+        assert grown.count() == emb.count()  # every vector indexed...
+        assert grown.select("m_id").distinct().count() == emb.count()  # ...once
+
+        queries = emb.filter("vec_id < 5").selectExpr("vec_id", "embedding AS emb")
+        res = ann_search(spark.table("t_grow_cents"), grown, queries).collect()
+        assert {r["q_id"] for r in res} == {0, 1, 2, 3, 4}
+        assert all(
+            sum(1 for r in res if r["q_id"] == q_) == TOPK for q_ in range(5)
+        )
+
+        # manual replay of an already-appended batch: a no-op
+        writer = ann_index_sink_writer("t_grow_cents", "t_grow_members")
+        writer(odd.filter("vec_id % 4 = 1"), 999)
+        assert spark.table("t_grow_members").count() == emb.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_grow_cents")
+        spark.sql("DROP TABLE IF EXISTS t_grow_members")
