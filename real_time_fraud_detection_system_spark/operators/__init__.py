@@ -96,7 +96,8 @@ PRIORITY = [
     # (sliding-window token chunking, map-only), chunk_dup_rate
     # (per-source duplicated chunk-hash share), mixture_apply_sample
     # (materialize the mixture plan via md5-fraction membership),
-    # calibration_bins
+    # supplier_pagerank (4-iteration integer-exact PageRank over the
+    # customer<->supplier trade graph), calibration_bins
     # (decile reliability report of the fixed scorer), ann_ivf_topk
     # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel
     # late in round 6, so its round-5 verdict is stale), and

@@ -956,7 +956,165 @@ ORDER BY s_name
 """
 
 
+# --------------------------------------------------------------------------
+# Iterative graph analytics: fixed-iteration PageRank over the
+# customer <-> supplier trade graph. The representative of the
+# iterative-algorithm family (connected components being the other):
+# a fixed unrolled depth, ENTIRELY integer arithmetic (scores in ppb,
+# floor division everywhere), so every engine computes bit-identical
+# scores with no summation-order or rounding concerns at all --
+# the same philosophy as functions/money.py applied to an iterative
+# fixpoint.
+PR_SCALE = 1_000_000_000  # scores in parts-per-billion of total mass
+PR_ITERS = 4
+PR_TOPK = 50
+
+
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {PR_ITERS} unrolled iterations) over the
+    UNDIRECTED bipartite trade graph: customer c -- supplier s with
+    edge weight = number of lineitems c bought from s. Node ids encode
+    type (2*custkey / 2*suppkey+1). Emits the top {PR_TOPK} nodes:
+    the 'most systemically connected' customers/suppliers, which is
+    what trade-network influence queries actually rank.
+
+    Integer fixed-point throughout: s0 = SCALE div N; each round
+    new_s(v) = BASE + (sum over in-edges (s(u) div wsum(u)) * w(u,v))
+    * 85 div 100 with BASE = (SCALE * 15 div 100) div N -- div is
+    integer floor division in BOTH engines, so scores are exactly
+    reproducible (no doubles anywhere).
+
+    Scale shape: the weighted edge list aggregates once (one shuffle)
+    and is cached across iterations; each of the {PR_ITERS} rounds is
+    one edges-x-scores equi-join (shuffle keyed on node, the same key
+    every round) + one keyed aggregate. Undirected edges mean no
+    dangling-mass correction term is needed."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        (F.col("o_custkey") * 2).alias("c_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+    )
+    fwd = cs.groupBy(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).agg(F.count("*").alias("w"))
+    edges = fwd.unionByName(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    ew = edges.join(wout, "src").cache()
+    # localCheckpoint (not cache): nodes must not share ew's lineage,
+    # or the first ew-x-scores join sees ew's columns on both sides
+    nodes = ew.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = nodes.count()
+    base = (PR_SCALE * 15 // 100) // n
+    scores = nodes.select("node", F.lit(PR_SCALE // n).alias("score"))
+    for _ in range(PR_ITERS):
+        # localCheckpoint each round: breaks the self-lineage column
+        # ambiguity (scores derives from ew) AND keeps the plan depth
+        # constant instead of growing per iteration -- the standard
+        # iterative-Spark discipline; the node-score frame is O(nodes)
+        # rows, tiny relative to the edge table at any scale
+        contrib = (
+            ew.join(scores, ew.src == scores.node)
+            .select(
+                F.col("dst"),
+                (F.expr("score div wsum") * F.col("w")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        scores = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.expr("coalesce(mass, 0) * 85 div 100")
+                ).alias("score"),
+            )
+            .localCheckpoint()
+        )
+    out = (
+        scores.orderBy(F.desc("score"), F.asc("node"))
+        .limit(PR_TOPK)
+        .selectExpr(
+            "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END"
+            " AS node_type",
+            "CAST(node div 2 AS BIGINT) AS key",
+            "CAST(score AS BIGINT) AS score_ppb",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    return out.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_ppb"), F.asc("node_type"), F.asc("key"))
+        ),
+    ).orderBy("rank")
+
+
+def _pagerank_sql() -> str:
+    n_sub = "(SELECT count(*) FROM nodes)"
+    base = f"((CAST({PR_SCALE} AS BIGINT) * 15) // 100) // {n_sub}"
+    iters = [f"s0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) // {n_sub} AS score FROM nodes)"]
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""s{i} AS (
+  SELECT n.node,
+         {base} + (coalesce(sum((s.score // e.wsum) * e.w), 0) * 85) // 100
+           AS score
+  FROM nodes n
+  LEFT JOIN ew e ON e.dst = n.node
+  LEFT JOIN s{i - 1} s ON s.node = e.src
+  GROUP BY n.node
+)""")
+    return f"""
+WITH cs AS (
+  SELECT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+fwd AS (
+  SELECT c_node AS src, s_node AS dst, count(*) AS w FROM cs GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst, w FROM fwd
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM fwd
+),
+ew AS (
+  SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wsum FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+{','.join(iters)},
+top AS (
+  SELECT node, score FROM s{PR_ITERS}
+  ORDER BY score DESC, node ASC LIMIT {PR_TOPK}
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS key,
+       CAST(score AS BIGINT) AS score_ppb,
+       CAST(row_number() OVER (ORDER BY score DESC,
+            CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END ASC,
+            node // 2 ASC) AS INT) AS rank
+FROM top
+ORDER BY rank
+"""
+
+
+SUPPLIER_PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES = {
+    "supplier_pagerank": supplier_pagerank,
     "q7_volume_shipping": q7_volume_shipping,
     "q4_order_priority_exists": q4_order_priority_exists,
     "q12_shipping_delay_classes": q12_shipping_delay_classes,
@@ -977,6 +1135,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q4_order_priority_exists": Q4_SQL,
     "q12_shipping_delay_classes": Q12_SQL,

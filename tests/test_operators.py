@@ -801,3 +801,24 @@ def test_ann_index_sink_grows_index_and_ignores_replays(spark, sf_dir, tmp_path)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_grow_cents")
         spark.sql("DROP TABLE IF EXISTS t_grow_members")
+
+
+def test_supplier_pagerank_invariants(spark, sf_dir):
+    """Top-k shape invariants: exactly PR_TOPK ranked rows, strictly
+    sequential ranks, non-increasing positive scores, valid node
+    types, and determinism across runs (the integer fixed-point
+    guarantee)."""
+    from real_time_fraud_detection_system_spark.operators.tpch_extra import (
+        PR_TOPK,
+        supplier_pagerank,
+    )
+
+    rows = supplier_pagerank(spark, sf_dir).collect()
+    assert len(rows) == PR_TOPK
+    assert [r["rank"] for r in rows] == list(range(1, PR_TOPK + 1))
+    scores = [r["score_ppb"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert {r["node_type"] for r in rows} <= {"customer", "supplier"}
+    again = supplier_pagerank(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]

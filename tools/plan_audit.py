@@ -90,6 +90,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # the 1-row corpus-total broadcast (the scalar-anchor pattern).
     "vocab_coverage": frozenset({"NLJ", "GLOBALWIN", "1PART"}),
     "windowed_rates": frozenset({"NLJ", "1PART"}),
+    # supplier_pagerank: the GLOBALWIN is the final rank row_number over
+    # the TakeOrdered TOP-{50} rows only -- bounded output regardless of
+    # graph size (the vocab_coverage pattern); the iterative joins and
+    # aggregates are all node/edge-keyed.
+    "supplier_pagerank": frozenset({"GLOBALWIN"}),
 }
 
 
