@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_recall_eval",
     "crossdoc_ngram_share",
+    "supplier_pagerank",
 ]
 
 
