@@ -97,7 +97,9 @@ PRIORITY = [
     # (per-source duplicated chunk-hash share), mixture_apply_sample
     # (materialize the mixture plan via md5-fraction membership),
     # supplier_pagerank (4-iteration integer-exact PageRank over the
-    # customer<->supplier trade graph), calibration_bins
+    # customer<->supplier trade graph), event_type_affinity
+    # (market-basket pair support/confidence over user-day baskets),
+    # calibration_bins
     # (decile reliability report of the fixed scorer), ann_ivf_topk
     # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel
     # late in round 6, so its round-5 verdict is stale), and

@@ -417,7 +417,102 @@ ORDER BY user_id
 """
 
 
+
+# --------------------------------------------------------------------------
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over behavior: baskets are a user's
+    DISTINCT event types per day; emit every type pair with its
+    support count (baskets containing both), each type's solo basket
+    count, and integer-ppm confidence in both directions
+    (P(b|a), P(a|b)) -- the frequent-pattern mining pass behind
+    "users who do X also do Y" product analytics. All counts are exact
+    integers; confidences are round-to-integer ppm (boundary-safe).
+
+    Scale shape: one distinct over (user, day, type) -- the basket
+    projection, shuffle keyed by the composite -- then a within-basket
+    self-join whose fanout is bounded by (distinct event types)^2 per
+    basket (single digits here; capped by the type vocabulary, NOT by
+    data volume), and a tiny pair-keyed rollup. The same
+    basket-bounded-fanout argument that makes A-Priori's pair pass
+    linear over transactions."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    solo = baskets.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = solo.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = solo.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "CAST(round(n_both * 1000000.0 / n_a, 0) AS BIGINT)"
+            " AS conf_a_to_b_ppm",
+            "CAST(round(n_both * 1000000.0 / n_b, 0) AS BIGINT)"
+            " AS conf_b_to_a_ppm",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENT_TYPE_AFFINITY_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM baskets a
+  JOIN baskets b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+solo AS (
+  SELECT event_type, count(*) AS n FROM baskets GROUP BY 1
+)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(round(p.n_both * 1000000.0 / sa.n, 0) AS BIGINT)
+         AS conf_a_to_b_ppm,
+       CAST(round(p.n_both * 1000000.0 / sb.n, 0) AS BIGINT)
+         AS conf_b_to_a_ppm
+FROM pairs p
+JOIN solo sa ON sa.event_type = p.type_a
+JOIN solo sb ON sb.event_type = p.type_b
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES = {
+    "event_type_affinity": event_type_affinity,
     "asof_click_before_purchase": asof_click_before_purchase,
     "clicks_before_errors": clicks_before_errors,
     "approx_distinct_users": approx_distinct_users,
@@ -427,6 +522,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "event_type_affinity": EVENT_TYPE_AFFINITY_SQL,
     "asof_click_before_purchase": ASOF_SQL,
     "clicks_before_errors": INTERVAL_JOIN_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
