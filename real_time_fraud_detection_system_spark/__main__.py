@@ -15,6 +15,10 @@ and Airflow DAGs -- locally or via spark-submit on a cluster:
                               default, Kafka via --brokers)
   daily-metrics               upsert day-grain metrics (metrics DAG)
   dq                          run the data-quality checks (DQ DAG)
+  ann-index build|search      persist the bucketed IVF index / top-k
+                              search it (build once, query all day)
+  dedup-index build|probe     persist the bucketed MinHash index /
+                              dedup an arriving shard against it
 
 Exit status is the job's success: ``dq`` exits 1 on a failed check the
 way the reference DAG task fails, so schedulers can alert on it.
@@ -67,6 +71,15 @@ def _build_parser() -> argparse.ArgumentParser:
     dm.add_argument("--metrics-dir", required=True)
     dq = sub.add_parser("dq")
     dq.add_argument("--predictions-dir", required=True)
+    ai = sub.add_parser("ann-index")
+    ai.add_argument("action", choices=["build", "search"])
+    ai.add_argument("--prefix", default="ann_idx")
+    di = sub.add_parser("dedup-index")
+    di.add_argument("action", choices=["build", "probe"])
+    di.add_argument("--prefix", default="dedup_idx")
+    di.add_argument("--shard-parquet", default=None,
+                    help="probe: (doc_id, text) parquet; default = the"
+                         " deterministic shard split of the sf tables")
     return p
 
 
@@ -134,6 +147,68 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
             print(json.dumps({"status": "fail", "error": str(exc)}), file=out)
             return 1
         print(json.dumps({"status": "ok", **checks}, default=str), file=out)
+        return 0
+    if args.cmd == "ann-index":
+        from .operators.similarity import ann_search, persist_ann_index
+
+        if args.action == "build":
+            cents, members = persist_ann_index(
+                eng.spark, args.sf_dir, prefix=args.prefix
+            )
+            print(json.dumps({"status": "ok",
+                              "centroids": cents.count(),
+                              "members": members.count()}), file=out)
+            return 0
+        from .catalog import load_table
+
+        queries = (
+            load_table(eng.spark, args.sf_dir, "embeddings")
+            .filter("vec_id < 5")
+            .selectExpr("vec_id", "embedding AS emb")
+        )
+        _print_df(
+            ann_search(
+                eng.spark.table(f"{args.prefix}_cents"),
+                eng.spark.table(f"{args.prefix}_members"),
+                queries,
+            ),
+            args.limit, out,
+        )
+        return 0
+    if args.cmd == "dedup-index":
+        from pyspark.sql import functions as F
+
+        from .catalog import load_table
+        from .operators.dedup import (
+            _shard_pred_spark,
+            incremental_dedup_pairs_indexed,
+            persist_dedup_index,
+            signature_index,
+        )
+
+        if args.action == "build":
+            docs = load_table(eng.spark, args.sf_dir, "documents").filter(
+                ~F.expr(_shard_pred_spark())
+            )
+            sig_t, band_t = persist_dedup_index(docs, prefix=args.prefix)
+            print(json.dumps({"status": "ok",
+                              "signatures": sig_t.count(),
+                              "band_keys": band_t.count()}), file=out)
+            return 0
+        if args.shard_parquet:
+            shard = eng.spark.read.parquet(args.shard_parquet)
+        else:
+            shard = load_table(eng.spark, args.sf_dir, "documents").filter(
+                F.expr(_shard_pred_spark())
+            )
+        _print_df(
+            incremental_dedup_pairs_indexed(
+                eng.spark.table(f"{args.prefix}_sig"),
+                eng.spark.table(f"{args.prefix}_band"),
+                signature_index(shard),
+            ),
+            args.limit, out,
+        )
         return 0
     raise AssertionError(f"unhandled command {args.cmd}")
 

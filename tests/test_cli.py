@@ -92,3 +92,34 @@ def test_cli_daily_metrics_upsert(spark, sf_dir, tmp_path):
     got = spark.read.parquet(metrics_dir)
     assert got.count() >= 1
     assert "num_predictions" in got.columns
+
+
+def test_cli_index_lifecycle(spark, sf_dir):
+    """Build-then-probe both persisted indexes through the CLI: the
+    build reports non-trivial sizes and the probe/search prints rows
+    shaped like the library calls' output."""
+    try:
+        code, lines = _run(["--sf-dir", sf_dir, "ann-index", "build",
+                            "--prefix", "t_cli_ann"])
+        assert code == 0
+        info = json.loads(lines[0])
+        assert info["status"] == "ok" and info["members"] > 0
+        code, lines = _run(["--sf-dir", sf_dir, "ann-index", "search",
+                            "--prefix", "t_cli_ann"])
+        assert code == 0
+        assert {"q_id", "neighbor_id", "cosine", "rank"} <= set(
+            json.loads(lines[0])
+        )
+
+        code, lines = _run(["--sf-dir", sf_dir, "dedup-index", "build",
+                            "--prefix", "t_cli_dd"])
+        assert code == 0
+        assert json.loads(lines[0])["signatures"] > 0
+        code, lines = _run(["--sf-dir", sf_dir, "dedup-index", "probe",
+                            "--prefix", "t_cli_dd"])
+        assert code == 0
+        assert {"a_id", "b_id", "jaccard"} <= set(json.loads(lines[0]))
+    finally:
+        for t in ("t_cli_ann_cents", "t_cli_ann_members",
+                  "t_cli_dd_sig", "t_cli_dd_band"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
