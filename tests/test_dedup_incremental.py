@@ -179,3 +179,21 @@ def test_indexed_incremental_matches_and_skips_index_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_dedup_idx_sig")
         spark.sql("DROP TABLE IF EXISTS t_dedup_idx_band")
+
+
+def test_dedup_index_sink_tolerates_empty_batch(spark, sf_dir, tmp_path):
+    """foreachBatch hands over empty micro-batches on idle triggers;
+    the sink must no-op (no index dir created, no crash) and a
+    subsequent real batch must still work."""
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        dedup_index_sink_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    writer = dedup_index_sink_writer(
+        str(tmp_path / "index"), str(tmp_path / "pairs")
+    )
+    writer(docs.limit(0), 0)  # empty: must not throw
+    writer(docs, 1)
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert idx.count() == docs.count()
