@@ -85,6 +85,7 @@ HEADLINE = [
     "ann_recall_eval",
     "crossdoc_ngram_share",
     "supplier_pagerank",
+    "dedup_containment",
 ]
 
 
