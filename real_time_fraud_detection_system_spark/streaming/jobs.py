@@ -218,6 +218,49 @@ def profile_from_partials(spark: SparkSession, partials_dir: str, cols) -> DataF
 # the identical pair set into the same epoch partition.
 
 
+def retention_sweep(
+    spark: SparkSession, store_dir: str, keep_days: int, today=None
+) -> dict:
+    """Partition-TTL for the date-partitioned prediction store: drop
+    whole day= partitions strictly older than ``keep_days`` before
+    ``today`` (defaults to the store's own max day, so replays of old
+    data can't silently wipe newer history on a machine with a wrong
+    clock). Deleting by PARTITION DIRECTORY is the parquet-native form
+    of the reference's row DELETE (SURVEY T3: drop-after-midnight) --
+    no rewrite, no tombstones, partition pruning makes the deleted
+    range unreadable atomically per day.
+
+    Returns {"deleted": [...], "kept": n} for the scheduler's log."""
+    import datetime as dt
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    root = path_cls(store_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return {"deleted": [], "kept": 0}
+    days = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("day="):
+            days.append(name[len("day="):])
+    if not days:
+        return {"deleted": [], "kept": 0}
+    if today is None:
+        today = max(dt.date.fromisoformat(d) for d in days)
+    elif isinstance(today, str):
+        today = dt.date.fromisoformat(today)
+    cutoff = today - dt.timedelta(days=keep_days)
+    deleted = []
+    for d in sorted(days):
+        if dt.date.fromisoformat(d) < cutoff:
+            fs.delete(path_cls(root, f"day={d}"), True)
+            deleted.append(d)
+    return {"deleted": deleted, "kept": len(days) - len(deleted)}
+
+
 def ann_index_sink_writer(
     cents_table: str, members_table: str, n_buckets: int = 8
 ):

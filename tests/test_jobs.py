@@ -206,3 +206,46 @@ def test_profile_partial_normalizes_signed_zero(spark):
     partials = profile_partial(a, cols).unionByName(profile_partial(b, cols))
     row = profile_merge(partials, cols).collect()[0]
     assert row["approx_ndv"] == 2  # {0.0, 1.0}, not {-0.0, 0.0, 1.0}
+
+
+def test_retention_sweep_drops_only_expired_partitions(spark, tmp_path):
+    """Partitions strictly older than the cutoff vanish, newer ones
+    survive byte-for-byte, the anchor defaults to the store's own max
+    day, and a second run is a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        retention_sweep,
+    )
+
+    store = str(tmp_path / "preds")
+    days = ["2024-01-01", "2024-01-05", "2024-01-09", "2024-01-10"]
+    for i, d in enumerate(days):
+        spark.range(10 + i).select(
+            F.col("id"), F.lit(d).alias("day")
+        ).write.mode("append").partitionBy("day").parquet(store)
+
+    # anchor defaults to max day (2024-01-10); keep 7 days -> cutoff
+    # 2024-01-03: only 2024-01-01 is strictly older
+    out = retention_sweep(spark, store, keep_days=7)
+    assert out == {"deleted": ["2024-01-01"], "kept": 3}
+    left = spark.read.parquet(store)
+    # the partition column reads back as DATE: compare isoformats
+    assert {
+        str(r["day"]) for r in left.select("day").distinct().collect()
+    } == {"2024-01-05", "2024-01-09", "2024-01-10"}
+    assert left.count() == 11 + 12 + 13
+
+    # idempotent re-run
+    assert retention_sweep(spark, store, keep_days=7) == {
+        "deleted": [], "kept": 3
+    }
+    # explicit anchor: everything before 2024-01-09 goes
+    out = retention_sweep(spark, store, keep_days=1, today="2024-01-10")
+    assert out["deleted"] == ["2024-01-05"]
+    # empty/missing store: graceful
+    assert retention_sweep(spark, str(tmp_path / "nope"), 7) == {
+        "deleted": [], "kept": 0
+    }
