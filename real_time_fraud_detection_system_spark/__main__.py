@@ -19,6 +19,8 @@ and Airflow DAGs -- locally or via spark-submit on a cluster:
                               search it (build once, query all day)
   dedup-index build|probe     persist the bucketed MinHash index /
                               dedup an arriving shard against it
+  retention                   drop prediction-store day partitions
+                              older than --keep-days
 
 Exit status is the job's success: ``dq`` exits 1 on a failed check the
 way the reference DAG task fails, so schedulers can alert on it.
@@ -80,6 +82,12 @@ def _build_parser() -> argparse.ArgumentParser:
     di.add_argument("--shard-parquet", default=None,
                     help="probe: (doc_id, text) parquet; default = the"
                          " deterministic shard split of the sf tables")
+    rt = sub.add_parser("retention")
+    rt.add_argument("--predictions-dir", required=True)
+    rt.add_argument("--keep-days", type=int, required=True)
+    rt.add_argument("--today", default=None,
+                    help="cutoff anchor YYYY-MM-DD (default: the"
+                         " store's max day)")
     return p
 
 
@@ -147,6 +155,15 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
             print(json.dumps({"status": "fail", "error": str(exc)}), file=out)
             return 1
         print(json.dumps({"status": "ok", **checks}, default=str), file=out)
+        return 0
+    if args.cmd == "retention":
+        from .streaming.jobs import retention_sweep
+
+        out_info = retention_sweep(
+            eng.spark, args.predictions_dir, args.keep_days,
+            today=args.today,
+        )
+        print(json.dumps({"status": "ok", **out_info}), file=out)
         return 0
     if args.cmd == "ann-index":
         from .operators.similarity import ann_search, persist_ann_index

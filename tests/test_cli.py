@@ -123,3 +123,19 @@ def test_cli_index_lifecycle(spark, sf_dir):
         for t in ("t_cli_ann_cents", "t_cli_ann_members",
                   "t_cli_dd_sig", "t_cli_dd_band"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_retention(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "preds")
+    for d in ("2024-01-01", "2024-01-10"):
+        spark.range(5).select(F.col("id"), F.lit(d).alias("day")).write.mode(
+            "append"
+        ).partitionBy("day").parquet(store)
+    code, lines = _run([
+        "retention", "--predictions-dir", store, "--keep-days", "5",
+    ])
+    assert code == 0
+    info = json.loads(lines[0])
+    assert info["deleted"] == ["2024-01-01"] and info["kept"] == 1
