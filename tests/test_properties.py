@@ -415,3 +415,47 @@ def test_nearest_cells_kernel_ties_break_by_centroid_id(spark):
     assert rows[2][0] == 30  # exact match beats the tied pair
     assert rows[2][1] == 10  # then the tie again, smallest id first
     assert rows[3][:1] in ([10], [30]) and set(rows[3]) <= {10, 20, 30}
+
+
+def test_partitioning_invariance_of_round6_ops(spark, sf_dir, monkeypatch):
+    """The round-6 deterministic operators must produce identical
+    values under a 1-partition and a 64-partition input layout:
+    integer-ppm outputs and fixed-point scores leave NO legal room for
+    summation-order drift, so equality is exact."""
+    import real_time_fraud_detection_system_spark.operators.corpusops as co
+    import real_time_fraud_detection_system_spark.operators.temporal as tp
+    import real_time_fraud_detection_system_spark.operators.tpch_extra as tx
+
+    real_co, real_tp, real_tx = co.load_table, tp.load_table, tx.load_table
+
+    def run_all(parts):
+        monkeypatch.setattr(
+            co, "load_table",
+            lambda s, d, n: real_co(s, d, n).repartition(parts),
+        )
+        monkeypatch.setattr(
+            co, "spread",
+            lambda df, key=None, p=None: (
+                df.repartition(parts, key) if key else df.repartition(parts)
+            ),
+        )
+        monkeypatch.setattr(
+            tp, "load_table",
+            lambda s, d, n: real_tp(s, d, n).repartition(parts),
+        )
+        monkeypatch.setattr(
+            tx, "load_table",
+            lambda s, d, n: real_tx(s, d, n).repartition(parts),
+        )
+        return (
+            sorted(map(tuple, co.crossdoc_ngram_share(spark, sf_dir).collect())),
+            sorted(map(tuple, co.chunk_dup_rate(spark, sf_dir).collect())),
+            sorted(map(tuple, co.mixture_apply_sample(spark, sf_dir).collect())),
+            sorted(map(tuple, co.doc_chunks(spark, sf_dir).collect())),
+            sorted(map(tuple, tp.event_type_affinity(spark, sf_dir).collect())),
+            sorted(map(tuple, tx.supplier_pagerank(spark, sf_dir).collect())),
+        )
+
+    one = run_all(1)
+    many = run_all(64)
+    assert one == many
