@@ -99,6 +99,7 @@ PRIORITY = [
     # supplier_pagerank (4-iteration integer-exact PageRank over the
     # customer<->supplier trade graph), event_type_affinity
     # (market-basket pair support/confidence over user-day baskets),
+    # dedup_signal_crosstab (lexical-vs-semantic grouped 2x2 QA),
     # calibration_bins
     # (decile reliability report of the fixed scorer), ann_ivf_topk
     # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel

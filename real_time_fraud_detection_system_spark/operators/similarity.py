@@ -1131,6 +1131,64 @@ SELECT * FROM buckets ORDER BY occupancy_bucket
 """
 
 
+# --------------------------------------------------------------------------
+def dedup_signal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup QA: the 2x2 crosstab of documents grouped by
+    the LEXICAL near-dup clustering (MinHash/Jaccard over shingles)
+    vs the SEMANTIC one (embedding cosine over directions) -- the
+    testdata aligns doc_id == vec_id 1:1. The off-diagonal cells are
+    the operational signal: lexical-only groups are template/boiler-
+    plate duplication the embedding model abstracts away, semantic-
+    only groups are paraphrase duplication no shingle overlap can see
+    -- the report that decides whether a corpus needs BOTH dedup
+    passes or one suffices.
+
+    Cost is the two cluster pipelines themselves (each documented) +
+    a 1:1 join and a 4-row rollup."""
+    from pyspark.sql.window import Window
+
+    from .dedup import dedup_minhash_clusters
+
+    lex = dedup_minhash_clusters(spark, sf_dir).withColumn(
+        "lex_grouped",
+        F.count("*").over(Window.partitionBy("cluster_id")) > 1,
+    )
+    sem = semantic_dedup_clusters(spark, sf_dir).withColumn(
+        "sem_grouped",
+        F.count("*").over(Window.partitionBy("cluster_id")) > 1,
+    )
+    return (
+        lex.select("doc_id", "lex_grouped")
+        .join(
+            sem.select(F.col("vec_id").alias("doc_id"), "sem_grouped"),
+            "doc_id",
+        )
+        .groupBy("lex_grouped", "sem_grouped")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lex_grouped", "sem_grouped")
+    )
+
+
+def _crosstab_sql() -> str:
+    from .dedup import DEDUP_MINHASH_CLUSTERS_SQL
+
+    return f"""
+SELECT l.lex_grouped, s.sem_grouped, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY cluster_id) > 1 AS lex_grouped
+  FROM ({DEDUP_MINHASH_CLUSTERS_SQL})
+) l
+JOIN (
+  SELECT vec_id,
+         count(*) OVER (PARTITION BY cluster_id) > 1 AS sem_grouped
+  FROM ({SEMANTIC_DEDUP_CLUSTERS_SQL})
+) s ON s.vec_id = l.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
@@ -1140,6 +1198,7 @@ QUERIES = {
     "embedding_outliers": embedding_outliers,
     "ann_recall_eval": ann_recall_eval,
     "ivf_cell_stats": ivf_cell_stats,
+    "dedup_signal_crosstab": dedup_signal_crosstab,
 }
 
 ORACLE = {
@@ -1151,4 +1210,5 @@ ORACLE = {
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "ivf_cell_stats": IVF_CELL_STATS_SQL,
+    "dedup_signal_crosstab": _crosstab_sql(),
 }
