@@ -1,0 +1,93 @@
+"""Full-registry scale sweep: time EVERY registered query at a replica
+scale with the noop sink -- the discipline that caught ann_ivf_topk's
+hidden 521 s assignment (the per-round bench measures only the
+headline list; anything outside it can silently regress at 100x).
+
+Usage:
+    python tools/scale_sweep.py [sf_dir] [--best-of N]
+
+Defaults to .scale/sf10 (build with tools/make_scale_data.py). Output:
+one line per query as it finishes (resumable by re-running with the
+same --out file), then a summary JSON line with the slowest queries.
+Queries that raise (e.g. the BY-DESIGN quadratic guards at 100x)
+record ERR:<type> instead of aborting the sweep.
+
+Collect is deliberately NOT used: output-heavy queries (full signature
+tables, per-doc frames) measure 3-7x slower under collect than under
+the noop sink, which mis-ranks the stragglers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_time_fraud_detection_system_spark.operators import all_queries
+from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default=".scale/sf10")
+    ap.add_argument("--best-of", type=int, default=1,
+                    help="runs per query; 1 (default) for a survey "
+                         "sweep, 2 to suppress cold-start noise")
+    ap.add_argument("--out", default=None,
+                    help="append per-query lines here and skip queries "
+                         "already present (resumable)")
+    args = ap.parse_args()
+
+    done: set[str] = set()
+    sink = sys.stdout
+    if args.out:
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                done = {ln.split()[0] for ln in fh if len(ln.split()) == 2}
+        sink = open(args.out, "a")  # noqa: SIM115 (long-lived handle)
+
+    spark = get_spark("scale-sweep", cpus=cpu_count())
+    res: dict[str, object] = {}
+    for name, fn in all_queries().items():
+        if name in done:
+            continue
+        best = None
+        v: object
+        try:
+            for _ in range(args.best_of):
+                t = time.time()
+                fn(spark, args.sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.time() - t, 2)
+                best = dt if best is None else min(best, dt)
+            v = best
+        except Exception as exc:  # noqa: BLE001 -- survey must finish
+            v = f"ERR:{type(exc).__name__}"
+        spark.catalog.clearCache()
+        res[name] = v
+        print(name, v, file=sink, flush=True)
+        if sink is not sys.stdout:
+            print(name, v, flush=True)
+
+    timed = {k: v for k, v in res.items() if isinstance(v, float)}
+    summary = {
+        "sf_dir": args.sf_dir,
+        "n_run": len(res),
+        "n_err": len(res) - len(timed),
+        "total_s": round(sum(timed.values()), 1),
+        "slowest": sorted(
+            timed.items(), key=lambda kv: -kv[1]
+        )[:10],
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
