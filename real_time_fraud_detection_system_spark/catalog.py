@@ -94,3 +94,63 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# --------------------------------------------------------------------------
+# Interchange formats: parquet is the native store, but a pipeline's
+# edges speak whatever the upstream/downstream system emits. One pair
+# of helpers with per-format options chosen so EVERY table round-trips
+# value-identically (tests/test_storage.py drives all formats over the
+# hardest columns: free text with delimiters/quotes, timestamps,
+# doubles, arrays where the format supports them).
+INTERCHANGE_FORMATS = ("parquet", "orc", "json", "csv")
+
+_WRITE_OPTIONS: dict[str, dict[str, str]] = {
+    # csv: header for self-description; explicit quote/escape so free
+    # text containing commas, quotes, and newlines survives; ISO
+    # timestamps so the read side parses without a locale guess
+    "csv": {
+        "header": "true",
+        "escape": '"',
+        "multiLine": "true",
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    },
+    "json": {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+}
+
+
+def write_table_as(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Persist ``df`` in an interchange format. CSV/JSON cannot carry
+    array columns (embeddings) -- callers serialize those themselves
+    or use parquet/orc; the writer fails fast on them rather than
+    silently stringifying."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    if fmt in ("csv",):
+        bad = [f.name for f in df.schema.fields
+               if f.dataType.typeName() in ("array", "map", "struct")]
+        if bad:
+            raise ValueError(
+                f"csv cannot carry nested columns {bad}; use parquet/orc"
+            )
+    w = df.write.mode("overwrite").format(fmt)
+    for k, v in _WRITE_OPTIONS.get(fmt, {}).items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def read_table_as(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Read an interchange file back. CSV and JSON are schema-on-read
+    text formats: pass the writer's schema (or any explicit one) so
+    types -- timestamps especially -- reproduce exactly instead of
+    being re-inferred per file."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    r = spark.read.format(fmt)
+    for k, v in _WRITE_OPTIONS.get(fmt, {}).items():
+        r = r.option(k, v)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

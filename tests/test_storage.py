@@ -251,3 +251,43 @@ def test_compaction_keeps_null_partition_rows(spark, tmp_path):
     after = spark.read.parquet(store)
     assert sorted(r["id"] for r in after.collect()) == [1, 2, 3, 4]
     assert after.filter("event_date IS NULL").count() == 2
+
+
+def test_interchange_formats_round_trip(spark, sf_dir, tmp_path):
+    """Every interchange format must reproduce the hardest tables
+    value-identically: documents (free text with arbitrary characters)
+    and events (timestamps, doubles, JSON-bearing strings); orc and
+    parquet additionally carry the embeddings array column."""
+    from real_time_fraud_detection_system_spark.catalog import (
+        INTERCHANGE_FORMATS,
+        load_table,
+        read_table_as,
+        write_table_as,
+    )
+
+    for fmt in INTERCHANGE_FORMATS:
+        for name in ("documents", "events"):
+            src = load_table(spark, sf_dir, name)
+            path = str(tmp_path / f"{name}.{fmt}")
+            write_table_as(src, path, fmt)
+            back = read_table_as(spark, path, fmt, schema=src.schema)
+            assert back.schema == src.schema, (fmt, name)
+            assert back.exceptAll(src).count() == 0, (fmt, name)
+            assert src.exceptAll(back).count() == 0, (fmt, name)
+
+    for fmt in ("parquet", "orc"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = str(tmp_path / f"emb.{fmt}")
+        write_table_as(emb, path, fmt)
+        back = read_table_as(spark, path, fmt, schema=emb.schema)
+        assert back.exceptAll(emb).count() == 0
+
+    # csv refuses nested columns instead of silently stringifying
+    import pytest
+
+    with pytest.raises(ValueError, match="nested"):
+        write_table_as(
+            load_table(spark, sf_dir, "embeddings"),
+            str(tmp_path / "bad.csv"),
+            "csv",
+        )
