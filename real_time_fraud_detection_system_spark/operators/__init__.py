@@ -100,7 +100,8 @@ PRIORITY = [
     # customer<->supplier trade graph), event_type_affinity
     # (market-basket pair support/confidence over user-day baskets),
     # dedup_signal_crosstab (lexical-vs-semantic grouped 2x2 QA),
-    # calibration_bins
+    # source_semantic_similarity (per-source centroid cosine map,
+    # DECIMAL/HUGEINT-exact accumulation), calibration_bins
     # (decile reliability report of the fixed scorer), ann_ivf_topk
     # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel
     # late in round 6, so its round-5 verdict is stale), and

@@ -1189,6 +1189,89 @@ ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+def source_semantic_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain similarity map: pairwise cosine between each source's
+    SUM embedding vector (cosine is scale-invariant, so the sum IS the
+    centroid direction -- no division, no count bookkeeping). This is
+    the corpus-curation view of "which domains say the same things":
+    near-1 pairs are candidates for cross-source dedup and mixture
+    rebalancing, near-0 pairs contribute diversity.
+
+    EXACT arithmetic end to end: per-(source, dim) components are
+    integer sums of ppm-quantized values (one shuffle over a
+    |sources| x dims key space -- map-side partials collapse the
+    corpus before the wire), the dot/norm accumulations run in
+    DECIMAL(38,0) / HUGEINT integer space (magnitudes ~1e22, far
+    under both ceilings), and the single double division at the end
+    starts from identical integers on every engine."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    comp = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .selectExpr("source", "posexplode(embedding) AS (i, x)")
+        .selectExpr(
+            "source",
+            "i",
+            "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS v",
+        )
+        .groupBy("source", "i")
+        .agg(F.expr("CAST(sum(v) AS DECIMAL(19, 0))").alias("s"))
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(
+            F.expr("sum(a.s * b.s)").alias("dot"),
+            F.expr("sum(a.s * a.s)").alias("na"),
+            F.expr("sum(b.s * b.s)").alias("nb"),
+        )
+    )
+    return pair.selectExpr(
+        "src_a",
+        "src_b",
+        "CAST(round(CAST(dot AS DOUBLE)"
+        " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+        " * 1000000, 0) AS BIGINT) AS cos_ppm",
+    ).orderBy("src_a", "src_b")
+
+
+SOURCE_SEMANTIC_SIMILARITY_SQL = """
+WITH comp AS (
+  SELECT d.source, t.i,
+         CAST(sum(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000,
+                             0) AS BIGINT)) AS HUGEINT) AS s
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+  CROSS JOIN UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+  GROUP BY 1, 2
+),
+pair AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         sum(a.s * b.s) AS dot,
+         sum(a.s * a.s) AS na,
+         sum(b.s * b.s) AS nb
+  FROM comp a
+  JOIN comp b ON a.i = b.i AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+            * 1000000, 0) AS BIGINT) AS cos_ppm
+FROM pair
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
@@ -1199,6 +1282,7 @@ QUERIES = {
     "ann_recall_eval": ann_recall_eval,
     "ivf_cell_stats": ivf_cell_stats,
     "dedup_signal_crosstab": dedup_signal_crosstab,
+    "source_semantic_similarity": source_semantic_similarity,
 }
 
 ORACLE = {
@@ -1211,4 +1295,5 @@ ORACLE = {
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "ivf_cell_stats": IVF_CELL_STATS_SQL,
     "dedup_signal_crosstab": _crosstab_sql(),
+    "source_semantic_similarity": SOURCE_SEMANTIC_SIMILARITY_SQL,
 }
