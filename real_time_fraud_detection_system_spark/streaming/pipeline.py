@@ -59,6 +59,25 @@ def parse_transactions(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def file_drop_source(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """Landing-zone ingestion: a file stream over newline-delimited
+    JSON payloads dropped into a directory -- the broker-less third
+    ingestion path beside the rate source (tests) and Kafka
+    (integration-gated). Each line is one wire payload; rows flow
+    through the SAME parse_transactions dead-letter path as the Kafka
+    value column, so corrupt lines surface instead of vanishing.
+    maxFilesPerTrigger bounds per-micro-batch work exactly like
+    maxOffsetsPerTrigger does on the broker path."""
+    return (
+        spark.readStream.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        ).text(landing_dir)  # .text() fixes the schema: one STRING
+        # column named "value" -- exactly the Kafka value shape
+    )
+
+
 def kafka_source(
     spark: SparkSession,
     brokers: str,

@@ -205,3 +205,57 @@ def test_jdbc_prediction_sink_appends_each_epoch(spark, tmp_path):
     sink(batch, epoch_id=0)
     sink(batch.limit(10), epoch_id=1)
     assert seen == [25, 10]
+
+
+def test_file_drop_source_end_to_end(spark, tmp_path):
+    """Landing-zone ingestion: JSON payload lines dropped as files flow
+    through the same parse -> dead-letter -> score path as the broker
+    wire; corrupt lines surface flagged instead of vanishing."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+    from real_time_fraud_detection_system_spark.streaming.pipeline import (
+        file_drop_source,
+        kafka_sink_options,
+        parse_transactions,
+        scored_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    txns = transactions_batch(spark, 40)
+    payloads = [
+        r["value"]
+        for r in kafka_sink_options(txns, "x:9092", "t").collect()
+    ]
+    (landing / "a.json").write_text("\n".join(payloads[:20]))
+    (landing / "b.json").write_text(
+        "\n".join(payloads[20:] + ["{not json at all"])
+    )
+
+    got = {"parsed": 0, "corrupt": 0, "scored": 0}
+
+    def sink(batch_df, epoch_id):
+        parsed = parse_transactions(batch_df).cache()
+        got["corrupt"] += parsed.filter("_corrupt").count()
+        clean = parsed.filter("NOT _corrupt")
+        got["parsed"] += clean.count()
+        got["scored"] += (
+            scored_stream(clean).filter(F.col("proba").isNotNull()).count()
+        )
+        parsed.unpersist()
+
+    q = (
+        file_drop_source(spark, str(landing), max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert got["parsed"] == 40
+    assert got["corrupt"] == 1
+    assert got["scored"] == 40
