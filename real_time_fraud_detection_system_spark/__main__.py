@@ -64,6 +64,9 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--checkpoint-dir", required=True)
     sv.add_argument("--brokers", default=None,
                     help="Kafka bootstrap servers; omit for the rate source")
+    sv.add_argument("--landing-dir", default=None,
+                    help="file-drop landing dir of newline-JSON payloads"
+                         " (broker-less ingestion)")
     sv.add_argument("--topic", default="transactions")
     sv.add_argument("--rows-per-second", type=int, default=100)
     sv.add_argument("--timeout-s", type=int, default=None,
@@ -127,6 +130,15 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
 
             raw = kafka_source(eng.spark, args.brokers, args.topic)
             txns = parse_transactions(raw)
+        elif args.landing_dir:
+            from .streaming.pipeline import (
+                file_drop_source,
+                parse_transactions,
+            )
+
+            txns = parse_transactions(
+                file_drop_source(eng.spark, args.landing_dir)
+            ).filter("NOT _corrupt").drop("_corrupt", "raw_payload")
         else:
             from .sources.generators import transactions_stream
 

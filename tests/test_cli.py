@@ -139,3 +139,36 @@ def test_cli_retention(spark, tmp_path):
     assert code == 0
     info = json.loads(lines[0])
     assert info["deleted"] == ["2024-01-01"] and info["kept"] == 1
+
+
+def test_cli_serve_from_landing_dir(spark, sf_dir, tmp_path):
+    """serve --landing-dir ingests dropped payload files end to end
+    into the prediction store."""
+    from real_time_fraud_detection_system_spark.sources.generators import (
+        transactions_batch,
+    )
+    from real_time_fraud_detection_system_spark.streaming.pipeline import (
+        kafka_sink_options,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    payloads = [
+        r["value"]
+        for r in kafka_sink_options(
+            transactions_batch(spark, 25), "x:9092", "t"
+        ).collect()
+    ]
+    (landing / "drop.json").write_text("\n".join(payloads))
+    out_dir = str(tmp_path / "preds")
+    code, lines = _run([
+        "--sf-dir", sf_dir, "serve",
+        "--landing-dir", str(landing),
+        "--out-dir", out_dir,
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--timeout-s", "45",
+    ])
+    assert code == 0
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 25
+    assert "proba" in got.columns
