@@ -101,7 +101,8 @@ PRIORITY = [
     # (market-basket pair support/confidence over user-day baskets),
     # dedup_signal_crosstab (lexical-vs-semantic grouped 2x2 QA),
     # source_semantic_similarity (per-source centroid cosine map,
-    # DECIMAL/HUGEINT-exact accumulation), calibration_bins
+    # DECIMAL/HUGEINT-exact accumulation), threshold_sweep (confusion
+    # table per candidate decision threshold), calibration_bins
     # (decile reliability report of the fixed scorer), ann_ivf_topk
     # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel
     # late in round 6, so its round-5 verdict is stale), and

@@ -199,6 +199,70 @@ CALIBRATION_BINS_SQL = _calibration_sql(
 )
 
 
+SWEEP_THRESHOLDS_PPM = tuple(range(100_000, 1_000_000, 100_000))  # 0.1..0.9
+
+
+def _threshold_sweep_sql(dialect: str, id_source: str) -> str:
+    """Precision/recall across candidate decision thresholds -- the
+    table a deployment reads to PICK the threshold the reference
+    hard-codes at 0.5 (main.py:178). One corpus scan builds a
+    1000-bucket (floor(proba*1000), label) histogram; each threshold's
+    confusion entries are integer sums over buckets (thresholds sit
+    exactly on bucket edges, so floor-bucketing partitions rows
+    EXACTLY as proba >= t would), and precision/recall emit as
+    round-to-integer ppm."""
+    frame = _frame_sql(dialect, id_source)
+    proba = (
+        "round(1.0 / (1.0 + exp(-(0.002 * amount + 1.5 * merchant_risk"
+        " + 0.05 * (CASE WHEN hour IN (0.0, 1.0, 2.0, 3.0, 23.0)"
+        " THEN 1.0 ELSE 0.0 END) - 2.5))), 6)"
+    )
+    thr_rows = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS_PPM)
+    return f"""
+WITH hist AS (
+  SELECT CAST(floor({proba} * 1000) AS INT) AS bucket,
+         label, count(*) AS n
+  FROM ({frame})
+  GROUP BY 1, 2
+),
+thr (thr_ppm) AS (VALUES {thr_rows})
+SELECT t.thr_ppm,
+       CAST(coalesce(sum(CASE WHEN h.bucket * 1000 >= t.thr_ppm
+                               AND h.label = 1 THEN h.n END), 0)
+            AS BIGINT) AS tp,
+       CAST(coalesce(sum(CASE WHEN h.bucket * 1000 >= t.thr_ppm
+                               AND h.label = 0 THEN h.n END), 0)
+            AS BIGINT) AS fp,
+       CAST(coalesce(sum(CASE WHEN h.bucket * 1000 < t.thr_ppm
+                               AND h.label = 1 THEN h.n END), 0)
+            AS BIGINT) AS fn,
+       CAST(coalesce(sum(CASE WHEN h.bucket * 1000 < t.thr_ppm
+                               AND h.label = 0 THEN h.n END), 0)
+            AS BIGINT) AS tn
+FROM thr t CROSS JOIN hist h
+GROUP BY t.thr_ppm
+ORDER BY t.thr_ppm
+"""
+
+
+def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion table per candidate threshold (see
+    _threshold_sweep_sql); precision/recall derive trivially from the
+    exact integer counts, so the query emits the counts themselves --
+    the engine-portable ground truth."""
+    _register_ids(spark, sf_dir)
+    return spark.sql(
+        _threshold_sweep_sql(
+            "spark", "SELECT o_orderkey AS id FROM _ml_orders"
+        )
+    )
+
+
+THRESHOLD_SWEEP_SQL = _threshold_sweep_sql(
+    "duck", "SELECT o_orderkey AS id FROM orders"
+)
+
+
 # --------------------------------------------------------------------------
 # Deterministic train/val split (M2 at scale): membership is a pure
 # function of the row key (md5 window < threshold), so the split is
@@ -301,6 +365,7 @@ QUERIES = {
     "training_frame_det": training_frame_det,
     "logit_score": logit_score,
     "calibration_bins": calibration_bins,
+    "threshold_sweep": threshold_sweep,
     "deterministic_split": deterministic_split,
     "stratified_sample": stratified_sample,
 }
@@ -309,6 +374,7 @@ ORACLE = {
     "training_frame_det": TRAINING_FRAME_SQL,
     "logit_score": LOGIT_SCORE_SQL,
     "calibration_bins": CALIBRATION_BINS_SQL,
+    "threshold_sweep": THRESHOLD_SWEEP_SQL,
     "deterministic_split": DETERMINISTIC_SPLIT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
 }

@@ -90,6 +90,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # the 1-row corpus-total broadcast (the scalar-anchor pattern).
     "vocab_coverage": frozenset({"NLJ", "GLOBALWIN", "1PART"}),
     "windowed_rates": frozenset({"NLJ", "1PART"}),
+    # threshold_sweep: the NLJ is the 9-row threshold VALUES list
+    # broadcast against the 1000-row bucket histogram -- both sides
+    # constant-size regardless of data volume (the corpus-sized work
+    # is the histogram aggregate before it); the bounded-fan-out
+    # query-set pattern (same class as ann_cosine_topk's query rows).
+    "threshold_sweep": frozenset({"NLJ"}),
     # supplier_pagerank: the GLOBALWIN is the final rank row_number over
     # the TakeOrdered TOP-{50} rows only -- bounded output regardless of
     # graph size (the vocab_coverage pattern); the iterative joins and
