@@ -222,3 +222,48 @@ def bucketed_orders_lineitem(
         n_buckets,
     )
     return orders, lineitem
+
+
+# --------------------------------------------------------------------------
+def merge_dimension(
+    spark: SparkSession, dim_dir: str, updates: DataFrame, key: str
+) -> int:
+    """SCD-type-1 upsert for an unpartitioned parquet dimension: rows
+    in ``updates`` replace same-key rows, new keys append, everything
+    else survives untouched -- MERGE INTO semantics on a format with
+    no row-level operations, realized the parquet-native way: rewrite
+    into a staging directory, then swap directories. The swap is the
+    commit point; a crash before it leaves the old dimension intact
+    and a re-run is idempotent (updates win by key, applying them
+    twice is a no-op).
+
+    Scale shape: one full-outer-free pass -- existing rows anti-join
+    the update keys (updates are small by the SCD contract, so the
+    anti-join broadcasts), then a unionByName. Dimensions are the
+    SMALL tables of a star schema; a keyed fact store uses
+    daily_metrics_upsert's dynamic-partition overwrite instead.
+
+    Returns the merged row count."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(dim_dir):
+        existing = spark.read.parquet(dim_dir)
+        merged = existing.join(
+            F.broadcast(updates.select(key)), key, "left_anti"
+        ).unionByName(updates)
+    else:
+        merged = updates
+    staging = dim_dir.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    old = dim_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(dim_dir):
+        os.rename(dim_dir, old)
+    os.rename(staging, dim_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

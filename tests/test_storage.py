@@ -291,3 +291,30 @@ def test_interchange_formats_round_trip(spark, sf_dir, tmp_path):
             str(tmp_path / "bad.csv"),
             "csv",
         )
+
+
+def test_merge_dimension_scd1(spark, tmp_path):
+    """Updates replace same-key rows, new keys append, untouched rows
+    survive; re-applying the same updates is a no-op; first merge into
+    a missing dir bootstraps it."""
+    from pyspark.sql import Row
+
+    from real_time_fraud_detection_system_spark.storage import (
+        merge_dimension,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    assert merge_dimension(spark, dim_dir, base, "k") == 3
+
+    upd = spark.createDataFrame([Row(k=2, v="B"), Row(k=4, v="d")])
+    assert merge_dimension(spark, dim_dir, upd, "k") == 4
+    got = {r["k"]: r["v"] for r in spark.read.parquet(dim_dir).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    # idempotent re-apply
+    assert merge_dimension(spark, dim_dir, upd, "k") == 4
+    got2 = {r["k"]: r["v"] for r in spark.read.parquet(dim_dir).collect()}
+    assert got2 == got

@@ -278,3 +278,29 @@ def test_wav_decoder_is_default_for_audio(spark):
     assert rows[1]["samples"] == [9, 7, 5, 3]
     assert rows[2]["n_bytes"] == 4  # fallback over the raw payload
     assert rows[3]["n_bytes"] == len(wav) // 2  # truncated -> fallback
+
+
+def test_threshold_sweep_invariants(spark, sf_dir):
+    """Confusion counts must reconcile: tp+fn and fp+tn are constant
+    across thresholds (the positive/negative populations), tp is
+    non-increasing in the threshold, tn non-decreasing, and the 0.5 row
+    agrees with logit_score's prediction counts."""
+    from real_time_fraud_detection_system_spark.operators.mlqueries import (
+        logit_score,
+        threshold_sweep,
+        training_frame_det,
+    )
+
+    rows = {r["thr_ppm"]: r for r in threshold_sweep(spark, sf_dir).collect()}
+    assert len(rows) == 9
+    pos = {r["tp"] + r["fn"] for r in rows.values()}
+    neg = {r["fp"] + r["tn"] for r in rows.values()}
+    assert len(pos) == 1 and len(neg) == 1
+    n_pos = pos.pop()
+    assert n_pos == training_frame_det(spark, sf_dir).filter("label = 1").count()
+    tps = [rows[t]["tp"] for t in sorted(rows)]
+    tns = [rows[t]["tn"] for t in sorted(rows)]
+    assert tps == sorted(tps, reverse=True)
+    assert tns == sorted(tns)
+    n_pred_pos = logit_score(spark, sf_dir).filter("prediction = 1").count()
+    assert rows[500_000]["tp"] + rows[500_000]["fp"] == n_pred_pos
