@@ -267,3 +267,87 @@ def merge_dimension(
     os.rename(staging, dim_dir)
     shutil.rmtree(old, ignore_errors=True)
     return n
+
+
+def merge_dimension_scd2(
+    spark: SparkSession,
+    dim_dir: str,
+    updates: DataFrame,
+    key: str,
+    effective_col: str = "effective_ts",
+) -> int:
+    """SCD-type-2 merge: history-keeping upsert. Dimension rows carry
+    ``valid_from`` / ``valid_to`` (NULL = current). For each update
+    whose attributes DIFFER from the key's current row, the current
+    row closes (valid_to = the update's effective timestamp) and a new
+    current row opens; updates equal to the current attributes are
+    ignored -- which is precisely what makes re-applying the same
+    batch a no-op. New keys open their first row. Same
+    staging-rewrite + directory-swap commit as merge_dimension.
+
+    Attribute equality uses a null-safe struct compare over every
+    column except the key and the effective timestamp. Returns the
+    merged row count (history rows included)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    attr_cols = [
+        c for c in updates.columns if c not in (key, effective_col)
+    ]
+    incoming = updates.select(
+        key,
+        F.col(effective_col).alias("_eff"),
+        F.struct(*attr_cols).alias("_attrs"),
+    )
+    if os.path.isdir(dim_dir):
+        existing = spark.read.parquet(dim_dir)
+        cur = existing.filter(F.col("valid_to").isNull()).select(
+            key, F.struct(*attr_cols).alias("_cur_attrs")
+        )
+        # effective changes only: differing attrs or brand-new key
+        changes = (
+            incoming.join(F.broadcast(cur), key, "left")
+            .filter(
+                F.col("_cur_attrs").isNull()
+                | ~F.col("_attrs").eqNullSafe(F.col("_cur_attrs"))
+            )
+            .select(key, "_eff", "_attrs")
+        )
+        closing = F.broadcast(
+            changes.select(F.col(key), F.col("_eff").alias("_close_ts"))
+        )
+        kept = (
+            existing.join(closing, key, "left")
+            .withColumn(
+                "valid_to",
+                F.when(
+                    F.col("valid_to").isNull()
+                    & F.col("_close_ts").isNotNull(),
+                    F.col("_close_ts"),
+                ).otherwise(F.col("valid_to")),
+            )
+            .drop("_close_ts")
+        )
+    else:
+        kept = None
+        changes = incoming
+    opened = changes.select(
+        key,
+        *[F.col("_attrs")[c].alias(c) for c in attr_cols],
+        F.col("_eff").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    merged = opened if kept is None else kept.unionByName(opened)
+    staging = dim_dir.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    old = dim_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(dim_dir):
+        os.rename(dim_dir, old)
+    os.rename(staging, dim_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

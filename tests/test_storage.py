@@ -318,3 +318,47 @@ def test_merge_dimension_scd1(spark, tmp_path):
     assert merge_dimension(spark, dim_dir, upd, "k") == 4
     got2 = {r["k"]: r["v"] for r in spark.read.parquet(dim_dir).collect()}
     assert got2 == got
+
+
+def test_merge_dimension_scd2_keeps_history(spark, tmp_path):
+    """Changed attributes close the current row and open a new one;
+    unchanged updates are no-ops (idempotence); new keys open their
+    first row; full history survives with correct validity windows."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from real_time_fraud_detection_system_spark.storage import (
+        merge_dimension_scd2,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    dim_dir = str(tmp_path / "dim2")
+    base = spark.createDataFrame(
+        [
+            Row(k=1, v="a", effective_ts=t0),
+            Row(k=2, v="b", effective_ts=t0),
+        ]
+    )
+    assert merge_dimension_scd2(spark, dim_dir, base, "k") == 2
+
+    upd = spark.createDataFrame(
+        [
+            Row(k=1, v="A", effective_ts=t1),  # changed -> history
+            Row(k=2, v="b", effective_ts=t1),  # unchanged -> ignored
+            Row(k=3, v="c", effective_ts=t1),  # new key
+        ]
+    )
+    assert merge_dimension_scd2(spark, dim_dir, upd, "k") == 4
+    rows = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"])
+        for r in spark.read.parquet(dim_dir).collect()
+    }
+    assert rows[(1, "a")] == (t0, t1)  # closed at the change
+    assert rows[(1, "A")] == (t1, None)  # the new current row
+    assert rows[(2, "b")] == (t0, None)  # untouched current
+    assert rows[(3, "c")] == (t1, None)
+
+    # idempotent re-apply
+    assert merge_dimension_scd2(spark, dim_dir, upd, "k") == 4
