@@ -351,3 +351,41 @@ def merge_dimension_scd2(
     os.rename(staging, dim_dir)
     shutil.rmtree(old, ignore_errors=True)
     return n
+
+
+def point_in_time_join(
+    facts: DataFrame, dim: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 dimension: each fact
+    row joins the dimension version whose validity window
+    [valid_from, valid_to) contains the fact's timestamp -- the lookup
+    that makes history-keeping dimensions USABLE (training-data
+    pipelines need the feature value as-of the event, not as-of
+    today; joining the current row silently leaks the future).
+
+    Scale shape: dimensions are the small side of a star schema, so
+    the version table broadcasts and the range predicate evaluates
+    map-side -- no shuffle of the fact stream, the same posture as
+    the other dimension enrichments. Facts with no valid version
+    (before the key's first window, or unknown key) keep NULL
+    attributes via the left join."""
+    from pyspark.sql import functions as F
+
+    d = dim.alias("_dim")
+    f = facts.alias("_f")
+    cond = (
+        (F.col(f"_f.{key}") == F.col(f"_dim.{key}"))
+        & (F.col(f"_f.{ts_col}") >= F.col("_dim.valid_from"))
+        & (
+            F.col("_dim.valid_to").isNull()
+            | (F.col(f"_f.{ts_col}") < F.col("_dim.valid_to"))
+        )
+    )
+    return f.join(F.broadcast(d), cond, "left").select(
+        "_f.*",
+        *[
+            F.col(f"_dim.{c}")
+            for c in dim.columns
+            if c not in (key, "valid_from", "valid_to")
+        ],
+    )

@@ -362,3 +362,44 @@ def test_merge_dimension_scd2_keeps_history(spark, tmp_path):
 
     # idempotent re-apply
     assert merge_dimension_scd2(spark, dim_dir, upd, "k") == 4
+
+
+def test_point_in_time_join_reads_history_correctly(spark, tmp_path):
+    """Facts resolve the dimension version valid AT their timestamp:
+    before the change they see the old attributes, after it the new
+    ones, before the first window or for unknown keys they see NULL."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from real_time_fraud_detection_system_spark.storage import (
+        merge_dimension_scd2,
+        point_in_time_join,
+    )
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    dim_dir = str(tmp_path / "dimp")
+    merge_dimension_scd2(
+        spark, dim_dir,
+        spark.createDataFrame([Row(k=1, v="a", effective_ts=t0)]), "k",
+    )
+    merge_dimension_scd2(
+        spark, dim_dir,
+        spark.createDataFrame([Row(k=1, v="A", effective_ts=t1)]), "k",
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(fid=1, k=1, ts=dt.datetime(2024, 1, 15)),  # old window
+            Row(fid=2, k=1, ts=dt.datetime(2024, 3, 1)),  # new window
+            Row(fid=3, k=1, ts=dt.datetime(2023, 12, 1)),  # pre-history
+            Row(fid=4, k=9, ts=dt.datetime(2024, 3, 1)),  # unknown key
+            Row(fid=5, k=1, ts=t1),  # exactly at the change: new wins
+        ]
+    )
+    got = {
+        r["fid"]: r["v"]
+        for r in point_in_time_join(
+            facts, spark.read.parquet(dim_dir), "k", "ts"
+        ).collect()
+    }
+    assert got == {1: "a", 2: "A", 3: None, 4: None, 5: "A"}
