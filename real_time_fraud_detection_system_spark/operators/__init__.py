@@ -92,7 +92,9 @@ PRIORITY = [
     # the exact baseline), ivf_cell_stats (cell-occupancy histogram +
     # empty-cell count -- the index balance diagnostic),
     # dedup_containment (df-capped shared-shingle candidacy + exact
-    # asymmetric containment -- the doc-inside-doc gate), doc_chunks
+    # asymmetric containment -- the doc-inside-doc gate),
+    # dedup_apply_stats (keep-one-representative shrinkage report per
+    # source -- what the training set actually loses), doc_chunks
     # (sliding-window token chunking, map-only), chunk_dup_rate
     # (per-source duplicated chunk-hash share), mixture_apply_sample
     # (materialize the mixture plan via md5-fraction membership),

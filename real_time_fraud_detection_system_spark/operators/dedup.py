@@ -500,6 +500,42 @@ ORDER BY a_id, b_id
 """
 
 
+def dedup_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSES the dedup loop: apply the keep-one-representative policy
+    (keep a doc iff it IS its cluster's min-id label) and report what
+    the corpus loses per source -- docs and tokens before/after, kept
+    share in integer ppm. This is the pass that decides the dedup is
+    worth shipping: the clusters query says what is duplicated, this
+    says what the training set actually shrinks by.
+
+    Cost is the cluster pipeline + one broadcast-sized join of labels
+    onto per-doc token counts + a per-source rollup."""
+    labels = dedup_minhash_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", f"size({_TOKS}) AS n_toks"
+    )
+    j = docs.join(labels, "doc_id").withColumn(
+        "kept", (F.col("doc_id") == F.col("cluster_id")).cast("long")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("kept_docs"),
+            F.expr("CAST(sum(n_toks) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN kept = 1 THEN n_toks ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("kept_tokens"),
+            F.expr(
+                "CAST(round(sum(CASE WHEN kept = 1 THEN n_toks ELSE 0 END)"
+                " * 1000000.0 / sum(n_toks), 0) AS BIGINT)"
+            ).alias("kept_token_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'keep one representative' stage of the MinHash path: verified
     LSH pairs become edges, connected components give every document
@@ -547,6 +583,27 @@ FROM reach
 GROUP BY src
 ORDER BY doc_id
 """
+
+
+_DUCK_NTOKS = "len(string_split(d.text, ' '))"
+
+DEDUP_APPLY_STATS_SQL = f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN l.cluster_id = d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_docs,
+       CAST(sum({_DUCK_NTOKS}) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN l.cluster_id = d.doc_id THEN {_DUCK_NTOKS}
+                     ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(round(sum(CASE WHEN l.cluster_id = d.doc_id THEN {_DUCK_NTOKS}
+                           ELSE 0 END) * 1000000.0
+                  / sum({_DUCK_NTOKS}), 0) AS BIGINT) AS kept_token_ppm
+FROM documents d
+JOIN ({DEDUP_MINHASH_CLUSTERS_SQL}) l ON l.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
 
 
 # --------------------------------------------------------------------------
@@ -1546,6 +1603,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_containment": dedup_containment,
+    "dedup_apply_stats": dedup_apply_stats,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_incremental": dedup_incremental,
     "split_leakage_check": split_leakage_check,
@@ -1564,6 +1622,7 @@ ORACLE = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "dedup_apply_stats": DEDUP_APPLY_STATS_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "split_leakage_check": SPLIT_LEAKAGE_SQL,
