@@ -21,6 +21,8 @@ and Airflow DAGs -- locally or via spark-submit on a cluster:
                               dedup an arriving shard against it
   retention                   drop prediction-store day partitions
                               older than --keep-days
+  compact                     rewrite a partitioned store's small
+                              files (streaming-append hygiene)
 
 Exit status is the job's success: ``dq`` exits 1 on a failed check the
 way the reference DAG task fails, so schedulers can alert on it.
@@ -91,6 +93,10 @@ def _build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--today", default=None,
                     help="cutoff anchor YYYY-MM-DD (default: the"
                          " store's max day)")
+    cp = sub.add_parser("compact")
+    cp.add_argument("--store-dir", required=True)
+    cp.add_argument("--partition-col", default="event_date")
+    cp.add_argument("--target-rows-per-file", type=int, default=1_000_000)
     return p
 
 
@@ -176,6 +182,16 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
             today=args.today,
         )
         print(json.dumps({"status": "ok", **out_info}), file=out)
+        return 0
+    if args.cmd == "compact":
+        from .storage import compact_partitions
+
+        info = compact_partitions(
+            eng.spark, args.store_dir,
+            partition_col=args.partition_col,
+            target_rows_per_file=args.target_rows_per_file,
+        )
+        print(json.dumps({"status": "ok", **info}, default=str), file=out)
         return 0
     if args.cmd == "ann-index":
         from .operators.similarity import ann_search, persist_ann_index

@@ -172,3 +172,25 @@ def test_cli_serve_from_landing_dir(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 25
     assert "proba" in got.columns
+
+
+def test_cli_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "store")
+    # many small files: one per append
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id"), F.lit("2024-01-01").alias("event_date")
+        ).coalesce(1).write.mode("append").partitionBy(
+            "event_date"
+        ).parquet(store)
+    code, lines = _run(["compact", "--store-dir", store])
+    assert code == 0
+    assert json.loads(lines[0])["status"] == "ok"
+    got = spark.read.parquet(store)
+    assert got.count() == 60
+    import glob
+
+    files = glob.glob(f"{store}/event_date=2024-01-01/*.parquet")
+    assert len(files) < 6  # small files merged
