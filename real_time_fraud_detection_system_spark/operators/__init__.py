@@ -101,6 +101,8 @@ PRIORITY = [
     # supplier_pagerank (4-iteration integer-exact PageRank over the
     # customer<->supplier trade graph), event_type_affinity
     # (market-basket pair support/confidence over user-day baskets),
+    # dau_wau_stickiness (exact trailing-7-day active users via the
+    # bounded forward-projection trick),
     # dedup_signal_crosstab (lexical-vs-semantic grouped 2x2 QA),
     # source_semantic_similarity (per-source centroid cosine map,
     # DECIMAL/HUGEINT-exact accumulation), threshold_sweep (confusion

@@ -419,6 +419,61 @@ ORDER BY user_id
 
 
 # --------------------------------------------------------------------------
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics staple: per activity day, DAU, trailing-
+    7-day WAU, and stickiness = DAU/WAU in integer ppm. Exact distinct
+    users (no sketches), computed the scalable way: one (user, day)
+    distinct, then each active (user, day) PROJECTS ITSELF FORWARD
+    into the <= 7 window-end days it contributes to (a bounded 7x
+    explode -- the classic trick that turns a sliding distinct-count
+    window into two plain distinct aggregations), restricted to days
+    that actually have activity so the output is the DAU table's own
+    day set."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = ud.selectExpr(
+        "user_id", "explode(sequence(0, 6)) AS k", "day"
+    ).select("user_id", F.expr("date_add(day, k)").alias("wday"))
+    wau = (
+        contrib.distinct()
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .selectExpr(
+            "day",
+            "dau",
+            "wau",
+            "CAST(round(dau * 1000000.0 / wau, 0) AS BIGINT)"
+            " AS stickiness_ppm",
+        )
+        .orderBy("day")
+    )
+
+
+DAU_WAU_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT user_id, day + CAST(k AS INTEGER) AS wday
+  FROM ud CROSS JOIN UNNEST(range(0, 7)) AS t(k)
+),
+wau AS (SELECT wday AS day, count(*) AS wau FROM contrib GROUP BY 1)
+SELECT d.day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       CAST(round(d.dau * 1000000.0 / w.wau, 0) AS BIGINT)
+         AS stickiness_ppm
+FROM dau d JOIN wau w USING (day)
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
 def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity over behavior: baskets are a user's
     DISTINCT event types per day; emit every type pair with its
@@ -513,6 +568,7 @@ ORDER BY type_a, type_b
 
 QUERIES = {
     "event_type_affinity": event_type_affinity,
+    "dau_wau_stickiness": dau_wau_stickiness,
     "asof_click_before_purchase": asof_click_before_purchase,
     "clicks_before_errors": clicks_before_errors,
     "approx_distinct_users": approx_distinct_users,
@@ -523,6 +579,7 @@ QUERIES = {
 
 ORACLE = {
     "event_type_affinity": EVENT_TYPE_AFFINITY_SQL,
+    "dau_wau_stickiness": DAU_WAU_STICKINESS_SQL,
     "asof_click_before_purchase": ASOF_SQL,
     "clicks_before_errors": INTERVAL_JOIN_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
