@@ -109,7 +109,9 @@ PRIORITY = [
     # table per candidate decision threshold), calibration_bins
     # (decile reliability report of the fixed scorer), ann_ivf_topk
     # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel
-    # late in round 6, so its round-5 verdict is stale), and
+    # late in round 6, so its round-5 verdict is stale),
+    # token_concentration_bins (Lorenz-style corpus concentration over
+    # integer-exact log2 length bins), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

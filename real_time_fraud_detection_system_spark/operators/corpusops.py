@@ -924,6 +924,98 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+def token_concentration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration report: how much of the corpus' text mass the
+    longest documents hold (the Lorenz-curve question a curation pass
+    asks before truncation/packing decisions). Documents are binned by
+    floor(log2(n_chars)) and the cumulative char/doc share is read from
+    the LARGEST bin down, so 'the top bins hold N ppm of all chars'.
+
+    The reference has no text surface (its analytics stop at Postgres
+    daily metrics, dags/compute-daily-metrics.py:19-37); this is part of
+    the training-data curation family the brief adds.
+
+    Scale: binning avoids any global sort -- the corpus-sized work is a
+    single column-pruned scan feeding a ~64-key hash aggregate (bin ids
+    are bounded by the bit width of n_chars, not by data volume); the
+    cumulative windows run over that bounded binned frame only (the
+    GLOBALWIN/1PART flags are allowlisted on those grounds). All shares
+    are exact-integer ppm: sums are int64, and share = cum * 1e6 DIV
+    total uses integer floor division -- no float quotient, so no
+    round-half boundary class between Spark and DuckDB. The log2 bin id
+    is computed as length(binary-repr) - 1: pure integer/string ops,
+    immune to last-ulp log() differences between engines. int64 is
+    exhausted only past ~9.2e12 corpus chars (cum * 1e6); past that,
+    widen the cum columns to DECIMAL(38,0) -- the DIV form is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned = (
+        docs.selectExpr(
+            "length(conv(CAST(n_chars AS STRING), 10, 2)) - 1 AS chars_bin",
+            "n_chars",
+        )
+        .groupBy("chars_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("bin_chars"),
+        )
+    )
+    cum = Window.orderBy(F.desc("chars_bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        binned.withColumn("cum_docs", F.sum("n_docs").over(cum))
+        .withColumn("cum_chars", F.sum("bin_chars").over(cum))
+        .withColumn("total_docs", F.sum("n_docs").over(tot))
+        .withColumn("total_chars", F.sum("bin_chars").over(tot))
+        .selectExpr(
+            "chars_bin",
+            "n_docs",
+            "bin_chars",
+            "cum_docs",
+            "cum_chars",
+            "CAST((cum_chars * 1000000L) DIV total_chars AS BIGINT)"
+            " AS char_share_ppm",
+            "CAST((cum_docs * 1000000L) DIV total_docs AS BIGINT)"
+            " AS doc_share_ppm",
+        )
+        .orderBy(F.desc("chars_bin"))
+    )
+
+
+TOKEN_CONCENTRATION_SQL = """
+WITH binned AS (
+  SELECT length(printf('%b', n_chars)) - 1 AS chars_bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS bin_chars
+  FROM documents
+  GROUP BY 1
+),
+cum AS (
+  SELECT chars_bin, n_docs, bin_chars,
+         CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+         CAST(sum(bin_chars) OVER w AS BIGINT) AS cum_chars,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs,
+         CAST(sum(bin_chars) OVER () AS BIGINT) AS total_chars
+  FROM binned
+  WINDOW w AS (ORDER BY chars_bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT chars_bin, n_docs, bin_chars, cum_docs, cum_chars,
+       CAST((cum_chars * 1000000) // total_chars AS BIGINT)
+         AS char_share_ppm,
+       CAST((cum_docs * 1000000) // total_docs AS BIGINT) AS doc_share_ppm
+FROM cum
+ORDER BY chars_bin DESC
+"""
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
@@ -936,6 +1028,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "chunk_dup_rate": chunk_dup_rate,
     "mixture_apply_sample": mixture_apply_sample,
+    "token_concentration_bins": token_concentration_bins,
 }
 
 ORACLE = {
@@ -950,4 +1043,5 @@ ORACLE = {
     "doc_chunks": DOC_CHUNKS_SQL,
     "chunk_dup_rate": CHUNK_DUP_RATE_SQL,
     "mixture_apply_sample": MIXTURE_APPLY_SAMPLE_SQL,
+    "token_concentration_bins": TOKEN_CONCENTRATION_SQL,
 }

@@ -822,3 +822,40 @@ def test_supplier_pagerank_invariants(spark, sf_dir):
     assert {r["node_type"] for r in rows} <= {"customer", "supplier"}
     again = supplier_pagerank(spark, sf_dir).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_token_concentration_invariants(spark, sf_dir):
+    """The binned Lorenz report must reconcile exactly with the corpus:
+    bins partition all docs, cumulative columns are running sums from
+    the largest bin down, the final row covers the whole corpus
+    (1,000,000 ppm up to integer-floor), and every bin id matches
+    floor(log2(n_chars)) recomputed in python."""
+    import math
+
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        token_concentration_bins,
+    )
+
+    rows = token_concentration_bins(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("n_chars").collect()
+    by_bin: dict[int, list[int]] = {}
+    for r in docs:
+        by_bin.setdefault(int(math.log2(r["n_chars"])), []).append(r["n_chars"])
+
+    assert {r["chars_bin"] for r in rows} == set(by_bin)
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    cum_d = cum_c = 0
+    total_c = sum(sum(v) for v in by_bin.values())
+    prev_ppm = -1
+    for r in rows:  # ordered largest bin first
+        assert r["n_docs"] == len(by_bin[r["chars_bin"]])
+        assert r["bin_chars"] == sum(by_bin[r["chars_bin"]])
+        cum_d += r["n_docs"]
+        cum_c += r["bin_chars"]
+        assert (r["cum_docs"], r["cum_chars"]) == (cum_d, cum_c)
+        assert r["char_share_ppm"] == cum_c * 1_000_000 // total_c
+        assert r["char_share_ppm"] >= prev_ppm
+        prev_ppm = r["char_share_ppm"]
+    assert rows[-1]["char_share_ppm"] == 1_000_000
+    assert rows[-1]["doc_share_ppm"] == 1_000_000

@@ -101,6 +101,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # graph size (the vocab_coverage pattern); the iterative joins and
     # aggregates are all node/edge-keyed.
     "supplier_pagerank": frozenset({"GLOBALWIN"}),
+    # token_concentration_bins: the cumulative-share windows run over
+    # the log2-binned frame -- row count bounded by bit-width of
+    # n_chars (<= 64 rows at any corpus size); the corpus-sized work is
+    # the preceding keyed hash aggregate. Near-scalar pattern.
+    "token_concentration_bins": frozenset({"GLOBALWIN", "1PART"}),
 }
 
 
