@@ -111,7 +111,9 @@ PRIORITY = [
     # AGAIN (assignment moved to the _nearest_cells_udf Arrow kernel
     # late in round 6, so its round-5 verdict is stale),
     # token_concentration_bins (Lorenz-style corpus concentration over
-    # integer-exact log2 length bins), and
+    # integer-exact log2 length bins), cluster_safe_split (the fix for
+    # split_leakage_check: assignment keyed on the near-dup cluster id,
+    # zero straddling pairs by construction), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

@@ -878,6 +878,79 @@ ORDER BY a_id, b_id
 
 
 # --------------------------------------------------------------------------
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for what split_leakage_check measures: assign train/val/
+    test by the near-dup CLUSTER id (the component's min doc_id) instead
+    of the document's own id, so every verified near-dup pair lands in
+    one split by construction -- no eval example has a train-set twin.
+
+    Output is the per-(split, source) census of the new assignment:
+    doc/cluster/char counts plus moved_docs, the documents whose
+    cluster-keyed split differs from the naive doc-keyed one (the cost
+    of hygiene). n_clusters counts distinct clusters PRESENT in the
+    group; a cluster spanning sources appears under each of its sources.
+
+    Scale: one extra hash join (labels x documents, both keyed on
+    doc_id) and one small rollup on top of the MinHash cluster pipeline;
+    the split label is a pure md5 projection of cluster_id -- no
+    broadcast state, reproducible on any cluster size. Oracle: the
+    recursive-CTE transitive closure over the identical verified pairs.
+    """
+    labels = dedup_minhash_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        labels.join(docs, "doc_id")
+        .withColumn("split", F.expr(_doc_split_spark("cluster_id")))
+        .withColumn("doc_split", F.expr(_doc_split_spark("doc_id")))
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(
+                F.when(F.col("split") != F.col("doc_split"), 1).otherwise(0)
+            ).alias("moved_docs"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+CLUSTER_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE {_DUCK_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+  UNION ALL
+  SELECT b_id, a_id FROM mh_pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+),
+assigned AS (
+  SELECT d.doc_id, d.source, d.n_chars, l.cluster_id,
+         {_doc_split_duck('l.cluster_id')} AS split,
+         {_doc_split_duck('d.doc_id')} AS doc_split
+  FROM documents d JOIN labels l USING (doc_id)
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN split <> doc_split THEN 1 ELSE 0 END) AS BIGINT)
+         AS moved_docs
+FROM assigned
+GROUP BY split, source
+ORDER BY split, source
+"""
+
+
+# --------------------------------------------------------------------------
 def _vote_fingerprints(
     docs: DataFrame, hash_sql: str, n_bits: int
 ) -> DataFrame:
@@ -1607,6 +1680,7 @@ QUERIES = {
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_incremental": dedup_incremental,
     "split_leakage_check": split_leakage_check,
+    "cluster_safe_split": cluster_safe_split,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash16": dedup_simhash16,
@@ -1626,6 +1700,7 @@ ORACLE = {
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "split_leakage_check": SPLIT_LEAKAGE_SQL,
+    "cluster_safe_split": CLUSTER_SAFE_SPLIT_SQL,
     "simhash_fingerprints": SIMHASH_FP_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash16": DEDUP_SIMHASH16_SQL,

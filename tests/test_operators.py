@@ -859,3 +859,45 @@ def test_token_concentration_invariants(spark, sf_dir):
         prev_ppm = r["char_share_ppm"]
     assert rows[-1]["char_share_ppm"] == 1_000_000
     assert rows[-1]["doc_share_ppm"] == 1_000_000
+
+
+def test_cluster_safe_split_kills_leakage(spark, sf_dir):
+    """The property the operator exists for: under cluster-keyed
+    assignment every verified near-dup pair lands in ONE split (the
+    doc-keyed assignment leaks by construction whenever a pair's md5
+    fractions straddle a boundary), and the census reconciles with the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.dedup import (
+        _doc_split_spark,
+        cluster_safe_split,
+        dedup_minhash_clusters,
+        dedup_minhash_lsh,
+    )
+
+    census = cluster_safe_split(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in census) == n_docs
+    assert {r["split"] for r in census} <= {"train", "val", "test"}
+    assert all(0 <= r["moved_docs"] <= r["n_docs"] for r in census)
+    assert all(r["n_clusters"] <= r["n_docs"] for r in census)
+
+    labels = dedup_minhash_clusters(spark, sf_dir).withColumn(
+        "split", F.expr(_doc_split_spark("cluster_id"))
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    leaked = (
+        pairs.join(
+            labels.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa")),
+            "a_id",
+        )
+        .join(
+            labels.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb")),
+            "b_id",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaked == 0

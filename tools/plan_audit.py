@@ -104,8 +104,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # token_concentration_bins: the cumulative-share windows run over
     # the log2-binned frame -- row count bounded by bit-width of
     # n_chars (<= 64 rows at any corpus size); the corpus-sized work is
-    # the preceding keyed hash aggregate. Near-scalar pattern.
-    "token_concentration_bins": frozenset({"GLOBALWIN", "1PART"}),
+    # the preceding keyed hash aggregate. The audit sees the bounded
+    # frame's SinglePartition exchange (the global windows sit above
+    # it); near-scalar pattern.
+    "token_concentration_bins": frozenset({"1PART"}),
 }
 
 
