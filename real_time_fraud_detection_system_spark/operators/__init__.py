@@ -113,7 +113,9 @@ PRIORITY = [
     # token_concentration_bins (Lorenz-style corpus concentration over
     # integer-exact log2 length bins), cluster_safe_split (the fix for
     # split_leakage_check: assignment keyed on the near-dup cluster id,
-    # zero straddling pairs by construction), and
+    # zero straddling pairs by construction), minhash_lsh_recall
+    # (measured banding recall per exact-Jaccard decile, integer-exact
+    # buckets, df-capped truth generation), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

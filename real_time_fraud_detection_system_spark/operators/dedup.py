@@ -950,6 +950,153 @@ ORDER BY split, source
 """
 
 
+# minhash_lsh_recall truth floor: pairs with exact Jaccard >= 3/10 enter
+# the denominator -- deliberately BELOW JACCARD_THRESHOLD (0.5) so the
+# report shows the banding S-curve on both sides of the dedup cut.
+RECALL_J_MIN_TENTHS = 3
+
+
+# --------------------------------------------------------------------------
+def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical recall of the LSH banding scheme, per exact-Jaccard
+    decile: of the pairs whose TRUE Jaccard lands in bucket j/10, what
+    fraction collide in at least one of the LSH_BANDS bands (and would
+    therefore be seen by dedup_minhash_lsh's verifier)? The eval a
+    dedup owner runs before trusting band parameters at corpus scale --
+    theory says P[collide] = 1-(1-j^rows)^bands; this measures it.
+
+    Ground truth is bounded the dedup_containment way: candidate pairs
+    must share >= 1 document-frequency-capped shingle (df <=
+    CONTAINMENT_MAX_DF), which keeps truth generation linear at 100 TB
+    (per-shingle fanout <= MAX_DF^2). Pairs whose every shared shingle
+    is boilerplate are excluded from the DENOMINATOR by the same rule
+    in both engines, so recall stays well-defined and deterministic.
+
+    Integer-exact throughout: the bucket is (10*n_inter) DIV n_union,
+    the truth floor is n_inter*10 >= {RECALL_J_MIN_TENTHS}*n_union, and
+    recall is ppm via integer floor division -- no float quotient
+    crosses an engine boundary."""
+    from pyspark.sql.window import Window
+
+    sig = _sig_table(spark, sf_dir).cache()
+    sh = sig.select("doc_id", F.explode("hsh").alias("h"))
+    rare = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("h"))
+    ).filter((F.col("df") >= 2) & (F.col("df") <= CONTAINMENT_MAX_DF))
+    ra, rb = rare.alias("ra"), rare.alias("rb")
+    truth_cand = (
+        ra.join(
+            rb,
+            (F.col("ra.h") == F.col("rb.h"))
+            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        )
+        .select(
+            F.col("ra.doc_id").alias("a_id"),
+            F.col("rb.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    bands = _band_table(sig).select("doc_id", "band", "bkey")
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    caught = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("a_id"),
+            F.col("bb.doc_id").alias("b_id"),
+        )
+        .distinct()
+        .withColumn("caught", F.lit(1))
+    )
+    da = sig.select(F.col("doc_id").alias("a_id"), F.col("hsh").alias("a_hsh"))
+    db = sig.select(F.col("doc_id").alias("b_id"), F.col("hsh").alias("b_hsh"))
+    ni = F.size(F.array_intersect(F.col("a_hsh"), F.col("b_hsh")))
+    truth = (
+        truth_cand.join(da, "a_id")
+        .join(db, "b_id")
+        .withColumn("ni", ni)
+        .withColumn("nu", F.size("a_hsh") + F.size("b_hsh") - F.col("ni"))
+        .filter(
+            F.col("ni") * 10 >= F.col("nu") * RECALL_J_MIN_TENTHS
+        )
+        .select(
+            "a_id", "b_id",
+            F.expr("CAST((ni * 10) DIV nu AS BIGINT)").alias("j_bucket"),
+        )
+    )
+    return (
+        truth.join(caught, ["a_id", "b_id"], "left")
+        .groupBy("j_bucket")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("caught"), F.lit(0))).alias("n_caught"),
+        )
+        .selectExpr(
+            "j_bucket",
+            "n_true",
+            "n_caught",
+            "CAST((n_caught * 1000000L) DIV n_true AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("j_bucket")
+    )
+
+
+MINHASH_LSH_RECALL_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)}) AS shingles
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, {_DUCK_SIG_COLS}
+  FROM d WHERE len(shingles) > 0
+),
+bands AS ({_DUCK_BAND_KEYS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+cnt AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+rare AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh JOIN cnt USING (s)
+  WHERE df BETWEEN 2 AND {CONTAINMENT_MAX_DF}
+),
+tcand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT t.a_id, t.b_id,
+         len(list_intersect(da.shingles, db.shingles)) AS ni,
+         len(da.shingles) + len(db.shingles)
+           - len(list_intersect(da.shingles, db.shingles)) AS nu
+  FROM tcand t
+  JOIN d da ON da.doc_id = t.a_id
+  JOIN d db ON db.doc_id = t.b_id
+  WHERE len(list_intersect(da.shingles, db.shingles)) * 10
+        >= {RECALL_J_MIN_TENTHS} * (len(da.shingles) + len(db.shingles)
+            - len(list_intersect(da.shingles, db.shingles)))
+)
+SELECT CAST((ni * 10) // nu AS BIGINT) AS j_bucket,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       CAST((sum(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS recall_ppm
+FROM truth
+LEFT JOIN cand c ON c.a_id = truth.a_id AND c.b_id = truth.b_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 def _vote_fingerprints(
     docs: DataFrame, hash_sql: str, n_bits: int
@@ -1681,6 +1828,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "split_leakage_check": split_leakage_check,
     "cluster_safe_split": cluster_safe_split,
+    "minhash_lsh_recall": minhash_lsh_recall,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash16": dedup_simhash16,
@@ -1701,6 +1849,7 @@ ORACLE = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "split_leakage_check": SPLIT_LEAKAGE_SQL,
     "cluster_safe_split": CLUSTER_SAFE_SPLIT_SQL,
+    "minhash_lsh_recall": MINHASH_LSH_RECALL_SQL,
     "simhash_fingerprints": SIMHASH_FP_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash16": DEDUP_SIMHASH16_SQL,

@@ -901,3 +901,42 @@ def test_cluster_safe_split_kills_leakage(spark, sf_dir):
         .count()
     )
     assert leaked == 0
+
+
+def test_minhash_lsh_recall_buckets_and_exactness(spark, monkeypatch):
+    """Engineered corpus: an exact-dup pair (bucket 10, always caught --
+    identical signatures collide in every band) plus a mid-Jaccard pair
+    pinned to a known bucket by integer shingle arithmetic, plus a
+    disjoint doc contributing nothing."""
+    import real_time_fraud_detection_system_spark.operators.dedup as dd
+
+    a_toks = [f"a{i}" for i in range(20)]
+    b_toks = a_toks[:12] + [f"b{i}" for i in range(8)]
+    texts = {
+        1: " ".join(a_toks),
+        2: " ".join(b_toks),
+        3: " ".join(a_toks),  # exact dup of 1
+        4: "zz yy xx ww vv uu tt ss",
+    }
+    rows = [(i, t, "en", "src", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        dd, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    out = {r["j_bucket"]: r for r in dd.minhash_lsh_recall(spark, "unused").collect()}
+
+    # A/B share shingles over the common 12-token prefix: 10 of each
+    # doc's 18 tri-shingles -> jaccard 10/26 -> bucket (100 DIV 26) = 3.
+    # Both (1,2) and (2,3) land there (3 is a copy of 1).
+    assert out[3]["n_true"] == 2
+    assert 0 <= out[3]["n_caught"] <= 2
+    # the exact-dup pair (1,3): identical signatures, every band collides
+    assert out[10]["n_true"] == 1
+    assert out[10]["n_caught"] == 1
+    assert out[10]["recall_ppm"] == 1_000_000
+    for r in out.values():
+        assert r["recall_ppm"] == r["n_caught"] * 1_000_000 // r["n_true"]
+        assert r["n_caught"] <= r["n_true"]
+    assert not any(b for b in out if b < 3)  # truth floor respected
