@@ -16,7 +16,7 @@ def _modules():
     from . import relational
 
     mods = [relational]
-    for name in ("metrics", "dedup", "similarity", "textops", "corpusops", "sessionize", "multimodal", "windows", "temporal", "mlqueries", "tpch_extra", "skew", "anomaly"):
+    for name in ("metrics", "dedup", "similarity", "textops", "corpusops", "sessionize", "multimodal", "windows", "temporal", "mlqueries", "tpch_extra", "skew", "anomaly", "layout"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:
@@ -58,8 +58,12 @@ PRIORITY = [
     "semantic_dedup_clusters", "multimodal_features",
     "minhash_signatures", "dedup_minhash_lsh", "dedup_minhash_clusters",
     #   * NEW in round 6: incremental shard-vs-index dedup, near-dup
-    #     split-leakage check, PII scrub stats.
+    #     split-leakage check, PII scrub stats, and the layout module's
+    #     Z-order-vs-time footer-pruning simulation (the new module's
+    #     family representative; recent_topk rotated out to make room --
+    #     its round-4 verdict stands and it queues for round 7).
     "dedup_incremental", "split_leakage_check", "pii_scrub_stats",
+    "layout_pruning_stats",
     # (b) oldest-verdict backfill: 33 of the 42 queries whose latest
     #     driver verdict is round 4. The 9 deferred to the round-7
     #     window head are all tpch_extra entries (q8, q9, q12, q13,
@@ -68,7 +72,7 @@ PRIORITY = [
     #     gate stays green.
     "q3_shipping_priority", "props_json_stats", "daily_metrics",
     "freshness_check", "null_id_check", "windowed_rates",
-    "recent_topk", "heuristic_score", "feature_extract",
+    "heuristic_score", "feature_extract",
     "ann_lsh_bucketed", "corpus_quality_gate", "repetition_stats",
     "sequence_packing", "vocab_coverage", "shard_overlap",
     "conversion_funnel", "multimodal_resize", "unpivot_daily_metrics",
@@ -115,7 +119,12 @@ PRIORITY = [
     # split_leakage_check: assignment keyed on the near-dup cluster id,
     # zero straddling pairs by construction), minhash_lsh_recall
     # (measured banding recall per exact-Jaccard decile, integer-exact
-    # buckets, df-capped truth generation), and
+    # buckets, df-capped truth generation), layout_pruning_stats
+    # (Z-order vs time-layout footer-pruning simulation, bit-identical
+    # integer Morton keys in both engines; write_zordered applies the
+    # real layout and a footer test proves the pruning win),
+    # recent_topk (displaced from the round-6 window by the layout
+    # family representative; round-4 verdict stands), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

@@ -108,6 +108,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # frame's SinglePartition exchange (the global windows sit above
     # it); near-scalar pattern.
     "token_concentration_bins": frozenset({"1PART"}),
+    # layout_pruning_stats: the NLJ is the 1-row min/max bounds
+    # broadcast (scalar-anchor pattern) and the 1PART is the final
+    # per-layout rollup over 2 x N_FILES = 128 simulated-file rows --
+    # both constant-size at any data scale.
+    "layout_pruning_stats": frozenset({"NLJ", "1PART"}),
 }
 
 
