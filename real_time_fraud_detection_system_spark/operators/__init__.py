@@ -124,7 +124,11 @@ PRIORITY = [
     # integer Morton keys in both engines; write_zordered applies the
     # real layout and a footer test proves the pruning win),
     # recent_topk (displaced from the round-6 window by the layout
-    # family representative; round-4 verdict stands), and
+    # family representative; round-4 verdict stands),
+    # kmeans_fixedpoint (cross-engine EXACT Lloyd iterations on the
+    # shifted 6-dp integer grid: md5 seed, int64 distances, floor-mean
+    # updates -- identical clusters on both engines, purity report
+    # against the true labels), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

@@ -1272,6 +1272,206 @@ ORDER BY src_a, src_b
 """
 
 
+# --------------------------------------------------------------------------
+# Fixed-point exact k-means (Lloyd's algorithm, bounded iterations).
+KM_K = 10  # matches the generator's label count
+KM_ITERS = 2  # full assign+update rounds; reporting assigns once more
+KM_FP = 1_000_000  # 6-dp fixed point
+KM_OFFSET = 2 * KM_FP  # shifts every quantized component positive
+
+_KM_QUANT = {
+    "spark": (
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {KM_FP}, 0) AS BIGINT) + {KM_OFFSET})"
+    ),
+    "duck": (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {KM_FP}, 0) AS BIGINT) + {KM_OFFSET})"
+    ),
+}
+
+
+def _km_assign_udf(cents):
+    """Arrow-batched assignment kernel: nearest centroid by squared L2
+    over the int64 fixed-point grid, ties to the smallest cid
+    (np.argmin returns the first minimum; the oracle's row_number
+    orders by (dist, cid)). Integer arithmetic end to end, so the
+    distance is EXACT -- no IEEE fold to replay, unlike the cosine
+    kernels above."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.int64)  # (K, dims), cid ascending
+
+    @pandas_udf("cid int, dist bigint")
+    def assign(q: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if len(q) == 0:
+            return pd.DataFrame({"cid": [], "dist": []})
+        Q = np.stack(q.to_numpy()).astype(np.int64)  # (rows, dims)
+        acc = np.zeros((Q.shape[0], C.shape[0]), dtype=np.int64)
+        for i in range(Q.shape[1]):
+            d = Q[:, i : i + 1] - C[:, i]
+            acc += d * d
+        cid = np.argmin(acc, axis=1)
+        return pd.DataFrame(
+            {
+                "cid": cid.astype("int32"),
+                "dist": acc[np.arange(len(cid)), cid],
+            }
+        )
+
+    return assign
+
+
+def kmeans_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding table with CROSS-ENGINE EXACT
+    semantics: components quantize to a 6-dp integer grid shifted
+    positive (translation leaves L2 distances unchanged), distances
+    and inertia are int64, and the centroid update is elementwise
+    integer floor mean -- so two engines running {KM_ITERS} Lloyd
+    iterations from the same deterministic md5-ordered seed produce
+    IDENTICAL clusters, not merely similar ones. Output per surviving
+    cluster: size, exact inertia, and the majority true label (ties to
+    the smallest label) -- the purity report.
+
+    Scale shape (the ann_ivf_topk pattern): centroids live in the
+    kernel closure (K x dims ints), assignment is one shuffle-free
+    Arrow-batched scan per iteration, and the update is a posexplode +
+    (cid, dim)-keyed codegen'd sum whose K*dims-row result is the only
+    driver collect. Nothing quadratic, nothing proportional to n on
+    the driver. The reference has no clustering surface; this extends
+    the brief's embedding family (SURVEY.md par. E2/E7).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        spread(emb, "vec_id")
+        .selectExpr("vec_id", "label", f"{_KM_QUANT['spark']} AS q")
+        .cache()
+    )
+    seed = (
+        q.select(
+            "q",
+            F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h")
+        .limit(KM_K)
+        .collect()
+    )
+    cents = [list(r["q"]) for r in seed]
+    for _ in range(KM_ITERS):
+        assigned = q.withColumn("ad", _km_assign_udf(cents)(F.col("q")))
+        sums = (
+            assigned.select(F.col("ad.cid").alias("cid"), F.posexplode("q").alias("i", "qi"))
+            .groupBy("cid", "i")
+            .agg(F.sum("qi").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        upd: dict[int, list[int]] = {}
+        for r in sums:
+            upd.setdefault(r["cid"], [0] * len(cents[0]))[r["i"]] = r["s"] // r["n"]
+        cents = [upd.get(cid, cents[cid]) for cid in range(KM_K)]
+    final = q.withColumn("ad", _km_assign_udf(cents)(F.col("q"))).select(
+        "vec_id", "label", F.col("ad.cid").alias("cid"), F.col("ad.dist").alias("dist")
+    )
+    stats = final.groupBy("cid").agg(
+        F.count("*").alias("n_points"), F.sum("dist").alias("sum_dist")
+    )
+    lab = (
+        final.groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_label_n"))
+    )
+    out = stats.join(lab, "cid").orderBy("cid").localCheckpoint(eager=True)
+    q.unpersist()
+    return out.select(
+        "cid", "n_points", "sum_dist", "top_label", "top_label_n"
+    )
+
+
+def _km_sql() -> str:
+    dims = 64  # the embeddings table's width (TESTDATA.md)
+    dist = " + ".join(
+        f"(q.q[{i}] - c.cvec[{i}]) * (q.q[{i}] - c.cvec[{i}])"
+        for i in range(1, dims + 1)
+    )
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, label, q, cid, dist FROM (
+    SELECT q.vec_id, q.label, q.q, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM q, {cents} c)
+  WHERE rn = 1
+)"""
+
+    def update_cte(name: str, prev: str, assigned: str) -> str:
+        return f"""{name} AS (
+  SELECT {prev}.cid, COALESCE(m.cvec, {prev}.cvec) AS cvec
+  FROM {prev} LEFT JOIN (
+    SELECT cid, list(sq ORDER BY i) AS cvec FROM (
+      SELECT cid, i, CAST(sum(qi) // count(*) AS BIGINT) AS sq
+      FROM (SELECT cid, unnest(q) AS qi, generate_subscripts(q, 1) AS i
+            FROM {assigned})
+      GROUP BY cid, i)
+    GROUP BY cid) m USING (cid)
+)"""
+
+    iters = []
+    prev = "c0"
+    for t in range(1, KM_ITERS + 1):
+        iters.append(assign_cte(f"a{t}", prev))
+        iters.append(update_cte(f"c{t}", prev, f"a{t}"))
+        prev = f"c{t}"
+    iters.append(assign_cte("af", prev))
+    body = ",\n".join(iters)
+    return f"""
+WITH q AS (
+  SELECT vec_id, label, {_KM_QUANT['duck']} AS q FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5('km:' || CAST(vec_id AS VARCHAR))) AS INTEGER) - 1
+           AS cid,
+         q AS cvec
+  FROM q
+  ORDER BY md5('km:' || CAST(vec_id AS VARCHAR))
+  LIMIT {KM_K}
+),
+{body},
+stats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(dist) AS BIGINT) AS sum_dist
+  FROM af GROUP BY cid
+),
+lab AS (
+  SELECT cid, label AS top_label, n AS top_label_n FROM (
+    SELECT cid, label, count(*) AS n,
+           row_number() OVER (PARTITION BY cid
+                              ORDER BY count(*) DESC, label) AS rn
+    FROM af GROUP BY cid, label)
+  WHERE rn = 1
+)
+SELECT s.cid, s.n_points, s.sum_dist, l.top_label,
+       CAST(l.top_label_n AS BIGINT) AS top_label_n
+FROM stats s JOIN lab l USING (cid)
+ORDER BY s.cid
+"""
+
+
+KMEANS_FIXEDPOINT_SQL = _km_sql()
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
@@ -1283,6 +1483,7 @@ QUERIES = {
     "ivf_cell_stats": ivf_cell_stats,
     "dedup_signal_crosstab": dedup_signal_crosstab,
     "source_semantic_similarity": source_semantic_similarity,
+    "kmeans_fixedpoint": kmeans_fixedpoint,
 }
 
 ORACLE = {
@@ -1296,4 +1497,5 @@ ORACLE = {
     "ivf_cell_stats": IVF_CELL_STATS_SQL,
     "dedup_signal_crosstab": _crosstab_sql(),
     "source_semantic_similarity": SOURCE_SEMANTIC_SIMILARITY_SQL,
+    "kmeans_fixedpoint": KMEANS_FIXEDPOINT_SQL,
 }

@@ -1008,3 +1008,27 @@ def test_write_zordered_prunes_real_footers(spark, tmp_path):
     assert (
         spark.read.parquet(zdir).count() == spark.read.parquet(tdir).count()
     )
+
+
+def test_kmeans_fixedpoint_invariants(spark, sf_dir):
+    """Exact-math guarantees: every vector is assigned (sizes sum to
+    the table count), inertia is non-negative, the majority label is a
+    real label with count <= cluster size, and two runs are
+    bit-identical (integer arithmetic end to end -- no IEEE fold, no
+    seed drift)."""
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        KM_K,
+        kmeans_fixedpoint,
+    )
+
+    rows = kmeans_fixedpoint(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_points"] for r in rows) == n
+    assert len(rows) <= KM_K
+    assert all(0 <= r["cid"] < KM_K for r in rows)
+    assert all(r["sum_dist"] >= 0 for r in rows)
+    assert all(0 <= r["top_label"] <= 9 for r in rows)
+    assert all(1 <= r["top_label_n"] <= r["n_points"] for r in rows)
+    again = kmeans_fixedpoint(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
