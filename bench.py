@@ -86,6 +86,13 @@ HEADLINE = [
     "crossdoc_ngram_share",
     "supplier_pagerank",
     "dedup_containment",
+    # round-6 continuation additions
+    "token_concentration_bins",
+    "cluster_safe_split",
+    "minhash_lsh_recall",
+    "layout_pruning_stats",
+    "kmeans_fixedpoint",
+    "rfm_segments",
 ]
 
 

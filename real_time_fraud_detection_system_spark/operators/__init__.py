@@ -128,7 +128,8 @@ PRIORITY = [
     # kmeans_fixedpoint (cross-engine EXACT Lloyd iterations on the
     # shifted 6-dp integer grid: md5 seed, int64 distances, floor-mean
     # updates -- identical clusters on both engines, purity report
-    # against the true labels), and
+    # against the true labels), rfm_segments (fixed-boundary
+    # recency/frequency/monetary census, exact integer cents), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

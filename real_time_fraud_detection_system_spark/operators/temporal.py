@@ -566,7 +566,97 @@ ORDER BY type_a, type_b
 """
 
 
+# --------------------------------------------------------------------------
+# RFM segmentation thresholds: FIXED absolute boundaries (not data
+# quantiles) so the segment definition is deterministic, identical
+# across engines, and stable as the corpus grows -- a quantile-based
+# cut would re-label every user whenever new data arrives.
+RFM_R_HOURS = (6, 24, 72)  # recency: <=6h -> 4, <=24h -> 3, <=72h -> 2
+RFM_F_EVENTS = (72, 66, 61)  # frequency: >=72 -> 4, >=66 -> 3, >=61 -> 2
+RFM_M_CENTS = (370_000, 330_000, 295_000)  # monetary (exact cents)
+
+
+def _rfm_score(col: str, cuts, descending: bool) -> str:
+    a, b, c = cuts
+    op = ">=" if descending else "<="
+    return (
+        f"CASE WHEN {col} {op} {a} THEN 4 WHEN {col} {op} {b} THEN 3"
+        f" WHEN {col} {op} {c} THEN 2 ELSE 1 END"
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation census: users scored 1-4
+    on each axis against fixed boundaries, rolled up per (r, f, m)
+    cell. Recency is hours back from max(ts) (the deterministic 'now'
+    anchor -- the decayed_user_value pattern); monetary accumulates
+    exact integer cents so the per-user totals, and hence the scores,
+    are order-independent and engine-exact.
+
+    Scale: one scan, one groupBy(user_id), a broadcast scalar anchor,
+    and an O(64-cell) final rollup -- the same shape as any keyed
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST((unix_micros(max(now_ts)) - unix_micros(max(ts)))"
+                " DIV 3600000000 AS BIGINT)"
+            ).alias("recency_h"),
+            F.count("*").alias("n_events"),
+            F.expr(
+                "sum(CAST(round(value * 100, 0) AS BIGINT))"
+            ).alias("cents"),
+        )
+    )
+    scored = per_user.selectExpr(
+        f"{_rfm_score('recency_h', RFM_R_HOURS, False)} AS r_score",
+        f"{_rfm_score('n_events', RFM_F_EVENTS, True)} AS f_score",
+        f"{_rfm_score('cents', RFM_M_CENTS, True)} AS m_score",
+        "cents",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH anchor AS (SELECT max(ts) AS now_ts FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST((epoch_us(max(a.now_ts)) - epoch_us(max(ts)))
+              // 3600000000 AS BIGINT) AS recency_h,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events, anchor a
+  GROUP BY user_id
+),
+scored AS (
+  SELECT {_rfm_score('recency_h', RFM_R_HOURS, False)} AS r_score,
+         {_rfm_score('n_events', RFM_F_EVENTS, True)} AS f_score,
+         {_rfm_score('cents', RFM_M_CENTS, True)} AS m_score,
+         cents
+  FROM per_user
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "rfm_segments": rfm_segments,
     "event_type_affinity": event_type_affinity,
     "dau_wau_stickiness": dau_wau_stickiness,
     "asof_click_before_purchase": asof_click_before_purchase,
@@ -578,6 +668,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rfm_segments": RFM_SEGMENTS_SQL,
     "event_type_affinity": EVENT_TYPE_AFFINITY_SQL,
     "dau_wau_stickiness": DAU_WAU_STICKINESS_SQL,
     "asof_click_before_purchase": ASOF_SQL,

@@ -113,6 +113,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # per-layout rollup over 2 x N_FILES = 128 simulated-file rows --
     # both constant-size at any data scale.
     "layout_pruning_stats": frozenset({"NLJ", "1PART"}),
+    # rfm_segments: the NLJ is the 1-row max(ts) anchor broadcast and
+    # the 1PART is the final rollup over <= 64 (r, f, m) cells -- the
+    # decayed_user_value scalar-anchor + near-scalar-output pattern.
+    "rfm_segments": frozenset({"NLJ", "1PART"}),
 }
 
 

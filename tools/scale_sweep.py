@@ -40,6 +40,9 @@ def main() -> int:
     ap.add_argument("--out", default=None,
                     help="append per-query lines here and skip queries "
                          "already present (resumable)")
+    ap.add_argument("--filter", nargs="*", default=None,
+                    help="only sweep queries whose name contains one of "
+                         "these substrings (default: all)")
     args = ap.parse_args()
 
     done: set[str] = set()
@@ -54,6 +57,8 @@ def main() -> int:
     res: dict[str, object] = {}
     for name, fn in all_queries().items():
         if name in done:
+            continue
+        if args.filter and not any(s in name for s in args.filter):
             continue
         best = None
         v: object
