@@ -129,7 +129,11 @@ PRIORITY = [
     # shifted 6-dp integer grid: md5 seed, int64 distances, floor-mean
     # updates -- identical clusters on both engines, purity report
     # against the true labels), rfm_segments (fixed-boundary
-    # recency/frequency/monetary census, exact integer cents), and
+    # recency/frequency/monetary census, exact integer cents),
+    # dq_expectations (declarative expectations suite: one
+    # conditional-sum scan per the reference's DQ checks generalized --
+    # null/range/enum/sane-ts/JSON rules as data, plus non-null
+    # uniqueness via exact NDV), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

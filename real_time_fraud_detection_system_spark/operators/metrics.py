@@ -435,7 +435,111 @@ def _profile_oracle_sql() -> str:
 PROFILE_SQL = _profile_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# Declarative expectations: every rule is (name, violation-predicate SQL
+# text valid in BOTH dialects) -- evaluated in ONE conditional-sum scan,
+# the generalization of the reference's three hand-written DQ checks
+# (dags/compute-daily-metrics.py:49-61; jobs.py run_dq_checks is the
+# scheduled twin). Adding a rule is adding a tuple.
+DQ_EVENT_TYPES = "'click', 'error', 'purchase', 'signup', 'view'"
+DQ_RULES: tuple[tuple[str, str], ...] = (
+    ("event_id_not_null", "event_id IS NULL"),
+    ("user_id_not_null", "user_id IS NULL"),
+    ("value_non_negative", "value < 0"),
+    ("event_type_in_enum", f"event_type NOT IN ({DQ_EVENT_TYPES})"),
+    (
+        "ts_in_sane_range",
+        "ts < TIMESTAMP '2020-01-01 00:00:00'"
+        " OR ts >= TIMESTAMP '2030-01-01 00:00:00'",
+    ),
+)
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations report over the events stream's landing table: one
+    row per declared rule plus the uniqueness check, with exact
+    violation counts and integer-ppm rates. The uniqueness rule cannot
+    be a row predicate; it is count(*) - count(DISTINCT event_id) in
+    the same aggregate. The JSON rule uses the engine's JSON extractor
+    (props rows whose $.k is missing/unparseable).
+
+    Scale: one conditional-sum scan (all row rules collapse map-side)
+    + the exact-NDV for uniqueness -- the only shuffle, same cost class
+    as predictions_profile's NDV column. Output is O(rules)."""
+    ev = _events(spark, sf_dir)
+    aggs = [
+        F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).alias(name)
+        for name, pred in DQ_RULES
+    ]
+    aggs.append(
+        F.sum(
+            F.expr(
+                "CASE WHEN get_json_object(props, '$.k') IS NULL"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("props_has_k")
+    )
+    # uniqueness is judged over NON-NULL ids (count(col) skips NULLs in
+    # both engines); null-ness is its own rule above
+    aggs.append(
+        (F.count("event_id") - F.countDistinct("event_id")).alias(
+            "event_id_unique"
+        )
+    )
+    aggs.append(F.count("*").alias("_n"))
+    wide = ev.agg(*aggs)
+    names = [name for name, _ in DQ_RULES] + ["props_has_k", "event_id_unique"]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return (
+        wide.selectExpr(
+            f"stack({len(names)}, {stack}) AS (rule, n_violations)", "_n"
+        )
+        .selectExpr(
+            "rule",
+            "n_violations",
+            "_n AS n_checked",
+            "CAST((n_violations * 1000000L) DIV _n AS BIGINT)"
+            " AS violation_ppm",
+        )
+        .orderBy("rule")
+    )
+
+
+def _dq_oracle_sql() -> str:
+    rows = [
+        f"SELECT '{name}' AS rule,\n"
+        f"       CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_violations,\n"
+        "       CAST(count(*) AS BIGINT) AS n_checked\nFROM events"
+        for name, pred in DQ_RULES
+    ]
+    rows.append(
+        "SELECT 'props_has_k' AS rule,\n"
+        "       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,\n"
+        "       CAST(count(*) AS BIGINT) AS n_checked\nFROM events"
+    )
+    rows.append(
+        "SELECT 'event_id_unique' AS rule,\n"
+        "       CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT)"
+        " AS n_violations,\n"
+        "       CAST(count(*) AS BIGINT) AS n_checked\nFROM events"
+    )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+SELECT rule, n_violations, n_checked,
+       CAST((n_violations * 1000000) // n_checked AS BIGINT)
+         AS violation_ppm
+FROM ({body})
+ORDER BY rule
+"""
+
+
+DQ_EXPECTATIONS_SQL = _dq_oracle_sql()
+
+
 QUERIES = {
+    "dq_expectations": dq_expectations,
     "props_json_stats": props_json_stats,
     "daily_metrics": daily_metrics,
     "freshness_check": freshness_check,
@@ -450,6 +554,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dq_expectations": DQ_EXPECTATIONS_SQL,
     "props_json_stats": PROPS_JSON_SQL,
     "daily_metrics": DAILY_METRICS_SQL,
     "freshness_check": FRESHNESS_SQL,

@@ -1032,3 +1032,46 @@ def test_kmeans_fixedpoint_invariants(spark, sf_dir):
     assert all(1 <= r["top_label_n"] <= r["n_points"] for r in rows)
     again = kmeans_fixedpoint(spark, sf_dir).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_dq_expectations_counts_injected_violations(spark, monkeypatch):
+    """Engineered frame with one violation per rule class: the report
+    must count each exactly and ppm-rate it against the row count."""
+    from datetime import datetime
+
+    import real_time_fraud_detection_system_spark.operators.metrics as mm
+
+    ok_ts = datetime(2024, 1, 5)
+    rows = [
+        (1, ok_ts, 10, "click", 5.0, '{"k": 1}'),       # clean
+        (None, ok_ts, 11, "view", 1.0, '{"k": 2}'),     # null event_id
+        (3, ok_ts, None, "click", 1.0, '{"k": 3}'),     # null user_id
+        (4, ok_ts, 12, "click", -2.0, '{"k": 4}'),      # negative value
+        (5, ok_ts, 13, "weird", 1.0, '{"k": 5}'),       # enum violation
+        (6, datetime(2031, 1, 1), 14, "click", 1.0, '{"k": 6}'),  # bad ts
+        (7, ok_ts, 15, "click", 1.0, "not json"),       # props violation
+        (8, ok_ts, 16, "click", 1.0, '{"k": 8}'),       # dup id below
+        (8, ok_ts, 17, "click", 1.0, '{"k": 9}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(mm, "_events", lambda s, d: df)
+    got = {r["rule"]: r for r in mm.dq_expectations(spark, "unused").collect()}
+    expect = {
+        "event_id_not_null": 1,
+        "user_id_not_null": 1,
+        "value_non_negative": 1,
+        "event_type_in_enum": 1,
+        "ts_in_sane_range": 1,
+        "props_has_k": 1,
+        "event_id_unique": 1,
+    }
+    assert {k: v["n_violations"] for k, v in got.items()} == expect
+    assert all(v["n_checked"] == 9 for v in got.values())
+    assert all(
+        v["violation_ppm"] == v["n_violations"] * 1_000_000 // 9
+        for v in got.values()
+    )

@@ -117,6 +117,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # the 1PART is the final rollup over <= 64 (r, f, m) cells -- the
     # decayed_user_value scalar-anchor + near-scalar-output pattern.
     "rfm_segments": frozenset({"NLJ", "1PART"}),
+    # dq_expectations: a global conditional-sum aggregate whose partial
+    # states collapse map-side into one O(rules)-row result -- the
+    # predictions_profile near-scalar merge pattern.
+    "dq_expectations": frozenset({"1PART"}),
 }
 
 
