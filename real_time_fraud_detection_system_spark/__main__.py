@@ -97,6 +97,14 @@ def _build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--store-dir", required=True)
     cp.add_argument("--partition-col", default="event_date")
     cp.add_argument("--target-rows-per-file", type=int, default=1_000_000)
+    zo = sub.add_parser("zorder")
+    zo.add_argument("--table", default="events")
+    zo.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    zo.add_argument("--out-dir", required=True)
+    zo.add_argument("--cols", nargs=2, metavar=("XCOL", "YCOL"),
+                    default=("user_id", "event_id"),
+                    help="the two dimensions to interleave (numeric)")
+    zo.add_argument("--n-files", type=int, default=64)
     return p
 
 
@@ -192,6 +200,19 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
             target_rows_per_file=args.target_rows_per_file,
         )
         print(json.dumps({"status": "ok", **info}, default=str), file=out)
+        return 0
+    if args.cmd == "zorder":
+        from .catalog import load_table
+        from .operators.layout import write_zordered
+
+        df = load_table(eng.spark, args.sf_dir, args.table)
+        write_zordered(
+            df, args.out_dir, args.cols[0], args.cols[1],
+            n_files=args.n_files,
+        )
+        n = eng.spark.read.parquet(args.out_dir).count()
+        print(json.dumps({"status": "ok", "rows": n,
+                          "out_dir": args.out_dir}), file=out)
         return 0
     if args.cmd == "ann-index":
         from .operators.similarity import ann_search, persist_ann_index

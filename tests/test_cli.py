@@ -194,3 +194,19 @@ def test_cli_compact(spark, tmp_path):
 
     files = glob.glob(f"{store}/event_date=2024-01-01/*.parquet")
     assert len(files) < 6  # small files merged
+
+
+def test_cli_zorder(spark, tmp_path):
+    out_dir = str(tmp_path / "zo")
+    code, lines = _run(
+        [
+            "zorder",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out-dir", out_dir,
+            "--n-files", "8",
+        ]
+    )
+    assert code == 0
+    info = json.loads(lines[0])
+    assert info["status"] == "ok"
+    assert info["rows"] == spark.read.parquet(out_dir).count() > 0
