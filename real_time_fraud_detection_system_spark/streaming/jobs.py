@@ -96,6 +96,44 @@ def dq_checks(predictions: DataFrame, now_col=None) -> dict:
     return result
 
 
+def expectations_gate(
+    df: DataFrame,
+    rules,
+    max_violation_ppm: int = 0,
+) -> dict:
+    """Scheduled-job form of operators/metrics.dq_expectations: evaluate
+    a declarative (name, violation-predicate-SQL) rule table over any
+    frame in ONE conditional-sum scan and raise DataQualityError naming
+    every rule whose violation rate exceeds ``max_violation_ppm``
+    (default: zero tolerance). Returns {rule: violations} plus _n.
+
+    The job twin pattern: the oracle-checked query REPORTS, this gate
+    ENFORCES -- same rule tuples, so a pipeline asserts exactly what
+    the report shows (metrics.DQ_RULES is the events-table instance).
+    """
+    aggs = [
+        F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).alias(name)
+        for name, pred in rules
+    ]
+    aggs.append(F.count("*").alias("_n"))
+    row = df.agg(*aggs).first()
+    n = row["_n"] or 0
+    result = {name: (row[name] or 0) for name, _ in rules}
+    result["_n"] = n
+    if n:
+        failing = {
+            name: v
+            for name, v in result.items()
+            if name != "_n" and v * 1_000_000 // n > max_violation_ppm
+        }
+        if failing:
+            raise DataQualityError(
+                f"expectations violated (> {max_violation_ppm} ppm):"
+                f" {failing} of {n} rows"
+            )
+    return result
+
+
 # ==========================================================================
 # Incremental table profiling (T9/T10 general form). The batch operator
 # operators/metrics.py predictions_profile is exact and one-shot; this

@@ -249,3 +249,32 @@ def test_retention_sweep_drops_only_expired_partitions(spark, tmp_path):
     assert retention_sweep(spark, str(tmp_path / "nope"), 7) == {
         "deleted": [], "kept": 0
     }
+
+
+def test_expectations_gate_enforces_rule_table(spark):
+    """The gate must pass a clean frame, name exactly the failing rules
+    on a dirty one, and honor a non-zero ppm tolerance."""
+    import pytest
+
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        DataQualityError,
+        expectations_gate,
+    )
+
+    rules = (("value_non_negative", "value < 0"), ("id_not_null", "id IS NULL"))
+    clean = spark.createDataFrame(
+        [(1, 2.0), (2, 3.0)], "id long, value double"
+    )
+    got = expectations_gate(clean, rules)
+    assert got == {"value_non_negative": 0, "id_not_null": 0, "_n": 2}
+
+    dirty = spark.createDataFrame(
+        [(1, -2.0), (None, 3.0), (3, 4.0)], "id long, value double"
+    )
+    with pytest.raises(DataQualityError) as ei:
+        expectations_gate(dirty, rules)
+    assert "value_non_negative" in str(ei.value)
+    assert "id_not_null" in str(ei.value)
+    # 1 violation of 3 rows = 333333 ppm; a 400000 ppm tolerance passes
+    got = expectations_gate(dirty, rules, max_violation_ppm=400_000)
+    assert got["value_non_negative"] == 1
