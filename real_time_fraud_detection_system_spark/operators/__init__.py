@@ -133,7 +133,9 @@ PRIORITY = [
     # dq_expectations (declarative expectations suite: one
     # conditional-sum scan per the reference's DQ checks generalized --
     # null/range/enum/sane-ts/JSON rules as data, plus non-null
-    # uniqueness via exact NDV), and
+    # uniqueness via exact NDV), join_blowup_probe (exact pre-flight
+    # self-join cardinality per key -- the hot-key explosion check that
+    # costs one count aggregate instead of the join), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

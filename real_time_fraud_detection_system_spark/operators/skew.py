@@ -121,11 +121,81 @@ ORDER BY bucket_id
 """
 
 
+# --------------------------------------------------------------------------
+BLOWUP_TOPK = 10
+
+
+def join_blowup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-cardinality probe: the EXACT output size a
+    user_id self-join of events would produce (sum over keys of n^2),
+    per key, for the {BLOWUP_TOPK} keys contributing the most pairs.
+    The interval join / sessionization / pair-mining family all start
+    from this shape, and at 100 TB one hot key can turn a linear join
+    into an output explosion -- this probe costs ONE keyed count
+    aggregate (map-side partials), not the join, and names the keys to
+    salt or cap first.
+
+    Exact integers end to end: pairs = n*n, shares in ppm by integer
+    floor division against the 1-row total broadcast (the scalar-anchor
+    pattern). The reference has no join surface at all (SURVEY.md
+    par. 2.4); this guards the engine's own extensions."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("pairs", F.expr("n_rows * n_rows"))
+    )
+    total = per_key.agg(
+        F.sum("pairs").alias("total_pairs"),
+        F.sum("n_rows").alias("total_rows"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "user_id",
+            "n_rows",
+            "pairs",
+            "total_rows",
+            "total_pairs",
+            "CAST((pairs * 1000000L) DIV total_pairs AS BIGINT)"
+            " AS pair_share_ppm",
+        )
+        .orderBy(F.desc("pairs"), F.asc("user_id"))
+        .limit(BLOWUP_TOPK)
+    )
+
+
+JOIN_BLOWUP_SQL = f"""
+WITH per_key AS (
+  SELECT user_id, count(*) AS n_rows, count(*) * count(*) AS pairs
+  FROM events
+  WHERE user_id IS NOT NULL
+  GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs,
+         CAST(sum(n_rows) AS BIGINT) AS total_rows
+  FROM per_key
+)
+SELECT user_id,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(pairs AS BIGINT) AS pairs,
+       total_rows, total_pairs,
+       CAST((pairs * 1000000) // total_pairs AS BIGINT) AS pair_share_ppm
+FROM per_key, tot
+ORDER BY pairs DESC, user_id
+LIMIT {BLOWUP_TOPK}
+"""
+
+
 QUERIES = {
     "salted_value_by_type": salted_value_by_type,
     "shuffle_balance_profile": shuffle_balance_profile,
+    "join_blowup_probe": join_blowup_probe,
 }
 ORACLE = {
     "salted_value_by_type": SALTED_SQL,
     "shuffle_balance_profile": BALANCE_SQL,
+    "join_blowup_probe": JOIN_BLOWUP_SQL,
 }

@@ -1075,3 +1075,36 @@ def test_dq_expectations_counts_injected_violations(spark, monkeypatch):
         v["violation_ppm"] == v["n_violations"] * 1_000_000 // 9
         for v in got.values()
     )
+
+
+def test_join_blowup_probe_exact_on_engineered_keys(spark, monkeypatch):
+    """A hot key must dominate with exactly n^2 pairs and the correct
+    integer-ppm share: 5 rows of user 1 (25 pairs), 2 of user 2 (4),
+    1 of user 3 (1), NULL user ignored -> total 30 pairs."""
+    from datetime import datetime
+
+    import real_time_fraud_detection_system_spark.operators.skew as sk
+
+    ts = datetime(2024, 1, 1)
+    rows = (
+        [(i, ts, 1, "click", 1.0, "{}") for i in range(5)]
+        + [(10, ts, 2, "click", 1.0, "{}"), (11, ts, 2, "view", 1.0, "{}")]
+        + [(20, ts, 3, "view", 1.0, "{}")]
+        + [(30, ts, None, "view", 1.0, "{}")]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(
+        sk, "load_table", lambda s, d, n: df if n == "events" else None
+    )
+    got = sk.join_blowup_probe(spark, "unused").collect()
+    assert [(r["user_id"], r["n_rows"], r["pairs"]) for r in got] == [
+        (1, 5, 25),
+        (2, 2, 4),
+        (3, 1, 1),
+    ]
+    assert all(r["total_pairs"] == 30 and r["total_rows"] == 8 for r in got)
+    assert got[0]["pair_share_ppm"] == 25 * 1_000_000 // 30

@@ -121,6 +121,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # states collapse map-side into one O(rules)-row result -- the
     # predictions_profile near-scalar merge pattern.
     "dq_expectations": frozenset({"1PART"}),
+    # join_blowup_probe: the NLJ is the 1-row total-pairs broadcast and
+    # the 1PART is that scalar aggregate's own exchange -- the
+    # freshness_check / decayed_user_value scalar-anchor pattern; the
+    # data-sized work is one keyed count with map-side partials.
+    "join_blowup_probe": frozenset({"NLJ", "1PART"}),
 }
 
 
