@@ -135,7 +135,10 @@ PRIORITY = [
     # null/range/enum/sane-ts/JSON rules as data, plus non-null
     # uniqueness via exact NDV), join_blowup_probe (exact pre-flight
     # self-join cardinality per key -- the hot-key explosion check that
-    # costs one count aggregate instead of the join), and
+    # costs one count aggregate instead of the join),
+    # source_token_entropy (per-source unigram Shannon entropy in
+    # nanobits + TTR: fixed-point log terms summed as int64 -- the
+    # template-heavy-source flag for mixture planning), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

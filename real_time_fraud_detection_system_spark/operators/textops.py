@@ -595,6 +595,75 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: exact token/type counts, integer-ppm
+    type-token ratio, and the Shannon entropy of the source's unigram
+    distribution in nanobits. Entropy = log2(N) - sum(c*log2(c))/N
+    computed entirely from integer counts -- each distinct token count
+    quantizes its log2 to 1e9 fixed point ONCE, the per-source sum is
+    then pure int64 (order-independent, the bigram_lm_score/money.py
+    posture). Low entropy flags template-heavy or repetitive sources
+    before they enter a training mixture; TTR is the cheap companion.
+
+    Scale: one explode + one (source, token) keyed count with map-side
+    partials, then an O(vocabulary) rollup per source. c * round(log2(c)
+    * 1e9) stays within int64 up to ~9e9 occurrences of one token in one
+    source; past that, widen to DECIMAL(38,0) -- the formula is
+    unchanged."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    counts = (
+        docs.selectExpr("source", f"explode({_TOKS}) AS tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    term = (
+        "c * CAST(round(log2(CAST(c AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.expr(term)).alias("sum_clog"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "n_types",
+            "CAST((n_types * 1000000L) DIV n_tokens AS BIGINT) AS ttr_ppm",
+            "CAST(round(log2(CAST(n_tokens AS DOUBLE)) * 1000000000, 0)"
+            " AS BIGINT) - sum_clog DIV n_tokens AS entropy_nanobits",
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_TOKEN_ENTROPY_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+counts AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+),
+rolled AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * CAST(round(log2(CAST(c AS DOUBLE)) * 1000000000, 0)
+                           AS BIGINT)) AS BIGINT) AS sum_clog
+  FROM counts
+  GROUP BY 1
+)
+SELECT source, n_tokens, n_types,
+       CAST((n_types * 1000000) // n_tokens AS BIGINT) AS ttr_ppm,
+       CAST(round(log2(CAST(n_tokens AS DOUBLE)) * 1000000000, 0) AS BIGINT)
+         - sum_clog // n_tokens AS entropy_nanobits
+FROM rolled
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "pii_scrub_stats": pii_scrub_stats,
@@ -605,6 +674,7 @@ QUERIES = {
     "bpe_token_stats": bpe_token_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "lang_mismatch_rate": lang_mismatch_rate,
+    "source_token_entropy": source_token_entropy,
 }
 
 ORACLE = {
@@ -617,4 +687,5 @@ ORACLE = {
     "corpus_quality_gate": CORPUS_QUALITY_GATE_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "lang_mismatch_rate": LANG_MISMATCH_RATE_SQL,
+    "source_token_entropy": SOURCE_TOKEN_ENTROPY_SQL,
 }

@@ -1108,3 +1108,35 @@ def test_join_blowup_probe_exact_on_engineered_keys(spark, monkeypatch):
     ]
     assert all(r["total_pairs"] == 30 and r["total_rows"] == 8 for r in got)
     assert got[0]["pair_share_ppm"] == 25 * 1_000_000 // 30
+
+
+def test_source_token_entropy_bounds(spark, sf_dir):
+    """Entropy must land in [0, log2(n_types)] (up to the nanobit
+    quantization), TTR must reconcile exactly, and a single-token
+    corpus must score zero entropy."""
+    import math
+
+    import real_time_fraud_detection_system_spark.operators.textops as tx
+
+    rows = tx.source_token_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_types"] <= r["n_tokens"]
+        assert r["ttr_ppm"] == r["n_types"] * 1_000_000 // r["n_tokens"]
+        upper = math.log2(r["n_types"]) * 1e9 + 2  # quantization slack
+        assert 0 <= r["entropy_nanobits"] <= upper
+
+    one = spark.createDataFrame(
+        [(1, "a a a a", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import pytest  # noqa: F401
+
+    orig = tx.load_table
+    try:
+        tx.load_table = lambda s, d, n: one if n == "documents" else orig(s, d, n)
+        got = tx.source_token_entropy(spark, "unused").collect()
+    finally:
+        tx.load_table = orig
+    assert got[0]["entropy_nanobits"] == 0
+    assert got[0]["n_tokens"] == 4 and got[0]["n_types"] == 1
