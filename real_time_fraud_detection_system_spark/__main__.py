@@ -105,6 +105,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     default=("user_id", "event_id"),
                     help="the two dimensions to interleave (numeric)")
     zo.add_argument("--n-files", type=int, default=64)
+    pc = sub.add_parser("prep-corpus")
+    pc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pc.add_argument("--out-dir", required=True)
+    pc.add_argument("--quality-keep", type=float, default=None)
     return p
 
 
@@ -200,6 +204,20 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
             target_rows_per_file=args.target_rows_per_file,
         )
         print(json.dumps({"status": "ok", **info}, default=str), file=out)
+        return 0
+    if args.cmd == "prep-corpus":
+        from .corpus_pipeline import prepare_corpus
+        from .operators.textops import QUALITY_KEEP
+
+        funnel = prepare_corpus(
+            eng.spark, args.sf_dir, args.out_dir,
+            quality_keep=(
+                args.quality_keep
+                if args.quality_keep is not None
+                else QUALITY_KEEP
+            ),
+        )
+        print(json.dumps({"status": "ok", **funnel}), file=out)
         return 0
     if args.cmd == "zorder":
         from .catalog import load_table

@@ -210,3 +210,16 @@ def test_cli_zorder(spark, tmp_path):
     info = json.loads(lines[0])
     assert info["status"] == "ok"
     assert info["rows"] == spark.read.parquet(out_dir).count() > 0
+
+
+def test_cli_prep_corpus(spark, tmp_path):
+    out_dir = str(tmp_path / "corpus")
+    code, lines = _run(
+        ["prep-corpus", "--sf-dir", "/root/testdata/sf0.001",
+         "--out-dir", out_dir]
+    )
+    assert code == 0
+    info = json.loads(lines[0])
+    assert info["status"] == "ok"
+    assert sum(info["splits"].values()) == info["after_neardup_dedup"]
+    assert spark.read.parquet(out_dir).count() == info["after_neardup_dedup"]
