@@ -227,3 +227,49 @@ def test_q20_semi_join_below_lineitem_aggregate(spark, sf_dir):
         i for i, ln in enumerate(lines[idx:], idx) if "lineitem" in ln
     )
     assert semi is not None and semi < scan, "\n".join(lines)
+
+
+def test_layout_pruning_scan_prunes_to_two_columns(spark, sf_dir):
+    """The pruning simulation needs only (user_id, ts) from events; a
+    scan dragging event_type/value/props would read most of the table's
+    bytes for a 2-column computation."""
+    from real_time_fraud_detection_system_spark.operators.layout import (
+        layout_pruning_stats,
+    )
+    from real_time_fraud_detection_system_spark.plans.explain_checks import (
+        assert_no_cartesian,
+        assert_pruned_schema,
+    )
+
+    df = layout_pruning_stats(spark, sf_dir)
+    assert_pruned_schema(df, "events", 2)
+    assert_no_cartesian(df)
+
+
+def test_rfm_scan_prunes_to_three_columns(spark, sf_dir):
+    """RFM needs only (user_id, ts, value) from the events scan."""
+    from real_time_fraud_detection_system_spark.operators.temporal import (
+        rfm_segments,
+    )
+    from real_time_fraud_detection_system_spark.plans.explain_checks import (
+        assert_no_cartesian,
+        assert_pruned_schema,
+    )
+
+    df = rfm_segments(spark, sf_dir)
+    assert_pruned_schema(df, "events", 3)
+    assert_no_cartesian(df)
+
+
+def test_token_concentration_scan_prunes_to_one_column(spark, sf_dir):
+    """The Lorenz bins need only n_chars -- the text column (the bulk of
+    every document byte) must never reach the scan output."""
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        token_concentration_bins,
+    )
+    from real_time_fraud_detection_system_spark.plans.explain_checks import (
+        assert_pruned_schema,
+    )
+
+    df = token_concentration_bins(spark, sf_dir)
+    assert_pruned_schema(df, "documents", 1)
