@@ -220,6 +220,51 @@ def profile_partial_rollup_select(agged: DataFrame, unpivot: str) -> DataFrame:
     )
 
 
+def expectations_sink_writer(report_dir: str, rules, dead_letter_dir=None):
+    """foreachBatch hook: per micro-batch, append one monitoring row per
+    rule (epoch, rule, violations, rows) and -- when a dead-letter dir
+    is given -- divert the violating rows there instead of failing the
+    stream. The streaming third of the expectations story: the query
+    REPORTS, the gate ENFORCES, this sink MONITORS continuously.
+
+    Dynamic-partition idempotence is not needed: epoch_id rides every
+    report row, so replays are distinguishable downstream; dead-letter
+    rows carry epoch_id + rule for the same reason."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # coalesce(sum, 0): an EMPTY micro-batch aggregates sum to NULL,
+        # but the report contract is integer counts
+        aggs = [
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")),
+                F.lit(0),
+            ).alias(name)
+            for name, pred in rules
+        ]
+        aggs.append(F.count("*").alias("_n"))
+        wide = batch_df.agg(*aggs)
+        stack = ", ".join(f"'{n}', {n}" for n, _ in rules)
+        (
+            wide.selectExpr(
+                f"stack({len(rules)}, {stack}) AS (rule, n_violations)",
+                "_n AS n_rows",
+            )
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(report_dir)
+        )
+        if dead_letter_dir is not None:
+            bad = " OR ".join(f"({pred})" for _, pred in rules)
+            (
+                batch_df.filter(F.expr(bad))
+                .withColumn("epoch_id", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(dead_letter_dir)
+            )
+
+    return write_batch
+
+
 def profile_sink_writer(partials_dir: str, cols):
     """foreachBatch hook: append one partial row per micro-batch."""
 

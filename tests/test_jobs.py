@@ -278,3 +278,36 @@ def test_expectations_gate_enforces_rule_table(spark):
     # 1 violation of 3 rows = 333333 ppm; a 400000 ppm tolerance passes
     got = expectations_gate(dirty, rules, max_violation_ppm=400_000)
     assert got["value_non_negative"] == 1
+
+
+def test_expectations_sink_reports_and_dead_letters(spark, tmp_path):
+    """Two micro-batches through the sink: per-epoch per-rule report
+    rows, violating rows diverted to the dead-letter dir with their
+    epoch, and an empty batch writing a zero-row report without error."""
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        expectations_sink_writer,
+    )
+
+    rules = (("neg_value", "value < 0"), ("null_id", "id IS NULL"))
+    report, dl = str(tmp_path / "report"), str(tmp_path / "dl")
+    write = expectations_sink_writer(report, rules, dead_letter_dir=dl)
+
+    b1 = spark.createDataFrame(
+        [(1, 2.0), (None, 3.0), (3, -1.0)], "id long, value double"
+    )
+    b2 = spark.createDataFrame([(4, 5.0)], "id long, value double")
+    write(b1, 0)
+    write(b2, 1)
+    write(b2.filter("id < 0"), 2)  # empty batch
+
+    rep = {
+        (r["epoch_id"], r["rule"]): (r["n_violations"], r["n_rows"])
+        for r in spark.read.parquet(report).collect()
+    }
+    assert rep[(0, "neg_value")] == (1, 3)
+    assert rep[(0, "null_id")] == (1, 3)
+    assert rep[(1, "neg_value")] == (0, 1)
+    assert rep[(2, "neg_value")] == (0, 0)
+
+    bad = spark.read.parquet(dl).collect()
+    assert {(r["id"], r["epoch_id"]) for r in bad} == {(None, 0), (3, 0)}
