@@ -93,6 +93,9 @@ HEADLINE = [
     "layout_pruning_stats",
     "kmeans_fixedpoint",
     "rfm_segments",
+    "dq_expectations",
+    "join_blowup_probe",
+    "source_token_entropy",
 ]
 
 
