@@ -40,3 +40,33 @@ def test_fraudgen_partitions_cover_range_exactly(spark):
     ids = sorted(r["id"] for r in ds.collect())
     assert ids == list(range(101))
     assert ds.rdd.getNumPartitions() == 7
+
+
+def test_token_counts_udtf_matches_codegen_path(spark):
+    """The UDTF escape hatch must agree exactly with the codegen'd
+    explode+groupBy it would replace, via a SQL lateral join."""
+    from real_time_fraud_detection_system_spark.functions.udtfs import (
+        register as register_udtf,
+    )
+
+    register_udtf(spark)
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "x x x"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    got = spark.sql(
+        "SELECT d.doc_id, t.token, t.n FROM _udtf_docs d,"
+        " LATERAL token_counts(d.text) t"
+    ).collect()
+    want = (
+        docs.selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+        .filter("token != ''")
+        .groupBy("doc_id", "token")
+        .count()
+        .collect()
+    )
+    assert sorted((r["doc_id"], r["token"], r["n"]) for r in got) == sorted(
+        (r["doc_id"], r["token"], r["count"]) for r in want
+    )
+    assert {r["doc_id"] for r in got} == {1, 2}  # null/empty yield nothing
