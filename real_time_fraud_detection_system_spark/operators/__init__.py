@@ -138,7 +138,9 @@ PRIORITY = [
     # costs one count aggregate instead of the join),
     # source_token_entropy (per-source unigram Shannon entropy in
     # nanobits + TTR: fixed-point log terms summed as int64 -- the
-    # template-heavy-source flag for mixture planning), and
+    # template-heavy-source flag for mixture planning), ivf_probe_sweep
+    # (recall@k per probe depth from ONE max-depth search -- the table
+    # that picks NPROBE), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

@@ -1273,6 +1273,159 @@ ORDER BY src_a, src_b
 
 
 # --------------------------------------------------------------------------
+SWEEP_MAX_PROBE = 4
+
+
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning table: aggregate recall@{TOPK} (vs the exact
+    baseline) at every probe depth 1..{SWEEP_MAX_PROBE}. ann_recall_eval
+    reports the shipped NPROBE's quality; THIS is how NPROBE gets
+    chosen -- the first depth whose recall clears the deployment bar
+    wins, every deeper probe is wasted candidate work.
+
+    One assignment pass at the MAX depth does all the work: each
+    candidate pair keeps the smallest probe rank that reaches it
+    (min_rank), and the per-depth top-{TOPK} re-ranking then runs over
+    the tiny {N_QUERIES}-query candidate frame -- the sweep costs ONE
+    IVF search, not {SWEEP_MAX_PROBE}. Per-depth candidate sets are
+    nested by construction (depth p = min_rank <= p), exactly how a
+    real index evaluates probe depth."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    m = centroid_modulus(n)
+    vecs = _vectors(spark, sf_dir)
+    cent_ids, cent_embs = _ivf_centroids(vecs, m)
+
+    assign1 = _nearest_cells_udf(cent_ids, cent_embs, 1)
+    assigned = vecs.withColumn("c_id", F.explode(assign1(F.col("emb")))).select(
+        F.col("vec_id").alias("m_id"),
+        F.col("emb").alias("m_emb"),
+        F.col("norm").alias("m_norm"),
+        "c_id",
+    )
+    probe_k = _nearest_cells_udf(cent_ids, cent_embs, SWEEP_MAX_PROBE)
+    probes = (
+        vecs.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("cells", probe_k(F.col("emb")))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.posexplode("cells").alias("pr", "c_id"),
+        )
+        .withColumn("pr", F.col("pr") + 1)  # probe rank 1-based
+    )
+    cand = (
+        probes.join(assigned, "c_id")
+        .filter(F.col("m_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("m_id").alias("neighbor_id"))
+        .agg(
+            F.min("pr").alias("min_rank"),
+            F.round(
+                F.max(F.expr(_DOT.format(a="q_emb", b="m_emb")))
+                / (F.max("q_norm") * F.max("m_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    ).cache()
+    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    out = None
+    for p in range(1, SWEEP_MAX_PROBE + 1):
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        approx = (
+            cand.filter(F.col("min_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("q_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        row = (
+            exact.join(approx, ["q_id", "neighbor_id"], "left")
+            .agg(
+                F.lit(p).alias("nprobe"),
+                F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.selectExpr(
+        "nprobe",
+        "n_exact",
+        "n_hits",
+        "CAST(round(n_hits * 1000000.0 / n_exact, 0) AS BIGINT)"
+        " AS recall_ppm",
+    ).orderBy("nprobe")
+
+
+def _probe_sweep_sql() -> str:
+    per_p = []
+    for p in range(1, SWEEP_MAX_PROBE + 1):
+        per_p.append(f"""
+SELECT {p} AS nprobe,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(round(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) * 1000000.0 / count(*), 0)
+            AS BIGINT) AS recall_ppm
+FROM exact e
+LEFT JOIN (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM cand WHERE min_rank <= {p})
+  WHERE rank <= {TOPK}) a
+  ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id""")
+    body = "\nUNION ALL\n".join(per_p)
+    return f"""
+WITH vecs AS ({_DUCK_VECTORS}),
+cents AS (
+  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+  FROM vecs
+  WHERE {_DUCK_ID_HASH.format(id='vec_id')}
+        % (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
+           FROM vecs) = 0
+),
+assign_scored AS (
+  SELECT v.vec_id, v.emb, v.norm, c.c_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_DUCK_DOT.format(a='c.c_emb', b='v.emb')}
+                   / (c.c_norm * v.norm) DESC, c.c_id ASC) AS c_rank
+  FROM vecs v, cents c
+),
+assigned AS (
+  SELECT vec_id AS m_id, emb AS m_emb, norm AS m_norm, c_id
+  FROM assign_scored WHERE c_rank = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm, c_id,
+         c_rank AS pr
+  FROM assign_scored
+  WHERE vec_id < {N_QUERIES} AND c_rank <= {SWEEP_MAX_PROBE}
+),
+cand AS (
+  SELECT p.q_id, a.m_id AS neighbor_id,
+         min(p.pr) AS min_rank,
+         round(max({_DUCK_DOT.format(a='p.q_emb', b='a.m_emb')})
+               / (max(p.q_norm) * max(a.m_norm)), 6) AS cosine
+  FROM probes p JOIN assigned a USING (c_id)
+  WHERE a.m_id != p.q_id
+  GROUP BY 1, 2
+),
+exact AS ({ANN_COSINE_TOPK_SQL})
+{body}
+ORDER BY nprobe
+"""
+
+
+IVF_PROBE_SWEEP_SQL = _probe_sweep_sql()
+
+
+# --------------------------------------------------------------------------
 # Fixed-point exact k-means (Lloyd's algorithm, bounded iterations).
 KM_K = 10  # matches the generator's label count
 KM_ITERS = 2  # full assign+update rounds; reporting assigns once more
@@ -1484,6 +1637,7 @@ QUERIES = {
     "dedup_signal_crosstab": dedup_signal_crosstab,
     "source_semantic_similarity": source_semantic_similarity,
     "kmeans_fixedpoint": kmeans_fixedpoint,
+    "ivf_probe_sweep": ivf_probe_sweep,
 }
 
 ORACLE = {
@@ -1498,4 +1652,5 @@ ORACLE = {
     "dedup_signal_crosstab": _crosstab_sql(),
     "source_semantic_similarity": SOURCE_SEMANTIC_SIMILARITY_SQL,
     "kmeans_fixedpoint": KMEANS_FIXEDPOINT_SQL,
+    "ivf_probe_sweep": IVF_PROBE_SWEEP_SQL,
 }

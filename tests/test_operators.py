@@ -1140,3 +1140,36 @@ def test_source_token_entropy_bounds(spark, sf_dir):
         tx.load_table = orig
     assert got[0]["entropy_nanobits"] == 0
     assert got[0]["n_tokens"] == 4 and got[0]["n_types"] == 1
+
+
+def test_ivf_probe_sweep_monotone_and_consistent(spark, sf_dir):
+    """Probe depths nest, so recall must be non-decreasing in nprobe;
+    hits never exceed the exact count; depth NPROBE's aggregate matches
+    ann_recall_eval's per-query rows summed."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        NPROBE,
+        SWEEP_MAX_PROBE,
+        ann_recall_eval,
+        ivf_probe_sweep,
+    )
+
+    rows = ivf_probe_sweep(spark, sf_dir).collect()
+    assert [r["nprobe"] for r in rows] == list(range(1, SWEEP_MAX_PROBE + 1))
+    hits = [r["n_hits"] for r in rows]
+    assert hits == sorted(hits)  # nested candidates -> monotone recall
+    assert all(0 <= r["n_hits"] <= r["n_exact"] for r in rows)
+    assert all(
+        r["recall_ppm"] == round(r["n_hits"] * 1_000_000 / r["n_exact"])
+        for r in rows
+    )
+
+    per_q = ann_recall_eval(spark, sf_dir).agg(
+        F.sum("n_exact").alias("e"), F.sum("n_hits").alias("h")
+    ).first()
+    at_nprobe = {r["nprobe"]: r for r in rows}[NPROBE]
+    assert (at_nprobe["n_exact"], at_nprobe["n_hits"]) == (
+        per_q["e"],
+        per_q["h"],
+    )

@@ -126,6 +126,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # freshness_check / decayed_user_value scalar-anchor pattern; the
     # data-sized work is one keyed count with map-side partials.
     "join_blowup_probe": frozenset({"NLJ", "1PART"}),
+    # ivf_probe_sweep: inherits ann_cosine_topk's bounded N_QUERIES
+    # broadcast NLJ (the exact-baseline side); the 1PART is the
+    # per-depth scalar recall aggregate (4 one-row results unioned) --
+    # both constant-size at any corpus scale.
+    "ivf_probe_sweep": frozenset({"NLJ", "1PART"}),
 }
 
 
