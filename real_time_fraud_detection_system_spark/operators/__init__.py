@@ -140,7 +140,9 @@ PRIORITY = [
     # nanobits + TTR: fixed-point log terms summed as int64 -- the
     # template-heavy-source flag for mixture planning), ivf_probe_sweep
     # (recall@k per probe depth from ONE max-depth search -- the table
-    # that picks NPROBE), and
+    # that picks NPROBE), dedup_cluster_density (verified-edge density
+    # per cluster-size bucket -- the transitive-chaining QA; an
+    # engineered a~b~c chain tests the 666,666-ppm case), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

@@ -950,6 +950,87 @@ ORDER BY split, source
 """
 
 
+# --------------------------------------------------------------------------
+def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaining QA over the MinHash clusters: connected components are
+    TRANSITIVE, so a chain a~b~c merges a and c without ever verifying
+    them -- fine for templates, dangerous for borderline thresholds. A
+    cluster whose verified-edge count is far below its pair count is a
+    chain, not a clique. This report buckets clusters by size and
+    reports edge density (verified edges * 1e6 / possible pairs) so the
+    dedup owner sees HOW MUCH of each cluster's merging rests on
+    transitivity. Density is exact-integer ppm; singletons are excluded
+    (no pairs to verify).
+
+    Scale: the cluster pipeline itself plus one edge->cluster hash join
+    and two keyed rollups (cluster, then size-bucket) -- nothing beyond
+    the machinery dedup_minhash_clusters already pays."""
+    labels = dedup_minhash_clusters(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.join(
+        labels.select(
+            F.col("doc_id").alias("a_id"), F.col("cluster_id")
+        ),
+        "a_id",
+    ).select("cluster_id")
+    sizes = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    per_cluster = sizes.join(
+        edges.groupBy("cluster_id").agg(F.count("*").alias("n_edges")),
+        "cluster_id",
+    )
+    return (
+        per_cluster.groupBy("n_docs")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("n_edges").alias("sum_edges"),
+            F.expr(
+                "CAST(sum(n_edges * 2000000L)"
+                " DIV sum(n_docs * (n_docs - 1)) AS BIGINT)"
+            ).alias("density_ppm"),
+        )
+        .orderBy("n_docs")
+    )
+
+
+DEDUP_CLUSTER_DENSITY_SQL = f"""
+WITH RECURSIVE {_DUCK_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+  UNION ALL
+  SELECT b_id, a_id FROM mh_pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS n_docs
+  FROM labels GROUP BY 1 HAVING count(*) >= 2
+),
+cl_edges AS (
+  SELECT l.cluster_id, count(*) AS n_edges
+  FROM mh_pairs p JOIN labels l ON l.doc_id = p.a_id
+  GROUP BY 1
+)
+SELECT s.n_docs,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(e.n_edges) AS BIGINT) AS sum_edges,
+       CAST(sum(e.n_edges * 2000000) // sum(s.n_docs * (s.n_docs - 1))
+            AS BIGINT) AS density_ppm
+FROM sizes s JOIN cl_edges e USING (cluster_id)
+GROUP BY s.n_docs
+ORDER BY s.n_docs
+"""
+
+
 # minhash_lsh_recall truth floor: pairs with exact Jaccard >= 3/10 enter
 # the denominator -- deliberately BELOW JACCARD_THRESHOLD (0.5) so the
 # report shows the banding S-curve on both sides of the dedup cut.
@@ -1846,6 +1927,7 @@ QUERIES = {
     "split_leakage_check": split_leakage_check,
     "cluster_safe_split": cluster_safe_split,
     "minhash_lsh_recall": minhash_lsh_recall,
+    "dedup_cluster_density": dedup_cluster_density,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash16": dedup_simhash16,
@@ -1867,6 +1949,7 @@ ORACLE = {
     "split_leakage_check": SPLIT_LEAKAGE_SQL,
     "cluster_safe_split": CLUSTER_SAFE_SPLIT_SQL,
     "minhash_lsh_recall": MINHASH_LSH_RECALL_SQL,
+    "dedup_cluster_density": DEDUP_CLUSTER_DENSITY_SQL,
     "simhash_fingerprints": SIMHASH_FP_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash16": DEDUP_SIMHASH16_SQL,

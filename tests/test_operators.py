@@ -1173,3 +1173,40 @@ def test_ivf_probe_sweep_monotone_and_consistent(spark, sf_dir):
         per_q["e"],
         per_q["h"],
     )
+
+
+def test_dedup_cluster_density_flags_chains(spark, monkeypatch):
+    """An engineered a~b~c chain (a and c never verified against each
+    other) must report a size-3 cluster with 2 edges = 666,666 ppm,
+    while an exact-dup pair reports a fully dense size-2 cluster."""
+    import real_time_fraud_detection_system_spark.operators.dedup as dd
+
+    # sliding 30-token windows over a 46-token sequence: adjacent
+    # windows overlap 22 tokens (jaccard 0.556, verified), the outer
+    # pair only 14 (jaccard 0.27, never verified) -- a true chain. The
+    # "x2" salt picks a token set whose md5 band keys collide for BOTH
+    # adjacent pairs (banding is probabilistic per token set but
+    # deterministic once fixed).
+    W = [f"w2x{i}" for i in range(46)]
+    texts = {
+        1: " ".join(W[0:30]),
+        2: " ".join(W[8:38]),
+        3: " ".join(W[16:46]),
+        4: "dup dup one two three four five six",
+        5: "dup dup one two three four five six",
+        6: "lonely words that match nothing else at all",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        dd, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    pairs = {(r["a_id"], r["b_id"]) for r in dd.dedup_minhash_lsh(spark, "x").collect()}
+    assert pairs == {(1, 2), (2, 3), (4, 5)}
+    got = {r["n_docs"]: r for r in dd.dedup_cluster_density(spark, "x").collect()}
+    assert got[2]["density_ppm"] == 1_000_000
+    assert got[3]["n_clusters"] == 1
+    assert got[3]["sum_edges"] == 2
+    assert got[3]["density_ppm"] == 666_666
