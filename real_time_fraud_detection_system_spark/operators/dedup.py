@@ -963,10 +963,21 @@ def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no pairs to verify).
 
     Scale: the cluster pipeline itself plus one edge->cluster hash join
-    and two keyed rollups (cluster, then size-bucket) -- nothing beyond
-    the machinery dedup_minhash_clusters already pays."""
-    labels = dedup_minhash_clusters(spark, sf_dir)
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    and two keyed rollups (cluster, then size-bucket). The verified
+    pairs are CACHED and feed both the component labelling and the
+    edge rollup -- composing dedup_minhash_clusters + dedup_minhash_lsh
+    naively runs the signature pipeline twice; with the shared cache the
+    query lands at the minhash family's one-pipeline cost (~42 s cold
+    at the 100x scale test, the 35-48 s signature-build class)."""
+    from .graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).cache()
+    labels = connected_components(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("node")
+        ),
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     edges = pairs.join(
         labels.select(
             F.col("doc_id").alias("a_id"), F.col("cluster_id")
