@@ -513,9 +513,14 @@ def _dq_oracle_sql() -> str:
         "       CAST(count(*) AS BIGINT) AS n_checked\nFROM events"
         for name, pred in DQ_RULES
     ]
+    # guard json_extract behind json_valid: DuckDB RAISES on malformed
+    # JSON where Spark's get_json_object returns NULL -- the CASE makes
+    # both engines count NULL/malformed/keyless identically
     rows.append(
         "SELECT 'props_has_k' AS rule,\n"
-        "       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL"
+        "       CAST(sum(CASE WHEN props IS NULL THEN 1\n"
+        "                     WHEN NOT json_valid(props) THEN 1\n"
+        "                     WHEN json_extract(props, '$.k') IS NULL"
         " THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,\n"
         "       CAST(count(*) AS BIGINT) AS n_checked\nFROM events"
     )

@@ -45,7 +45,13 @@ def latest_version(table_dir: str) -> int | None:
 def write_version(df: DataFrame, table_dir: str) -> int:
     """Commit ``df`` as the next version. Data lands under a fresh
     uuid subdirectory of data/ (immutable, never listed by readers),
-    then the manifest write + pointer rename publish it atomically."""
+    then the manifest write + pointer rename publish it atomically.
+
+    Single-writer contract: the atomic rename protects READERS from
+    torn views; two concurrent WRITERS would race the version number
+    (last rename wins, the loser's manifest is overwritten). Serialize
+    writers externally -- the same contract as the directory-swap
+    dimension merge (storage.merge_dimension)."""
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     prev = latest_version(table_dir)
     version = 0 if prev is None else prev + 1
