@@ -99,14 +99,17 @@ def _build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--target-rows-per-file", type=int, default=1_000_000)
     zo = sub.add_parser("zorder")
     zo.add_argument("--table", default="events")
-    zo.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    # SUPPRESS: without it the subparser's default would CLOBBER the
+    # parent-level --sf-dir value (argparse merges the sub-namespace
+    # over the parent's); with it the flag works in either position
+    zo.add_argument("--sf-dir", default=argparse.SUPPRESS)
     zo.add_argument("--out-dir", required=True)
     zo.add_argument("--cols", nargs=2, metavar=("XCOL", "YCOL"),
                     default=("user_id", "event_id"),
                     help="the two dimensions to interleave (numeric)")
     zo.add_argument("--n-files", type=int, default=64)
     pc = sub.add_parser("prep-corpus")
-    pc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pc.add_argument("--sf-dir", default=argparse.SUPPRESS)  # see zorder
     pc.add_argument("--out-dir", required=True)
     pc.add_argument("--quality-keep", type=float, default=None)
     return p

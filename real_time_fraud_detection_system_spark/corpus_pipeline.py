@@ -53,9 +53,16 @@ def prepare_corpus(
     docs = load_table(spark, sf_dir, "documents")
     labels = dedup_minhash_clusters(spark, sf_dir)  # doc_id, cluster_id
 
+    # round(quality, 6) BEFORE the comparison: the oracle-checked
+    # corpus_quality_gate counts kept docs on the 6-dp-rounded score,
+    # so a raw-score comparison would diverge from the stage's own
+    # semantics on boundary docs (raw 0.49999995 rounds to kept)
     staged = (
         docs.join(labels, "doc_id")
-        .withColumn("quality_ok", F.expr(f"{_quality_expr('spark')} >= {quality_keep}"))
+        .withColumn(
+            "quality_ok",
+            F.expr(f"round({_quality_expr('spark')}, 6) >= {quality_keep}"),
+        )
         .withColumn("text_md5", F.md5("text"))
         .cache()  # shared by the filter chain AND the funnel counts;
         # unpersisted after the funnel is materialized below

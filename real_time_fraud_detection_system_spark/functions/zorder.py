@@ -55,10 +55,24 @@ def morton2_expr(xcol: str, ycol: str, dialect: str = "spark") -> str:
 def norm16_expr(col: str, lo: str, hi: str, dialect: str = "spark") -> str:
     """Normalize ``col`` in [lo, hi] onto the 16-bit grid with pure
     integer arithmetic (Spark ``DIV`` / DuckDB ``//`` -- never float
-    division): the +1 denominator keeps the top value at 65535, never
-    65536."""
+    division). Hybrid form, branch chosen by the (constant-foldable)
+    range: below 2^47 the multiply-first stretch (col-lo)*65536 /
+    (range+1) maps any small range onto the full grid with the top
+    value at 65535; at 2^47 and beyond that multiplication would
+    silently wrap int64 (e.g. a >4.4-year microsecond timestamp span),
+    producing garbage keys under Spark's non-ANSI arithmetic and
+    engine-divergent negatives (DIV truncates, ``//`` floors), so the
+    wide branch divides by width = range/65536 + 1 instead -- at that
+    scale range >> 65536, so compression fills the grid on its own and
+    the bucket provably stays < 65536 for ANY range."""
     div = "DIV" if dialect == "spark" else "//"
+    rng = f"(CAST({hi} AS BIGINT) - CAST({lo} AS BIGINT))"
+    off = f"(CAST({col} AS BIGINT) - CAST({lo} AS BIGINT))"
+    mult = f"(({off} * 65536) {div} ({rng} + 1))"
+    width = f"({rng} {div} 65536 + 1)"
+    compress = f"({off} {div} {width})"
+    # 2^47: the largest range whose offset * 65536 stays inside int64
     return (
-        f"CAST(((CAST({col} AS BIGINT) - {lo}) * 65536)"
-        f" {div} CAST({hi} - {lo} + 1 AS BIGINT) AS BIGINT)"
+        f"CAST(CASE WHEN {rng} < 140737488355328 THEN {mult}"
+        f" ELSE {compress} END AS BIGINT)"
     )

@@ -401,6 +401,42 @@ CONTAINMENT_MAX_DF = 8  # shingles in more docs are boilerplate: pruned
 CONTAINMENT_MIN_SHARED = 2  # rare shingles shared before verification
 
 
+def _rare_shingle_candidates(sig: DataFrame) -> DataFrame:
+    """(a_id, b_id, n_shared_rare): document pairs sharing >=
+    CONTAINMENT_MIN_SHARED shingles whose doc frequency is in
+    [2, CONTAINMENT_MAX_DF] -- the df-capped candidacy shared by
+    dedup_containment (whose target pairs the MinHash bands
+    structurally miss) and minhash_lsh_recall (whose ground truth it
+    bounds). The df cap bounds per-shingle self-join fanout at
+    MAX_DF^2, keeping candidacy linear at 100 TB.
+
+    Plan shape deliberately ONE window-sort pass over the exploded
+    shingle table: a count-groupBy + join-back re-shuffles the
+    corpus-sized table twice (measured 104 s vs 71 s at the 100x scale
+    test), and collect_list before the df filter materializes
+    corpus-sized arrays for boilerplate shingles (133 s)."""
+    from pyspark.sql.window import Window
+
+    sh = sig.select("doc_id", F.explode("hsh").alias("h"))
+    rare = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("h"))
+    ).filter((F.col("df") >= 2) & (F.col("df") <= CONTAINMENT_MAX_DF))
+    ra, rb = rare.alias("ra"), rare.alias("rb")
+    return (
+        ra.join(
+            rb,
+            (F.col("ra.h") == F.col("rb.h"))
+            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        )
+        .groupBy(
+            F.col("ra.doc_id").alias("a_id"),
+            F.col("rb.doc_id").alias("b_id"),
+        )
+        .agg(F.count("*").alias("n_shared_rare"))
+        .filter(F.col("n_shared_rare") >= CONTAINMENT_MIN_SHARED)
+    )
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric CONTAINMENT near-dups: pairs where the smaller doc's
     shingle set is >= {CONTAINMENT_THRESHOLD} contained in the other's
@@ -426,26 +462,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _sig_table(spark, sf_dir).cache()
     from pyspark.sql.window import Window
 
-    sh = sig.select("doc_id", F.explode("hsh").alias("h"))
-    rare = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("h"))
-    ).filter(
-        (F.col("df") >= 2) & (F.col("df") <= CONTAINMENT_MAX_DF)
-    )
-    ra, rb = rare.alias("ra"), rare.alias("rb")
-    cand = (
-        ra.join(
-            rb,
-            (F.col("ra.h") == F.col("rb.h"))
-            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
-        )
-        .groupBy(
-            F.col("ra.doc_id").alias("a_id"),
-            F.col("rb.doc_id").alias("b_id"),
-        )
-        .agg(F.count("*").alias("n_shared_rare"))
-        .filter(F.col("n_shared_rare") >= CONTAINMENT_MIN_SHARED)
-    )
+    cand = _rare_shingle_candidates(sig)
     da = sig.select(F.col("doc_id").alias("a_id"), F.col("hsh").alias("a_hsh"))
     db = sig.select(F.col("doc_id").alias("b_id"), F.col("hsh").alias("b_hsh"))
     n_inter = F.size(F.array_intersect(F.col("a_hsh"), F.col("b_hsh")))
@@ -1072,37 +1089,13 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truth floor is n_inter*10 >= {RECALL_J_MIN_TENTHS}*n_union, and
     recall is ppm via integer floor division -- no float quotient
     crosses an engine boundary."""
-    from pyspark.sql.window import Window
-
     sig = _sig_table(spark, sf_dir).cache()
-    sh = sig.select("doc_id", F.explode("hsh").alias("h"))
-    # df-capped truth candidacy: ONE window-sort pass over the exploded
-    # shingle table computes each shingle's doc frequency (a
-    # count-groupBy + join-back costs a second corpus-sized shuffle --
-    # measured 104 s vs 71 s at the 100x test; collect_list before the
-    # df filter is worse still, materializing corpus-sized arrays for
-    # boilerplate shingles). The self-join then runs on the small
-    # df-capped remainder, and the MIN_SHARED gate keeps
-    # one-shared-shingle coincidences out of the array-carrying
-    # verification join.
-    rare = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("h"))
-    ).filter((F.col("df") >= 2) & (F.col("df") <= CONTAINMENT_MAX_DF))
-    ra, rb = rare.alias("ra"), rare.alias("rb")
-    truth_cand = (
-        ra.join(
-            rb,
-            (F.col("ra.h") == F.col("rb.h"))
-            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
-        )
-        .groupBy(
-            F.col("ra.doc_id").alias("a_id"),
-            F.col("rb.doc_id").alias("b_id"),
-        )
-        .agg(F.count("*").alias("n_shared_rare"))
-        .filter(F.col("n_shared_rare") >= CONTAINMENT_MIN_SHARED)
-        .select("a_id", "b_id")
-    )
+    # df-capped truth candidacy shared with dedup_containment (see
+    # _rare_shingle_candidates for the measured plan-shape rationale);
+    # the MIN_SHARED gate keeps one-shared-shingle coincidences out of
+    # the array-carrying verification join (36.7M pairs -> ~26k at the
+    # 100x scale test, 71 s -> 36 s).
+    truth_cand = _rare_shingle_candidates(sig).select("a_id", "b_id")
     bands = _band_table(sig).select("doc_id", "band", "bkey")
     ba, bb = bands.alias("ba"), bands.alias("bb")
     caught = (

@@ -1327,7 +1327,12 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     ).cache()
-    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    # cached like cand: the union below re-evaluates each depth's
+    # aggregate, and without the cache the brute-force baseline -- the
+    # documented dominant cost -- would be recomputed once per depth
+    exact = (
+        ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id").cache()
+    )
     out = None
     for p in range(1, SWEEP_MAX_PROBE + 1):
         w = Window.partitionBy("q_id").orderBy(

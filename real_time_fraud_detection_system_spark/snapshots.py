@@ -30,11 +30,21 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _norm(table_dir: str) -> str:
+    """All file paths recorded in manifests, and all comparisons
+    against them, go through one absolute-path normalization --
+    expire_versions decides liveness by string membership, so a
+    relative-vs-absolute (or dot-prefixed) spelling difference between
+    the write and the expiry would otherwise unlink LIVE data files."""
+    return os.path.abspath(table_dir)
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"manifest-{version:08d}.json")
 
 
 def latest_version(table_dir: str) -> int | None:
+    table_dir = _norm(table_dir)
     ptr = os.path.join(table_dir, "_latest")
     if not os.path.exists(ptr):
         return None
@@ -52,6 +62,7 @@ def write_version(df: DataFrame, table_dir: str) -> int:
     (last rename wins, the loser's manifest is overwritten). Serialize
     writers externally -- the same contract as the directory-swap
     dimension merge (storage.merge_dimension)."""
+    table_dir = _norm(table_dir)
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     prev = latest_version(table_dir)
     version = 0 if prev is None else prev + 1
@@ -81,6 +92,7 @@ def read_version(
 ) -> DataFrame:
     """Read the pinned version (default: latest). Reads ONLY the
     manifest's files -- concurrent commits never tear the result."""
+    table_dir = _norm(table_dir)
     if version is None:
         version = latest_version(table_dir)
         if version is None:
@@ -93,6 +105,7 @@ def read_version(
 def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` manifests and unlink data
     files no surviving manifest references. Returns counts."""
+    table_dir = _norm(table_dir)
     latest = latest_version(table_dir)
     if latest is None:
         return {"dropped_manifests": 0, "dropped_files": 0}

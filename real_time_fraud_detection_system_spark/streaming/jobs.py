@@ -121,10 +121,14 @@ def expectations_gate(
     result = {name: (row[name] or 0) for name, _ in rules}
     result["_n"] = n
     if n:
+        # cross-multiplied, NOT floor-divided: v * 1e6 // n rounds a
+        # sub-ppm rate down to 0 and would pass real violations through
+        # a "zero tolerance" gate on any large frame (9 bad rows in
+        # 10M = 0 ppm after flooring)
         failing = {
             name: v
             for name, v in result.items()
-            if name != "_n" and v * 1_000_000 // n > max_violation_ppm
+            if name != "_n" and v * 1_000_000 > max_violation_ppm * n
         }
         if failing:
             raise DataQualityError(

@@ -278,6 +278,11 @@ def test_expectations_gate_enforces_rule_table(spark):
     # 1 violation of 3 rows = 333333 ppm; a 400000 ppm tolerance passes
     got = expectations_gate(dirty, rules, max_violation_ppm=400_000)
     assert got["value_non_negative"] == 1
+    # boundary is exact cross-multiplication, not floored ppm: the true
+    # rate 1/3 EXCEEDS 333333 ppm, so that tolerance must still raise
+    # (the floored form 1e6 // 3 == 333333 would silently pass it)
+    with pytest.raises(DataQualityError):
+        expectations_gate(dirty, rules, max_violation_ppm=333_333)
 
 
 def test_expectations_sink_reports_and_dead_letters(spark, tmp_path):

@@ -1052,6 +1052,7 @@ def test_dq_expectations_counts_injected_violations(spark, monkeypatch):
         (7, ok_ts, 15, "click", 1.0, "not json"),       # props violation
         (8, ok_ts, 16, "click", 1.0, '{"k": 8}'),       # dup id below
         (8, ok_ts, 17, "click", 1.0, '{"k": 9}'),
+        (9, ok_ts, 18, "click", 1.0, '{"k": null}'),    # JSON null = missing
     ]
     df = spark.createDataFrame(
         rows,
@@ -1066,13 +1067,13 @@ def test_dq_expectations_counts_injected_violations(spark, monkeypatch):
         "value_non_negative": 1,
         "event_type_in_enum": 1,
         "ts_in_sane_range": 1,
-        "props_has_k": 1,
+        "props_has_k": 2,  # malformed + JSON-null (get_json_object: NULL)
         "event_id_unique": 1,
     }
     assert {k: v["n_violations"] for k, v in got.items()} == expect
-    assert all(v["n_checked"] == 9 for v in got.values())
+    assert all(v["n_checked"] == 10 for v in got.values())
     assert all(
-        v["violation_ppm"] == v["n_violations"] * 1_000_000 // 9
+        v["violation_ppm"] == v["n_violations"] * 1_000_000 // 10
         for v in got.values()
     )
 
