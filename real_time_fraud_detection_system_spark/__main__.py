@@ -111,6 +111,16 @@ def _build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser("prep-corpus")
     pc.add_argument("--sf-dir", default=argparse.SUPPRESS)  # see zorder
     pc.add_argument("--out-dir", required=True)
+    sn = sub.add_parser("snapshot")
+    sn.add_argument("action", choices=["write", "read", "expire"])
+    sn.add_argument("--table-dir", required=True)
+    sn.add_argument("--table", default="events",
+                    help="write: which sf table to commit as a version")
+    sn.add_argument("--sf-dir", default=argparse.SUPPRESS)  # see zorder
+    sn.add_argument("--version", type=int, default=None,
+                    help="read: pin a version (default latest)")
+    sn.add_argument("--keep-last", type=int, default=1,
+                    help="expire: versions to keep")
     pc.add_argument("--quality-keep", type=float, default=None)
     return p
 
@@ -207,6 +217,32 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
             target_rows_per_file=args.target_rows_per_file,
         )
         print(json.dumps({"status": "ok", **info}, default=str), file=out)
+        return 0
+    if args.cmd == "snapshot":
+        from . import snapshots as sn
+
+        if args.action == "write":
+            from .catalog import load_table
+
+            v = sn.write_version(
+                load_table(eng.spark, args.sf_dir, args.table),
+                args.table_dir,
+            )
+            print(json.dumps({"status": "ok", "version": v}), file=out)
+        elif args.action == "read":
+            df = sn.read_version(eng.spark, args.table_dir, args.version)
+            print(json.dumps({
+                "status": "ok",
+                "version": (
+                    args.version
+                    if args.version is not None
+                    else sn.latest_version(args.table_dir)
+                ),
+                "rows": df.count(),
+            }), file=out)
+        else:
+            info = sn.expire_versions(args.table_dir, args.keep_last)
+            print(json.dumps({"status": "ok", **info}), file=out)
         return 0
     if args.cmd == "prep-corpus":
         from .corpus_pipeline import prepare_corpus

@@ -223,3 +223,21 @@ def test_cli_prep_corpus(spark, tmp_path):
     assert info["status"] == "ok"
     assert sum(info["splits"].values()) == info["after_neardup_dedup"]
     assert spark.read.parquet(out_dir).count() == info["after_neardup_dedup"]
+
+
+def test_cli_snapshot_lifecycle(spark, tmp_path):
+    t = str(tmp_path / "snap")
+    code, lines = _run(
+        ["snapshot", "write", "--table-dir", t,
+         "--sf-dir", "/root/testdata/sf0.001", "--table", "region"]
+    )
+    assert code == 0 and json.loads(lines[0])["version"] == 0
+    code, lines = _run(
+        ["snapshot", "write", "--table-dir", t,
+         "--sf-dir", "/root/testdata/sf0.001", "--table", "region"]
+    )
+    assert json.loads(lines[0])["version"] == 1
+    code, lines = _run(["snapshot", "read", "--table-dir", t, "--version", "0"])
+    assert code == 0 and json.loads(lines[0])["rows"] > 0
+    code, lines = _run(["snapshot", "expire", "--table-dir", t])
+    assert json.loads(lines[0])["dropped_manifests"] == 1
