@@ -143,6 +143,9 @@ PRIORITY = [
     # that picks NPROBE), dedup_cluster_density (verified-edge density
     # per cluster-size bucket -- the transitive-chaining QA; an
     # engineered a~b~c chain tests the 666,666-ppm case), and
+    # bootstrap_fraud_ci (deterministic Poisson(1)-bootstrap confidence
+    # band for the per-day flagged rate: md5-keyed integer weights, one
+    # exploded scan, order statistics over exact ppm rates), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

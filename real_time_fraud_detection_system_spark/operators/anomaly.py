@@ -20,6 +20,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
@@ -244,11 +245,198 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic Poisson(1) bootstrap for metric confidence intervals.
+BOOT_R = 16  # replicas; CI = 2nd / 15th order statistic (~87.5% band)
+FRAUD_CUT = 200  # flag threshold for THIS report (see docstring)
+# Poisson(1) inverse-CDF ladder: cumulative P(X <= k) for k = 0..6,
+# written as decimal literals both engines parse to identical doubles.
+_POIS_CDF = (
+    "0.36787944117144233",  # k=0
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+)
+
+
+def _pois_ladder(u: str) -> str:
+    """CASE ladder mapping a uniform in [0,1) to a Poisson(1) draw
+    (identical SQL text in both dialects)."""
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 7 END)"
+
+
+def bootstrap_fraud_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day heuristic fraud rate with a bootstrap confidence band:
+    every event carries {BOOT_R} deterministic Poisson(1) resampling
+    weights (the standard online/streaming bootstrap -- Poisson counts
+    approximate multinomial resampling without materializing resamples),
+    each replica's weighted rate is an EXACT integer ppm, and the band
+    is the 2nd/{BOOT_R}-1th order statistic of the replica rates. Point
+    estimates without uncertainty are how fraud-rate dashboards
+    (dags/compute-daily-metrics.py:19-37 feeds one) mislead on thin
+    days; the reference has no uncertainty surface at all.
+
+    Determinism: weights are md5-keyed by (event_id, replica) -- pure
+    functions of the row, identical across engines, retries, and
+    partitionings; rates are integer arithmetic end to end, so the
+    order statistics cannot be perturbed by float summation order.
+
+    Scale: ONE scan exploded x{BOOT_R}; the (day, replica) aggregate
+    collapses map-side to days x {BOOT_R} rows, and everything after is
+    O(days). The flag predicate is the P7 fallback scorer's SHAPE
+    (main.py:100-104: a fixed amount threshold) at this dataset's own
+    cut -- value > {FRAUD_CUT} flags ~1.75% of events, where the
+    reference's literal 1000 never fires on the events table (max
+    value ~560) and would report a degenerate all-zero band."""
+    ev = load_table(spark, sf_dir, "events")
+    # one md5 digest yields FOUR uniforms (8-hex windows), so the
+    # {BOOT_R} replica weights cost BOOT_R/4 digests per event --
+    # staged in their own projection so codegen computes each md5 once
+    # (the mlqueries._frame_sql lesson) -- and replicas fan out via one
+    # posexplode of the precomputed weight array (a per-replica-digest
+    # explode form measured 35.7 s at the 100x scale test; this form
+    # quarters the hash work)
+    digests = [
+        f"md5(concat('boot:', CAST(event_id AS STRING), ':g{j}')) AS d{j}"
+        for j in range(BOOT_R // 4)
+    ]
+    ws = ", ".join(
+        _pois_ladder(
+            f"(CAST(conv(substr(d{r // 4}, {1 + 8 * (r % 4)}, 8), 16, 10)"
+            " AS DOUBLE) / 4294967296.0)"
+        )
+        for r in range(BOOT_R)
+    )
+    rep = (
+        ev.selectExpr(
+            "CAST(ts AS DATE) AS day",
+            f"CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END AS is_fraud",
+            *digests,
+        )
+        .selectExpr("day", "is_fraud", f"posexplode(array({ws})) AS (r, w)")
+    )
+    from pyspark.sql.window import Window
+
+    per_rep = (
+        rep.groupBy("day", "r")
+        .agg(
+            F.sum(F.expr("w * is_fraud")).alias("num"),
+            F.sum("w").alias("den"),
+        )
+        .selectExpr(
+            "day", "r",
+            "CASE WHEN den = 0 THEN 0"
+            " ELSE CAST((num * 1000000L) DIV den AS BIGINT) END AS rate_ppm",
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("day").orderBy("rate_ppm", "r")
+            ),
+        )
+    )
+    point = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "CAST(ts AS DATE) AS day",
+            f"CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END AS is_fraud",
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST((sum(is_fraud) * 1000000L) DIV count(*) AS BIGINT)"
+            ).alias("rate_ppm"),
+        )
+    )
+    band = (
+        per_rep.groupBy("day")
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("rate_ppm"))).alias(
+                "ci_lo_ppm"
+            ),
+            F.max(
+                F.when(F.col("rk") == BOOT_R - 1, F.col("rate_ppm"))
+            ).alias("ci_hi_ppm"),
+        )
+    )
+    return (
+        point.join(band, "day")
+        .select("day", "n_events", "rate_ppm", "ci_lo_ppm", "ci_hi_ppm")
+        .orderBy("day")
+    )
+
+
+_DUCK_DIGESTS = ", ".join(
+    f"md5('boot:' || CAST(event_id AS VARCHAR) || ':g{j}') AS d{j}"
+    for j in range(BOOT_R // 4)
+)
+_DUCK_WS = ", ".join(
+    _pois_ladder(
+        f"(CAST(CAST('0x' || substr(d{r // 4}, {1 + 8 * (r % 4)}, 8)"
+        " AS BIGINT) AS DOUBLE) / 4294967296.0)"
+    )
+    for r in range(BOOT_R)
+)
+
+BOOTSTRAP_FRAUD_CI_SQL = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END AS is_fraud,
+         {_DUCK_DIGESTS}
+  FROM events
+),
+d2 AS (
+  SELECT day, is_fraud, [{_DUCK_WS}] AS ws FROM d
+),
+rep AS (
+  SELECT day, reps.r, is_fraud, ws[reps.r + 1] AS w
+  FROM d2, (SELECT unnest(range({BOOT_R})) AS r) reps
+),
+per_rep AS (
+  SELECT day, r,
+         CASE WHEN sum(w) = 0 THEN 0
+              ELSE CAST((sum(w * is_fraud) * 1000000) // sum(w) AS BIGINT)
+         END AS rate_ppm
+  FROM rep GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, rate_ppm,
+         row_number() OVER (PARTITION BY day ORDER BY rate_ppm, r) AS rk
+  FROM per_rep
+),
+band AS (
+  SELECT day,
+         max(CASE WHEN rk = 2 THEN rate_ppm END) AS ci_lo_ppm,
+         max(CASE WHEN rk = {BOOT_R - 1} THEN rate_ppm END) AS ci_hi_ppm
+  FROM ranked GROUP BY 1
+),
+point AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST((sum(CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END) * 1000000)
+              // count(*) AS BIGINT) AS rate_ppm
+  FROM events GROUP BY 1
+)
+SELECT p.day, p.n_events, p.rate_ppm, b.ci_lo_ppm, b.ci_hi_ppm
+FROM point p JOIN band b USING (day)
+ORDER BY p.day
+"""
+
+
 QUERIES = {
     "user_value_anomalies": user_value_anomalies,
     "value_drift_psi": value_drift_psi,
+    "bootstrap_fraud_ci": bootstrap_fraud_ci,
 }
 ORACLE = {
     "user_value_anomalies": USER_ANOMALIES_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
+    "bootstrap_fraud_ci": BOOTSTRAP_FRAUD_CI_SQL,
 }

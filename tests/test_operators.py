@@ -1211,3 +1211,27 @@ def test_dedup_cluster_density_flags_chains(spark, monkeypatch):
     assert got[3]["n_clusters"] == 1
     assert got[3]["sum_edges"] == 2
     assert got[3]["density_ppm"] == 666_666
+
+
+def test_bootstrap_fraud_ci_invariants(spark, sf_dir):
+    """Band ordering, exact reconciliation with the corpus, rate
+    bounds, and bit-determinism across runs (md5-keyed weights)."""
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.anomaly import (
+        FRAUD_CUT,
+        bootstrap_fraud_ci,
+    )
+
+    rows = bootstrap_fraud_ci(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r["ci_lo_ppm"] <= r["ci_hi_ppm"] <= 1_000_000
+        assert 0 <= r["rate_ppm"] <= 1_000_000
+    n_fraud = ev.filter(f"value > {FRAUD_CUT}").count()
+    got_fraud = sum(
+        r["rate_ppm"] * r["n_events"] for r in rows
+    )  # floor-division loses < 1 event per day
+    assert abs(got_fraud / 1_000_000 - n_fraud) <= len(rows)
+    again = bootstrap_fraud_ci(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
