@@ -145,7 +145,10 @@ PRIORITY = [
     # engineered a~b~c chain tests the 666,666-ppm case), and
     # bootstrap_fraud_ci (deterministic Poisson(1)-bootstrap confidence
     # band for the per-day flagged rate: md5-keyed integer weights, one
-    # exploded scan, order statistics over exact ppm rates), and
+    # exploded scan, order statistics over exact ppm rates),
+    # gapfill_hourly (time_bucket_gapfill/locf/interpolate semantics:
+    # dense hour grid, integer-exact linear interpolation, window over
+    # the O(calendar x types) grid never the raw events), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.money import cents_sql
 
 BUCKET_S = 300  # interval-join window width: 5 minutes
 APPROX_RSD = 0.05
@@ -655,7 +656,159 @@ ORDER BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# Gap-filled time series (TimescaleDB time_bucket_gapfill / locf /
+# interpolate semantics, re-expressed Spark-first).
+
+
+def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type gauge series with GAPS MATERIALIZED and two
+    standard fills: LOCF (last observation carried forward) and linear
+    interpolation between the surrounding observed buckets.
+
+    The reference's dashboard charts (grafana/dashboards/
+    predictions.json:18) silently connect points across empty hours --
+    a thin hour and a missing hour look identical. A gapfilled series
+    makes the difference explicit (n_events = 0, fills non-NULL), which
+    is what time-series engines ship as a first-class operator
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf`` + ``interpolate``);
+    Spark has no built-in, so this composes one:
+
+      1. ONE scan aggregates events to (event_type, epoch-hour) --
+         everything after operates on the bucket grid, whose size is
+         O(hours x types) regardless of input rows (720 x 5 here; a
+         YEAR of 100 TB telemetry is still only 8,760 x types rows).
+      2. The dense grid is sequence()-exploded from the global hour
+         bounds and cross-joined with the distinct types -- both sides
+         are tiny, the join is broadcast by AQE.
+      3. Fills run in a window partitioned by event_type over the GRID
+         (never the raw events): LOCF is last(ignorenulls) backward;
+         interpolation carries (prev, next) observed values/hours and
+         evaluates in INTEGER cents -- ``(prev*(nh-h) + next*(h-ph))
+         DIV (nh-ph)`` -- every term non-negative, so floor == trunc
+         and the result is bit-identical across engines and run orders.
+
+    Leading gaps have no LOCF/interp (NULL); trailing gaps LOCF but do
+    not interpolate. Gauge = floor mean of value in cents."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.selectExpr(
+            "event_type",
+            "unix_timestamp(ts) DIV 3600 AS h",
+            f"{_CENTS} AS cents",
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("sum(cents) DIV count(*)").alias("avg_cents"),
+        )
+    )
+    agg = agg.cache()
+    grid = (
+        agg.groupBy()
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .selectExpr("explode(sequence(mn, mx)) AS h")
+        .crossJoin(F.broadcast(agg.select("event_type").distinct()))
+    )
+    j = grid.join(agg, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_cents",
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("avg_cents").isNotNull(), F.col("h"))
+    w = j.select(
+        "event_type",
+        "h",
+        "n_events",
+        "avg_cents",
+        F.last("avg_cents", ignorenulls=True).over(back).alias("locf_cents"),
+        F.last(obs_h, ignorenulls=True).over(back).alias("ph"),
+        F.first("avg_cents", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    return (
+        w.selectExpr(
+            "event_type",
+            "date_format(timestamp_seconds(h * 3600),"
+            " 'yyyy-MM-dd HH:mm:ss') AS bucket_hour",
+            "n_events",
+            "avg_cents",
+            "locf_cents",
+            "CASE WHEN avg_cents IS NOT NULL THEN avg_cents"
+            "     WHEN ph IS NOT NULL AND nh IS NOT NULL THEN"
+            "       (locf_cents * (nh - h) + nv * (h - ph)) DIV (nh - ph)"
+            " END AS interp_cents",
+        )
+        .orderBy("event_type", "bucket_hour")
+    )
+
+
+_CENTS = cents_sql("value", 100)
+
+GAPFILL_HOURLY_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         count(*) AS n_events,
+         sum({_CENTS}) // count(*) AS avg_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM agg),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM agg) t,
+       (SELECT unnest(range((SELECT mn FROM bounds),
+                            (SELECT mx FROM bounds) + 1)) AS h) g
+),
+j AS (
+  SELECT g.event_type, g.h,
+         coalesce(a.n_events, 0) AS n_events, a.avg_cents
+  FROM grid g LEFT JOIN agg a USING (event_type, h)
+),
+w AS (
+  SELECT event_type, h, n_events, avg_cents,
+    last_value(avg_cents IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents,
+    last_value(CASE WHEN avg_cents IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(avg_cents IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN avg_cents IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT event_type,
+       strftime(make_timestamp(h * 3600 * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(avg_cents AS BIGINT) AS avg_cents,
+       CAST(locf_cents AS BIGINT) AS locf_cents,
+       CAST(CASE WHEN avg_cents IS NOT NULL THEN avg_cents
+                 WHEN ph IS NOT NULL AND nh IS NOT NULL THEN
+                   (locf_cents * (nh - h) + nv * (h - ph)) // (nh - ph)
+            END AS BIGINT) AS interp_cents
+FROM w
+ORDER BY event_type, bucket_hour
+"""
+
+
 QUERIES = {
+    "gapfill_hourly": gapfill_hourly,
     "rfm_segments": rfm_segments,
     "event_type_affinity": event_type_affinity,
     "dau_wau_stickiness": dau_wau_stickiness,
@@ -668,6 +821,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "gapfill_hourly": GAPFILL_HOURLY_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
     "event_type_affinity": EVENT_TYPE_AFFINITY_SQL,
     "dau_wau_stickiness": DAU_WAU_STICKINESS_SQL,

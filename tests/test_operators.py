@@ -1235,3 +1235,46 @@ def test_bootstrap_fraud_ci_invariants(spark, sf_dir):
     assert abs(got_fraud / 1_000_000 - n_fraud) <= len(rows)
     again = bootstrap_fraud_ci(spark, sf_dir).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_gapfill_hourly_fills(spark, monkeypatch):
+    """Engineered gaps: linear interpolation hits the exact integer
+    cents, LOCF carries forward, leading gaps stay NULL, trailing gaps
+    LOCF but never interpolate, and the grid is dense over the global
+    hour bounds for every type."""
+    import real_time_fraud_detection_system_spark.operators.temporal as tp
+    from datetime import datetime
+
+    h0 = datetime(2024, 3, 1, 0, 30)
+
+    def at(hours):
+        return datetime(2024, 3, 1, hours, 30)
+
+    rows = [
+        # type a: observed at hour 0 (100.00) and hour 3 (400.00)
+        (1, h0, 7, "a", 100.0, "{}"),
+        (2, at(3), 7, "a", 400.0, "{}"),
+        # type b: observed only at hour 1
+        (3, at(1), 8, "b", 50.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(tp, "load_table", lambda s, d, n: df)
+    got = {
+        (r["event_type"], r["bucket_hour"][11:13]): r
+        for r in tp.gapfill_hourly(spark, "x").collect()
+    }
+    assert len(got) == 8  # 4 hours x 2 types: dense grid
+    a = [got[("a", f"{h:02d}")] for h in range(4)]
+    assert [r["n_events"] for r in a] == [1, 0, 0, 1]
+    assert [r["avg_cents"] for r in a] == [10000, None, None, 40000]
+    assert [r["locf_cents"] for r in a] == [10000, 10000, 10000, 40000]
+    assert [r["interp_cents"] for r in a] == [10000, 20000, 30000, 40000]
+    b = [got[("b", f"{h:02d}")] for h in range(4)]
+    assert [r["n_events"] for r in b] == [0, 1, 0, 0]
+    # leading gap: nothing to carry; trailing gaps: LOCF, no interp
+    assert [r["locf_cents"] for r in b] == [None, 5000, 5000, 5000]
+    assert [r["interp_cents"] for r in b] == [None, 5000, None, None]

@@ -126,6 +126,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # freshness_check / decayed_user_value scalar-anchor pattern; the
     # data-sized work is one keyed count with map-side partials.
     "join_blowup_probe": frozenset({"NLJ", "1PART"}),
+    # gapfill_hourly: the 1PART is the 1-row global hour-bounds
+    # aggregate and the NLJ is the grid crossJoin -- sequence-exploded
+    # hours x broadcast distinct types, both O(calendar x types) rows
+    # at any data scale (the corpus-sized work is the preceding keyed
+    # hour aggregate); the scalar-anchor + bounded-grid pattern.
+    "gapfill_hourly": frozenset({"NLJ", "1PART"}),
     # ivf_probe_sweep: inherits ann_cosine_topk's bounded N_QUERIES
     # broadcast NLJ (the exact-baseline side); the 1PART is the
     # per-depth scalar recall aggregate (4 one-row results unioned) --
