@@ -148,7 +148,10 @@ PRIORITY = [
     # exploded scan, order statistics over exact ppm rates),
     # gapfill_hourly (time_bucket_gapfill/locf/interpolate semantics:
     # dense hour grid, integer-exact linear interpolation, window over
-    # the O(calendar x types) grid never the raw events), and
+    # the O(calendar x types) grid never the raw events),
+    # emb_quantize_int8 (the int8 embedding-compression audit:
+    # floor-coded 256-cell scalar quantization, per-dimension range /
+    # code diversity / nanounit-exact reconstruction error), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

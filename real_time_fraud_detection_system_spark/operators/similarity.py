@@ -1630,7 +1630,114 @@ ORDER BY s.cid
 KMEANS_FIXEDPOINT_SQL = _km_sql()
 
 
+
+# --------------------------------------------------------------------------
+# Scalar int8 quantization QA: the embedding-compression audit.
+QUANT_CELLS = 256  # 8-bit codes; cell midpoint reconstruction
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar quantization report for the embedding
+    corpus: each dimension's [min, max] range is cut into
+    {QUANT_CELLS} equal cells, every value maps to its cell index (an
+    8-bit code) and reconstructs at the cell midpoint; the report is
+    the per-dimension range, code diversity, and reconstruction error
+    -- the audit a pipeline runs BEFORE committing to int8 storage
+    (4x smaller vectors and ~4x faster ANN scans, but only if the
+    error is tolerable and no dimension saturates into a handful of
+    codes).
+
+    Determinism: codes are ``floor((x - mn)/(mx - mn) * 256)`` clamped
+    to 255 -- floor (never round) so no half-boundary class exists;
+    reconstruction error is floored to integer nanounits per element
+    and summed as BIGINT, so every reported number is bit-identical
+    across engines, partitionings, and run orders.
+
+    Scale: two scans of the exploded corpus (stats, then codes) with
+    map-side partial aggregation into DIMS-row results -- no window
+    over the corpus, no cache of the 64x exploded frame; the stats
+    side of the code pass is a DIMS-row broadcast. The reference has
+    no vector surface at all; this extends its prediction-store QA
+    posture (compute-daily-metrics.py:19-37) to the embedding column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).selectExpr("dim", "CAST(xf AS DOUBLE) AS x")
+    stats = ex.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    coded = (
+        ex.join(F.broadcast(stats), "dim")
+        .selectExpr("dim", "mn", "mx", "x", f"{_Q_CODE} AS code")
+        .selectExpr("dim", "mn", "mx", "x", "code", f"{_Q_RECON} AS recon")
+        .selectExpr("dim", "mn", "mx", "code", f"{_Q_ERRFP} AS err_fp")
+    )
+    return (
+        coded.groupBy("dim", "mn", "mx")
+        .agg(
+            F.countDistinct("code").alias("n_codes"),
+            F.sum("err_fp").alias("sum_abserr_fp"),
+            F.max("err_fp").alias("max_abserr_fp"),
+        )
+        .selectExpr(
+            "dim",
+            "CAST(floor(mn * 1000000) AS BIGINT) AS mn_fp",
+            "CAST(floor(mx * 1000000) AS BIGINT) AS mx_fp",
+            "CAST(n_codes AS BIGINT) AS n_codes",
+            "sum_abserr_fp",
+            "max_abserr_fp",
+        )
+        .orderBy("dim")
+    )
+
+
+# Shared expression text: identical token stream in both dialects, so
+# the IEEE evaluation order (hence every floored integer) matches.
+_Q_CODE = (
+    f"CASE WHEN mx = mn THEN 0 ELSE LEAST(CAST(floor((x - mn) / (mx - mn)"
+    f" * {QUANT_CELLS}) AS INT), {QUANT_CELLS - 1}) END"
+)
+_Q_RECON = (
+    "CASE WHEN mx = mn THEN mn ELSE mn + (CAST(code AS DOUBLE)"
+    f" + CAST(0.5 AS DOUBLE)) * (mx - mn) / {QUANT_CELLS} END"
+)
+_Q_ERRFP = "CAST(floor(abs(x - recon) * 1000000000) AS BIGINT)"
+
+EMB_QUANTIZE_INT8_SQL = f"""
+WITH ex AS (
+  SELECT d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS x
+  FROM embeddings e,
+       (SELECT unnest(range((SELECT max(len(embedding)) FROM embeddings)))
+        AS dim) d
+  WHERE d.dim < len(e.embedding)
+),
+stats AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1
+),
+coded AS (
+  SELECT ex.dim, mn, mx, x, {_Q_CODE} AS code
+  FROM ex JOIN stats USING (dim)
+),
+recon AS (
+  SELECT dim, mn, mx, x, code, {_Q_RECON} AS recon FROM coded
+),
+err AS (
+  SELECT dim, mn, mx, code, {_Q_ERRFP} AS err_fp FROM recon
+)
+SELECT dim,
+       CAST(floor(mn * 1000000) AS BIGINT) AS mn_fp,
+       CAST(floor(mx * 1000000) AS BIGINT) AS mx_fp,
+       CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+       CAST(sum(err_fp) AS BIGINT) AS sum_abserr_fp,
+       CAST(max(err_fp) AS BIGINT) AS max_abserr_fp
+FROM err
+GROUP BY dim, mn, mx
+ORDER BY dim
+"""
+
+
 QUERIES = {
+    "emb_quantize_int8": emb_quantize_int8,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1646,6 +1753,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "emb_quantize_int8": EMB_QUANTIZE_INT8_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,

@@ -1278,3 +1278,36 @@ def test_gapfill_hourly_fills(spark, monkeypatch):
     # leading gap: nothing to carry; trailing gaps: LOCF, no interp
     assert [r["locf_cents"] for r in b] == [None, 5000, 5000, 5000]
     assert [r["interp_cents"] for r in b] == [None, 5000, None, None]
+
+
+def test_emb_quantize_int8_bounds(spark, monkeypatch):
+    """Constant dims collapse to one code with zero error; a two-point
+    dim uses the extreme codes; every error is under the half-cell
+    bound (mx - mn) / 512."""
+    import real_time_fraud_detection_system_spark.operators.similarity as sim
+
+    rows = [
+        (1, [0.0, -1.0, 5.0], 0),
+        (2, [0.0, 1.0, 5.0], 0),
+        (3, [0.0, 0.25, 5.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(
+        sim, "load_table", lambda s, d, n: df if n == "embeddings" else None
+    )
+    got = {r["dim"]: r for r in sim.emb_quantize_int8(spark, "x").collect()}
+    assert set(got) == {0, 1, 2}
+    # dim 0 and 2: constant -> single code, midpoint == value, no error
+    for d in (0, 2):
+        assert got[d]["n_codes"] == 1
+        assert got[d]["sum_abserr_fp"] == 0
+        assert got[d]["max_abserr_fp"] == 0
+    assert got[0]["mn_fp"] == 0 and got[2]["mn_fp"] == 5_000_000
+    # dim 1: range [-1, 1]; -1 -> code 0, 1 -> clamp 255, 0.25 -> 160
+    d1 = got[1]
+    assert d1["mn_fp"] == -1_000_000 and d1["mx_fp"] == 1_000_000
+    assert d1["n_codes"] == 3
+    # half-cell bound: (mx-mn)/512 = 2/512 in nanounits
+    assert d1["max_abserr_fp"] <= int(2 / 512 * 1e9) + 1
