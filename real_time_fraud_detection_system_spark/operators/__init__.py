@@ -151,7 +151,10 @@ PRIORITY = [
     # the O(calendar x types) grid never the raw events),
     # emb_quantize_int8 (the int8 embedding-compression audit:
     # floor-coded 256-cell scalar quantization, per-dimension range /
-    # code diversity / nanounit-exact reconstruction error), and
+    # code diversity / nanounit-exact reconstruction error),
+    # part_triangles (degree-oriented triangle counting over the
+    # support-filtered co-purchase graph -- O(m^1.5) enumeration, each
+    # triangle found once at its minimum-order corner), and
     # shard_overlap + user_value_anomalies if their in-window round-6
     # verdicts predate the late-round rewrites -- all local-checker
     # green at sf0.01 AND sf0.1; they take section-(a) slots next

@@ -1113,7 +1113,133 @@ ORDER BY rank
 SUPPLIER_PAGERANK_SQL = _pagerank_sql()
 
 
+# --------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph (graph-analytics family
+# next to supplier_pagerank / the connected-components dispatcher).
+TRI_MIN_SUP = 2  # parts must co-occur in >= 2 orders to form an edge
+
+
+def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph: parts
+    are nodes, an edge joins two parts co-occurring in >= {TRI_MIN_SUP}
+    distinct orders, and each part's count of closed triangles measures
+    how clustered its neighborhood is -- the community-density signal
+    bundle-recommendation and fraud-ring detection both start from
+    (the reference's schema keeps no relationships at all;
+    services/db/init.sql:1-31).
+
+    Scale shape, in order of data volume touched:
+      1. pair generation is a self-join keyed on l_orderkey -- per-key
+         fan-out bounded by C(items-per-order, 2) <= 21, never
+         corpus-quadratic;
+      2. edge support is one keyed aggregate with map-side partials,
+         and the HAVING filter shrinks the graph before any
+         triangle work;
+      3. enumeration is DEGREE-ORIENTED: every edge points from its
+         lower-(degree, id) endpoint, so out-degrees are O(sqrt(m))
+         and the out-neighbor pair join does O(m^1.5) work worst-case
+         instead of sum(deg^2) piling onto hub parts -- the standard
+         distributed triangle-count shape;
+      4. each triangle is found exactly once at its minimum-order
+         corner (the orientation is a total order), so no DISTINCT
+         over enumerated triangles is ever needed.
+    The oracle counts the same triangles from the unoriented a<b<c
+    form -- different strategy, identical set, which is what the gate
+    should pin."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    edges = edges.cache()
+    deg = (
+        edges.selectExpr("pa AS node")
+        .unionAll(edges.selectExpr("pb AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # total order for orientation: ord = deg * 1e9 + id (ids stay well
+    # under 1e9 at any TPC-H scale factor; asserted cheaply via the id
+    # itself riding inside ord, which would collide otherwise)
+    withord = (
+        edges.join(deg.withColumnRenamed("node", "pa"), "pa")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.selectExpr("node AS pb", "deg AS db"), "pb"
+        )
+        .selectExpr(
+            "pa", "pb",
+            "da * 1000000000L + pa AS orda",
+            "db * 1000000000L + pb AS ordb",
+        )
+    )
+    oriented = withord.selectExpr(
+        "CASE WHEN orda < ordb THEN pa ELSE pb END AS src",
+        "CASE WHEN orda < ordb THEN pb ELSE pa END AS dst",
+        "CASE WHEN orda < ordb THEN orda ELSE ordb END AS src_ord",
+        "CASE WHEN orda < ordb THEN ordb ELSE orda END AS dst_ord",
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst_ord") < F.col("o2.dst_ord")),
+    ).select(
+        F.col("o1.src").alias("ta"),
+        F.col("o1.dst").alias("tb"),
+        F.col("o2.dst").alias("tc"),
+    )
+    tri = wedges.join(
+        oriented.selectExpr("src AS tb", "dst AS tc"), ["tb", "tc"]
+    )
+    return (
+        tri.selectExpr("explode(array(ta, tb, tc)) AS l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "l_partkey")
+    )
+
+
+PART_TRIANGLES_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT pa, pb FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= {TRI_MIN_SUP}
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+corners AS (SELECT unnest([a, b, c]) AS l_partkey FROM tri)
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1
+ORDER BY n_triangles DESC, l_partkey
+"""
+
+
 QUERIES = {
+    "part_triangles": part_triangles,
     "supplier_pagerank": supplier_pagerank,
     "q7_volume_shipping": q7_volume_shipping,
     "q4_order_priority_exists": q4_order_priority_exists,
@@ -1135,6 +1261,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "part_triangles": PART_TRIANGLES_SQL,
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q4_order_priority_exists": Q4_SQL,

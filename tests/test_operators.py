@@ -1311,3 +1311,24 @@ def test_emb_quantize_int8_bounds(spark, monkeypatch):
     assert d1["n_codes"] == 3
     # half-cell bound: (mx-mn)/512 = 2/512 in nanounits
     assert d1["max_abserr_fp"] <= int(2 / 512 * 1e9) + 1
+
+
+def test_part_triangles_clique_and_wedge(spark, monkeypatch):
+    """A 4-clique (every pair co-ordered twice) yields 4 triangles with
+    every member on 3 of them; an open wedge (5-6, 6-7, no 5-7) and
+    single-co-order pairs (below TRI_MIN_SUP) yield none."""
+    import real_time_fraud_detection_system_spark.operators.tpch_extra as tx
+
+    orders = {
+        101: [1, 2, 3, 4], 102: [1, 2, 3, 4],   # clique, support 2
+        103: [5, 6], 104: [5, 6], 105: [6, 7], 106: [6, 7],  # wedge
+        107: [8, 9],                              # support 1: no edge
+    }
+    rows = [(o, p) for o, parts in orders.items() for p in parts]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(
+        tx, "load_table", lambda s, d, n: df if n == "lineitem" else None
+    )
+    got = {r["l_partkey"]: r["n_triangles"]
+           for r in tx.part_triangles(spark, "x").collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
