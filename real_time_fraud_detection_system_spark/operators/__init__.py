@@ -155,10 +155,20 @@ PRIORITY = [
     # part_triangles (degree-oriented triangle counting over the
     # support-filtered co-purchase graph -- O(m^1.5) enumeration, each
     # triangle found once at its minimum-order corner), and
-    # shard_overlap + user_value_anomalies if their in-window round-6
-    # verdicts predate the late-round rewrites -- all local-checker
-    # green at sf0.01 AND sf0.1; they take section-(a) slots next
-    # round alongside the nine deferred tpch_extra round-4 queries.
+    # benford_first_digit (first-significant-digit census vs the exact
+    # ppm Benford table -- the fabricated-amounts screen),
+    # seasonal_hour_baseline (hour-of-week seasonal deviation top-20
+    # over the dense zero-filled calendar grid),
+    # survival_weekly (Kaplan-Meier weekly user survival with
+    # right-censoring at the corpus edge; integer fixed-point KM fold
+    # replayed by a recursive CTE in the oracle),
+    # peak_concurrency (per-day peak concurrent sessions via a
+    # midnight-split interval sweep-line, per-day partitioned sort),
+    # and shard_overlap + user_value_anomalies if their in-window
+    # round-6 verdicts predate the late-round rewrites -- all
+    # local-checker green at sf0.01 AND sf0.1; they take section-(a)
+    # slots next round alongside the nine deferred tpch_extra round-4
+    # queries.
 ]
 
 

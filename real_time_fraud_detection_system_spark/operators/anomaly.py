@@ -430,13 +430,228 @@ ORDER BY p.day
 """
 
 
+# --------------------------------------------------------------------------
+# Benford first-digit conformance -- the classic fabricated-amounts
+# screen. P(first digit = d) = log10(1 + 1/d), here as exact ppm
+# integer constants (they sum to exactly 1,000,000) so neither engine
+# evaluates a log at query time.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+BENFORD_TOL_PPM = 20_000  # |excess| > 2pp flags the digit cell
+
+
+def _benford_case(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} = {d} THEN {p}" for d, p in BENFORD_PPM.items()
+    )
+    return f"CASE {cases} END"
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit census of transaction amounts per event
+    type vs the Benford expectation -- the fraud-analytics screen the
+    reference's fixed per-event threshold (services/fraud_service/app/
+    main.py:100-104) has no analog for: fabricated or clipped amount
+    populations show up as digit cells far off log10(1 + 1/d) even when
+    every individual amount looks plausible.
+
+    Exactness: amounts are exact cents (verified <= 4e-12 from the
+    integer grid), so ``round(value*100)`` never lands on a .5 boundary;
+    the first digit comes from the BIGINT's decimal image, identical in
+    both engines. Shares are floor-ppm integers and the Benford
+    expectation is an integer constant table, so every output column is
+    engine-exact. Scale: one scan into a (type, digit) <= 9x|types|
+    aggregate with map-side partials; the dense digit grid and the
+    per-type totals join are O(types) broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    digits = (
+        ev.selectExpr(
+            "event_type",
+            "CAST(substring(CAST(CAST(round(value * 100, 0) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT) AS digit",
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    # Three consumers (type list, totals, the left join) re-derive the
+    # census otherwise -- cache the <= 9 x |types|-row aggregate so the
+    # corpus scan runs once.
+    digits = digits.cache()
+    grid = (
+        digits.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+            )
+        )
+    )
+    totals = digits.groupBy("event_type").agg(
+        F.sum("n_obs").alias("n_total")
+    )
+    return (
+        grid.join(digits, ["event_type", "digit"], "left")
+        .join(F.broadcast(totals), "event_type")
+        .selectExpr(
+            "event_type",
+            "digit",
+            "coalesce(n_obs, 0L) AS n_obs",
+            "n_total",
+            "coalesce(n_obs, 0L) * 1000000 DIV n_total AS obs_ppm",
+            f"{_benford_case('digit')} AS benford_ppm",
+        )
+        .selectExpr(
+            "*",
+            "obs_ppm - benford_ppm AS excess_ppm",
+            f"CAST(abs(obs_ppm - benford_ppm) > {BENFORD_TOL_PPM} AS INT)"
+            " AS flagged",
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT event_type,
+         CAST(substring(CAST(CAST(round(value * 100, 0) AS BIGINT)
+              AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, d.digit
+  FROM (SELECT DISTINCT event_type FROM digits) t,
+       (SELECT CAST(range AS INT) AS digit FROM range(1, 10)) d
+), totals AS (
+  SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS n_total
+  FROM digits GROUP BY 1
+)
+SELECT g.event_type, g.digit,
+       coalesce(n.n_obs, 0) AS n_obs,
+       t.n_total,
+       CAST(coalesce(n.n_obs, 0) * 1000000 // t.n_total AS BIGINT)
+         AS obs_ppm,
+       {_benford_case('g.digit')} AS benford_ppm,
+       CAST(coalesce(n.n_obs, 0) * 1000000 // t.n_total
+         - {_benford_case('g.digit')} AS BIGINT) AS excess_ppm,
+       CAST(abs(coalesce(n.n_obs, 0) * 1000000 // t.n_total
+            - {_benford_case('g.digit')}) > {BENFORD_TOL_PPM} AS INT)
+         AS flagged
+FROM grid g
+LEFT JOIN digits n USING (event_type, digit)
+JOIN totals t ON t.event_type = g.event_type
+ORDER BY g.event_type, g.digit
+"""
+
+
+# --------------------------------------------------------------------------
+# Hour-of-week seasonal baseline and the slots that deviate most.
+SEASONAL_TOP = 20
+
+
+def seasonal_hour_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-|SEASONAL_TOP| calendar hours whose event volume deviates
+    most from their hour-of-week seasonal baseline -- the ops question
+    behind the reference's raw hourly chart (grafana/dashboards/
+    predictions.json:18): 'is this Tuesday 14:00 unusually busy FOR a
+    Tuesday 14:00?'. A raw z-score against the global hourly mean
+    flags every rush hour; the seasonal baseline only flags departures
+    from the weekly rhythm.
+
+    Shape: ONE scan aggregates events to epoch-hour counts; the dense
+    hour grid (sequence-exploded from the global bounds, zero-filled
+    left join) is O(calendar), and the (dow, hour-of-day) baseline is
+    a 168-row broadcast joined back to the grid. Exactness: dow comes
+    from epoch-day arithmetic ((days + 4) % 7, Sunday = 0) -- never the
+    engines' divergent dayofweek() -- and both deviation_ppm and
+    baseline_ppm use floor(int/int) where the quotient's denominator is
+    the tiny occurrence count, exact in double well past 2^50. Ordering
+    ties break on (day, hour)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.selectExpr("unix_timestamp(ts) DIV 3600 AS h")
+        .groupBy("h")
+        .agg(F.count("*").alias("n_events"))
+    )
+    hourly = hourly.cache()
+    grid = (
+        hourly.groupBy()
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .selectExpr("explode(sequence(mn, mx)) AS h")
+        .join(hourly, "h", "left")
+        .selectExpr(
+            "h",
+            "date_add(DATE '1970-01-01', CAST(h DIV 24 AS INT)) AS day",
+            "CAST(h % 24 AS INT) AS hour",
+            "CAST((h DIV 24 + 4) % 7 AS INT) AS dow",
+            "coalesce(n_events, 0L) AS n_events",
+        )
+    )
+    base = grid.groupBy("dow", "hour").agg(
+        F.count("*").alias("n_occ"), F.sum("n_events").alias("sum_c")
+    )
+    return (
+        grid.join(F.broadcast(base), ["dow", "hour"])
+        .selectExpr(
+            "day",
+            "hour",
+            "dow",
+            "n_events",
+            "CAST(floor(sum_c * 1000000 / n_occ) AS BIGINT)"
+            " AS baseline_ppm",
+            "CAST(floor((n_events * n_occ - sum_c) * 1000000 / n_occ)"
+            " AS BIGINT) AS deviation_ppm",
+        )
+        .orderBy(
+            F.abs(F.col("deviation_ppm")).desc(), "day", "hour"
+        )
+        .limit(SEASONAL_TOP)
+    )
+
+
+SEASONAL_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(h) AS mn, max(h) AS mx FROM hourly
+), grid AS (
+  SELECT g.h,
+         DATE '1970-01-01' + CAST(g.h // 24 AS INT) AS day,
+         CAST(g.h % 24 AS INT) AS hour,
+         CAST((g.h // 24 + 4) % 7 AS INT) AS dow,
+         coalesce(n.n_events, 0) AS n_events
+  FROM (SELECT unnest(range(mn, mx + 1)) AS h FROM bounds) g
+  LEFT JOIN hourly n USING (h)
+), base AS (
+  SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_occ,
+         sum(n_events) AS sum_c
+  FROM grid GROUP BY 1, 2
+)
+SELECT g.day, g.hour, g.dow, g.n_events,
+       CAST(floor(sum_c * 1000000 / n_occ) AS BIGINT) AS baseline_ppm,
+       CAST(floor((g.n_events * n_occ - sum_c) * 1000000 / n_occ)
+            AS BIGINT) AS deviation_ppm
+FROM grid g JOIN base USING (dow, hour)
+ORDER BY abs(CAST(floor((g.n_events * n_occ - sum_c) * 1000000 / n_occ)
+             AS BIGINT)) DESC, g.day, g.hour
+LIMIT {SEASONAL_TOP}
+"""
+
+
 QUERIES = {
     "user_value_anomalies": user_value_anomalies,
     "value_drift_psi": value_drift_psi,
     "bootstrap_fraud_ci": bootstrap_fraud_ci,
+    "benford_first_digit": benford_first_digit,
+    "seasonal_hour_baseline": seasonal_hour_baseline,
 }
 ORACLE = {
     "user_value_anomalies": USER_ANOMALIES_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "bootstrap_fraud_ci": BOOTSTRAP_FRAUD_CI_SQL,
+    "benford_first_digit": BENFORD_SQL,
+    "seasonal_hour_baseline": SEASONAL_SQL,
 }

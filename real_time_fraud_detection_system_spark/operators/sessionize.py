@@ -296,11 +296,261 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# --------------------------------------------------------------------------
+# Kaplan-Meier weekly survival of user activity lifetimes.
+_WEEK_US = 86_400_000_000  # one day of microseconds (day-split constant)
+
+
+def survival_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Kaplan-Meier survival curve of user lifetimes in weeks
+    -- the churn question behind the reference's per-day metrics
+    (dags/compute-daily-metrics.py:19-37): of the users first seen t
+    weeks ago, what share is still active? Users whose last activity
+    falls in the corpus' final week are right-CENSORED (they may still
+    be alive); everyone else 'dies' at their last active week.
+
+    Per offset t: n_at_risk = users with lifetime >= t, deaths = users
+    last seen at offset t (uncensored), hazard = d/n, and the KM
+    product S(t) = prod_{i<=t} (1 - d_i/n_i).
+
+    Exactness + scale: week indexes are Monday-aligned integer epoch-day
+    arithmetic ((days+3) DIV 7 -- never the engines' divergent
+    date_trunc('week') locale rules); the curve is computed entirely in
+    integer fixed-point, with the KM product a left fold of
+    ``acc * (n-d) DIV n`` from 1,000,000 -- bit-identical across
+    engines (the oracle replays the same fold as a recursive CTE). The
+    corpus collapses in two keyed aggregates (user -> (first, last
+    week) -> a <= weeks^2-row histogram); the curve itself is computed
+    by higher-order functions on ONE collected histogram row, so no
+    global window ever touches row-scale data."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.selectExpr(
+            "user_id",
+            "(unix_date(CAST(ts AS DATE)) + 3) DIV 7 AS w",
+        )
+        .groupBy("user_id")
+        .agg(F.min("w").alias("fw"), F.max("w").alias("lw"))
+    )
+    hist = users.selectExpr("lw - fw AS dur", "lw").groupBy(
+        "dur", "lw"
+    ).agg(F.count("*").alias("cnt"))
+    one = hist.agg(
+        F.max("lw").alias("gmax"),
+        F.collect_list(F.struct("dur", "lw", "cnt")).alias("hs"),
+    )
+    return (
+        one.selectExpr(
+            "gmax",
+            "hs",
+            "explode(sequence(0, aggregate(hs, 0L,"
+            " (a, x) -> greatest(a, x.dur)))) AS week_offset",
+        )
+        .selectExpr(
+            "week_offset",
+            "aggregate(filter(hs, x -> x.dur >= week_offset), 0L,"
+            " (a, x) -> a + x.cnt) AS n_at_risk",
+            "aggregate(filter(hs, x -> x.dur = week_offset"
+            " AND x.lw < gmax), 0L, (a, x) -> a + x.cnt) AS deaths",
+            "aggregate(filter(hs, x -> x.dur = week_offset"
+            " AND x.lw = gmax), 0L, (a, x) -> a + x.cnt) AS censored",
+            "aggregate(sequence(0, week_offset), 1000000L, (acc, i) ->"
+            " (acc * (aggregate(filter(hs, x -> x.dur >= i), 0L,"
+            "           (a, x) -> a + x.cnt)"
+            "         - aggregate(filter(hs, x -> x.dur = i"
+            "             AND x.lw < gmax), 0L, (a, x) -> a + x.cnt)))"
+            " DIV aggregate(filter(hs, x -> x.dur >= i), 0L,"
+            "       (a, x) -> a + x.cnt)) AS survival_ppm",
+        )
+        .selectExpr(
+            "week_offset",
+            "n_at_risk",
+            "deaths",
+            "censored",
+            "deaths * 1000000 DIV n_at_risk AS hazard_ppm",
+            "survival_ppm",
+        )
+        .orderBy("week_offset")
+    )
+
+
+SURVIVAL_WEEKLY_SQL = """
+WITH RECURSIVE users AS (
+  SELECT user_id,
+         min((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) + 3) // 7)
+           AS fw,
+         max((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) + 3) // 7)
+           AS lw
+  FROM events GROUP BY 1
+), g AS (
+  SELECT max(lw) AS gmax FROM users
+), durs AS (
+  SELECT lw - fw AS dur,
+         CAST(sum(CASE WHEN lw < g.gmax THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN lw = g.gmax THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM users, g GROUP BY 1
+), per AS (
+  SELECT t.t AS week_offset,
+         (SELECT CAST(coalesce(sum(d + c), 0) AS BIGINT) FROM durs
+          WHERE dur >= t.t) AS n_at_risk,
+         coalesce((SELECT d FROM durs WHERE dur = t.t), 0) AS deaths,
+         coalesce((SELECT c FROM durs WHERE dur = t.t), 0) AS censored
+  FROM (SELECT unnest(range(0, (SELECT max(dur) + 1 FROM durs))) AS t) t
+), surv AS (
+  SELECT week_offset, n_at_risk, deaths, censored,
+         (n_at_risk - deaths) * 1000000 // n_at_risk AS survival_ppm
+  FROM per WHERE week_offset = 0
+  UNION ALL
+  SELECT p.week_offset, p.n_at_risk, p.deaths, p.censored,
+         s.survival_ppm * (p.n_at_risk - p.deaths) // p.n_at_risk
+  FROM surv s JOIN per p ON p.week_offset = s.week_offset + 1
+)
+SELECT week_offset, n_at_risk, deaths, censored,
+       CAST(deaths * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm,
+       CAST(survival_ppm AS BIGINT) AS survival_ppm
+FROM surv ORDER BY week_offset
+"""
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions via an interval sweep-line --
+    the capacity question ('how many users were on AT ONCE, and when?')
+    that no per-hour count answers, because sessions straddle bucket
+    edges. Sessions are the gap-rule intervals [first event, last
+    event]; a session spanning midnight is SPLIT at the day boundary so
+    each calendar day sees exactly its own overlap.
+
+    Sweep-line as dataframes: each interval emits (+1 at start, -1 at
+    end + 1us); the running sum ordered by (time, delta, user, seq) is
+    the exact concurrency at every boundary instant (-1 sorts first, so
+    back-to-back sessions at the same microsecond never double-count).
+    The order key is a unique total order, so both engines walk the
+    identical sequence. busiest_us is the FIRST instant the day hits
+    its peak.
+
+    Scale: the sweep partitions by day -- embarrassing parallelism
+    across the calendar, one sort per day of O(sessions-that-day)
+    boundary points (never raw events: the session rollup happens on
+    the user-keyed shuffle first). At 100 TB / years of data that is
+    thousands of independent partitions; a single hot day degrades to
+    one sorted partition of its own sessions, and the hierarchical
+    refinement (per-hour partial sums + a 24-row prefix) slots in
+    without changing semantics."""
+    sess = (
+        sessionized(spark, sf_dir)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    seg = sess.selectExpr(
+        "user_id",
+        "session_seq",
+        f"explode(sequence(s_us DIV {_WEEK_US}, e_us DIV {_WEEK_US}))"
+        " AS d",
+        "s_us",
+        "e_us",
+    ).selectExpr(
+        "user_id",
+        "session_seq",
+        "d",
+        f"greatest(s_us, d * {_WEEK_US}) AS b_us",
+        f"least(e_us, (d + 1) * {_WEEK_US} - 1) AS f_us",
+    )
+    pts = seg.selectExpr(
+        "d", "b_us AS t_us", "1 AS delta", "user_id", "session_seq"
+    ).unionAll(
+        seg.selectExpr(
+            "d", "f_us + 1 AS t_us", "-1 AS delta", "user_id",
+            "session_seq",
+        )
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("t_us", "delta", "user_id", "session_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(w)).withColumn(
+        "peak", F.max("conc").over(Window.partitionBy("d"))
+    )
+    return (
+        run.groupBy("d")
+        .agg(
+            F.expr("sum(CASE WHEN delta = 1 THEN 1L ELSE 0L END)").alias(
+                "n_intervals"
+            ),
+            F.max("conc").alias("peak_concurrency"),
+            F.min(
+                F.expr("CASE WHEN conc = peak THEN t_us END")
+            ).alias("busiest_us"),
+        )
+        .selectExpr(
+            "date_add(DATE '1970-01-01', CAST(d AS INT)) AS day",
+            "n_intervals",
+            "peak_concurrency",
+            "busiest_us",
+        )
+        .orderBy("day")
+    )
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH sess AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_us IS NULL
+                  OR us - prev_us > {GAP_MINUTES * 60 * 1000000}
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events)
+), spans AS (
+  SELECT user_id, session_seq,
+         min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+  FROM sess GROUP BY 1, 2
+), seg AS (
+  SELECT user_id, session_seq,
+         unnest(range(s_us // {_WEEK_US}, e_us // {_WEEK_US} + 1)) AS d,
+         s_us, e_us
+  FROM spans
+), seg2 AS (
+  SELECT user_id, session_seq, d,
+         greatest(s_us, d * {_WEEK_US}) AS b_us,
+         least(e_us, (d + 1) * {_WEEK_US} - 1) AS f_us
+  FROM seg
+), pts AS (
+  SELECT d, b_us AS t_us, 1 AS delta, user_id, session_seq FROM seg2
+  UNION ALL
+  SELECT d, f_us + 1, -1, user_id, session_seq FROM seg2
+), run AS (
+  SELECT d, t_us, delta,
+         sum(delta) OVER (PARTITION BY d
+                          ORDER BY t_us, delta, user_id, session_seq
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+), run2 AS (
+  SELECT *, max(conc) OVER (PARTITION BY d) AS peak FROM run
+)
+SELECT DATE '1970-01-01' + CAST(d AS INT) AS day,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_intervals,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       CAST(min(CASE WHEN conc = peak THEN t_us END) AS BIGINT)
+         AS busiest_us
+FROM run2 GROUP BY d ORDER BY day
+"""
+
+
 QUERIES = {
     "user_sessions": user_sessions,
     "session_summary": session_summary,
     "conversion_funnel": conversion_funnel,
     "weekly_retention_cohorts": weekly_retention_cohorts,
+    "survival_weekly": survival_weekly,
+    "peak_concurrency": peak_concurrency,
 }
 
 ORACLE = {
@@ -308,4 +558,6 @@ ORACLE = {
     "session_summary": SESSION_SUMMARY_SQL,
     "conversion_funnel": CONVERSION_FUNNEL_SQL,
     "weekly_retention_cohorts": WEEKLY_RETENTION_SQL,
+    "survival_weekly": SURVIVAL_WEEKLY_SQL,
+    "peak_concurrency": PEAK_CONCURRENCY_SQL,
 }

@@ -137,6 +137,24 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # per-depth scalar recall aggregate (4 one-row results unioned) --
     # both constant-size at any corpus scale.
     "ivf_probe_sweep": frozenset({"NLJ", "1PART"}),
+    # benford_first_digit: the NLJ is the dense digit grid -- distinct
+    # event types crossJoined with the broadcast 9-row digit range,
+    # O(types x 9) at any data scale (the corpus-sized work is the
+    # preceding keyed digit census); the gapfill_hourly bounded-grid
+    # pattern.
+    "benford_first_digit": frozenset({"NLJ"}),
+    # seasonal_hour_baseline: the 1PART is the 1-row global hour-bounds
+    # aggregate that seeds the sequence-exploded calendar grid -- the
+    # gapfill_hourly scalar-anchor pattern; the corpus-sized work is
+    # the keyed epoch-hour aggregate before it, and every later join
+    # (168-row dow/hour baseline) is an O(calendar) broadcast.
+    "seasonal_hour_baseline": frozenset({"1PART"}),
+    # survival_weekly: the 1PART is the collect_list of the
+    # (duration, last-week) histogram -- <= weeks^2 rows regardless of
+    # user count (two keyed aggregates collapse the corpus first); the
+    # KM fold then runs as higher-order functions over that single
+    # bounded row -- the near-scalar summary pattern.
+    "survival_weekly": frozenset({"1PART"}),
 }
 
 
