@@ -164,6 +164,16 @@ PRIORITY = [
     # replayed by a recursive CTE in the oracle),
     # peak_concurrency (per-day peak concurrent sessions via a
     # midnight-split interval sweep-line, per-day partitioned sort),
+    # event_transition_matrix (first-order Markov transitions over
+    # per-user sequences, integer row-conditional ppm),
+    # conversion_latency_buckets (funnel stage latency as an
+    # order-of-magnitude histogram, integer seconds),
+    # velocity_profile (trailing 1h-count / 24h-spend RANGE-frame
+    # velocity features, digit-bucketed census, exact cents),
+    # cusum_changepoints (integer CUSUM over the daily flagged rate --
+    # maximum-likelihood single changepoint of a mean shift),
+    # risk_lift_matrix (event-type x hour flagged-rate lift vs the
+    # global rate, floor-ppm end to end),
     # and shard_overlap + user_value_anomalies if their in-window
     # round-6 verdicts predate the late-round rewrites -- all
     # local-checker green at sf0.01 AND sf0.1; they take section-(a)

@@ -641,12 +641,167 @@ LIMIT {SEASONAL_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily flagged rate.
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-sum changepoint statistic over the daily heuristic
+    flagged rate -- the standard answer to 'WHEN did the fraud mix
+    shift?', which neither a per-day chart (dags/
+    compute-daily-metrics.py:19-37) nor value_drift_psi's two-window
+    compare localizes: the day with the extreme |CUSUM| is the
+    maximum-likelihood single changepoint of a mean shift.
+
+    Exactness: rates are floor-ppm integers; the deviation is kept in
+    the integer scale ``rate_ppm * n_days - sum_ppm`` (deviation from
+    the mean multiplied through by n_days, so no division ever
+    happens), and the running sum is integer -- identical in both
+    engines at any day count. Scale: one scan collapses to O(days)
+    rows map-side; the unpartitioned running-sum window and the 1-row
+    scalar anchors after it touch only that calendar-bounded frame --
+    the moving_avg_revenue day-grain pattern."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr(
+            "CAST(ts AS DATE) AS day",
+            f"CASE WHEN value > {FRAUD_CUT} THEN 1L ELSE 0L END AS f",
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n_events"), F.sum("f").alias("n_flagged"))
+        .selectExpr(
+            "day",
+            "n_events",
+            "n_flagged",
+            "n_flagged * 1000000 DIV n_events AS rate_ppm",
+        )
+    )
+    tot = daily.agg(
+        F.count("*").alias("n_days"), F.sum("rate_ppm").alias("sum_ppm")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cur = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "cusum_scaled",
+        F.sum(F.expr("rate_ppm * n_days - sum_ppm")).over(w),
+    )
+    peak = cur.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("peak"))
+    return (
+        cur.crossJoin(F.broadcast(peak))
+        .selectExpr(
+            "day",
+            "n_events",
+            "n_flagged",
+            "rate_ppm",
+            "cusum_scaled",
+            "CAST(abs(cusum_scaled) = peak AS INT) AS is_changepoint",
+        )
+        .orderBy("day")
+    )
+
+
+CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_flagged
+  FROM events GROUP BY 1
+), d2 AS (
+  SELECT *, CAST(n_flagged * 1000000 // n_events AS BIGINT) AS rate_ppm
+  FROM daily
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(rate_ppm) AS BIGINT) AS sum_ppm
+  FROM d2
+), cur AS (
+  SELECT d.*,
+         CAST(sum(rate_ppm * n_days - sum_ppm)
+              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cusum_scaled
+  FROM d2 d, tot
+)
+SELECT day, n_events, n_flagged, rate_ppm, cusum_scaled,
+       CAST(abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM cur)
+            AS INT) AS is_changepoint
+FROM cur ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# (event type x hour-of-day) flagged-rate lift matrix.
+def risk_lift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagged-rate lift per (event type, UTC hour-of-day) cell vs the
+    global rate -- the risk-segmentation table a rules team reads
+    before touching a threshold: lift 2,000,000 ppm means that cell
+    flags at twice the global rate. The reference applies ONE global
+    threshold to every message (main.py:100-104); this shows exactly
+    where that miscalibrates.
+
+    Exactness: both the cell rate and the lift are floor-ppm integers
+    (the lift divides the two already-floored ppm rates -- documented
+    floor-of-floor, replayed identically by the oracle). Scale: one
+    scan into a <= |types| x 24 keyed aggregate with map-side partials;
+    the global totals are a 1-row broadcast -- the freshness_check
+    scalar-anchor pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.selectExpr(
+            "event_type",
+            "CAST(hour(ts) AS INT) AS hour",
+            f"CASE WHEN value > {FRAUD_CUT} THEN 1L ELSE 0L END AS f",
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n_events"), F.sum("f").alias("n_flagged"))
+    )
+    tot = cells.agg(
+        F.sum("n_events").alias("t_n"), F.sum("n_flagged").alias("t_f")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "event_type",
+            "hour",
+            "n_events",
+            "n_flagged",
+            "n_flagged * 1000000 DIV n_events AS flagged_ppm",
+            "(n_flagged * 1000000 DIV n_events) * 1000000"
+            " DIV (t_f * 1000000 DIV t_n) AS lift_ppm",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+RISK_LIFT_SQL = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(hour(ts) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_flagged
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS t_n,
+         CAST(sum(n_flagged) AS BIGINT) AS t_f
+  FROM cells
+)
+SELECT event_type, hour, n_events, n_flagged,
+       CAST(n_flagged * 1000000 // n_events AS BIGINT) AS flagged_ppm,
+       CAST((n_flagged * 1000000 // n_events) * 1000000
+            // (t_f * 1000000 // t_n) AS BIGINT) AS lift_ppm
+FROM cells, tot ORDER BY event_type, hour
+"""
+
+
 QUERIES = {
     "user_value_anomalies": user_value_anomalies,
     "value_drift_psi": value_drift_psi,
     "bootstrap_fraud_ci": bootstrap_fraud_ci,
     "benford_first_digit": benford_first_digit,
     "seasonal_hour_baseline": seasonal_hour_baseline,
+    "cusum_changepoints": cusum_changepoints,
+    "risk_lift_matrix": risk_lift_matrix,
 }
 ORACLE = {
     "user_value_anomalies": USER_ANOMALIES_SQL,
@@ -654,4 +809,6 @@ ORACLE = {
     "bootstrap_fraud_ci": BOOTSTRAP_FRAUD_CI_SQL,
     "benford_first_digit": BENFORD_SQL,
     "seasonal_hour_baseline": SEASONAL_SQL,
+    "cusum_changepoints": CUSUM_SQL,
+    "risk_lift_matrix": RISK_LIFT_SQL,
 }

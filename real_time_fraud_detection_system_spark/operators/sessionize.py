@@ -544,6 +544,176 @@ FROM run2 GROUP BY d ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences.
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev event type -> next event type) transition counts and
+    probabilities over each user's time-ordered event sequence -- the
+    sequence model behind 'is this ORDER of actions normal?', which the
+    reference's per-event independence assumption (services/
+    fraud_service/app/main.py:100-104 scores each message alone) cannot
+    ask: a purchase right after a signup and a purchase after a long
+    click trail carry identical features there.
+
+    Exactness: the sequence order is the unique total key (ts,
+    event_id), so both engines pair identical neighbors; counts and the
+    floor-ppm row-conditional probabilities are integer end to end.
+    Scale: ONE user-keyed shuffle (the lag window); everything after is
+    an O(|types|^2) aggregate with map-side partials and an O(|types|)
+    broadcast join for the row totals -- no global window, no second
+    corpus shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .selectExpr(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            "n_from",
+            "n_trans * 1000000 DIV n_from AS prob_ppm",
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVENT_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), c AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+  FROM c GROUP BY 1
+)
+SELECT c.prev_type, c.next_type, c.n_trans, t.n_from,
+       CAST(c.n_trans * 1000000 // t.n_from AS BIGINT) AS prob_ppm
+FROM c JOIN t USING (prev_type)
+ORDER BY c.prev_type, c.next_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Funnel stage latency distribution (order-of-magnitude histogram).
+def conversion_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How LONG each funnel stage takes, as an order-of-magnitude
+    histogram -- the companion to conversion_funnel's pure counts: per
+    user, the first click after signup and the first purchase after
+    that click (identical stage semantics), then the two stage
+    latencies bucketed by their decimal digit count in whole seconds
+    (1 = under 10 s, ..., 7 = megaseconds). Conversion RATES without
+    latency hide a stalled funnel; digit buckets keep the output
+    bounded at any scale.
+
+    Exactness: latencies are floor-integer seconds from microsecond
+    arithmetic (strictly positive by the stage definition, so floor ==
+    truncation in both engines) and the bucket is the BIGINT's decimal
+    image length; min/max/sum per bucket are integer-exact. Scale: the
+    same single user-keyed aggregate as conversion_funnel (higher-order
+    array expressions, no re-shuffle), then an O(stages x 7) rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t_signup"),
+        F.collect_list(
+            F.when(
+                F.col("event_type").isin("click", "purchase"),
+                F.struct("ts", "event_type"),
+            )
+        ).alias("evs"),
+    )
+    staged = per_user.selectExpr(
+        "t_signup",
+        "evs",
+        "array_min(transform(filter(evs, e -> e.event_type = 'click'"
+        " AND e.ts > t_signup), e -> e.ts)) AS t_click",
+    ).selectExpr(
+        "t_signup",
+        "t_click",
+        "array_min(transform(filter(evs, e -> e.event_type = 'purchase'"
+        " AND e.ts > t_click), e -> e.ts)) AS t_purchase",
+    )
+    lats = staged.selectExpr(
+        "stack(2,"
+        " 'signup_to_click',"
+        " (unix_micros(t_click) - unix_micros(t_signup)) DIV 1000000,"
+        " 'click_to_purchase',"
+        " (unix_micros(t_purchase) - unix_micros(t_click)) DIV 1000000"
+        ") AS (stage, lat_s)"
+    ).filter(F.col("lat_s").isNotNull())
+    return (
+        lats.groupBy(
+            "stage",
+            F.expr("length(CAST(lat_s AS STRING))").alias("digits"),
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("lat_s").alias("min_s"),
+            F.max("lat_s").alias("max_s"),
+            F.sum("lat_s").alias("sum_s"),
+        )
+        .orderBy("stage", "digits")
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         list(CASE WHEN event_type IN ('click', 'purchase')
+                   THEN {'ts': ts, 'event_type': event_type} END)
+           AS evs
+  FROM events GROUP BY 1
+), s1 AS (
+  SELECT t_signup, evs,
+         list_min(list_transform(list_filter(evs,
+             e -> e IS NOT NULL AND e.event_type = 'click'
+                  AND e.ts > t_signup), e -> e.ts)) AS t_click
+  FROM per_user
+), s2 AS (
+  SELECT t_signup, t_click,
+         list_min(list_transform(list_filter(evs,
+             e -> e IS NOT NULL AND e.event_type = 'purchase'
+                  AND e.ts > t_click), e -> e.ts)) AS t_purchase
+  FROM s1
+), lats AS (
+  SELECT 'signup_to_click' AS stage,
+         (epoch_us(t_click) - epoch_us(t_signup)) // 1000000 AS lat_s
+  FROM s2
+  UNION ALL
+  SELECT 'click_to_purchase',
+         (epoch_us(t_purchase) - epoch_us(t_click)) // 1000000
+  FROM s2
+)
+SELECT stage,
+       CAST(length(CAST(lat_s AS VARCHAR)) AS INT) AS digits,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(lat_s) AS BIGINT) AS min_s,
+       CAST(max(lat_s) AS BIGINT) AS max_s,
+       CAST(sum(lat_s) AS BIGINT) AS sum_s
+FROM lats WHERE lat_s IS NOT NULL
+GROUP BY 1, 2 ORDER BY stage, digits
+"""
+
+
 QUERIES = {
     "user_sessions": user_sessions,
     "session_summary": session_summary,
@@ -551,6 +721,8 @@ QUERIES = {
     "weekly_retention_cohorts": weekly_retention_cohorts,
     "survival_weekly": survival_weekly,
     "peak_concurrency": peak_concurrency,
+    "event_transition_matrix": event_transition_matrix,
+    "conversion_latency_buckets": conversion_latency_buckets,
 }
 
 ORACLE = {
@@ -560,4 +732,6 @@ ORACLE = {
     "weekly_retention_cohorts": WEEKLY_RETENTION_SQL,
     "survival_weekly": SURVIVAL_WEEKLY_SQL,
     "peak_concurrency": PEAK_CONCURRENCY_SQL,
+    "event_transition_matrix": EVENT_TRANSITION_SQL,
+    "conversion_latency_buckets": CONVERSION_LATENCY_SQL,
 }

@@ -807,6 +807,90 @@ ORDER BY event_type, bucket_hour
 """
 
 
+# --------------------------------------------------------------------------
+# Trailing-window velocity features, profiled as a bounded histogram.
+_H1_US = 3_600_000_000 - 1  # trailing (t-1h, t] in microseconds
+_D1_US = 86_400_000_000 - 1  # trailing (t-24h, t]
+
+
+def velocity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window velocity features -- per event, the user's event
+    count over the trailing hour and spend over the trailing 24h --
+    profiled as an order-of-magnitude histogram per event type. These
+    are THE classic card-fraud features ('5th transaction this hour')
+    that the reference's stateless per-message scorer
+    (services/fraud_service/app/main.py:100-104) cannot compute; here
+    they are two RANGE-frame window aggregates sharing one user-keyed
+    sort, all JVM-side.
+
+    Exactness: frames are value-based on integer microseconds --
+    peer-inclusive RANGE semantics are identical in both engines and
+    independent of tie order; spend sums exact cents (BIGINT); buckets
+    are decimal digit counts of BIGINTs. Scale: ONE shuffle
+    (partitionBy user), both frames computed in the same window pass;
+    the histogram rollup collapses map-side to <= |types| x 7 x 12
+    rows. Per-user data is bounded by a user's own activity, so the
+    keyed sort survives arbitrary corpus growth; a single pathological
+    user degrades to one sorted partition of its own events."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "user_id",
+        "event_type",
+        "unix_micros(ts) AS us",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_H1_US, 0)
+    )
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_D1_US, 0)
+    )
+    feat = base.select(
+        "event_type",
+        F.count(F.lit(1)).over(w1).alias("v1h"),
+        F.sum("cents").over(w24).alias("c24h"),
+    )
+    return (
+        feat.groupBy(
+            "event_type",
+            F.expr("length(CAST(v1h AS STRING))").alias("v1h_digits"),
+            F.expr("length(CAST(c24h AS STRING))").alias("c24h_digits"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("v1h").alias("max_v1h"),
+            F.max("c24h").alias("max_c24h"),
+        )
+        .orderBy("event_type", "v1h_digits", "c24h_digits")
+    )
+
+
+VELOCITY_PROFILE_SQL = f"""
+WITH feat AS (
+  SELECT event_type,
+         CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN {_H1_US} PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS v1h,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN {_D1_US} PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c24h
+  FROM events
+)
+SELECT event_type,
+       CAST(length(CAST(v1h AS VARCHAR)) AS INT) AS v1h_digits,
+       CAST(length(CAST(c24h AS VARCHAR)) AS INT) AS c24h_digits,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(v1h) AS BIGINT) AS max_v1h,
+       CAST(max(c24h) AS BIGINT) AS max_c24h
+FROM feat GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "gapfill_hourly": gapfill_hourly,
     "rfm_segments": rfm_segments,
@@ -818,6 +902,7 @@ QUERIES = {
     "approx_value_quantiles": approx_value_quantiles,
     "event_gap_buckets": event_gap_buckets,
     "decayed_user_value": decayed_user_value,
+    "velocity_profile": velocity_profile,
 }
 
 ORACLE = {
@@ -831,4 +916,5 @@ ORACLE = {
     "approx_value_quantiles": APPROX_QUANTILES_SQL,
     "event_gap_buckets": GAP_BUCKETS_SQL,
     "decayed_user_value": DECAYED_VALUE_SQL,
+    "velocity_profile": VELOCITY_PROFILE_SQL,
 }

@@ -155,6 +155,17 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # KM fold then runs as higher-order functions over that single
     # bounded row -- the near-scalar summary pattern.
     "survival_weekly": frozenset({"1PART"}),
+    # cusum_changepoints: all three flags live PAST the day-grain
+    # aggregate -- the unpartitioned running-sum window, its single
+    # partition, and the two 1-row scalar-anchor broadcasts (n_days/
+    # sum_ppm, peak) all touch O(calendar-days) rows -- the
+    # moving_avg_revenue day-grain pattern.
+    "cusum_changepoints": frozenset({"1PART", "GLOBALWIN", "NLJ"}),
+    # risk_lift_matrix: the NLJ is the 1-row global-totals broadcast
+    # over the <= |types| x 24 cell table and the 1PART is that scalar
+    # aggregate's own exchange -- the freshness_check scalar-anchor
+    # pattern.
+    "risk_lift_matrix": frozenset({"1PART", "NLJ"}),
 }
 
 
