@@ -96,6 +96,10 @@ HEADLINE = [
     "dq_expectations",
     "join_blowup_probe",
     "source_token_entropy",
+    "bloom_prefilter_stats",
+    "countmin_heavy_hitters",
+    "skyline_parts",
+    "supplier_bfs_hops",
 ]
 
 

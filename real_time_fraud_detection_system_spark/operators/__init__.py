@@ -16,7 +16,7 @@ def _modules():
     from . import relational
 
     mods = [relational]
-    for name in ("metrics", "dedup", "similarity", "textops", "corpusops", "sessionize", "multimodal", "windows", "temporal", "mlqueries", "tpch_extra", "skew", "anomaly", "layout"):
+    for name in ("metrics", "dedup", "similarity", "textops", "corpusops", "sessionize", "multimodal", "windows", "temporal", "mlqueries", "tpch_extra", "skew", "anomaly", "layout", "sketches"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:
@@ -64,6 +64,13 @@ PRIORITY = [
     #     its round-4 verdict stands and it queues for round 7).
     "dedup_incremental", "split_leakage_check", "pii_scrub_stats",
     "layout_pruning_stats",
+    #   * NEW sketches module (round 6): its family representative --
+    #     the exact-replay Count-Min heavy-hitter report (cheap, 20
+    #     rows); bloom_prefilter_stats queues for round 7. To keep the
+    #     window at 50, q18_large_volume_customers joins the nine
+    #     deferred round-4 tpch_extra backfills (that family already
+    #     holds five section-(a) slots, so the family gate stays green).
+    "countmin_heavy_hitters",
     # (b) oldest-verdict backfill: 33 of the 42 queries whose latest
     #     driver verdict is round 4. The 9 deferred to the round-7
     #     window head are all tpch_extra entries (q8, q9, q12, q13,
@@ -82,7 +89,6 @@ PRIORITY = [
     "approx_distinct_users", "approx_value_quantiles",
     "deterministic_split", "stratified_sample",
     "q7_volume_shipping", "q4_order_priority_exists",
-    "q18_large_volume_customers",
     "salted_value_by_type", "user_value_anomalies",
     # Everything with a round-5 verdict sits past the window this round
     # (verdict one round old) and rotates back in round 7 with the nine
@@ -174,6 +180,12 @@ PRIORITY = [
     # maximum-likelihood single changepoint of a mean shift),
     # risk_lift_matrix (event-type x hour flagged-rate lift vs the
     # global rate, floor-ppm end to end),
+    # bloom_prefilter_stats (Bloom prefilter FPR/load audit with exact
+    # md5-replayed bit decisions) and countmin_heavy_hitters (mergeable
+    # Count-Min cells vs exact top-k counts, one-sided error column),
+    # skyline_parts (2-D Pareto frontier as agg + bounded window -- no
+    # pairwise dominance join) and supplier_bfs_hops (unrolled
+    # BFS level census over the trade graph, the blast-radius query),
     # and shard_overlap + user_value_anomalies if their in-window
     # round-6 verdicts predate the late-round rewrites -- all
     # local-checker green at sf0.01 AND sf0.1; they take section-(a)

@@ -1,0 +1,282 @@
+"""Probabilistic-filter sketches with exact cross-engine replay: a
+Bloom-filter join prefilter audit and a Count-Min heavy-hitter sketch.
+
+Both sketches are built from md5-derived hash positions (the repo-wide
+cross-engine hash convention, operators/skew.py), so DuckDB reproduces
+every bit decision and the oracle compares EXACT values -- unlike the
+engine-native sketches in temporal.py (HLL / GK quantiles) which need
+bounded-relative-error verdicts.
+
+Why these belong in a 100 TB engine:
+
+* ``bloom_prefilter_stats`` is the runtime-filter / semi-join-reduction
+  pattern: before shuffling the 100 TB fact side of a selective join,
+  build a Bloom filter over the (small) filtered build side's keys,
+  broadcast the bit set, and drop fact rows that cannot match. Spark's
+  own runtime filters (spark.sql.optimizer.runtime.bloomFilter.enabled)
+  do exactly this inside the engine; this operator AUDITS the trade --
+  measured false-positive rate and bit-load for a concrete (bits,
+  hashes) choice -- which is the table you read before sizing
+  ``...bloomFilter.expectedNumItems`` / ``numBits``. The reference has
+  no join surface at all (SURVEY.md par. 2.4); this guards the
+  engine's own join extensions.
+
+* ``countmin_heavy_hitters`` is the mergeable frequency sketch: cell
+  counts are plain sums, so partial aggregation, shuffle order, retry
+  and cluster size cannot change a single cell -- the map-side-combine
+  friendly shape. The report compares the CMS estimate against the
+  exact count for the true top keys; the overestimate column is the
+  documented one-sided CMS error (never negative).
+
+Scale shape: both sketches cost ONE scan + one small keyed aggregate
+(cells / bit positions bounded by the sketch size, not the data), and
+the probe side joins against a broadcastable constant-size table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# --------------------------------------------------------------------------
+# Bloom prefilter: BITS addressable bits, K independent md5-derived
+# hash functions. 2^16 bits / 3 hashes over the ~SF*1500 urgent-order
+# build keys gives a visibly loaded filter at sf0.1 (the interesting
+# regime for an FPR audit) while staying broadcast-sized at any SF.
+BLOOM_BITS = 1 << 16
+BLOOM_K = 3
+
+
+def _pos(key_col: str, salt: int, modulus: int) -> str:
+    """SQL for hash position #salt of a BIGINT key: first 8 md5 hex
+    chars (32 bits -- exact in BIGINT) of 'key:salt', mod `modulus`.
+    Identical text contract as the DuckDB oracle's _duck_pos."""
+    return (
+        "CAST(conv(substr(md5(concat(CAST("
+        f"{key_col} AS STRING), ':', '{salt}')), 1, 8), 16, 10) AS BIGINT)"
+        f" % {modulus}"
+    )
+
+
+def _duck_pos(key_col: str, salt: int, modulus: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR) || ':' ||"
+        f" '{salt}'), 1, 8) AS BIGINT) % {modulus}"
+    )
+
+
+def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit a Bloom prefilter for the selective join
+    ``lineitem JOIN orders WHERE o_orderpriority = '1-URGENT'``:
+    build the filter from urgent order keys, probe every distinct
+    lineitem order key, and report load factor, pass rate and the
+    measured false-positive rate (all exact integer ppm).
+
+    Plan shape: the bit set is a DISTINCT over build_keys x K rows
+    (<= BLOOM_BITS rows by construction) broadcast into the probe
+    join; a probe key passes iff all K of its positions are set
+    (count == K over the position join). The scalar roll-up at the
+    end is the 1-row summary pattern (conversion_funnel class)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    probe = lineitem.select(F.col("l_orderkey").alias("k")).distinct()
+
+    pos_arr = F.array(
+        *[F.expr(_pos("k", i, BLOOM_BITS)) for i in range(BLOOM_K)]
+    )
+    bits = build.select(F.explode(pos_arr).alias("pos")).distinct()
+
+    passed = (
+        probe.select("k", F.explode(pos_arr).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .select("k")
+    )
+    true_members = probe.join(build, "k", "left_semi")
+    false_pos = passed.join(build, "k", "left_anti")
+
+    n_build = build.agg(F.count("*").alias("n_build_keys"))
+    n_bits = bits.agg(F.count("*").alias("n_bits_set"))
+    n_probe = probe.agg(F.count("*").alias("n_probe_keys"))
+    n_pass = passed.agg(F.count("*").alias("n_pass_keys"))
+    n_true = true_members.agg(F.count("*").alias("n_true_keys"))
+    n_fp = false_pos.agg(F.count("*").alias("n_false_pos"))
+
+    row = (
+        n_build.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_fp))
+    )
+    return row.selectExpr(
+        "n_build_keys",
+        "n_bits_set",
+        f"CAST(n_bits_set * 1000000L DIV {BLOOM_BITS} AS BIGINT)"
+        " AS load_ppm",
+        "n_probe_keys",
+        "n_pass_keys",
+        "n_true_keys",
+        "n_false_pos",
+        # FPR over the keys that COULD false-positive (non-members)
+        "CAST(CASE WHEN n_probe_keys = n_true_keys THEN 0"
+        "      ELSE n_false_pos * 1000000L DIV (n_probe_keys - n_true_keys)"
+        " END AS BIGINT) AS fpr_ppm",
+    )
+
+
+def _bloom_sql() -> str:
+    pos_union = "\n    UNION ALL\n    ".join(
+        f"SELECT {_duck_pos('k', i, BLOOM_BITS)} AS pos FROM build"
+        for i in range(BLOOM_K)
+    )
+    probe_pos = "\n    UNION ALL\n    ".join(
+        f"SELECT k, {_duck_pos('k', i, BLOOM_BITS)} AS pos FROM probe"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH build AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+bits AS (SELECT DISTINCT pos FROM (
+    {pos_union}
+)),
+probe_pos AS (
+    {probe_pos}
+),
+passed AS (
+  SELECT k FROM probe_pos JOIN bits USING (pos)
+  GROUP BY k HAVING count(*) = {BLOOM_K}
+),
+stats AS (
+  SELECT
+    (SELECT count(*) FROM build) AS n_build_keys,
+    (SELECT count(*) FROM bits) AS n_bits_set,
+    (SELECT count(*) FROM probe) AS n_probe_keys,
+    (SELECT count(*) FROM passed) AS n_pass_keys,
+    (SELECT count(*) FROM probe WHERE k IN (SELECT k FROM build))
+        AS n_true_keys,
+    (SELECT count(*) FROM passed WHERE k NOT IN (SELECT k FROM build))
+        AS n_false_pos
+)
+SELECT n_build_keys, n_bits_set,
+       CAST(n_bits_set * 1000000 // {BLOOM_BITS} AS BIGINT) AS load_ppm,
+       n_probe_keys, n_pass_keys, n_true_keys, n_false_pos,
+       CAST(CASE WHEN n_probe_keys = n_true_keys THEN 0
+            ELSE n_false_pos * 1000000 // (n_probe_keys - n_true_keys)
+       END AS BIGINT) AS fpr_ppm
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: CMS_D independent rows of CMS_W counters. 4 x 512
+# cells hold ~1000 distinct users with visible (but bounded) collision
+# noise -- the regime where the overestimate column means something.
+CMS_D = 4
+CMS_W = 512
+CMS_TOPK = 20
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates vs exact counts for the
+    {CMS_TOPK} most active users of the events table.
+
+    The sketch: every event increments cell (d, md5_d(user) % W) for
+    d in 0..{CMS_D}-1; the estimate for a key is min over d of its
+    cell. Cells are plain sums -- mergeable partials, so the sketch is
+    identical at any partitioning (asserted by the invariance gate).
+    `overestimate = est - exact` is the one-sided CMS error; the
+    oracle replays the identical cells, so values match exactly."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    pos_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(_pos("user_id", d, CMS_W)).alias("pos"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    cells = (
+        ev.select(F.explode(pos_structs).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
+        .agg(F.count("*").alias("cell_n"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+    )
+    est = (
+        top.select("user_id", "exact_n", F.explode(pos_structs).alias("c"))
+        .select("user_id", "exact_n", "c.d", "c.pos")
+        .join(F.broadcast(cells), ["d", "pos"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell_n").alias("cms_est"))
+    )
+    return est.selectExpr(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        "cms_est - exact_n AS overestimate",
+        "CAST((cms_est - exact_n) * 1000000L DIV exact_n AS BIGINT)"
+        " AS err_ppm",
+    ).orderBy(F.desc("exact_n"), F.asc("user_id"))
+
+
+def _cms_sql() -> str:
+    cell_union = "\n    UNION ALL\n    ".join(
+        f"SELECT {d} AS d, {_duck_pos('user_id', d, CMS_W)} AS pos"
+        " FROM ev"
+        for d in range(CMS_D)
+    )
+    top_pos = "\n    UNION ALL\n    ".join(
+        f"SELECT user_id, exact_n, {d} AS d,"
+        f" {_duck_pos('user_id', d, CMS_W)} AS pos FROM top"
+        for d in range(CMS_D)
+    )
+    return f"""
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+cells AS (
+  SELECT d, pos, count(*) AS cell_n FROM (
+    {cell_union}
+  ) GROUP BY d, pos
+),
+top AS (
+  SELECT user_id, count(*) AS exact_n FROM ev
+  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT {CMS_TOPK}
+),
+est AS (
+  SELECT t.user_id, t.exact_n, min(c.cell_n) AS cms_est
+  FROM ({top_pos}) t JOIN cells c USING (d, pos)
+  GROUP BY t.user_id, t.exact_n
+)
+SELECT user_id, exact_n, cms_est,
+       cms_est - exact_n AS overestimate,
+       CAST((cms_est - exact_n) * 1000000 // exact_n AS BIGINT) AS err_ppm
+FROM est
+ORDER BY exact_n DESC, user_id
+"""
+
+
+QUERIES = {
+    "bloom_prefilter_stats": bloom_prefilter_stats,
+    "countmin_heavy_hitters": countmin_heavy_hitters,
+}
+ORACLE = {
+    "bloom_prefilter_stats": _bloom_sql(),
+    "countmin_heavy_hitters": _cms_sql(),
+}

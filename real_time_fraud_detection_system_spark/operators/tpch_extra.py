@@ -1238,8 +1238,222 @@ ORDER BY n_triangles DESC, l_partkey
 """
 
 
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier): cheapest price per size, dominated sizes
+# removed. The classic multi-criteria "best trade-off" operator.
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over parts: MINIMIZE p_retailprice, MAXIMIZE p_size.
+    A size s is on the frontier iff its cheapest part is strictly
+    cheaper than the cheapest part of EVERY larger size (a part at the
+    same price but bigger size dominates). Emits one row per frontier
+    point with the tie count and the smallest achieving part key --
+    the "best value at each capability level" table a procurement
+    query wants (the reference keeps no part catalog at all;
+    services/db/init.sql:1-31).
+
+    Scale shape: prices move to exact integer cents (round-to-int is
+    boundary-safe in both engines); ONE keyed aggregate collapses the
+    corpus to (size, cents) groups -- output bounded by the VALUE
+    DOMAIN (50 sizes x ~10k cent values), not the row count -- then a
+    50-row per-size min, a 50-row cumulative-min window (descending
+    size), and a broadcast join back to the bounded group table. No
+    pairwise dominance join anywhere: the O(n^2) textbook skyline
+    becomes agg + tiny window because both criteria have bounded
+    domains."""
+    part = load_table(spark, sf_dir, "part")
+    g = (
+        part.selectExpr(
+            "p_size",
+            "CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents",
+            "p_partkey",
+        )
+        .groupBy("p_size", "cents")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+    )
+    per_size = g.groupBy("p_size").agg(F.min("cents").alias("min_cents"))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_size.withColumn("best_larger", F.min("min_cents").over(w))
+        .filter(
+            F.col("best_larger").isNull()
+            | (F.col("min_cents") < F.col("best_larger"))
+        )
+        # alias away the shared lineage with g (frontier derives from g)
+        .select(
+            F.col("p_size").alias("f_size"),
+            F.col("min_cents").alias("f_cents"),
+        )
+    )
+    return (
+        g.join(
+            F.broadcast(frontier),
+            (F.col("p_size") == F.col("f_size"))
+            & (F.col("cents") == F.col("f_cents")),
+        )
+        .select(
+            "p_size",
+            F.col("cents").alias("price_cents"),
+            "n_parts",
+            "min_partkey",
+        )
+        .orderBy(F.desc("p_size"))
+    )
+
+
+SKYLINE_PARTS_SQL = """
+WITH g AS (
+  SELECT p_size, CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents,
+         count(*) AS n_parts, min(p_partkey) AS min_partkey
+  FROM part GROUP BY 1, 2
+),
+per_size AS (SELECT p_size, min(cents) AS min_cents FROM g GROUP BY 1),
+frontier AS (
+  SELECT p_size, min_cents FROM (
+    SELECT p_size, min_cents,
+           min(min_cents) OVER (ORDER BY p_size DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS best_larger
+    FROM per_size
+  ) WHERE best_larger IS NULL OR min_cents < best_larger
+)
+SELECT g.p_size, g.cents AS price_cents, g.n_parts, g.min_partkey
+FROM g JOIN frontier f ON g.p_size = f.p_size AND g.cents = f.min_cents
+ORDER BY g.p_size DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# BFS hop census over the trade graph (graph family: pagerank ranks,
+# triangles measure density, BFS measures REACH).
+BFS_HOPS = 4
+BFS_SRC_SUPPKEY = 1
+
+
+def supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reach census from supplier {BFS_SRC_SUPPKEY} over
+    the undirected customer--supplier trade graph (same node encoding
+    as supplier_pagerank: 2*custkey / 2*suppkey+1): how many customers
+    and suppliers sit at exactly 1, 2, .. {BFS_HOPS} hops. This is the
+    blast-radius query of fraud investigation -- "who is N
+    transactions away from this flagged entity" -- which the
+    reference's flat predictions table cannot ask (services/db/
+    init.sql:1-31).
+
+    Scale shape: the distinct edge list builds with one corpus shuffle
+    and is cached across rounds; each of the {BFS_HOPS} unrolled
+    rounds is one frontier-x-edges equi-join keyed on node (frontier
+    is O(nodes) at worst, the same key every round) + a distinct + an
+    anti-join against the visited set; localCheckpoint keeps lineage
+    flat. Levels are exact: a node's hop is the FIRST round that
+    reaches it, pinned by the anti-join. The oracle replays the same
+    levels via unrolled CTEs with NOT-IN exclusion -- different
+    strategy, identical frontier sets."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    fwd = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    src_node = BFS_SRC_SUPPKEY * 2 + 1
+    reached = spark.createDataFrame(
+        [(src_node, 0)], "node long, hop int"
+    ).localCheckpoint()
+    frontier = reached.select("node")
+    for k in range(1, BFS_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(k))
+            .localCheckpoint()
+        )
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    out = (
+        reached.groupBy("hop")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.expr("CAST(node % 2 = 0 AS BIGINT)")).alias(
+                "n_customers"
+            ),
+            F.sum(F.expr("CAST(node % 2 = 1 AS BIGINT)")).alias(
+                "n_suppliers"
+            ),
+        )
+        .orderBy("hop")
+    )
+    edges.unpersist()
+    return out
+
+
+def _bfs_sql() -> str:
+    src = BFS_SRC_SUPPKEY * 2 + 1
+    ctes = [
+        f"r0 AS (SELECT CAST({src} AS BIGINT) AS node, 0 AS hop)",
+        "f0 AS (SELECT node FROM r0)",
+    ]
+    for k in range(1, BFS_HOPS + 1):
+        ctes.append(
+            f"""n{k} AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN f{k - 1} f
+    ON e.src = f.node
+  WHERE e.dst NOT IN (SELECT node FROM r{k - 1})
+)"""
+        )
+        ctes.append(
+            f"r{k} AS (SELECT node, hop FROM r{k - 1}"
+            f" UNION ALL SELECT node, {k} AS hop FROM n{k})"
+        )
+        ctes.append(f"f{k} AS (SELECT node FROM n{k})")
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+),
+{cte_block}
+SELECT CAST(hop AS INT) AS hop, count(*) AS n_nodes,
+       CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers
+FROM r{BFS_HOPS}
+GROUP BY hop ORDER BY hop
+"""
+
+
+SUPPLIER_BFS_SQL = _bfs_sql()
+
+
 QUERIES = {
     "part_triangles": part_triangles,
+    "skyline_parts": skyline_parts,
+    "supplier_bfs_hops": supplier_bfs_hops,
     "supplier_pagerank": supplier_pagerank,
     "q7_volume_shipping": q7_volume_shipping,
     "q4_order_priority_exists": q4_order_priority_exists,
@@ -1262,6 +1476,8 @@ QUERIES = {
 
 ORACLE = {
     "part_triangles": PART_TRIANGLES_SQL,
+    "skyline_parts": SKYLINE_PARTS_SQL,
+    "supplier_bfs_hops": SUPPLIER_BFS_SQL,
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q4_order_priority_exists": Q4_SQL,

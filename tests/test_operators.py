@@ -1332,3 +1332,65 @@ def test_part_triangles_clique_and_wedge(spark, monkeypatch):
     got = {r["l_partkey"]: r["n_triangles"]
            for r in tx.part_triangles(spark, "x").collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_skyline_parts_matches_bruteforce_dominance(spark, monkeypatch):
+    """The windowed skyline equals the O(n^2) textbook dominance filter
+    on an engineered catalog: minimize price, maximize size, a point
+    survives iff nothing is <= price AND >= size with one strict."""
+    import real_time_fraud_detection_system_spark.operators.tpch_extra as tx
+
+    #            key  size  price
+    parts = [
+        (1, 10, 5.00),   # frontier (cheapest overall)
+        (2, 10, 5.00),   # tie at the same point
+        (3, 20, 5.00),   # dominates 1/2 on size at equal price
+        (4, 20, 7.00),   # dominated by 3
+        (5, 30, 9.00),   # frontier
+        (6, 25, 9.50),   # dominated by 5 (smaller AND dearer)
+        (7, 30, 9.00),   # tie with 5
+    ]
+    df = spark.createDataFrame(
+        [(k, f"part{k}", "B", "T", s, p) for k, s, p in parts],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    monkeypatch.setattr(
+        tx, "load_table", lambda s, d, n: df if n == "part" else None
+    )
+    got = sorted(
+        (r["p_size"], r["price_cents"], r["n_parts"], r["min_partkey"])
+        for r in tx.skyline_parts(spark, "x").collect()
+    )
+    # brute force: (size s, min price m) survives iff no s' > s with
+    # m(s') <= m -- here sizes 20 (500) and 30 (900); size 10's 500 is
+    # matched at size 20, so 10 is dominated; size 25 loses to 30.
+    assert got == [(20, 500, 1, 3), (30, 900, 2, 5)]
+
+
+def test_supplier_bfs_hops_levels_on_engineered_graph(spark, monkeypatch):
+    """BFS levels on a hand-built path: supplier 1 sells to customers
+    10 and 11 (hop 1); customer 10 also buys from supplier 2 (hop 2);
+    supplier 2 also sells to customer 12 (hop 3); an island (supplier
+    9 <-> customer 99) is never reached."""
+    import real_time_fraud_detection_system_spark.operators.tpch_extra as tx
+
+    # (orderkey, custkey) and (orderkey, suppkey) pairs
+    ords = [(1, 10), (2, 11), (3, 10), (4, 12), (5, 99)]
+    lis = [(1, 1), (2, 1), (3, 2), (4, 2), (5, 9)]
+    odf = spark.createDataFrame(ords, "o_orderkey long, o_custkey long")
+    ldf = spark.createDataFrame(lis, "l_orderkey long, l_suppkey long")
+    monkeypatch.setattr(
+        tx, "load_table",
+        lambda s, d, n: {"orders": odf, "lineitem": ldf}[n],
+    )
+    got = {
+        r["hop"]: (r["n_nodes"], r["n_customers"], r["n_suppliers"])
+        for r in tx.supplier_bfs_hops(spark, "x").collect()
+    }
+    assert got == {
+        0: (1, 0, 1),   # the source supplier
+        1: (2, 2, 0),   # customers 10, 11
+        2: (1, 0, 1),   # supplier 2 via customer 10
+        3: (1, 1, 0),   # customer 12 via supplier 2
+    }

@@ -454,8 +454,32 @@ def test_partitioning_invariance_of_round6_ops(spark, sf_dir, monkeypatch):
             sorted(map(tuple, co.doc_chunks(spark, sf_dir).collect())),
             sorted(map(tuple, tp.event_type_affinity(spark, sf_dir).collect())),
             sorted(map(tuple, tx.supplier_pagerank(spark, sf_dir).collect())),
+            sorted(map(tuple, tx.skyline_parts(spark, sf_dir).collect())),
+            sorted(map(tuple, tx.supplier_bfs_hops(spark, sf_dir).collect())),
         )
 
     one = run_all(1)
     many = run_all(64)
     assert one == many
+
+
+def test_partitioning_invariance_of_sketches(spark, sf_dir, monkeypatch):
+    """Bloom bit positions are per-key md5 decisions and Count-Min
+    cells are plain sums, so both sketch reports must be bit-identical
+    under a 1-partition and a 64-partition input layout (the mergeable-
+    partials claim in sketches.py's module docstring)."""
+    import real_time_fraud_detection_system_spark.operators.sketches as sk
+
+    real = sk.load_table
+
+    def run_all(parts):
+        monkeypatch.setattr(
+            sk, "load_table",
+            lambda s, d, n: real(s, d, n).repartition(parts),
+        )
+        return (
+            sorted(map(tuple, sk.bloom_prefilter_stats(spark, sf_dir).collect())),
+            sorted(map(tuple, sk.countmin_heavy_hitters(spark, sf_dir).collect())),
+        )
+
+    assert run_all(1) == run_all(64)

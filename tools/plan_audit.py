@@ -166,6 +166,17 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # aggregate's own exchange -- the freshness_check scalar-anchor
     # pattern.
     "risk_lift_matrix": frozenset({"1PART", "NLJ"}),
+    # bloom_prefilter_stats: the NLJs are the six 1-row scalar-count
+    # crossJoins assembling the summary row and the 1PART is those
+    # scalar aggregates' own exchanges -- the freshness_check
+    # scalar-anchor pattern; the data-sized work (bit-set build, probe
+    # join) is keyed, with the <= BLOOM_BITS-row bit set broadcast.
+    "bloom_prefilter_stats": frozenset({"NLJ", "1PART"}),
+    # skyline_parts: the GLOBALWIN/1PART cover the per-size frontier
+    # frame only -- <= 50 rows at any data scale (p_size's bounded
+    # value domain); the corpus-sized work is the (size, cents) keyed
+    # aggregate before it, and the frontier joins back as a broadcast.
+    "skyline_parts": frozenset({"GLOBALWIN", "1PART"}),
 }
 
 
