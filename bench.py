@@ -100,6 +100,9 @@ HEADLINE = [
     "countmin_heavy_hitters",
     "skyline_parts",
     "supplier_bfs_hops",
+    "exact_median_by_type",
+    "event_comovement_corr",
+    "activity_islands",
 ]
 
 

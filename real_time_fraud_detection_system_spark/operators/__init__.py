@@ -16,7 +16,7 @@ def _modules():
     from . import relational
 
     mods = [relational]
-    for name in ("metrics", "dedup", "similarity", "textops", "corpusops", "sessionize", "multimodal", "windows", "temporal", "mlqueries", "tpch_extra", "skew", "anomaly", "layout", "sketches"):
+    for name in ("metrics", "dedup", "similarity", "textops", "corpusops", "sessionize", "multimodal", "windows", "temporal", "mlqueries", "tpch_extra", "skew", "anomaly", "layout", "sketches", "stats"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:
@@ -71,6 +71,12 @@ PRIORITY = [
     #     deferred round-4 tpch_extra backfills (that family already
     #     holds five section-(a) slots, so the family gate stays green).
     "countmin_heavy_hitters",
+    #   * NEW stats module (round 6): its family representative -- the
+    #     gaps-and-islands streak census; exact_median_by_type and
+    #     event_comovement_corr queue for round 7. To keep the window
+    #     at 50, q4_order_priority_exists joins the deferred round-4
+    #     tpch_extra backfills.
+    "activity_islands",
     # (b) oldest-verdict backfill: 33 of the 42 queries whose latest
     #     driver verdict is round 4. The 9 deferred to the round-7
     #     window head are all tpch_extra entries (q8, q9, q12, q13,
@@ -88,7 +94,7 @@ PRIORITY = [
     "asof_click_before_purchase", "clicks_before_errors",
     "approx_distinct_users", "approx_value_quantiles",
     "deterministic_split", "stratified_sample",
-    "q7_volume_shipping", "q4_order_priority_exists",
+    "q7_volume_shipping",
     "salted_value_by_type", "user_value_anomalies",
     # Everything with a round-5 verdict sits past the window this round
     # (verdict one round old) and rotates back in round 7 with the nine
@@ -186,6 +192,9 @@ PRIORITY = [
     # skyline_parts (2-D Pareto frontier as agg + bounded window -- no
     # pairwise dominance join) and supplier_bfs_hops (unrolled
     # BFS level census over the trade graph, the blast-radius query),
+    # exact_median_by_type (integer-cents middle-rank median, the
+    # exact companion to the GK sketch) and event_comovement_corr
+    # (Pearson r over the dense day grid from exact integer moments),
     # and shard_overlap + user_value_anomalies if their in-window
     # round-6 verdicts predate the late-round rewrites -- all
     # local-checker green at sf0.01 AND sf0.1; they take section-(a)

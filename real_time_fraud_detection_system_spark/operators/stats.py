@@ -1,0 +1,281 @@
+"""Exact distributional statistics: grouped median without
+interpolation drift, Pearson co-movement with exact integer moments,
+and gaps-and-islands streak census.
+
+Why these are engine work and not "just SQL":
+
+* ``exact_median_by_type`` -- the exact companion to the GK-sketch
+  ``approx_value_quantiles`` (temporal.py): per-group median as the
+  average of the middle ranks, computed wholly in integer cents so
+  Spark and DuckDB cannot disagree on interpolation. The per-group
+  sort is the honest cost of exactness -- at 100 TB the approx
+  quantile path is the default and THIS operator is what you run on
+  the (much smaller) slice where the sketch's error bound is not
+  acceptable. The window is partitioned by the group key (keyed
+  shuffle, never a global sort).
+
+* ``event_comovement_corr`` -- "do error days co-move with click
+  days": Pearson r over the dense per-day count grid for every
+  unordered pair of event types. All five moment sums (n, Sx, Sy,
+  Sxy, Sxx, Syy) are exact BIGINTs; the only floating step is the
+  final  num / sqrt(d1 * d2)  where casts, multiply, divide and sqrt
+  are all IEEE-754 correctly-rounded operations, so both engines
+  produce the identical double and the floor-ppm output matches
+  bit-for-bit. The corpus-sized work is ONE (day, type) keyed count;
+  everything after runs on the O(days x types) grid.
+
+* ``activity_islands`` -- gaps-and-islands: per-user runs of
+  consecutive active days via the rank-difference trick (island id =
+  epoch_day - dense_rank), then a streak-length census. Distinct
+  user-days collapse first (keyed agg), the window partitions by
+  user (keyed shuffle, bounded per-user frames), and the output is
+  O(max streak length) rows.
+
+The reference's schema keeps only a flat predictions table
+(services/db/init.sql:1-31) and its one scheduled rollup is a daily
+GROUP BY (dags/compute-daily-metrics.py:19-37); these are the
+distributional questions the same store gets asked next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+CORR_PPM = 1_000_000
+
+
+# --------------------------------------------------------------------------
+def exact_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type median of ``value``, tie-free by
+    construction: values move to integer cents, ranks come from a
+    window partitioned by type and ordered by cents, and the median is
+    the mean of the middle one (odd n) or two (even n) ranks -- kept
+    in integer space as ``mx2 = their sum * (2 / count)`` and emitted
+    as ``mx2 / 200.0`` (exact int -> double cast, one correctly-rounded
+    division; no round() boundary anywhere)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    ranked = ev.selectExpr(
+        "event_type",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+    ).select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("cents"))
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    # integer floor division, NOT cast-of-quotient: CAST(1003.5 AS
+    # BIGINT) truncates in Spark but rounds in DuckDB
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            # odd n keeps ONE middle row -> 2x it; even n keeps two
+            F.expr(
+                "CAST(sum(cents) * (3 - count(*)) AS BIGINT)"
+            ).alias("mx2"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_events",
+            "CAST(mx2 AS DOUBLE) / 200 AS median_value",
+        )
+        .orderBy("event_type")
+    )
+
+
+EXACT_MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+mid AS (
+  SELECT * FROM ranked
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+)
+SELECT event_type,
+       max(n) AS n_events,
+       CAST(CAST(sum(cents) * (3 - count(*)) AS BIGINT) AS DOUBLE) / 200
+         AS median_value
+FROM mid GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+def event_comovement_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of the per-day event counts for every
+    unordered pair of event types, over the dense day grid (absent
+    (day, type) cells count 0 -- without the zero fill the pair rows
+    would silently misalign).
+
+    r_ppm = floor( (num / sqrt(d1 * d2)) * 1e6 ) with
+    num = n*Sxy - Sx*Sy, d1 = n*Sxx - Sx^2, d2 = n*Syy - Sy^2, all
+    exact BIGINTs; the double steps (cast, *, /, sqrt, floor) are each
+    IEEE-754 correctly rounded, hence bit-identical across engines.
+    Constant pairs (d1*d2 = 0) emit NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    a = grid.selectExpr("day", "event_type AS ta", "n AS x")
+    b = grid.selectExpr("day", "event_type AS tb", "n AS y")
+    pairs = a.join(b, "day").filter(F.col("ta") < F.col("tb"))
+    return (
+        pairs.groupBy("ta", "tb")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("y * y")).alias("syy"),
+        )
+        .selectExpr(
+            "ta AS type_a",
+            "tb AS type_b",
+            "n_days",
+            "CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num",
+            f"""CASE WHEN (n_days * sxx - sx * sx) * CAST(n_days * syy - sy * sy AS DOUBLE) > 0
+                 THEN CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                      / sqrt((n_days * sxx - sx * sx)
+                             * CAST(n_days * syy - sy * sy AS DOUBLE))
+                      * {CORR_PPM}) AS BIGINT)
+                 ELSE NULL END AS r_ppm""",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+COMOVEMENT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.day, t.event_type, coalesce(daily.n, 0) AS n
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+  LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type
+),
+pairs AS (
+  SELECT a.ta, b.tb, a.x, b.y FROM
+    (SELECT day, event_type AS ta, n AS x FROM grid) a
+  JOIN
+    (SELECT day, event_type AS tb, n AS y FROM grid) b
+  USING (day)
+  WHERE a.ta < b.tb
+),
+m AS (
+  SELECT ta, tb, count(*) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b, n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num,
+       CASE WHEN (n_days * sxx - sx * sx) * CAST(n_days * syy - sy * sy AS DOUBLE) > 0
+            THEN CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / sqrt((n_days * sxx - sx * sx)
+                        * CAST(n_days * syy - sy * sy AS DOUBLE))
+                 * {CORR_PPM}) AS BIGINT)
+            ELSE NULL END AS r_ppm
+FROM m ORDER BY type_a, type_b
+"""
+
+
+# --------------------------------------------------------------------------
+def activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of consecutive-active-day streaks: for every user, runs
+    of calendar days with at least one event (rank-difference islands:
+    epoch_day - dense rank is constant within a run), then one row per
+    streak length with how many streaks and how many distinct users
+    reached it -- the engagement-depth table a retention model trains
+    on."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    user_days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .distinct()
+    )
+    islands = user_days.select(
+        "user_id",
+        (
+            F.col("d")
+            - F.row_number().over(
+                Window.partitionBy("user_id").orderBy("d")
+            )
+        ).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_days")
+    )
+    return (
+        streaks.groupBy("streak_days")
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("streak_days")
+    )
+
+
+ACTIVITY_ISLANDS_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events WHERE user_id IS NOT NULL
+),
+islands AS (
+  SELECT user_id,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM user_days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS streak_days
+  FROM islands GROUP BY 1, 2
+)
+SELECT streak_days, count(*) AS n_streaks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM streaks GROUP BY 1 ORDER BY streak_days
+"""
+
+
+QUERIES = {
+    "exact_median_by_type": exact_median_by_type,
+    "event_comovement_corr": event_comovement_corr,
+    "activity_islands": activity_islands,
+}
+ORACLE = {
+    "exact_median_by_type": EXACT_MEDIAN_SQL,
+    "event_comovement_corr": COMOVEMENT_SQL,
+    "activity_islands": ACTIVITY_ISLANDS_SQL,
+}

@@ -1394,3 +1394,91 @@ def test_supplier_bfs_hops_levels_on_engineered_graph(spark, monkeypatch):
         2: (1, 0, 1),   # supplier 2 via customer 10
         3: (1, 1, 0),   # customer 12 via supplier 2
     }
+
+
+def _stats_events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_exact_median_odd_and_even_groups(spark, monkeypatch):
+    """Odd group -> the middle value; even group -> mean of the two
+    middles, exact in cents (no interpolation drift)."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.stats as st
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        # odd: values 1.00, 2.00, 9.00 -> median 2.00
+        (1, t, 1, "a", 9.00, None),
+        (2, t, 1, "a", 1.00, None),
+        (3, t, 1, "a", 2.00, None),
+        # even: 1.00, 2.01, 3.00, 50.0 -> median (2.01+3.00)/2 = 2.505
+        (4, t, 1, "b", 3.00, None),
+        (5, t, 1, "b", 1.00, None),
+        (6, t, 1, "b", 50.0, None),
+        (7, t, 1, "b", 2.01, None),
+        # NULL values are excluded entirely
+        (8, t, 1, "c", None, None),
+    ]
+    df = _stats_events(spark, rows)
+    monkeypatch.setattr(st, "load_table", lambda s, d, n: df)
+    got = {
+        r["event_type"]: (r["n_events"], r["median_value"])
+        for r in st.exact_median_by_type(spark, "x").collect()
+    }
+    assert got == {"a": (3, 2.00), "b": (4, 2.505)}
+
+
+def test_event_comovement_corr_known_series(spark, monkeypatch):
+    """Perfectly correlated, anti-correlated, and constant day series
+    give r_ppm 1e6, -1e6 (floor of exactly -1 stays -1e6), and NULL."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.stats as st
+
+    # 3 days: a = [1, 2, 3] events, b = [3, 2, 1], c = [2, 2, 2]
+    counts = {"a": [1, 2, 3], "b": [3, 2, 1], "c": [2, 2, 2]}
+    rows, eid = [], 0
+    for typ, per_day in counts.items():
+        for day, n in enumerate(per_day):
+            for _ in range(n):
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1 + day), 1, typ, 1.0, None)
+                )
+    df = _stats_events(spark, rows)
+    monkeypatch.setattr(st, "load_table", lambda s, d, n: df)
+    got = {
+        (r["type_a"], r["type_b"]): r["r_ppm"]
+        for r in st.event_comovement_corr(spark, "x").collect()
+    }
+    assert got[("a", "b")] == -1_000_000
+    assert got[("a", "c")] is None and got[("b", "c")] is None
+
+
+def test_activity_islands_streak_census(spark, monkeypatch):
+    """User 1 active on days 1,2,3 and 5 (streaks 3 and 1); user 2 on
+    days 2,3 (streak 2); duplicate events on one day collapse."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.stats as st
+
+    def ev(eid, day, user):
+        return (eid, dt.datetime(2024, 1, day, 12), user, "view", 1.0, None)
+
+    rows = [
+        ev(1, 1, 1), ev(2, 2, 1), ev(3, 2, 1), ev(4, 3, 1), ev(5, 5, 1),
+        ev(6, 2, 2), ev(7, 3, 2),
+    ]
+    df = _stats_events(spark, rows)
+    monkeypatch.setattr(st, "load_table", lambda s, d, n: df)
+    got = {
+        r["streak_days"]: (r["n_streaks"], r["n_users"])
+        for r in st.activity_islands(spark, "x").collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1)}

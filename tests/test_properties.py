@@ -463,6 +463,28 @@ def test_partitioning_invariance_of_round6_ops(spark, sf_dir, monkeypatch):
     assert one == many
 
 
+def test_partitioning_invariance_of_stats(spark, sf_dir, monkeypatch):
+    """Median picks ranks in integer cents, correlation folds exact
+    integer moments, islands count distinct integer days -- all three
+    stats operators must be bit-identical at 1 vs 64 partitions."""
+    import real_time_fraud_detection_system_spark.operators.stats as st
+
+    real = st.load_table
+
+    def run_all(parts):
+        monkeypatch.setattr(
+            st, "load_table",
+            lambda s, d, n: real(s, d, n).repartition(parts),
+        )
+        return (
+            sorted(map(tuple, st.exact_median_by_type(spark, sf_dir).collect())),
+            sorted(map(tuple, st.event_comovement_corr(spark, sf_dir).collect())),
+            sorted(map(tuple, st.activity_islands(spark, sf_dir).collect())),
+        )
+
+    assert run_all(1) == run_all(64)
+
+
 def test_partitioning_invariance_of_sketches(spark, sf_dir, monkeypatch):
     """Bloom bit positions are per-key md5 decisions and Count-Min
     cells are plain sums, so both sketch reports must be bit-identical

@@ -177,6 +177,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # value domain); the corpus-sized work is the (size, cents) keyed
     # aggregate before it, and the frontier joins back as a broadcast.
     "skyline_parts": frozenset({"GLOBALWIN", "1PART"}),
+    # event_comovement_corr: the NLJ is the dense day-grid crossJoin --
+    # distinct days x the broadcast distinct-type set, O(calendar x
+    # types) rows at any data scale (the corpus-sized work is the
+    # (day, type) keyed count before it); the gapfill_hourly
+    # bounded-grid pattern.
+    "event_comovement_corr": frozenset({"NLJ"}),
 }
 
 
