@@ -103,6 +103,8 @@ HEADLINE = [
     "exact_median_by_type",
     "event_comovement_corr",
     "activity_islands",
+    "last_touch_attribution",
+    "daily_value_percentiles",
 ]
 
 

@@ -195,6 +195,9 @@ PRIORITY = [
     # exact_median_by_type (integer-cents middle-rank median, the
     # exact companion to the GK sketch) and event_comovement_corr
     # (Pearson r over the dense day grid from exact integer moments),
+    # last_touch_attribution (all-channel as-of credit in one keyed
+    # window, zero joins) and daily_value_percentiles (exact
+    # nearest-rank p10/p50/p90 per day in integer cents),
     # and shard_overlap + user_value_anomalies if their in-window
     # round-6 verdicts predate the late-round rewrites -- all
     # local-checker green at sf0.01 AND sf0.1; they take section-(a)

@@ -269,13 +269,166 @@ FROM streaks GROUP BY 1 ORDER BY streak_days
 """
 
 
+# --------------------------------------------------------------------------
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits its full
+    value to the event type of the same user's most recent PRIOR
+    non-purchase event ('direct' when there is none). One keyed window
+    does the whole as-of -- the carried-forward last(ignorenulls) trick
+    of asof_click_before_purchase (temporal.py:49) generalized from one
+    channel to all of them, still zero joins and ONE shuffle keyed on
+    user_id.
+
+    Determinism: equal-timestamp events order non-purchase-first (so
+    a same-instant touch is credited, inclusive as-of) and break
+    remaining ties by event_id (largest wins, both engines replay the
+    identical ordering). Revenue folds as exact integer cents."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    tagged = ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "CAST(event_type = 'purchase' AS INT) AS is_p",
+        "event_type",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = tagged.select(
+        "is_p",
+        "cents",
+        F.last(
+            F.when(F.col("is_p") == 0, F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch"),
+    )
+    return (
+        touched.filter(F.col("is_p") == 1)
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("touch_type"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.expr("CAST(sum(cents) AS DOUBLE) / 100").alias("revenue"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+LAST_TOUCH_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CAST(event_type = 'purchase' AS INT) AS is_p,
+         event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+),
+touched AS (
+  SELECT is_p, cents,
+         last_value(CASE WHEN is_p = 0 THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM tagged
+)
+SELECT coalesce(touch, 'direct') AS touch_type,
+       count(*) AS n_purchases,
+       CAST(sum(cents) AS DOUBLE) / 100 AS revenue
+FROM touched WHERE is_p = 1
+GROUP BY 1 ORDER BY touch_type
+"""
+
+
+# --------------------------------------------------------------------------
+def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank (type-1) p10/p50/p90 of ``value`` per day:
+    rank_q = ceil(q * n / 100) in pure integer math, values in integer
+    cents -- no interpolation, so no room for cross-engine drift. The
+    window partitions by day (keyed shuffle, bounded per-day frames);
+    the three ranks filter before the final per-day rollup."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    ranked = ev.selectExpr(
+        "CAST(ts AS DATE) AS day",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+    ).select(
+        "day",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("day").orderBy("cents"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("day")).alias("n"),
+    )
+    picks = ranked.filter(
+        (F.col("rn") == F.expr("(10 * n + 99) div 100"))
+        | (F.col("rn") == F.expr("(50 * n + 99) div 100"))
+        | (F.col("rn") == F.expr("(90 * n + 99) div 100"))
+    )
+    return (
+        picks.groupBy("day")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.expr(
+                "CAST(max(CASE WHEN rn = (10 * n + 99) div 100"
+                " THEN cents END) AS DOUBLE) / 100"
+            ).alias("p10"),
+            F.expr(
+                "CAST(max(CASE WHEN rn = (50 * n + 99) div 100"
+                " THEN cents END) AS DOUBLE) / 100"
+            ).alias("p50"),
+            F.expr(
+                "CAST(max(CASE WHEN rn = (90 * n + 99) div 100"
+                " THEN cents END) AS DOUBLE) / 100"
+            ).alias("p90"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_PCTL_SQL = """
+WITH ranked AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                            ORDER BY CAST(round(value * 100, 0) AS BIGINT))
+           AS rn,
+         count(*) OVER (PARTITION BY CAST(ts AS DATE)) AS n
+  FROM events WHERE value IS NOT NULL
+),
+picks AS (
+  SELECT * FROM ranked
+  WHERE rn = (10 * n + 99) // 100
+     OR rn = (50 * n + 99) // 100
+     OR rn = (90 * n + 99) // 100
+)
+SELECT day, max(n) AS n_events,
+       CAST(max(CASE WHEN rn = (10 * n + 99) // 100 THEN cents END)
+            AS DOUBLE) / 100 AS p10,
+       CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END)
+            AS DOUBLE) / 100 AS p50,
+       CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN cents END)
+            AS DOUBLE) / 100 AS p90
+FROM picks GROUP BY day ORDER BY day
+"""
+
+
 QUERIES = {
     "exact_median_by_type": exact_median_by_type,
+    "last_touch_attribution": last_touch_attribution,
+    "daily_value_percentiles": daily_value_percentiles,
     "event_comovement_corr": event_comovement_corr,
     "activity_islands": activity_islands,
 }
 ORACLE = {
     "exact_median_by_type": EXACT_MEDIAN_SQL,
+    "last_touch_attribution": LAST_TOUCH_SQL,
+    "daily_value_percentiles": DAILY_PCTL_SQL,
     "event_comovement_corr": COMOVEMENT_SQL,
     "activity_islands": ACTIVITY_ISLANDS_SQL,
 }

@@ -1482,3 +1482,57 @@ def test_activity_islands_streak_census(spark, monkeypatch):
         for r in st.activity_islands(spark, "x").collect()
     }
     assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1)}
+
+
+def test_last_touch_attribution_credits_prior_event(spark, monkeypatch):
+    """A purchase credits the latest prior non-purchase touch; a
+    same-instant touch counts (inclusive as-of); a first-event
+    purchase is 'direct'; a purchase between two touches picks the
+    later one; purchases never credit other purchases."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.stats as st
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: click@0, view@1, purchase@2 (10.00) -> view
+        (1, t(0), 1, "click", 1.0, None),
+        (2, t(1), 1, "view", 1.0, None),
+        (3, t(2), 1, "purchase", 10.00, None),
+        # user 1: purchase@3 right after -> still view (not purchase@2)
+        (4, t(3), 1, "purchase", 5.00, None),
+        # user 2: purchase with NO prior event -> direct
+        (5, t(0), 2, "purchase", 2.50, None),
+        # user 3: same-instant click + purchase -> click (inclusive)
+        (6, t(0), 3, "click", 1.0, None),
+        (7, t(0), 3, "purchase", 1.25, None),
+    ]
+    df = _stats_events(spark, rows)
+    monkeypatch.setattr(st, "load_table", lambda s, d, n: df)
+    got = {
+        r["touch_type"]: (r["n_purchases"], r["revenue"])
+        for r in st.last_touch_attribution(spark, "x").collect()
+    }
+    assert got == {
+        "view": (2, 15.00),
+        "direct": (1, 2.50),
+        "click": (1, 1.25),
+    }
+
+
+def test_daily_value_percentiles_nearest_rank(spark, monkeypatch):
+    """Type-1 (nearest-rank) percentiles on a 10-value day: rank
+    ceil(q*n/100) -> p10 = 1st, p50 = 5th, p90 = 9th value."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.stats as st
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), 1, "view", v, None)
+        for i, v in enumerate(vals)
+    ]
+    df = _stats_events(spark, rows)
+    monkeypatch.setattr(st, "load_table", lambda s, d, n: df)
+    [r] = st.daily_value_percentiles(spark, "x").collect()
+    assert (r["n_events"], r["p10"], r["p50"], r["p90"]) == (10, 1.0, 5.0, 9.0)
