@@ -75,10 +75,20 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured false-positive rate (all exact integer ppm).
 
     Plan shape: the bit set is a DISTINCT over build_keys x K rows
-    (<= BLOOM_BITS rows by construction) broadcast into the probe
-    join; a probe key passes iff all K of its positions are set
-    (count == K over the position join). The scalar roll-up at the
-    end is the 1-row summary pattern (conversion_funnel class)."""
+    (<= BLOOM_BITS rows by construction), broadcast ONCE and probed by
+    K map-side broadcast-hash left joins that MARK each position hit
+    (a probe key passes iff all K marks land); one more keyed join
+    marks true membership, and every counter folds in a SINGLE scalar
+    aggregate over that one marked pass -- the probe side (the 100 TB
+    side in the real pattern) is scanned once and shuffled only for
+    its own distinct + the membership join. Two measured traps from
+    earlier drafts, both at the 100x scale test: computing each
+    counter as its own aggregate re-derived the probe pipeline six
+    times (43-183 s), and broadcast-hinting the counters row ran the
+    whole pass inside a broadcast exchange, outside AQE (127 s) -- the
+    corpus-sized aggregate must be the STREAMED side of the summary
+    crossJoin (45 s, ~all of it the honest distinct + K md5 +
+    membership-join cost)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
 
@@ -90,32 +100,44 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_arr = F.array(
         *[F.expr(_pos("k", i, BLOOM_BITS)) for i in range(BLOOM_K)]
     )
-    bits = build.select(F.explode(pos_arr).alias("pos")).distinct()
+    bits = build.select(F.explode(pos_arr).alias("pos")).distinct().cache()
 
-    passed = (
-        probe.select("k", F.explode(pos_arr).alias("pos"))
-        .join(F.broadcast(bits), "pos")
-        .groupBy("k")
-        .agg(F.count("*").alias("n_hit"))
-        .filter(F.col("n_hit") == BLOOM_K)
-        .select("k")
+    marked = probe
+    for i in range(BLOOM_K):
+        marked = (
+            marked.withColumn("pos", F.expr(_pos("k", i, BLOOM_BITS)))
+            .join(
+                F.broadcast(bits.select("pos", F.lit(1).alias(f"h{i}"))),
+                "pos",
+                "left",
+            )
+            .drop("pos")
+        )
+    hit_all = " AND ".join(
+        f"coalesce(h{i}, 0) = 1" for i in range(BLOOM_K)
     )
-    true_members = probe.join(build, "k", "left_semi")
-    false_pos = passed.join(build, "k", "left_anti")
+    marked = marked.join(
+        build.groupBy("k").agg(F.lit(1).alias("is_m")), "k", "left"
+    ).selectExpr(
+        "k",
+        f"CAST(({hit_all}) AS INT) AS is_pass",
+        "CAST(is_m IS NOT NULL AS INT) AS is_member",
+    )
+    counters = marked.agg(
+        F.count("*").alias("n_probe_keys"),
+        F.sum("is_pass").alias("n_pass_keys"),
+        F.sum("is_member").alias("n_true_keys"),
+        F.sum(F.expr("is_pass * (1 - is_member)")).alias("n_false_pos"),
+    )
 
     n_build = build.agg(F.count("*").alias("n_build_keys"))
     n_bits = bits.agg(F.count("*").alias("n_bits_set"))
-    n_probe = probe.agg(F.count("*").alias("n_probe_keys"))
-    n_pass = passed.agg(F.count("*").alias("n_pass_keys"))
-    n_true = true_members.agg(F.count("*").alias("n_true_keys"))
-    n_fp = false_pos.agg(F.count("*").alias("n_false_pos"))
 
-    row = (
-        n_build.crossJoin(F.broadcast(n_bits))
-        .crossJoin(F.broadcast(n_probe))
-        .crossJoin(F.broadcast(n_pass))
-        .crossJoin(F.broadcast(n_true))
-        .crossJoin(F.broadcast(n_fp))
+    # counters (the corpus-sized pass) stays the STREAMED side: a
+    # broadcast hint on it would run the whole pass inside a broadcast
+    # exchange, outside AQE
+    row = counters.crossJoin(F.broadcast(n_build)).crossJoin(
+        F.broadcast(n_bits)
     )
     return row.selectExpr(
         "n_build_keys",

@@ -7,12 +7,11 @@ Why these are engine work and not "just SQL":
 * ``exact_median_by_type`` -- the exact companion to the GK-sketch
   ``approx_value_quantiles`` (temporal.py): per-group median as the
   average of the middle ranks, computed wholly in integer cents so
-  Spark and DuckDB cannot disagree on interpolation. The per-group
-  sort is the honest cost of exactness -- at 100 TB the approx
-  quantile path is the default and THIS operator is what you run on
-  the (much smaller) slice where the sketch's error bound is not
-  acceptable. The window is partitioned by the group key (keyed
-  shuffle, never a global sort).
+  Spark and DuckDB cannot disagree on interpolation. The corpus-sized
+  work is ONE keyed hash aggregate into a (group, cents) histogram --
+  bounded by the value DOMAIN, not the row count -- and the rank walk
+  is a cumulative sum over that histogram; exactness costs one extra
+  shuffle vs the sketch, never a per-group row sort.
 
 * ``event_comovement_corr`` -- "do error days co-move with click
   days": Pearson r over the dense per-day count grid for every
@@ -51,39 +50,55 @@ CORR_PPM = 1_000_000
 # --------------------------------------------------------------------------
 def exact_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-event-type median of ``value``, tie-free by
-    construction: values move to integer cents, ranks come from a
-    window partitioned by type and ordered by cents, and the median is
-    the mean of the middle one (odd n) or two (even n) ranks -- kept
-    in integer space as ``mx2 = their sum * (2 / count)`` and emitted
-    as ``mx2 / 200.0`` (exact int -> double cast, one correctly-rounded
-    division; no round() boundary anywhere)."""
+    construction: values move to integer cents and collapse to a
+    (type, cents) count histogram; each bucket covers the rank range
+    (lo, hi] from a cumulative sum, and the median is the mean of the
+    buckets holding the middle one (odd n) or two (even n) ranks --
+    kept in integer space and emitted as ``mx2 / 200.0`` (exact int ->
+    double cast, one correctly-rounded division; no round() boundary
+    anywhere)."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    ranked = ev.selectExpr(
-        "event_type",
-        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
-    ).select(
+    # histogram-of-cents form: the per-row sort a naive ranked window
+    # needs would funnel each event type into ONE task (measured 32 s
+    # at the 100x scale test); collapsing to (type, cents) counts
+    # first makes the corpus work a keyed hash aggregate and the rank
+    # walk a window over the bounded VALUE-DOMAIN histogram
+    hist = (
+        ev.selectExpr(
+            "event_type",
+            "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("cents")
+    ranked = hist.select(
         "event_type",
         "cents",
-        F.row_number()
-        .over(Window.partitionBy("event_type").orderBy("cents"))
-        .alias("rn"),
-        F.count("*")
-        .over(Window.partitionBy("event_type"))
-        .alias("n"),
+        (F.sum("c").over(wo) - F.col("c")).alias("lo"),  # ranks (lo, hi]
+        F.sum("c").over(wo).alias("hi"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
     )
-    # integer floor division, NOT cast-of-quotient: CAST(1003.5 AS
-    # BIGINT) truncates in Spark but rounds in DuckDB
+    # middle ranks via integer floor division, NOT cast-of-quotient:
+    # CAST(1003.5 AS BIGINT) truncates in Spark but rounds in DuckDB
     mid = ranked.filter(
-        (F.col("rn") == F.expr("(n + 1) div 2"))
-        | (F.col("rn") == F.expr("(n + 2) div 2"))
+        (
+            (F.expr("(n + 1) div 2") > F.col("lo"))
+            & (F.expr("(n + 1) div 2") <= F.col("hi"))
+        )
+        | (
+            (F.expr("(n + 2) div 2") > F.col("lo"))
+            & (F.expr("(n + 2) div 2") <= F.col("hi"))
+        )
     )
     return (
         mid.groupBy("event_type")
         .agg(
             F.max("n").alias("n_events"),
-            # odd n keeps ONE middle row -> 2x it; even n keeps two
+            # both middle ranks in one cents bucket -> 2x it; split
+            # across two buckets -> their sum
             F.expr(
                 "CAST(sum(cents) * (3 - count(*)) AS BIGINT)"
             ).alias("mx2"),
@@ -98,19 +113,26 @@ def exact_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXACT_MEDIAN_SQL = """
-WITH ranked AS (
+WITH hist AS (
   SELECT event_type,
          CAST(round(value * 100, 0) AS BIGINT) AS cents,
-         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM events WHERE value IS NOT NULL
+         count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, cents,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents) - c AS lo,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS hi,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
 ),
 mid AS (
   SELECT * FROM ranked
-  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  WHERE ((n + 1) // 2 > lo AND (n + 1) // 2 <= hi)
+     OR ((n + 2) // 2 > lo AND (n + 2) // 2 <= hi)
 )
 SELECT event_type,
-       max(n) AS n_events,
+       CAST(max(n) AS BIGINT) AS n_events,
        CAST(CAST(sum(cents) * (3 - count(*)) AS BIGINT) AS DOUBLE) / 200
          AS median_value
 FROM mid GROUP BY event_type ORDER BY event_type

@@ -1351,13 +1351,18 @@ def supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the distinct edge list builds with one corpus shuffle
     and is cached across rounds; each of the {BFS_HOPS} unrolled
-    rounds is one frontier-x-edges equi-join keyed on node (frontier
-    is O(nodes) at worst, the same key every round) + a distinct + an
-    anti-join against the visited set; localCheckpoint keeps lineage
-    flat. Levels are exact: a node's hop is the FIRST round that
-    reaches it, pinned by the anti-join. The oracle replays the same
-    levels via unrolled CTEs with NOT-IN exclusion -- different
-    strategy, identical frontier sets."""
+    rounds joins the cached edges against the BROADCAST frontier and
+    anti-joins the BROADCAST visited set -- both are node sets, ~3
+    orders of magnitude smaller than the edge table, so every round is
+    a map-side scan of the cached edges instead of re-shuffling them
+    (the keyed-join form measured 136 s at the 100x scale test; this
+    form 45 s, nearly all of it the one edge build). On a graph whose node
+    set outgrows broadcast (billions), drop the two hints and the same
+    plan degrades gracefully to shuffle joins; localCheckpoint keeps
+    lineage flat either way. Levels are exact: a node's hop is the
+    FIRST round that reaches it, pinned by the anti-join. The oracle
+    replays the same levels via unrolled CTEs with NOT-IN exclusion --
+    different strategy, identical frontier sets."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
@@ -1382,10 +1387,12 @@ def supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = reached.select("node")
     for k in range(1, BFS_HOPS + 1):
         nxt = (
-            edges.join(frontier, edges.src == frontier.node)
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(reached.select("node"), "node", "left_anti")
+            .join(
+                F.broadcast(reached.select("node")), "node", "left_anti"
+            )
             .withColumn("hop", F.lit(k))
             .localCheckpoint()
         )
