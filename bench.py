@@ -105,6 +105,7 @@ HEADLINE = [
     "activity_islands",
     "last_touch_attribution",
     "daily_value_percentiles",
+    "ann_knn_join",
 ]
 
 

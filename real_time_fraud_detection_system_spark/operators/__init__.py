@@ -71,6 +71,12 @@ PRIORITY = [
     #     deferred round-4 tpch_extra backfills (that family already
     #     holds five section-(a) slots, so the family gate stays green).
     "countmin_heavy_hitters",
+    #   * NEW in round 6 (late): the incremental kNN join -- the
+    #     similarity-family twin of dedup_incremental (shard queries
+    #     the persisted IVF index; cogrouped per-cell Arrow kernel).
+    #     To keep the window at 50, ann_lsh_bucketed (round-4 verdict)
+    #     defers to round 7; similarity keeps two window reps.
+    "ann_knn_join",
     #   * NEW stats module (round 6): its family representative -- the
     #     gaps-and-islands streak census; exact_median_by_type and
     #     event_comovement_corr queue for round 7. To keep the window
@@ -86,7 +92,7 @@ PRIORITY = [
     "q3_shipping_priority", "props_json_stats", "daily_metrics",
     "freshness_check", "null_id_check", "windowed_rates",
     "heuristic_score", "feature_extract",
-    "ann_lsh_bucketed", "corpus_quality_gate", "repetition_stats",
+    "corpus_quality_gate", "repetition_stats",
     "sequence_packing", "vocab_coverage", "shard_overlap",
     "conversion_funnel", "multimodal_resize", "unpivot_daily_metrics",
     "cube_region_segment", "lapsed_customers_except",

@@ -1736,8 +1736,185 @@ ORDER BY dim
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental kNN join: an arriving shard of vectors queries the
+# persisted IVF index -- the similarity-family twin of
+# dedup_incremental (dedup.py:792). A real ingest pipeline runs this
+# daily: embed the new shard, assign it to the EXISTING cells, and
+# find each new vector's neighbors among the indexed corpus without
+# re-pairing the corpus against itself.
+ANN_SHARD_MOD = 10  # ~1/10 of vectors arrive as "new"
+
+
+def _ann_shard_spark(col: str) -> str:
+    return (
+        "CAST(conv(substr(md5(concat('annshard:', CAST("
+        f"{col} AS STRING))), 1, 8), 16, 10) AS BIGINT) % {ANN_SHARD_MOD} = 0"
+    )
+
+
+def _ann_shard_duck(col: str) -> str:
+    return (
+        "CAST('0x' || substr(md5('annshard:' || CAST("
+        f"{col} AS VARCHAR)), 1, 8) AS BIGINT) % {ANN_SHARD_MOD} = 0"
+    )
+
+
+def _knn_cell_kernel(key, pq: pd.DataFrame, pm: pd.DataFrame):
+    """Cogrouped per-cell scoring: raw cosine of every (probe, member)
+    pair of one IVF cell as ONE numpy outer-product fold. The
+    ascending-dim accumulation replays the aggregate(zip_with(...)) /
+    list_sum IEEE fold bit-for-bit (the _nearest_cells_udf
+    construction), and cos = acc / (q_norm * m_norm) applies the same
+    two correctly-rounded ops in the oracle's order -- so the raw
+    doubles agree and the 6-dp round happens SQL-side on identical
+    inputs. Arrow ships each cell's vectors ONCE per side; the
+    per-candidate-row pandas UDF this replaces shipped both vectors
+    for every pair (9M x 2 KB at the 100x scale test, 339 s; the
+    interpreted SQL lambda was 108 s; this kernel is ~30 s)."""
+    import numpy as np
+
+    if pq.empty or pm.empty:
+        return pd.DataFrame({"new_id": [], "neighbor_id": [], "cos_raw": []})
+    Q = np.stack(pq["q_emb"].to_numpy())
+    M = np.stack(pm["m_emb"].to_numpy())
+    acc = np.zeros((len(pq), len(pm)))
+    for i in range(Q.shape[1]):  # ascending dims = the fold order
+        acc = acc + Q[:, i : i + 1] * M[:, i][None, :]
+    cos = acc / (
+        pq["q_norm"].to_numpy()[:, None] * pm["m_norm"].to_numpy()[None, :]
+    )
+    return pd.DataFrame(
+        {
+            "new_id": np.repeat(pq["new_id"].to_numpy(), len(pm)),
+            "neighbor_id": np.tile(pm["m_id"].to_numpy(), len(pq)),
+            "cos_raw": cos.ravel(),
+        }
+    )
+
+
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join, incremental form: every vector in the arriving
+    ~1/{ANN_SHARD_MOD} md5 shard finds its {TOPK} nearest-cosine
+    neighbors among the remaining (indexed) vectors. Unlike
+    ann_ivf_topk's {N_QUERIES}-query probe, the query side here is a
+    full shard -- the workload shape of daily near-neighbor enrichment
+    at ingest, and Spark's missing "kNN join" operator.
+
+    Index discipline: centroids are the sqrt(n_index)-rate md5 sample
+    OF THE INDEX ONLY (the persisted side), so a shard's arrival never
+    moves the cells -- assignments of previously indexed vectors stay
+    valid, which is what makes the index incremental. Shard vectors
+    probe {NPROBE} cells through the same Arrow kernel
+    (_nearest_cells_udf), so cell ranking is bit-exact vs the oracle.
+
+    Scale shape: two shuffle-free kernel scans (index -> 1 cell,
+    shard -> {NPROBE} cells) + ONE cell-keyed equi-join whose probe
+    side scales with the SHARD, not the corpus; candidate dedup and
+    the per-query top-k window are shard-sized. Measured at the 100x
+    scale test: ~17 s end to end for a 10k-vector shard against a 90k
+    index."""
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "is_new", F.expr(_ann_shard_spark("vec_id"))
+    )
+    index = vecs.filter(~F.col("is_new")).drop("is_new")
+    shard = vecs.filter(F.col("is_new")).drop("is_new")
+    n_index = index.count()
+    m = centroid_modulus(n_index)
+    cent_ids, cent_embs = _ivf_centroids(index, m)
+
+    one_cell = _nearest_cells_udf(cent_ids, cent_embs, 1)
+    probe_cells = _nearest_cells_udf(cent_ids, cent_embs, NPROBE)
+    assigned = index.select(
+        F.col("vec_id").alias("m_id"),
+        F.col("emb").alias("m_emb"),
+        F.col("norm").alias("m_norm"),
+        F.explode(one_cell(F.col("emb"))).alias("c_id"),
+    )
+    probes = shard.select(
+        F.col("vec_id").alias("new_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.explode(probe_cells(F.col("emb"))).alias("c_id"),
+    )
+    scored = (
+        probes.groupBy("c_id")
+        .cogroup(assigned.groupBy("c_id"))
+        .applyInPandas(
+            _knn_cell_kernel,
+            "new_id long, neighbor_id long, cos_raw double",
+        )
+        .withColumn("cosine", F.round(F.col("cos_raw"), 6))
+        .select("new_id", "neighbor_id", "cosine")
+        # a member can surface via several probed cells -> dedup first
+        .distinct()
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .orderBy("new_id", "rank")
+    )
+
+
+ANN_KNN_JOIN_SQL = f"""
+WITH vecs AS ({_DUCK_VECTORS}),
+shard AS (SELECT * FROM vecs WHERE {_ann_shard_duck('vec_id')}),
+idx AS (SELECT * FROM vecs WHERE NOT ({_ann_shard_duck('vec_id')})),
+cents AS (
+  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+  FROM idx
+  WHERE {_DUCK_ID_HASH.format(id='vec_id')}
+        % (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
+           FROM idx) = 0
+),
+assign_scored AS (
+  -- RAW cosine in the cell ranking (no round): the Spark kernel
+  -- replays this exact fold bit-for-bit (see ann_ivf_topk)
+  SELECT v.vec_id, v.emb, v.norm, c.c_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_DUCK_DOT.format(a='c.c_emb', b='v.emb')}
+                   / (c.c_norm * v.norm) DESC, c.c_id ASC) AS c_rank
+  FROM idx v, cents c
+),
+assigned AS (
+  SELECT vec_id AS m_id, emb AS m_emb, norm AS m_norm, c_id
+  FROM assign_scored WHERE c_rank = 1
+),
+probe_scored AS (
+  SELECT s.vec_id, s.emb, s.norm, c.c_id,
+         row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             {_DUCK_DOT.format(a='c.c_emb', b='s.emb')}
+                   / (c.c_norm * s.norm) DESC, c.c_id ASC) AS c_rank
+  FROM shard s, cents c
+),
+probes AS (
+  SELECT vec_id AS new_id, emb AS q_emb, norm AS q_norm, c_id
+  FROM probe_scored WHERE c_rank <= {NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.new_id, a.m_id AS neighbor_id,
+         round({_DUCK_DOT.format(a='p.q_emb', b='a.m_emb')}
+               / (p.q_norm * a.m_norm), 6) AS cosine
+  FROM probes p JOIN assigned a USING (c_id)
+),
+ranked AS (
+  SELECT new_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT new_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY new_id, rank
+"""
+
+
 QUERIES = {
     "emb_quantize_int8": emb_quantize_int8,
+    "ann_knn_join": ann_knn_join,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1754,6 +1931,7 @@ QUERIES = {
 
 ORACLE = {
     "emb_quantize_int8": EMB_QUANTIZE_INT8_SQL,
+    "ann_knn_join": ANN_KNN_JOIN_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,

@@ -487,6 +487,27 @@ def test_partitioning_invariance_of_stats(spark, sf_dir, monkeypatch):
     assert run_all(1) == run_all(64)
 
 
+def test_partitioning_invariance_of_ann_knn_join(spark, sf_dir, monkeypatch):
+    """The kNN join's kernel folds are per-row (cell assignment) and
+    per-cell (pair cosines); centroid sampling is an md5 rule over the
+    index side -- nothing depends on layout, so 1 vs 64 partitions
+    must match exactly."""
+    import real_time_fraud_detection_system_spark.operators.similarity as sim
+
+    real = sim.load_table
+
+    def run(parts):
+        monkeypatch.setattr(
+            sim, "load_table",
+            lambda s, d, n: real(s, d, n).repartition(parts),
+        )
+        return sorted(
+            map(tuple, sim.ann_knn_join(spark, sf_dir).collect())
+        )
+
+    assert run(1) == run(64)
+
+
 def test_partitioning_invariance_of_sketches(spark, sf_dir, monkeypatch):
     """Bloom bit positions are per-key md5 decisions and Count-Min
     cells are plain sums, so both sketch reports must be bit-identical
