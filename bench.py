@@ -106,6 +106,7 @@ HEADLINE = [
     "last_touch_attribution",
     "daily_value_percentiles",
     "ann_knn_join",
+    "daily_trend_slopes",
 ]
 
 

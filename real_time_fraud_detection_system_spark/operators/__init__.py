@@ -204,6 +204,8 @@ PRIORITY = [
     # last_touch_attribution (all-channel as-of credit in one keyed
     # window, zero joins) and daily_value_percentiles (exact
     # nearest-rank p10/p50/p90 per day in integer cents),
+    # daily_trend_slopes (integer-exact OLS trend per event type --
+    # floor-ppm slope, no doubles anywhere),
     # and shard_overlap + user_value_anomalies if their in-window
     # round-6 verdicts predate the late-round rewrites -- all
     # local-checker green at sf0.01 AND sf0.1; they take section-(a)

@@ -440,10 +440,84 @@ FROM picks GROUP BY day ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+def daily_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend of the daily event count per event
+    type, ENTIRELY in integer math: x = epoch day, y = count,
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) emitted as floor-ppm via
+    BIGINT floor division -- no doubles anywhere, so both engines
+    compute the identical fixpoint (the 'is this event type growing'
+    screen next to cusum_changepoints' level-shift detector).
+
+    The corpus-sized work is ONE (day, type) keyed count; moments fold
+    over the O(calendar x types) frame. Day indexes are re-based to
+    the per-type minimum before squaring so Sxx stays far from BIGINT
+    range at any calendar span."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        "event_type",
+    ).agg(F.count("*").alias("y"))
+    based = daily.select(
+        "event_type",
+        (
+            F.col("d")
+            - F.min("d").over(Window.partitionBy("event_type"))
+        ).alias("x"),
+        "y",
+    )
+    return (
+        based.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+        )
+        .filter(F.expr("n_days * sxx - sx * sx > 0"))
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "CAST(sy AS BIGINT) AS total_events",
+            "CAST((n_days * sxy - sx * sy) * 1000000 div"
+            " (n_days * sxx - sx * sx) AS BIGINT) AS slope_ppm_per_day",
+        )
+        .orderBy("event_type")
+    )
+
+
+DAILY_TREND_SQL = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+based AS (
+  SELECT event_type,
+         d - min(d) OVER (PARTITION BY event_type) AS x, y
+  FROM daily
+),
+m AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM based GROUP BY 1
+)
+SELECT event_type, n_days, sy AS total_events,
+       CAST((n_days * sxy - sx * sy) * 1000000 // (n_days * sxx - sx * sx)
+            AS BIGINT) AS slope_ppm_per_day
+FROM m WHERE n_days * sxx - sx * sx > 0
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "exact_median_by_type": exact_median_by_type,
     "last_touch_attribution": last_touch_attribution,
     "daily_value_percentiles": daily_value_percentiles,
+    "daily_trend_slopes": daily_trend_slopes,
     "event_comovement_corr": event_comovement_corr,
     "activity_islands": activity_islands,
 }
@@ -451,6 +525,7 @@ ORACLE = {
     "exact_median_by_type": EXACT_MEDIAN_SQL,
     "last_touch_attribution": LAST_TOUCH_SQL,
     "daily_value_percentiles": DAILY_PCTL_SQL,
+    "daily_trend_slopes": DAILY_TREND_SQL,
     "event_comovement_corr": COMOVEMENT_SQL,
     "activity_islands": ACTIVITY_ISLANDS_SQL,
 }

@@ -1536,3 +1536,28 @@ def test_daily_value_percentiles_nearest_rank(spark, monkeypatch):
     monkeypatch.setattr(st, "load_table", lambda s, d, n: df)
     [r] = st.daily_value_percentiles(spark, "x").collect()
     assert (r["n_events"], r["p10"], r["p50"], r["p90"]) == (10, 1.0, 5.0, 9.0)
+
+
+def test_daily_trend_slopes_known_lines(spark, monkeypatch):
+    """Counts [1,2,3] rise exactly 1/day (1e6 ppm); [3,2,1] fall
+    -1e6 ppm; a single-day type has zero x-variance and is dropped."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.stats as st
+
+    counts = {"up": [1, 2, 3], "down": [3, 2, 1], "one": [4]}
+    rows, eid = [], 0
+    for typ, per_day in counts.items():
+        for day, n in enumerate(per_day):
+            for _ in range(n):
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1 + day), 1, typ, 1.0, None)
+                )
+    df = _stats_events(spark, rows)
+    monkeypatch.setattr(st, "load_table", lambda s, d, n: df)
+    got = {
+        r["event_type"]: (r["n_days"], r["total_events"], r["slope_ppm_per_day"])
+        for r in st.daily_trend_slopes(spark, "x").collect()
+    }
+    assert got == {"up": (3, 6, 1_000_000), "down": (3, 6, -1_000_000)}
