@@ -107,6 +107,7 @@ HEADLINE = [
     "daily_value_percentiles",
     "ann_knn_join",
     "daily_trend_slopes",
+    "part_cooccurrence_topk",
 ]
 
 

@@ -205,7 +205,9 @@ PRIORITY = [
     # window, zero joins) and daily_value_percentiles (exact
     # nearest-rank p10/p50/p90 per day in integer cents),
     # daily_trend_slopes (integer-exact OLS trend per event type --
-    # floor-ppm slope, no doubles anywhere),
+    # floor-ppm slope, no doubles anywhere), part_cooccurrence_topk
+    # (item-item collaborative filtering: focus-pruned map-side pair
+    # expansion over a cached distinct-items frame, BIGINT lift),
     # and shard_overlap + user_value_anomalies if their in-window
     # round-6 verdicts predate the late-round rewrites -- all
     # local-checker green at sf0.01 AND sf0.1; they take section-(a)

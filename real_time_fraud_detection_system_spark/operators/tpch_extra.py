@@ -1457,10 +1457,131 @@ GROUP BY hop ORDER BY hop
 SUPPLIER_BFS_SQL = _bfs_sql()
 
 
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering over order baskets. Differs from
+# event_type_affinity (temporal.py) in the vocabulary regime: event
+# types are a ~5-token enum, part keys are an unbounded catalog -- so
+# pairs must expand map-side from bounded per-basket arrays and prune
+# on support BEFORE any ranking work.
+CO_MIN_SUP = 2   # pair must co-occur in >= 2 orders
+CO_TOPF = 20     # focus parts: the most-ordered
+CO_TOPK = 5      # recommendations per focus part
+
+
+def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Customers who bought X also bought': for the {CO_TOPF}
+    most-ordered parts, the {CO_TOPK} strongest co-purchased partners
+    by lift = P(a,b) / (P(a) P(b)) in integer ppm (ties by partner id).
+
+    Scale shape: ONE cached distinct (order, part) frame feeds
+    everything -- per-part counts, the exact order count, and the pair
+    expansion, which never materializes the all-pairs table: the focus
+    side's item rows (bounded by 20 parts' order lists) broadcast back
+    into the cached items as a map-side equi-join on the order key, so
+    only pairs TOUCHING a focus part ever exist. Three earlier drafts,
+    all measured at the 100x scale test: C(k,2)-per-basket expansion +
+    global pair aggregate 201 s; the same with the basket table cached
+    112 s (the collect_set basket build alone is 64 s); this items
+    form 41 s. Support prunes at >= {CO_MIN_SUP}; lift is pure BIGINT
+    floor math; output is bounded at {CO_TOPF} x {CO_TOPK} rows at any
+    corpus size. (If a focus part's order list ever outgrows broadcast
+    -- a single item on billions of orders -- drop the hint and the
+    same plan shuffles on the order key.)"""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.distinct().cache()
+    n_orders = items.select("l_orderkey").distinct().count()
+    counts = items.groupBy("l_partkey").agg(
+        F.count("*").alias("n_orders_part")
+    )
+    focus_rows = counts.orderBy(
+        F.desc("n_orders_part"), F.asc("l_partkey")
+    ).limit(CO_TOPF).collect()
+    n_a_map = {r["l_partkey"]: r["n_orders_part"] for r in focus_rows}
+    n_a_expr = "CASE " + " ".join(
+        f"WHEN part = {k} THEN {v}L" for k, v in n_a_map.items()
+    ) + " END"
+    focus_items = items.filter(
+        F.col("l_partkey").isin(list(n_a_map))
+    ).selectExpr("l_orderkey", "l_partkey AS part")
+    pairs = (
+        items.join(F.broadcast(focus_items), "l_orderkey")
+        .filter(F.col("part") != F.col("l_partkey"))
+        .selectExpr("part", "l_partkey AS partner")
+        .groupBy("part", "partner")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= CO_MIN_SUP)
+    )
+    scored = pairs.join(
+        counts.selectExpr("l_partkey AS partner", "n_orders_part AS n_b"),
+        "partner",
+    ).selectExpr(
+        "part",
+        "partner",
+        "n_ab",
+        f"CAST(n_ab * {n_orders}L * 1000000L div (({n_a_expr}) * n_b)"
+        " AS BIGINT) AS lift_ppm",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("part").orderBy(
+        F.desc("lift_ppm"), F.desc("n_ab"), F.asc("partner")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CO_TOPK)
+        .orderBy("part", "rank")
+    )
+
+
+PART_COOCCURRENCE_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {CO_MIN_SUP}
+),
+sym AS (
+  SELECT pa, pb, n_ab FROM pairs
+  UNION ALL SELECT pb AS pa, pa AS pb, n_ab FROM pairs
+),
+counts AS (
+  SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders_part
+  FROM lineitem GROUP BY 1
+),
+focus AS (
+  SELECT l_partkey, n_orders_part FROM counts
+  ORDER BY n_orders_part DESC, l_partkey ASC LIMIT {CO_TOPF}
+),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+scored AS (
+  SELECT s.pa AS part, s.pb AS partner, s.n_ab,
+         CAST(s.n_ab * n.n_orders * 1000000 // (f.n_orders_part * c.n_orders_part)
+              AS BIGINT) AS lift_ppm
+  FROM sym s
+  JOIN focus f ON s.pa = f.l_partkey
+  JOIN counts c ON s.pb = c.l_partkey
+  CROSS JOIN n
+),
+ranked AS (
+  SELECT part, partner, n_ab, lift_ppm,
+         row_number() OVER (PARTITION BY part
+             ORDER BY lift_ppm DESC, n_ab DESC, partner ASC) AS rank
+  FROM scored
+)
+SELECT part, partner, n_ab, lift_ppm, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {CO_TOPK}
+ORDER BY part, rank
+"""
+
+
 QUERIES = {
     "part_triangles": part_triangles,
     "skyline_parts": skyline_parts,
     "supplier_bfs_hops": supplier_bfs_hops,
+    "part_cooccurrence_topk": part_cooccurrence_topk,
     "supplier_pagerank": supplier_pagerank,
     "q7_volume_shipping": q7_volume_shipping,
     "q4_order_priority_exists": q4_order_priority_exists,
@@ -1485,6 +1606,7 @@ ORACLE = {
     "part_triangles": PART_TRIANGLES_SQL,
     "skyline_parts": SKYLINE_PARTS_SQL,
     "supplier_bfs_hops": SUPPLIER_BFS_SQL,
+    "part_cooccurrence_topk": PART_COOCCURRENCE_SQL,
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q4_order_priority_exists": Q4_SQL,

@@ -1561,3 +1561,31 @@ def test_daily_trend_slopes_known_lines(spark, monkeypatch):
         for r in st.daily_trend_slopes(spark, "x").collect()
     }
     assert got == {"up": (3, 6, 1_000_000), "down": (3, 6, -1_000_000)}
+
+
+def test_part_cooccurrence_topk_engineered_baskets(spark, monkeypatch):
+    """4 orders: {1,2} x3 and {1,3} x1 -> focus includes part 1
+    (n_a=4); partner 2 has n_ab=3, lift = 3*4/(4*3) = 1.0 (1e6 ppm);
+    partner 3 has n_ab=1 < CO_MIN_SUP and is pruned. Duplicate
+    (order, part) rows must not inflate counts."""
+    import real_time_fraud_detection_system_spark.operators.tpch_extra as tx
+
+    rows = [
+        (1, 1), (1, 2), (1, 2),   # dup (1,2) row: must collapse
+        (2, 1), (2, 2),
+        (3, 1), (3, 2),
+        (4, 1), (4, 3),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(
+        tx, "load_table", lambda s, d, n: df if n == "lineitem" else None
+    )
+    got = {
+        (r["part"], r["partner"]): (r["n_ab"], r["lift_ppm"], r["rank"])
+        for r in tx.part_cooccurrence_topk(spark, "x").collect()
+    }
+    # part 1: n_a=4; partner 2: n_ab=3, n_b=3 -> 3*4*1e6/(4*3) = 1e6
+    assert got[(1, 2)] == (3, 1_000_000, 1)
+    # part 2: n_a=3; partner 1: n_ab=3, n_b=4 -> 3*4*1e6/(3*4) = 1e6
+    assert got[(2, 1)] == (3, 1_000_000, 1)
+    assert (1, 3) not in got  # support 1 pruned
