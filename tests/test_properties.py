@@ -529,3 +529,146 @@ def test_partitioning_invariance_of_sketches(spark, sf_dir, monkeypatch):
         )
 
     assert run_all(1) == run_all(64)
+
+
+# --------------------------------------------------------------------------
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=2000),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_exact_median_matches_statistics_median(spark, monkeypatch, rows):
+    """The histogram-rank median equals statistics.median of the cent
+    values for every group, on arbitrary multisets (ties included)."""
+    import statistics
+
+    import real_time_fraud_detection_system_spark.operators.stats as sto
+
+    df = spark.createDataFrame(
+        [
+            (i, EPOCH, 1, typ, cents / 100.0, None)
+            for i, (typ, cents) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(sto, "load_table", lambda s, d, n: df)
+    got = {
+        r["event_type"]: (r["n_events"], r["median_value"])
+        for r in sto.exact_median_by_type(spark, "x").collect()
+    }
+    want = {}
+    for typ in {t for t, _ in rows}:
+        cents = sorted(c for t, c in rows if t == typ)
+        want[typ] = (len(cents), float(statistics.median(cents)) / 100.0)
+    assert set(got) == set(want)
+    for typ in want:
+        assert got[typ][0] == want[typ][0]
+        assert abs(got[typ][1] - want[typ][1]) < 1e-9
+
+
+# --------------------------------------------------------------------------
+@PROP
+@given(
+    days_by_user=st.dictionaries(
+        st.integers(min_value=1, max_value=4),
+        st.sets(st.integers(min_value=1, max_value=20), min_size=1,
+                max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_activity_islands_matches_bruteforce(spark, monkeypatch, days_by_user):
+    """The rank-difference streak census equals a pure-Python scan of
+    each user's sorted active-day set."""
+    import real_time_fraud_detection_system_spark.operators.stats as sto
+
+    rows, eid = [], 0
+    for user, days in days_by_user.items():
+        for d in days:
+            eid += 1
+            rows.append(
+                (eid, EPOCH + dt.timedelta(days=d - 1, hours=eid % 7),
+                 user, "view", 1.0, None)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(sto, "load_table", lambda s, d, n: df)
+    got = {
+        r["streak_days"]: (r["n_streaks"], r["n_users"])
+        for r in sto.activity_islands(spark, "x").collect()
+    }
+    streaks = {}  # length -> [user, ...]
+    for user, days in days_by_user.items():
+        run = 1
+        sd = sorted(days)
+        for prev, cur in zip(sd, sd[1:]):
+            if cur == prev + 1:
+                run += 1
+            else:
+                streaks.setdefault(run, []).append(user)
+                run = 1
+        streaks.setdefault(run, []).append(user)
+    want = {
+        ln: (len(users), len(set(users))) for ln, users in streaks.items()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=30),     # minute
+            st.sampled_from(["click", "view", "purchase"]),
+            st.integers(min_value=0, max_value=5000),   # cents
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_last_touch_attribution_matches_bruteforce(spark, monkeypatch, events):
+    """Credit assignment equals a per-user sequential scan ordered by
+    (ts, non-purchase-first, event_id) -- including same-instant
+    touches and 'direct' purchases."""
+    import real_time_fraud_detection_system_spark.operators.stats as sto
+
+    rows = [
+        (i, EPOCH + dt.timedelta(minutes=m), u, typ, c / 100.0, None)
+        for i, (u, m, typ, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(sto, "load_table", lambda s, d, n: df)
+    got = {
+        r["touch_type"]: (r["n_purchases"], round(r["revenue"] * 100))
+        for r in sto.last_touch_attribution(spark, "x").collect()
+    }
+    want = {}
+    by_user = {}
+    for i, (u, m, typ, c) in enumerate(events):
+        by_user.setdefault(u, []).append((m, typ == "purchase", i, typ, c))
+    for u, evs in by_user.items():
+        last_touch = None
+        for m, is_p, i, typ, c in sorted(evs):
+            if is_p:
+                key = last_touch or "direct"
+                n, s = want.get(key, (0, 0))
+                want[key] = (n + 1, s + c)
+            else:
+                last_touch = typ
+    assert got == want
