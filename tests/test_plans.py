@@ -273,3 +273,64 @@ def test_token_concentration_scan_prunes_to_one_column(spark, sf_dir):
 
     df = token_concentration_bins(spark, sf_dir)
     assert_pruned_schema(df, "documents", 1)
+
+
+def test_part_cooccurrence_pair_expansion_is_broadcast(spark, sf_dir):
+    """The focus-items side must broadcast into the cached items frame
+    (map-side pair expansion); the lineitem scan must prune to the two
+    key columns; no cartesian anywhere."""
+    from real_time_fraud_detection_system_spark.operators.tpch_extra import (
+        part_cooccurrence_topk,
+    )
+    from real_time_fraud_detection_system_spark.plans.explain_checks import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+        assert_pruned_schema,
+    )
+
+    df = part_cooccurrence_topk(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_pruned_schema(df, "lineitem", 2)
+    assert_no_cartesian(df)
+
+
+def test_bloom_probe_side_has_no_explode(spark, sf_dir):
+    """The probe pipeline marks positions via K broadcast-hash joins --
+    the probe side must never explode (K x |probe| row blowup) and the
+    lineitem scan must prune to the single key column."""
+    from real_time_fraud_detection_system_spark.operators.sketches import (
+        bloom_prefilter_stats,
+    )
+    from real_time_fraud_detection_system_spark.plans.explain_checks import (
+        assert_pruned_schema,
+        simple_plan,
+    )
+
+    from real_time_fraud_detection_system_spark.operators.sketches import (
+        BLOOM_K,
+    )
+
+    df = bloom_prefilter_stats(spark, sf_dir)
+    plan = simple_plan(df)
+    # every explode is the build side's bit-position expansion (its
+    # subtree prints once per broadcast reuse); the probe side reaches
+    # the hit-mark joins as plain Projects
+    assert plan.count("Generate explode") <= BLOOM_K + 1, plan
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K, plan  # hit-marks
+    assert_pruned_schema(df, "lineitem", 1)
+
+
+def test_skyline_scan_prunes_to_three_columns(spark, sf_dir):
+    """The skyline needs (size, price, partkey); the frontier joins
+    back as a broadcast."""
+    from real_time_fraud_detection_system_spark.operators.tpch_extra import (
+        skyline_parts,
+    )
+    from real_time_fraud_detection_system_spark.plans.explain_checks import (
+        assert_broadcast_join,
+        assert_pruned_schema,
+    )
+
+    df = skyline_parts(spark, sf_dir)
+    assert_pruned_schema(df, "part", 3)
+    assert_broadcast_join(df)
