@@ -1129,12 +1129,17 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     services/db/init.sql:1-31).
 
     Scale shape, in order of data volume touched:
-      1. pair generation is ONE corpus shuffle: groupBy(l_orderkey)
-         collects the bounded per-order part set (<= 7 items) and the
-         C(k, 2) <= 21 pairs expand MAP-SIDE from the sorted array --
-         no self-join, no separate distinct pass (collect_set dedupes
-         in the same aggregate); the self-join form measured 3 corpus
-         shuffles and ~2.4x the wall time at the 100x scale test;
+      1. pair generation is the distinct-items SELF-JOIN on the order
+         key: both sides are the same compact (order, part) frame, the
+         per-order fanout is bounded by basket size (<= 7 in TPC-H),
+         and every operator stays inside whole-stage codegen. The
+         collect_set + per-array pair expansion this replaces looked
+         cheaper on paper (one corpus shuffle) but built 15M array
+         rows through interpreted higher-order functions -- measured
+         at the 100x scale test for the identical 357k edges: HOF
+         expansion 244-271 s, items self-join 38-106 s cold / 17-60 s
+         steady (the spread is first-execution JVM warmup on the big
+         sorts, not plan variance);
       2. edge support is one keyed aggregate with map-side partials,
          and the HAVING filter shrinks the graph before any
          triangle work;
@@ -1152,20 +1157,24 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    items = li.distinct()
     edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .selectExpr(
-            "explode(flatten(transform(ps, (x, i) ->"
-            " transform(slice(ps, i + 2, size(ps)), y ->"
-            " struct(x AS pa, y AS pb))))) AS e"
-        )
-        .groupBy(F.expr("e.pa").alias("pa"), F.expr("e.pb").alias("pb"))
+        items.selectExpr("l_orderkey", "l_partkey AS pa")
+        .join(items.selectExpr("l_orderkey", "l_partkey AS pb"),
+              "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= TRI_MIN_SUP)
         .select("pa", "pb")
     )
-    edges = edges.cache()
+    # EAGER materialization, not cache(): the edge subtree feeds four
+    # downstream branches that can run as sibling stages of one job --
+    # a lazily-populated cache is not guaranteed visible to siblings,
+    # which can recompute the corpus pair aggregate. The support-
+    # filtered edge set is O(co-purchase pairs), tiny next to lineitem
+    # at any scale, so the checkpoint itself is cheap.
+    edges = edges.localCheckpoint()
     deg = (
         edges.selectExpr("pa AS node")
         .unionAll(edges.selectExpr("pb AS node"))
@@ -1192,7 +1201,9 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN orda < ordb THEN pb ELSE pa END AS dst",
         "CASE WHEN orda < ordb THEN orda ELSE ordb END AS src_ord",
         "CASE WHEN orda < ordb THEN ordb ELSE orda END AS dst_ord",
-    )
+        # same sibling-stage argument as edges: o1, o2, and the closing
+        # join all consume this O(edges) frame
+    ).localCheckpoint()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
