@@ -1010,7 +1010,17 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wout = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
-    ew = edges.join(wout, "src").cache()
+    # cache the edge table ALREADY partitioned and sorted on the join
+    # key: InMemoryRelation preserves both, so every round's sort-merge
+    # join against the scores frame needs NO exchange and NO re-sort on
+    # the (2x edges)-sized side -- only the O(nodes) scores side
+    # shuffles per round
+    ew = (
+        edges.join(wout, "src")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .cache()
+    )
     # localCheckpoint (not cache): nodes must not share ew's lineage,
     # or the first ew-x-scores join sees ew's columns on both sides
     nodes = ew.select(F.col("src").alias("node")).distinct().localCheckpoint()
