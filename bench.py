@@ -108,6 +108,7 @@ HEADLINE = [
     "ann_knn_join",
     "daily_trend_slopes",
     "part_cooccurrence_topk",
+    "time_weighted_value",
 ]
 
 
@@ -190,7 +191,8 @@ def main() -> None:
     # exposed to machine noise; the min is the reproducible number. One
     # protocol for every measured suite -- sf0.1 and sf1 numbers must
     # stay comparable.
-    def run_suite(dir_: str, deadline: float | None = None) -> dict[str, float]:
+    def run_suite(dir_: str, deadline: float | None = None,
+                  runs: int = 2) -> dict[str, float]:
         """deadline (abs epoch seconds): between queries, if the clock
         has passed it, remaining queries record -1 ("not run") instead
         of blocking the harness window -- a partial suite with an
@@ -201,7 +203,7 @@ def main() -> None:
                 out[name] = -1.0
                 continue
             best = float("inf")
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.time()
                 run_query(queries[name](spark, dir_))
                 best = min(best, time.time() - t0)
@@ -233,14 +235,20 @@ def main() -> None:
     # thousands of scheduling-dominated tasks.
     repo = os.path.dirname(os.path.abspath(__file__))
     scale_sections = [
+        # (label, dir, sf, split bytes, elapsed budget s, runs/query).
+        # The 100x section runs each query ONCE: at 74 headline queries
+        # best-of-2 blew past the old 900 s budget on a slow-host day
+        # and 22 queries recorded -1; isolated best-of-2 at 100x lives
+        # in tools/scale_sweep.py where a kill cannot truncate the
+        # contract line.
         ("sf1", os.environ.get("SPARK_GRAFT_SF1_DIR",
                                os.path.join(repo, ".scale/sf1")),
-         1.0, 16 * 1024 * 1024, 600),
+         1.0, 16 * 1024 * 1024, 900, 2),
         ("sf10", os.environ.get("SPARK_GRAFT_SF10_DIR",
                                 os.path.join(repo, ".scale/sf10")),
-         10.0, 64 * 1024 * 1024, 900),
+         10.0, 64 * 1024 * 1024, 1800, 1),
     ]
-    for label, dir_, sf_val, split, budget_s in scale_sections:
+    for label, dir_, sf_val, split, budget_s, runs in scale_sections:
         if not os.path.isdir(dir_):
             continue
         # skip gracefully when earlier sections already burned the wall
@@ -257,7 +265,8 @@ def main() -> None:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         # hard mid-suite stop: a single pathological query at 100x data
         # must not eat the whole harness window (-1 marks "not run")
-        timings_s = run_suite(dir_, deadline=t_start + budget_s + 600)
+        timings_s = run_suite(dir_, deadline=t_start + budget_s + 600,
+                              runs=runs)
         ran = {k: v for k, v in timings_s.items() if v >= 0}
         # per-query scale detail goes out IMMEDIATELY as its own JSON
         # line (live progress + a fallback if the contract line dies),

@@ -208,6 +208,8 @@ PRIORITY = [
     # floor-ppm slope, no doubles anywhere), part_cooccurrence_topk
     # (item-item collaborative filtering: focus-pruned map-side pair
     # expansion over a cached distinct-items frame, BIGINT lift),
+    # time_weighted_value (LOCF time-weighted per-user average:
+    # exact microsecond weights, DECIMAL(38,0)/HUGEINT sums),
     # and shard_overlap + user_value_anomalies if their in-window
     # round-6 verdicts predate the late-round rewrites -- all
     # local-checker green at sf0.01 AND sf0.1; they take section-(a)

@@ -513,8 +513,76 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average of ``value`` per user (the
+    time_weight('locf') continuous-aggregate semantic): each event's
+    value holds until the user's next event, weights are EXACT
+    microsecond durations, and the average is integer floor division
+    of exact sums -- segment products accumulate as DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) because cents x microseconds x events
+    overflows int64, and the per-user quotient lands back in BIGINT
+    cents. Users with a single event (no held segment) drop.
+
+    Why TWA and not plain avg: a user polling every minute at value 10
+    then idling a day at value 1000 averages ~10 by row count but
+    ~1000 by time -- billing/exposure metrics need the latter. One
+    keyed window (lead over user timelines) + one keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+        "unix_micros(ts) AS t_us",
+    ).withColumn("dur_us", F.lead("t_us").over(w) - F.col("t_us"))
+    return (
+        seg.filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dur_us").alias("span_us"),
+            F.sum(
+                F.expr("CAST(cents AS DECIMAL(38, 0)) * dur_us")
+            ).alias("vd"),
+        )
+        .filter(F.col("span_us") > 0)
+        .selectExpr(
+            "user_id",
+            "n_segments",
+            "span_us",
+            "CAST(vd div span_us AS BIGINT) AS twa_cents",
+        )
+        .orderBy("user_id")
+    )
+
+
+TIME_WEIGHTED_SQL = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur_us
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_segments,
+       CAST(sum(dur_us) AS BIGINT) AS span_us,
+       CAST(sum(CAST(cents AS HUGEINT) * dur_us) // sum(dur_us)
+            AS BIGINT) AS twa_cents
+FROM seg WHERE dur_us IS NOT NULL
+GROUP BY user_id HAVING sum(dur_us) > 0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "exact_median_by_type": exact_median_by_type,
+    "time_weighted_value": time_weighted_value,
     "last_touch_attribution": last_touch_attribution,
     "daily_value_percentiles": daily_value_percentiles,
     "daily_trend_slopes": daily_trend_slopes,
@@ -526,6 +594,7 @@ ORACLE = {
     "last_touch_attribution": LAST_TOUCH_SQL,
     "daily_value_percentiles": DAILY_PCTL_SQL,
     "daily_trend_slopes": DAILY_TREND_SQL,
+    "time_weighted_value": TIME_WEIGHTED_SQL,
     "event_comovement_corr": COMOVEMENT_SQL,
     "activity_islands": ACTIVITY_ISLANDS_SQL,
 }

@@ -1563,6 +1563,30 @@ def test_daily_trend_slopes_known_lines(spark, monkeypatch):
     assert got == {"up": (3, 6, 1_000_000), "down": (3, 6, -1_000_000)}
 
 
+def test_time_weighted_value_locf_segments(spark, monkeypatch):
+    """value 100.00 held 10 s then 200.00 held 30 s -> TWA 175.00; the
+    closing event contributes no segment; a single-event user drops."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.stats as st
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 100.00, None),
+        (2, t0 + dt.timedelta(seconds=10), 1, "view", 200.00, None),
+        (3, t0 + dt.timedelta(seconds=40), 1, "view", 999.0, None),
+        (4, t0, 2, "view", 50.0, None),  # single event: no segment
+    ]
+    df = _stats_events(spark, rows)
+    monkeypatch.setattr(st, "load_table", lambda s, d, n: df)
+    out = {r["user_id"]: r for r in st.time_weighted_value(spark, "x").collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert (r["n_segments"], r["span_us"], r["twa_cents"]) == (
+        2, 40_000_000, 17_500,
+    )
+
+
 def test_part_cooccurrence_topk_engineered_baskets(spark, monkeypatch):
     """4 orders: {1,2} x3 and {1,3} x1 -> focus includes part 1
     (n_a=4); partner 2 has n_ab=3, lift = 3*4/(4*3) = 1.0 (1e6 ppm);

@@ -483,6 +483,7 @@ def test_partitioning_invariance_of_stats(spark, sf_dir, monkeypatch):
             sorted(map(tuple, st.last_touch_attribution(spark, sf_dir).collect())),
             sorted(map(tuple, st.daily_value_percentiles(spark, sf_dir).collect())),
             sorted(map(tuple, st.daily_trend_slopes(spark, sf_dir).collect())),
+            sorted(map(tuple, st.time_weighted_value(spark, sf_dir).collect())),
         )
 
     assert run_all(1) == run_all(64)
