@@ -109,6 +109,7 @@ HEADLINE = [
     "daily_trend_slopes",
     "part_cooccurrence_topk",
     "time_weighted_value",
+    "fk_integrity_check",
 ]
 
 

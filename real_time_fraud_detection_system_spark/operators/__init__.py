@@ -210,6 +210,9 @@ PRIORITY = [
     # expansion over a cached distinct-items frame, BIGINT lift),
     # time_weighted_value (LOCF time-weighted per-user average:
     # exact microsecond weights, DECIMAL(38,0)/HUGEINT sums),
+    # fk_integrity_check (foreign-key orphan audit over the seven
+    # schema relations: distinct-keys-first anti-joins, O(relations)
+    # output -- the between-tables twin of dq_expectations),
     # and shard_overlap + user_value_anomalies if their in-window
     # round-6 verdicts predate the late-round rewrites -- all
     # local-checker green at sf0.01 AND sf0.1; they take section-(a)

@@ -543,8 +543,102 @@ ORDER BY rule
 DQ_EXPECTATIONS_SQL = _dq_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# Referential integrity: the schema's foreign-key relations as data.
+# dq_expectations audits one table's ROW rules; this audits the rules
+# BETWEEN tables -- the orphan check every warehouse load runs before
+# trusting a join (the reference's flat schema has no FKs to audit;
+# services/db/init.sql:1-31).
+FK_RELATIONS: tuple[tuple[str, str, str, str, str], ...] = (
+    # (relation name, child table, child key, parent table, parent key)
+    ("lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nationkey", "customer", "c_nationkey", "nation",
+     "n_nationkey"),
+    ("supplier_nationkey", "supplier", "s_nationkey", "nation",
+     "n_nationkey"),
+    ("nation_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit: one row per declared relation with the
+    child row count, orphan count (child keys with no parent; NULL
+    child keys counted separately, SQL-FK style), and integer-ppm
+    orphan rate. Adding a relation is adding a tuple.
+
+    Scale shape: per relation, the child side collapses to DISTINCT
+    keys + counts FIRST (one keyed aggregate, output bounded by key
+    cardinality), then anti-joins the parent's key column -- so the
+    join moves distinct keys, never child rows; dimension-sized
+    parents broadcast under AQE. Output is O(relations)."""
+    parts = []
+    for name, child, ckey, parent, pkey in FK_RELATIONS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("k")
+        )
+        keyed = (
+            c.select(F.col(ckey).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+        )
+        stats = keyed.agg(
+            F.sum("n").alias("n_child_rows"),
+            F.sum(F.expr("CASE WHEN k IS NULL THEN n ELSE 0 END")).alias(
+                "n_null_keys"
+            ),
+        )
+        orphans = (
+            keyed.filter(F.col("k").isNotNull())
+            .join(p, "k", "left_anti")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_orphans"))
+        )
+        parts.append(
+            stats.crossJoin(F.broadcast(orphans)).selectExpr(
+                f"'{name}' AS relation",
+                "n_child_rows",
+                "n_null_keys",
+                "n_orphans",
+                "CAST(n_orphans * 1000000L DIV n_child_rows AS BIGINT)"
+                " AS orphan_ppm",
+            )
+        )
+    out = parts[0]
+    for frag in parts[1:]:
+        out = out.unionByName(frag)
+    return out.orderBy("relation")
+
+
+def _fk_oracle_sql() -> str:
+    rows = [
+        f"""SELECT '{name}' AS relation,
+       CAST(count(*) AS BIGINT) AS n_child_rows,
+       CAST(sum(CASE WHEN {ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_keys,
+       CAST(sum(CASE WHEN {ckey} IS NOT NULL AND {ckey} NOT IN
+                (SELECT {pkey} FROM {parent}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM {child}"""
+        for name, child, ckey, parent, pkey in FK_RELATIONS
+    ]
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+SELECT relation, n_child_rows, n_null_keys, n_orphans,
+       CAST(n_orphans * 1000000 // n_child_rows AS BIGINT) AS orphan_ppm
+FROM ({body})
+ORDER BY relation
+"""
+
+
+FK_INTEGRITY_SQL = _fk_oracle_sql()
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
+    "fk_integrity_check": fk_integrity_check,
     "props_json_stats": props_json_stats,
     "daily_metrics": daily_metrics,
     "freshness_check": freshness_check,
@@ -560,6 +654,7 @@ QUERIES = {
 
 ORACLE = {
     "dq_expectations": DQ_EXPECTATIONS_SQL,
+    "fk_integrity_check": FK_INTEGRITY_SQL,
     "props_json_stats": PROPS_JSON_SQL,
     "daily_metrics": DAILY_METRICS_SQL,
     "freshness_check": FRESHNESS_SQL,

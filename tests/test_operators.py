@@ -1563,6 +1563,48 @@ def test_daily_trend_slopes_known_lines(spark, monkeypatch):
     assert got == {"up": (3, 6, 1_000_000), "down": (3, 6, -1_000_000)}
 
 
+def test_fk_integrity_counts_orphans_and_nulls(spark, monkeypatch):
+    """Injected orphan and NULL child keys are counted separately
+    (SQL-FK style: NULL is not an orphan), duplicates of an orphan key
+    count per ROW, and clean relations report zero."""
+    import real_time_fraud_detection_system_spark.operators.metrics as mt
+
+    tables = {
+        "orders": spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 99)],  # custkey 99 has no customer
+            "o_orderkey long, o_custkey long",
+        ),
+        "lineitem": spark.createDataFrame(
+            # two rows with orphan orderkey 7, one NULL orderkey
+            [(1, 1, 1), (7, 1, 1), (7, 1, 1), (None, 1, 1)],
+            "l_orderkey long, l_partkey long, l_suppkey long",
+        ),
+        "part": spark.createDataFrame([(1,)], "p_partkey long"),
+        "supplier": spark.createDataFrame(
+            [(1, 5)], "s_suppkey long, s_nationkey long"
+        ),
+        "customer": spark.createDataFrame(
+            [(10, 5)], "c_custkey long, c_nationkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(5, 2)], "n_nationkey long, n_regionkey long"
+        ),
+        "region": spark.createDataFrame([(2,)], "r_regionkey long"),
+    }
+    monkeypatch.setattr(mt, "load_table", lambda s, d, n: tables[n])
+    got = {
+        r["relation"]: (r["n_child_rows"], r["n_null_keys"],
+                        r["n_orphans"], r["orphan_ppm"])
+        for r in mt.fk_integrity_check(spark, "x").collect()
+    }
+    assert got["lineitem_orderkey"] == (4, 1, 2, 500_000)
+    assert got["orders_custkey"] == (3, 0, 1, 333_333)
+    for clean in ("lineitem_partkey", "lineitem_suppkey",
+                  "customer_nationkey", "supplier_nationkey",
+                  "nation_regionkey"):
+        assert got[clean][2] == 0 and got[clean][3] == 0
+
+
 def test_time_weighted_value_locf_segments(spark, monkeypatch):
     """value 100.00 held 10 s then 200.00 held 30 s -> TWA 175.00; the
     closing event contributes no segment; a single-event user drops."""
