@@ -30,6 +30,13 @@ Why these are engine work and not "just SQL":
   user (keyed shuffle, bounded per-user frames), and the output is
   O(max streak length) rows.
 
+The same exact-integer discipline extends to the rest of the module:
+``daily_value_percentiles`` (nearest-rank, ceil in integer math),
+``daily_trend_slopes`` (OLS entirely in BIGINT floor division),
+``last_touch_attribution`` (as-of credit in one keyed window, exact
+cents), and ``time_weighted_value`` (LOCF microsecond weights summed
+as DECIMAL(38,0)/HUGEINT).
+
 The reference's schema keeps only a flat predictions table
 (services/db/init.sql:1-31) and its one scheduled rollup is a daily
 GROUP BY (dags/compute-daily-metrics.py:19-37); these are the
