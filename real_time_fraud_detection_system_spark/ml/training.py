@@ -32,6 +32,66 @@ from ..sources.generators import FEATURE_ORDER
 
 PRODUCTION_POINTER = "PRODUCTION"
 
+# ---------------------------------------------------------------------------
+# Optional MLflow mirror (reference training.py:60-110 literal parity).
+# The engine's registry of record stays the versioned-path + Production-
+# pointer layout above -- it needs no server and every test/driver run
+# exercises it. When BOTH the env flag is set and mlflow imports, the
+# same save/promote calls ALSO mirror to an MLflow tracking server the
+# way the reference does (log_metric("auc"), registered model, promote
+# latest to the Production stage). Off by default so the engine never
+# grows a hard network dependency; tests skip when mlflow is absent.
+MLFLOW_FLAG = "SPARK_GRAFT_MLFLOW"
+MLFLOW_MODEL_NAME = os.environ.get("REGISTERED_MODEL_NAME", "fraud_detector")
+
+
+def _mlflow():
+    """The mlflow module when mirroring is enabled AND importable."""
+    if os.environ.get(MLFLOW_FLAG, "").lower() not in ("1", "true", "yes"):
+        return None
+    try:
+        import mlflow
+
+        return mlflow
+    except ImportError:
+        return None
+
+
+def _mlflow_mirror_save(model: PipelineModel, version: int, auc: float):
+    """Mirror of reference training.py:72-99: one run logging the AUC
+    and the model under the registered name. Spark-first: the artifact
+    is the PipelineModel itself (mlflow.spark), not a pyfunc wrapper
+    around a re-fit scaler."""
+    mlflow = _mlflow()
+    if mlflow is None:
+        return None
+    with mlflow.start_run() as run:
+        mlflow.log_metric("auc", auc)
+        mlflow.log_param("engine_version", version)
+        mlflow.spark.log_model(
+            model,
+            artifact_path="model",
+            registered_model_name=MLFLOW_MODEL_NAME,
+        )
+    return run.info.run_id
+
+
+def _mlflow_mirror_promote() -> None:
+    """Mirror of reference training.py:101-110: promote the newest
+    registered version to the Production stage."""
+    mlflow = _mlflow()
+    if mlflow is None:
+        return
+    client = mlflow.tracking.MlflowClient()
+    versions = client.get_latest_versions(MLFLOW_MODEL_NAME)
+    if versions:
+        newest = max(versions, key=lambda v: int(v.version))
+        client.transition_model_version_stage(
+            name=MLFLOW_MODEL_NAME,
+            version=newest.version,
+            stage="Production",
+        )
+
 
 def build_pipeline() -> Pipeline:
     assembler = VectorAssembler(
@@ -79,6 +139,9 @@ def save_version(model: PipelineModel, registry_dir: str, auc: float) -> int:
     path = os.path.join(registry_dir, f"v{version}")
     model.write().overwrite().save(path)
     meta = {"version": version, "auc": auc, "created_at": time.time()}
+    run_id = _mlflow_mirror_save(model, version, auc)
+    if run_id is not None:
+        meta["mlflow_run_id"] = run_id
     with open(os.path.join(registry_dir, f"v{version}.json"), "w") as f:
         json.dump(meta, f)
     return version
@@ -89,6 +152,7 @@ def promote_to_production(registry_dir: str, version: int) -> None:
     semantics -- latest promoted wins, prior versions implicitly archived)."""
     with open(os.path.join(registry_dir, PRODUCTION_POINTER), "w") as f:
         f.write(str(version))
+    _mlflow_mirror_promote()
 
 
 def load_production(spark, registry_dir: str) -> tuple[PipelineModel | None, str | None]:

@@ -602,8 +602,11 @@ def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_child_rows",
                 "n_null_keys",
                 "n_orphans",
-                "CAST(n_orphans * 1000000L DIV n_child_rows AS BIGINT)"
-                " AS orphan_ppm",
+                # zero-guard: an empty child table must report 0, not
+                # NULL (Spark) vs a division-by-zero error (DuckDB)
+                "CAST(CASE WHEN n_child_rows = 0 THEN 0"
+                " ELSE n_orphans * 1000000L DIV n_child_rows END"
+                " AS BIGINT) AS orphan_ppm",
             )
         )
     out = parts[0]
@@ -627,7 +630,9 @@ FROM {child}"""
     body = "\nUNION ALL\n".join(rows)
     return f"""
 SELECT relation, n_child_rows, n_null_keys, n_orphans,
-       CAST(n_orphans * 1000000 // n_child_rows AS BIGINT) AS orphan_ppm
+       CAST(CASE WHEN n_child_rows = 0 THEN 0
+            ELSE n_orphans * 1000000 // n_child_rows END AS BIGINT)
+         AS orphan_ppm
 FROM ({body})
 ORDER BY relation
 """

@@ -100,7 +100,14 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_arr = F.array(
         *[F.expr(_pos("k", i, BLOOM_BITS)) for i in range(BLOOM_K)]
     )
-    bits = build.select(F.explode(pos_arr).alias("pos")).distinct().cache()
+    # localCheckpoint (not cache): materializes eagerly and frees with
+    # the frame instead of pinning executor storage across the sweep
+    # (the supplier_bfs_hops convention)
+    bits = (
+        build.select(F.explode(pos_arr).alias("pos"))
+        .distinct()
+        .localCheckpoint()
+    )
 
     marked = probe
     for i in range(BLOOM_K):

@@ -451,9 +451,12 @@ FROM picks GROUP BY day ORDER BY day
 def daily_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinary-least-squares trend of the daily event count per event
     type, ENTIRELY in integer math: x = epoch day, y = count,
-    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) emitted as floor-ppm via
-    BIGINT floor division -- no doubles anywhere, so both engines
-    compute the identical fixpoint (the 'is this event type growing'
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) emitted as integer ppm via
+    BIGINT division -- no doubles anywhere, so both engines compute the
+    identical fixpoint. NOTE: Spark's DIV and DuckDB's // both TRUNCATE
+    toward zero (DuckDB: -7 // 2 = -3), so negative slopes quantize by
+    truncation, not floor; the engines agree, which is what the oracle
+    gate needs (the 'is this event type growing'
     screen next to cusum_changepoints' level-shift detector).
 
     The corpus-sized work is ONE (day, type) keyed count; moments fold

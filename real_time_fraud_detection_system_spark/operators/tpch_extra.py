@@ -1511,7 +1511,10 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    items = li.distinct().cache()
+    # localCheckpoint (not cache): the two count actions below would
+    # re-run the distinct either way; checkpointing frees the blocks
+    # with the frame instead of pinning storage across the sweep
+    items = li.distinct().localCheckpoint()
     n_orders = items.select("l_orderkey").distinct().count()
     counts = items.groupBy("l_partkey").agg(
         F.count("*").alias("n_orders_part")

@@ -60,6 +60,31 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# RocksDB-backed streaming state store. The default provider keeps every
+# stateful operator's state (sessionizer and gap-monitor per-user rows,
+# dropDuplicates sets, window aggregates) on the EXECUTOR HEAP -- at
+# 100x users that heap is the first thing to die, while RocksDB spills
+# state to local disk with bounded memory (the provider Spark itself
+# ships for exactly this). Changelog checkpointing uploads per-commit
+# deltas instead of full snapshots, keeping commit cost proportional to
+# the trigger's writes. Runtime SQL confs: settable per session/test via
+# conf_override, no session rebuild needed; a new provider takes effect
+# for QUERIES STARTED after the change (existing checkpoints keep the
+# provider they started with).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     cpus: int | None = None,
@@ -87,6 +112,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # opt-in RocksDB state store for every stateful streaming query in
+    # the session (100x-user posture; see rocksdb_state_conf)
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        for k, v in rocksdb_state_conf().items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

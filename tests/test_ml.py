@@ -106,3 +106,32 @@ def test_score_one_request_response(spark, registry):
     )
     assert set(out) == {"prediction", "proba", "model_version"}
     assert out["prediction"] in (0, 1)
+
+
+def test_mlflow_mirror_gating(monkeypatch):
+    """The MLflow mirror (reference training.py:60-110 parity) must be a
+    strict no-op unless BOTH the env flag is set and mlflow imports --
+    the engine's registry of record never grows a server dependency."""
+    from real_time_fraud_detection_system_spark.ml import training as tr
+
+    monkeypatch.delenv(tr.MLFLOW_FLAG, raising=False)
+    assert tr._mlflow() is None  # flag off -> no-op even if installed
+    assert tr._mlflow_mirror_save(None, 1, 0.9) is None
+    assert tr._mlflow_mirror_promote() is None
+
+    monkeypatch.setenv(tr.MLFLOW_FLAG, "1")
+    try:
+        import mlflow  # noqa: F401
+
+        has_mlflow = True
+    except ImportError:
+        has_mlflow = False
+    if not has_mlflow:
+        # flag on, import fails -> still a no-op (this sandbox's case)
+        assert tr._mlflow() is None
+        assert tr._mlflow_mirror_save(None, 1, 0.9) is None
+    else:  # pragma: no cover - only runs where mlflow is installed
+        import pytest
+
+        pytest.skip("mlflow installed: live-server mirroring not "
+                    "exercised in unit tests")
