@@ -110,6 +110,12 @@ HEADLINE = [
     "part_cooccurrence_topk",
     "time_weighted_value",
     "fk_integrity_check",
+    # round-7 additions: the two new corpus operators, plus
+    # dedup_signal_crosstab (now riding the sig/pairs/semlabels memos
+    # -- rewritten-for-scale queries belong here so regressions show)
+    "exact_substring_spans",
+    "dsir_importance_bins",
+    "dedup_signal_crosstab",
 ]
 
 

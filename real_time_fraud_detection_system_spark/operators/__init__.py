@@ -63,6 +63,11 @@ PRIORITY = [
     #     supplier_pagerank (cached pre-partitioned edge table);
     "ann_ivf_topk", "shard_overlap", "user_value_anomalies",
     "part_triangles", "exact_median_by_type", "supplier_pagerank",
+    #   * NEW in round 7: exact-substring duplicated-run census (the
+    #     Lee et al. dedup gate MinHash can't see) and DSIR-style
+    #     hashed-unigram importance bins (target-domain mixture
+    #     planning) -- both corpusops, both oracle-checked;
+    "exact_substring_spans", "dsir_importance_bins",
     # (b) the nine round-4-verdict tpch_extra queries deferred from the
     #     round-6 window (oldest-verdict backfill, as published):
     "q8_market_share", "q9_profit_by_nation",
@@ -82,10 +87,12 @@ PRIORITY = [
     "embedding_outliers", "bigram_lm_score", "crossdoc_ngram_share",
     "ann_recall_eval", "ivf_cell_stats", "doc_chunks", "chunk_dup_rate",
     "mixture_apply_sample", "event_type_affinity", "dau_wau_stickiness",
-    "source_semantic_similarity", "threshold_sweep", "calibration_bins",
-    "ivf_probe_sweep",
+    "source_semantic_similarity", "threshold_sweep",
     # ROUND-8 WINDOW HEAD (the never-driver-checked queue is longer
-    # than 50 slots; the remainder, in priority order): ann_knn_join
+    # than 50 slots; the remainder, in priority order): calibration_bins
+    # and ivf_probe_sweep (displaced from this window's section (d) by
+    # the two new round-7 operators; their families stay represented by
+    # threshold_sweep / ann_ivf_topk+3 others); ann_knn_join
     # verdict stands (r6); next up are token_concentration_bins,
     # kmeans_fixedpoint, dq_expectations, rfm_segments,
     # bootstrap_fraud_ci, gapfill_hourly, emb_quantize_int8,

@@ -1,0 +1,100 @@
+"""Parquet-backed memo for derived index artifacts (MinHash signatures,
+verified near-dup pairs, semantic cluster labels).
+
+The production shape at 100 TB is "build the index once per corpus
+snapshot, probe it from every query" (persist_dedup_index /
+persist_ann_index are the bucketed deployment forms). These registry
+queries are self-contained by contract -- each must run from a bare
+(spark, sf_dir) -- so the memo gives them the same economics: the first
+query of a family materializes the derived table under .sigcache/ keyed
+by the SOURCE TABLE'S identity (path + file sizes + mtimes) plus every
+constant the derivation depends on, and the rest read parquet. The key
+invalidates the moment the data or the parameters change; a cache dir
+is never mutated after its atomic rename, so readers cannot see torn
+state. First writer wins under concurrency (losers keep their
+equivalent local build). Unstattable inputs (non-local paths) skip the
+memo and rebuild -- correctness never depends on it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+MEMO_VERSION = 1
+MEMO_KEEP = 16  # entries retained; older evicted by mtime
+
+
+def memo_root() -> str:
+    return os.environ.get("SPARK_GRAFT_SIGCACHE") or os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".sigcache",
+    )
+
+
+def table_fingerprint(sf_dir: str, table: str, *consts) -> str | None:
+    """Digest of one source table's identity (realpath + per-file size +
+    mtime) and the derivation constants. None when the table isn't a
+    plain local path we can stat (callers then rebuild)."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.exists(p):
+        return None
+    parts = [os.path.realpath(p), str(MEMO_VERSION)] + [
+        str(c) for c in consts
+    ]
+    files = (
+        sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if not f.startswith(("_", "."))
+        )
+        if os.path.isdir(p)
+        else [p]
+    )
+    for f in files:
+        st = os.stat(f)
+        parts += [os.path.basename(f), str(st.st_size), str(st.st_mtime_ns)]
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def _evict(root: str) -> None:
+    try:
+        entries = [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if not d.endswith(".tmp") and not d.startswith(".")
+        ]
+    except OSError:
+        return
+    entries.sort(key=lambda d: os.path.getmtime(d), reverse=True)
+    for stale in entries[MEMO_KEEP:]:
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def memo_parquet(
+    spark: SparkSession,
+    fingerprint: str | None,
+    tag: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the memoized frame for (fingerprint, tag), building and
+    persisting it on first use. fingerprint None -> plain build."""
+    if fingerprint is None:
+        return build()
+    root = memo_root()
+    path = os.path.join(root, f"{fingerprint}-{tag}")
+    if not os.path.isdir(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        _evict(root)
+    return spark.read.parquet(path)

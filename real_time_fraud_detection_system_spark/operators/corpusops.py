@@ -1016,6 +1016,267 @@ ORDER BY chars_bin DESC
 """
 
 
+# --------------------------------------------------------------------------
+SPAN_W = 8  # exact-run width in tokens (Lee et al. use 50 on real corpora;
+#             8 fits the synthetic docs' ~30-token length at every SF)
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication census (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better'
+    operator, reported instead of applied): any {SPAN_W}-token run
+    occurring >= 2 times in the corpus (across OR within documents) is
+    a duplicated run; overlapping/adjacent dup runs merge into maximal
+    spans per document, and the per-source report says how many tokens
+    exact-substring dedup would cut. Near-dup (MinHash) misses these
+    when the surrounding document differs; this is the complementary
+    gate, and the span-merge is what turns shingle hits into the token
+    count a real scrubber would remove.
+
+    Shape: positional shingles via posexplode + {SPAN_W}-1 lead()s in
+    ONE window pass (codegen, locally sorted on the doc_id spread
+    partitioning -- the bigram_lm_score shape, no interpreted lambda);
+    dup filter is one count aggregate keyed by the 128-bit hash; span
+    merge is the gaps-and-islands window (break when i - prev > W).
+    Every shuffle is keyed (h, then doc_id); output is O(sources).
+    md5 shingle hashes make both engines' dup sets identical."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    lead_cols = [
+        F.lead("t", k).over(w).alias(f"t{k}") for k in range(1, SPAN_W)
+    ]
+    sh = (
+        docs.selectExpr("doc_id", f"posexplode({_TOKS}) AS (i, t)")
+        .select("doc_id", "i", "t", *lead_cols)
+        .filter(F.col(f"t{SPAN_W - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.concat_ws(
+                    " ", "t", *[f"t{k}" for k in range(1, SPAN_W)]
+                )
+            ).alias("h"),
+        )
+    )
+    dup_h = sh.groupBy("h").agg(F.count("*").alias("c")).filter(
+        F.col("c") >= 2
+    ).select("h")
+    occ = sh.join(dup_h, "h").select("doc_id", "i")
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    isl = (
+        occ.withColumn("prev", F.lag("i").over(wd))
+        .withColumn(
+            "brk",
+            F.expr(
+                f"CASE WHEN prev IS NULL OR i - prev > {SPAN_W}"
+                " THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn("isl", F.sum("brk").over(wd))
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        (F.max("i") - F.min("i") + SPAN_W).alias("span_toks")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_toks").alias("dup_toks")
+    )
+    base = docs.selectExpr("doc_id", "source", f"size({_TOKS}) AS n_toks")
+    j = base.join(per_doc, "doc_id", "left").fillna({"dup_toks": 0})
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN dup_toks > 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("docs_with_dup"),
+            F.expr("CAST(sum(dup_toks) AS BIGINT)").alias("dup_tokens"),
+            F.expr("CAST(sum(n_toks) AS BIGINT)").alias("total_tokens"),
+            F.expr(
+                "CAST(sum(dup_toks) * 1000000L DIV sum(n_toks) AS BIGINT)"
+            ).alias("dup_token_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+EXACT_SUBSTRING_SPANS_SQL = f"""
+WITH shl AS (
+  SELECT doc_id, {duck_shingles_expr(_DUCK_TOKS, SPAN_W)} AS shs
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, generate_subscripts(shs, 1) AS i, unnest(shs) AS s
+  FROM shl
+),
+sh AS (SELECT doc_id, i, md5(s) AS h FROM sh0),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+occ AS (SELECT doc_id, i FROM sh JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER w IS NULL
+                OR i - lag(i) OVER w > {SPAN_W} THEN 1 ELSE 0 END AS brk
+  FROM occ WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+isl2 AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, isl, max(i) - min(i) + {SPAN_W} AS span_toks
+  FROM isl2 GROUP BY 1, 2
+),
+per_doc AS (SELECT doc_id, sum(span_toks) AS dup_toks FROM spans GROUP BY 1),
+base AS (
+  SELECT doc_id, source, len({_DUCK_TOKS}) AS n_toks FROM documents
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(p.dup_toks, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_dup,
+       CAST(sum(coalesce(p.dup_toks, 0)) AS BIGINT) AS dup_tokens,
+       CAST(sum(b.n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(coalesce(p.dup_toks, 0)) * 1000000 // sum(b.n_toks)
+            AS BIGINT) AS dup_token_ppm
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+DSIR_B = 4096  # hashed-feature buckets
+DSIR_TARGET = "src0"  # the 'high-quality target domain' stand-in
+DSIR_BIN_FP = 100_000  # census bin width: 0.1 nat in 1e6 fixed point
+DSIR_BIN_CLAMP = 8
+
+
+def dsir_importance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection weights (Xie et al. 2023, 'Data
+    Selection for Language Models via Importance Resampling'), reported
+    as a per-source census: each document's importance is its average
+    per-token log-ratio ln p_target / ln p_raw under two hashed-unigram
+    ({DSIR_B} md5 buckets, +1 smoothing) bag-of-words models -- target =
+    the '{DSIR_TARGET}' domain, raw = the whole corpus. The report bins
+    documents by importance (0.1-nat bins, clamped) per source: the
+    table a mixture planner reads to see which dumps resemble the
+    target domain before resampling toward it.
+
+    Determinism: each bucket's log-ratio quantizes to 1e6 fixed point
+    ONCE in the {DSIR_B}-row model (the bigram_lm_score idiom); per-doc
+    scores are integer sums of (count x ratio), and binning is
+    truncating BIGINT division in both engines.
+
+    Scale: ONE token-explode pass reduced to (doc, bucket) counts
+    (localCheckpoint'd -- three consumers), two bucket-keyed rollups
+    bounded at {DSIR_B} rows, the model BROADCAST into a map-side join,
+    and one doc-keyed reduce. Linear in corpus tokens, no wide
+    intermediate."""
+    from ..functions.text import hex16_expr
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    g = (
+        docs.selectExpr("doc_id", "source", f"explode({_TOKS}) AS t")
+        .selectExpr(
+            "doc_id", "source", f"{hex16_expr('t')} % {DSIR_B} AS b"
+        )
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    cr = g.groupBy("b").agg(F.sum("n").alias("cr"))
+    ct = (
+        g.filter(F.col("source") == DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("n").alias("ct"))
+    )
+    tot = g.agg(
+        F.sum("n").alias("nr"),
+        F.sum(
+            F.expr(f"CASE WHEN source = '{DSIR_TARGET}' THEN n ELSE 0 END")
+        ).alias("nt"),
+    )
+    model = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "b",
+            "CAST(round((ln((coalesce(ct, 0) + 1.0) / (nt + "
+            f"{DSIR_B})) - ln((cr + 1.0) / (nr + {DSIR_B})))"
+            " * 1000000, 0) AS BIGINT) AS lr_fp",
+        )
+    )
+    per = (
+        g.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr("CAST(sum(n * lr_fp) AS BIGINT)").alias("s"),
+            F.expr("CAST(sum(n) AS BIGINT)").alias("n_toks"),
+        )
+    )
+    return (
+        per.selectExpr(
+            "source",
+            f"CAST(least(greatest((s DIV n_toks) DIV {DSIR_BIN_FP}, "
+            f"-{DSIR_BIN_CLAMP}L), {DSIR_BIN_CLAMP}L) AS BIGINT) AS bin",
+            "n_toks",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("CAST(sum(n_toks) AS BIGINT)").alias("n_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+def _dsir_sql() -> str:
+    from ..functions.text import duck_hex16_expr
+
+    b = duck_hex16_expr("t.tok")
+    return f"""
+WITH occ AS (
+  SELECT d.doc_id, d.source, {b} % {DSIR_B} AS b
+  FROM documents d, unnest({_DUCK_TOKS}) AS t(tok)
+),
+g AS (SELECT doc_id, source, b, count(*) AS n FROM occ GROUP BY 1, 2, 3),
+cr AS (SELECT b, sum(n) AS cr FROM g GROUP BY 1),
+ct AS (SELECT b, sum(n) AS ct FROM g WHERE source = '{DSIR_TARGET}'
+       GROUP BY 1),
+tot AS (
+  SELECT sum(n) AS nr,
+         sum(CASE WHEN source = '{DSIR_TARGET}' THEN n ELSE 0 END) AS nt
+  FROM g
+),
+model AS (
+  SELECT cr.b,
+         CAST(round((ln((coalesce(ct.ct, 0) + 1.0) / (tot.nt + {DSIR_B}))
+                     - ln((cr.cr + 1.0) / (tot.nr + {DSIR_B})))
+                    * 1000000, 0) AS BIGINT) AS lr_fp
+  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+),
+per AS (
+  SELECT g.doc_id, g.source,
+         sum(g.n * m.lr_fp) AS s, sum(g.n) AS n_toks
+  FROM g JOIN model m ON g.b = m.b
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(least(greatest((s // n_toks) // {DSIR_BIN_FP},
+                           -{DSIR_BIN_CLAMP}), {DSIR_BIN_CLAMP})
+            AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+DSIR_IMPORTANCE_SQL = _dsir_sql()
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
@@ -1029,6 +1290,8 @@ QUERIES = {
     "chunk_dup_rate": chunk_dup_rate,
     "mixture_apply_sample": mixture_apply_sample,
     "token_concentration_bins": token_concentration_bins,
+    "exact_substring_spans": exact_substring_spans,
+    "dsir_importance_bins": dsir_importance_bins,
 }
 
 ORACLE = {
@@ -1044,4 +1307,6 @@ ORACLE = {
     "chunk_dup_rate": CHUNK_DUP_RATE_SQL,
     "mixture_apply_sample": MIXTURE_APPLY_SAMPLE_SQL,
     "token_concentration_bins": TOKEN_CONCENTRATION_SQL,
+    "exact_substring_spans": EXACT_SUBSTRING_SPANS_SQL,
+    "dsir_importance_bins": DSIR_IMPORTANCE_SQL,
 }

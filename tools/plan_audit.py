@@ -42,6 +42,12 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #     count bounded by calendar days, not data volume.
 ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_cosine_topk": frozenset({"NLJ"}),
+    # dsir_importance_bins: the NLJ is the 1-row (nr, nt) corpus-totals
+    # broadcast into the 4096-row model build, and the 1PART is that
+    # scalar aggregate's own single-row exchange -- the allowlisted
+    # scalar-anchor pattern (freshness_check/q22 class). The
+    # corpus-sized work is the keyed (doc, bucket) count aggregate.
+    "dsir_importance_bins": frozenset({"NLJ", "1PART"}),
     # ann_recall_eval composes the two queries above, so it inherits
     # exactly their allowlisted broadcast-nest-loop shapes (the query
     # side is a bounded broadcast in both); the eval join itself is a
