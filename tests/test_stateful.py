@@ -363,3 +363,71 @@ def test_stream_sessionize_under_rocksdb_state_store(spark, tmp_path):
     assert abs(s["total_value"] - 3.0) < 1e-9
     s2 = by_user[2][0]
     assert s2["n_events"] == 1 and abs(s2["total_value"] - 5.0) < 1e-9
+
+
+def test_transform_with_state_twin_matches_applyinpandas(spark, tmp_path):
+    """The transformWithStateInPandas sessionizer must emit the exact
+    session rows of the applyInPandasWithState path over the same
+    two-batch replay (API swap, not a semantics change).
+
+    Gated like the live-Kafka tier: Spark's transformWithState state
+    protocol runs over protobuf, which this container does not ship
+    (and installs are off-limits); where protobuf exists the test runs
+    in full."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its "
+        "state protocol; not shipped in this container",
+    )
+    from real_time_fraud_detection_system_spark.streaming.stateful import (
+        sessionize_stream_tws,
+    )
+
+    src = tmp_path / "src"
+    batch1 = [(_t(0), 1, 1.0), (_t(10), 1, 2.0), (_t(5), 2, 5.0)]
+    batch2 = [(_t(130), 1, 3.0), (_t(500), 3, 0.5), (_t(501), 3, 0.5)]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    results = {}
+    for name, build in (
+        ("aip", sessionize_stream),
+        ("tws", sessionize_stream_tws),
+    ):
+        out_rows = []
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src / "*"))
+        sessions = build(stream)
+        ckpt = tmp_path / f"ckpt_{name}"
+
+        def run_available():
+            q = (
+                sessions.writeStream.outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .foreachBatch(lambda b, _: out_rows.extend(b.collect()))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_available()
+        if not (src / "b2").exists():
+            spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.parquet(
+                str(src / "b2")
+            )
+        run_available()
+        results[name] = sorted(
+            (
+                r["user_id"], r["session_start"], r["session_end"],
+                r["n_events"], round(r["total_value"], 9),
+            )
+            for r in out_rows
+        )
+
+    assert results["tws"] == results["aip"]
+    # and the shared ground truth still holds
+    assert (1, _t(0), _t(10), 2, 3.0) in results["tws"]
