@@ -26,7 +26,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 MEMO_VERSION = 1
-MEMO_KEEP = 16  # entries retained; older evicted by mtime
+# entries retained (older evicted by mtime): 4 artifact kinds x 4 SF
+# replicas is already 16, and each entry is megabytes, not gigabytes
+MEMO_KEEP = 32
 
 
 def memo_root() -> str:
@@ -97,4 +99,13 @@ def memo_parquet(
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
         _evict(root)
+    else:
+        # LRU, not FIFO: refresh the entry's mtime on every hit so a
+        # hot artifact built long ago outlives colder newer ones (a
+        # full multi-scale bench run cycles > a dozen entries; evicting
+        # by creation time thrashed in-use indexes mid-run)
+        try:
+            os.utime(path, None)
+        except OSError:
+            pass
     return spark.read.parquet(path)
