@@ -116,6 +116,8 @@ HEADLINE = [
     "exact_substring_spans",
     "dsir_importance_bins",
     "dedup_signal_crosstab",
+    "token_fertility",
+    "shingle_df_curve",
 ]
 
 

@@ -89,7 +89,10 @@ PRIORITY = [
     "mixture_apply_sample", "event_type_affinity", "dau_wau_stickiness",
     "source_semantic_similarity", "threshold_sweep",
     # ROUND-8 WINDOW HEAD (the never-driver-checked queue is longer
-    # than 50 slots; the remainder, in priority order): calibration_bins
+    # than 50 slots; the remainder, in priority order): the late-round-7
+    # registrations token_fertility (per-lang/source BPE fertility +
+    # chars-per-subtoken) and shingle_df_curve (shingle document-
+    # frequency histogram -- the df-cap tuning curve); calibration_bins
     # and ivf_probe_sweep (displaced from this window's section (d) by
     # the two new round-7 operators; their families stay represented by
     # threshold_sweep / ann_ivf_topk+3 others); ann_knn_join

@@ -664,6 +664,137 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility table per (lang, source): BPE-ish subtokens
+    per whitespace word (fertility) and chars per subtoken -- the
+    numbers a pipeline uses to convert corpus inventories between
+    token units and to spot languages/dumps the tokenizer fragments
+    badly (high fertility = more compute per word). Integer-exact:
+    sums are BIGINT, ratios are 1e6-ppm floor division in both
+    engines.
+
+    One map-only pass (regex count + split size per row) into an
+    O(langs x sources) rollup -- no joins, no wide intermediate."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    per = docs.selectExpr(
+        "lang",
+        "source",
+        f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS n_bpe",
+        f"size({_TOKS}) AS n_ws",
+        "n_chars",
+    )
+    return (
+        per.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("CAST(sum(n_ws) AS BIGINT)").alias("n_ws_tokens"),
+            F.expr("CAST(sum(n_bpe) AS BIGINT)").alias("n_bpe_tokens"),
+            F.expr("CAST(sum(n_chars) AS BIGINT)").alias("n_chars"),
+        )
+        .selectExpr(
+            "lang",
+            "source",
+            "n_docs",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            "n_chars",
+            "CAST(n_bpe_tokens * 1000000L DIV n_ws_tokens AS BIGINT)"
+            " AS fertility_ppm",
+            "CAST(n_chars * 1000000L DIV n_bpe_tokens AS BIGINT)"
+            " AS chars_per_bpe_ppm",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+TOKEN_FERTILITY_SQL = f"""
+WITH per AS (
+  SELECT lang, source,
+         len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+         len({_DUCK_TOKS}) AS n_ws,
+         n_chars
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_bpe) * 1000000 // sum(n_ws) AS BIGINT) AS fertility_ppm,
+       CAST(sum(n_chars) * 1000000 // sum(n_bpe) AS BIGINT)
+         AS chars_per_bpe_ppm
+FROM per
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+_DF_BUCKET_CASE = (
+    "CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'"
+    " WHEN df <= 4 THEN '3-4' WHEN df <= 8 THEN '5-8'"
+    " WHEN df <= 16 THEN '9-16' ELSE '17+' END"
+)
+
+
+def shingle_df_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of {SHINGLE_N}-gram shingles: how
+    many distinct shingles live in exactly 1 / 2 / 3-4 / ... / 17+
+    documents, with their total doc-occurrence mass. This is the tuning
+    curve behind every df-capped candidacy in the repo (the
+    dedup_containment / minhash_lsh_recall CONTAINMENT_MAX_DF cap and
+    the boilerplate cutoff): the df=1 mass is dedup-inert, the heavy
+    tail is boilerplate, and the 2..MAX_DF band is exactly the
+    candidate-generating inventory.
+
+    Shape: one explode of per-doc DISTINCT shingles, one count keyed by
+    the shingle, one O(buckets) rollup; the distinct-shingle total
+    rides a 1-row broadcast (the scalar-anchor pattern)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = shingles_expr("toks", SHINGLE_N)
+    per = docs.selectExpr("doc_id", f"{_TOKS} AS toks").selectExpr(
+        "doc_id", f"explode(array_distinct({sh})) AS s"
+    )
+    dfc = per.groupBy("s").agg(F.count("*").alias("df"))
+    tot = dfc.agg(F.count("*").alias("n_total"))
+    return (
+        dfc.selectExpr(f"{_DF_BUCKET_CASE} AS df_bucket", "df")
+        .groupBy("df_bucket")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.expr("CAST(sum(df) AS BIGINT)").alias("n_doc_occurrences"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "df_bucket",
+            "n_shingles",
+            "n_doc_occurrences",
+            "CAST(n_shingles * 1000000L DIV n_total AS BIGINT)"
+            " AS shingle_share_ppm",
+        )
+        .orderBy("df_bucket")
+    )
+
+
+SHINGLE_DF_CURVE_SQL = f"""
+WITH per AS (
+  SELECT doc_id,
+         unnest(list_distinct({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)}))
+           AS s
+  FROM documents
+),
+dfc AS (SELECT s, count(*) AS df FROM per GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM dfc)
+SELECT {_DF_BUCKET_CASE} AS df_bucket,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(df) AS BIGINT) AS n_doc_occurrences,
+       CAST(count(*) * 1000000 // tot.n_total AS BIGINT)
+         AS shingle_share_ppm
+FROM dfc CROSS JOIN tot
+GROUP BY 1, tot.n_total ORDER BY 1
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "pii_scrub_stats": pii_scrub_stats,
@@ -675,6 +806,8 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "lang_mismatch_rate": lang_mismatch_rate,
     "source_token_entropy": source_token_entropy,
+    "token_fertility": token_fertility,
+    "shingle_df_curve": shingle_df_curve,
 }
 
 ORACLE = {
@@ -688,4 +821,6 @@ ORACLE = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "lang_mismatch_rate": LANG_MISMATCH_RATE_SQL,
     "source_token_entropy": SOURCE_TOKEN_ENTROPY_SQL,
+    "token_fertility": TOKEN_FERTILITY_SQL,
+    "shingle_df_curve": SHINGLE_DF_CURVE_SQL,
 }

@@ -42,6 +42,10 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #     count bounded by calendar days, not data volume.
 ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_cosine_topk": frozenset({"NLJ"}),
+    # shingle_df_curve: the NLJ is the 1-row distinct-shingle-total
+    # broadcast into the O(buckets) rollup and the 1PART is that scalar
+    # aggregate's own exchange -- the scalar-anchor pattern.
+    "shingle_df_curve": frozenset({"NLJ", "1PART"}),
     # dsir_importance_bins: the NLJ is the 1-row (nr, nt) corpus-totals
     # broadcast into the 4096-row model build, and the 1PART is that
     # scalar aggregate's own single-row exchange -- the allowlisted
