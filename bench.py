@@ -118,6 +118,7 @@ HEADLINE = [
     "dedup_signal_crosstab",
     "token_fertility",
     "shingle_df_curve",
+    "dedup_keep_best",
 ]
 
 

@@ -675,6 +675,97 @@ ORDER BY d.source
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-representative policy audit: real pipelines keep the
+    highest-quality member of each near-dup cluster, not the min-id
+    one (the cheap policy dedup_apply_stats reports). 'Best' here is
+    the deterministic integer key (distinct tokens DESC, chars DESC,
+    doc_id ASC) -- a longest/richest-copy rule both engines rank
+    identically with no float quality score in the loop. The per-source
+    report compares the two policies: how many keeps move, and what the
+    kept-token budget gains -- the number that decides whether the
+    better policy is worth the ranking pass.
+
+    Scale: the cluster pipeline itself (memoized pairs + components) +
+    one cluster-keyed row_number window + one source rollup."""
+    from pyspark.sql.window import Window
+
+    labels = dedup_minhash_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        f"size({_TOKS}) AS n_toks",
+        f"size(array_distinct({_TOKS})) AS n_distinct",
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_distinct"), F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = docs.join(labels, "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk = 1 AND doc_id != cluster_id"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("keeps_moved"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk = 1 THEN n_toks ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("kept_tokens_best"),
+            F.expr(
+                "CAST(sum(CASE WHEN doc_id = cluster_id THEN n_toks"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("kept_tokens_minid"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_DUCK_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+  UNION ALL
+  SELECT b_id, a_id FROM mh_pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+           FROM reach GROUP BY src),
+dd AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_toks,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         n_chars
+  FROM documents
+),
+ranked AS (
+  SELECT dd.*, l.cluster_id,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY n_distinct DESC, n_chars DESC,
+                                     dd.doc_id ASC) AS rk
+  FROM dd JOIN labels l USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rk = 1 AND doc_id != cluster_id THEN 1 ELSE 0
+                END) AS BIGINT) AS keeps_moved,
+       CAST(sum(CASE WHEN rk = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+         AS kept_tokens_best,
+       CAST(sum(CASE WHEN doc_id = cluster_id THEN n_toks ELSE 0 END)
+            AS BIGINT) AS kept_tokens_minid
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
 
 # --------------------------------------------------------------------------
 # Incremental dedup: arriving shard vs persisted signature index.
@@ -1979,6 +2070,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_containment": dedup_containment,
     "dedup_apply_stats": dedup_apply_stats,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_incremental": dedup_incremental,
     "split_leakage_check": split_leakage_check,
@@ -2001,6 +2093,7 @@ ORACLE = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_apply_stats": DEDUP_APPLY_STATS_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "split_leakage_check": SPLIT_LEAKAGE_SQL,
