@@ -35,11 +35,13 @@ try:  # pyspark >= 4
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
     )
 except ImportError:  # pragma: no cover - older pyspark
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
+    DataSourceStreamReader = object  # type: ignore[assignment,misc]
     InputPartition = None  # type: ignore[assignment]
 
 N_DIGESTS = 7  # 4 uniforms per md5 digest; 27 draws need 7 digests
@@ -94,9 +96,68 @@ class _FraudgenReader(DataSourceReader):
             yield generate_row(id_)
 
 
+class _SlicePartition(InputPartition if InputPartition else object):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _FraudgenStreamReader(DataSourceStreamReader):
+    """Streaming twin of the batch reader (DataSourceStreamReader --
+    the PARTITIONED Spark 4 streaming Python source API, not the
+    single-partition Simple variant): offsets are plain row ids, each
+    trigger advances the high-watermark by ``rowsPerBatch`` (capped at
+    ``maxRows`` when set), and a batch's id range splits across
+    ``partitions`` executor slices. Rows are pure functions of id, so
+    a crash-replayed batch regenerates BIT-IDENTICAL rows -- replayable
+    like a Kafka range fetch, exactly-once with any idempotent sink,
+    no broker required.
+
+    Restart discipline: Spark replays the last planned batch by its
+    RECORDED (start, end) via partitions() before asking for a new
+    latestOffset, so both partitions() and commit() fast-forward the
+    driver-side watermark -- a fresh reader instance can never hand
+    back an offset behind the checkpoint."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsPerBatch", 1000))
+        self.num_partitions = int(options.get("partitions", 8))
+        self.max_rows = int(options.get("maxRows", 0))  # 0 = unbounded
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def latestOffset(self) -> dict:
+        nxt = self._current + self.rows_per_batch
+        if self.max_rows:
+            nxt = min(nxt, self.max_rows)
+        self._current = max(self._current, nxt)
+        return {"id": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["id"]), int(end["id"])
+        self._current = max(self._current, e)
+        n = max(1, self.num_partitions)
+        return [
+            _SlicePartition(
+                s + i * (e - s) // n, s + (i + 1) * (e - s) // n
+            )
+            for i in range(n)
+        ]
+
+    def read(self, partition):
+        for id_ in range(partition.start, partition.end):
+            yield generate_row(id_)
+
+    def commit(self, end: dict) -> None:
+        self._current = max(self._current, int(end["id"]))
+
+
 class FraudgenDataSource(DataSource):
     """spark.read.format("fraudgen").option("n", N) -> the deterministic
-    labelled training frame, generated executor-side per partition."""
+    labelled training frame, generated executor-side per partition;
+    spark.readStream.format("fraudgen").option("rowsPerBatch", B) ->
+    the same rows as a replayable micro-batched stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -110,6 +171,9 @@ class FraudgenDataSource(DataSource):
 
     def reader(self, schema):
         return _FraudgenReader(self.options)
+
+    def streamReader(self, schema):
+        return _FraudgenStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -70,3 +70,71 @@ def test_token_counts_udtf_matches_codegen_path(spark):
         (r["doc_id"], r["token"], r["count"]) for r in want
     )
     assert {r["doc_id"] for r in got} == {1, 2}  # null/empty yield nothing
+
+
+def test_fraudgen_stream_matches_batch_source(spark, tmp_path):
+    """The streaming form must deliver exactly the batch source's rows
+    (bit-identical -- both are pure functions of id), micro-batched by
+    rowsPerBatch and stopping at maxRows."""
+    from real_time_fraud_detection_system_spark.sources.datasource import (
+        register,
+    )
+
+    register(spark)
+    got = []
+    q = (
+        spark.readStream.format("fraudgen")
+        .option("rowsPerBatch", "40")
+        .option("maxRows", "100")
+        .option("partitions", "4")
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda b, _: got.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = (
+        spark.read.format("fraudgen")
+        .option("n", "100")
+        .option("partitions", "4")
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_fraudgen_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """Stop mid-stream, restart from the checkpoint with a higher
+    maxRows: the union must be every id exactly once (offset-ranged
+    replay, the Kafka-like contract)."""
+    from real_time_fraud_detection_system_spark.sources.datasource import (
+        register,
+    )
+
+    register(spark)
+    ck = str(tmp_path / "ck")
+    got = []
+
+    def run(max_rows):
+        q = (
+            spark.readStream.format("fraudgen")
+            .option("rowsPerBatch", "25")
+            .option("maxRows", str(max_rows))
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ck)
+            .foreachBatch(lambda b, _: got.extend(b.collect()))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(60)
+    n_first = len(got)
+    assert 0 < n_first <= 60
+    run(110)
+    ids = [r["id"] for r in got]
+    assert len(ids) == len(set(ids)), "duplicate ids across restart"
+    assert sorted(ids) == list(range(110))
