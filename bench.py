@@ -119,6 +119,7 @@ HEADLINE = [
     "token_fertility",
     "shingle_df_curve",
     "dedup_keep_best",
+    "packing_budget_sweep",
 ]
 
 

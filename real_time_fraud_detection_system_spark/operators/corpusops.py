@@ -1021,6 +1021,123 @@ ORDER BY chars_bin DESC
 
 
 # --------------------------------------------------------------------------
+PACK_BUDGETS = (128, 256, 512, 1024)
+
+
+def packing_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length tuning table for the sequence_packing rule: under
+    concat-then-chunk packing every token lands in a bin, so the cost
+    of a budget choice is DOCUMENT FRAGMENTATION -- docs straddling a
+    bin boundary get split across training sequences. Per candidate
+    budget: straddling docs (ppm), bins produced, and mean bin fill
+    (tail-bin dilution). One cumsum window (source-keyed, doc_id
+    order -- the same cursor sequence_packing uses) computed ONCE;
+    every budget is a projection off it, folded in one aggregate and
+    unpivoted to O(budgets) rows. All integer/ppm math."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.selectExpr("doc_id", "source", f"size({_TOKS}) AS n")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = toks.withColumn("off", F.sum("n").over(w) - F.col("n"))
+    straddle_aggs = [
+        F.count("*").alias("n_docs"),
+        F.expr("CAST(sum(n) AS BIGINT)").alias("total_tokens"),
+    ] + [
+        F.expr(
+            f"CAST(sum(CASE WHEN (off DIV {b}) != ((off + n - 1) DIV {b})"
+            f" THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias(f"str_{b}")
+        for b in PACK_BUDGETS
+    ]
+    glob = off.agg(*straddle_aggs)
+    bins = (
+        off.groupBy("source")
+        .agg(F.expr("CAST(sum(n) AS BIGINT)").alias("tot"))
+        .agg(
+            *[
+                F.expr(
+                    f"CAST(sum((tot - 1) DIV {b} + 1) AS BIGINT)"
+                ).alias(f"bins_{b}")
+                for b in PACK_BUDGETS
+            ]
+        )
+    )
+    stack = ", ".join(
+        f"{b}, str_{b}, bins_{b}" for b in PACK_BUDGETS
+    )
+    return (
+        glob.crossJoin(F.broadcast(bins))
+        .selectExpr(
+            "n_docs",
+            "total_tokens",
+            f"stack({len(PACK_BUDGETS)}, {stack})"
+            " AS (budget, straddling_docs, n_bins)",
+        )
+        .selectExpr(
+            "CAST(budget AS BIGINT) AS budget",
+            "n_docs",
+            "straddling_docs",
+            "CAST(straddling_docs * 1000000L DIV n_docs AS BIGINT)"
+            " AS straddle_ppm",
+            "n_bins",
+            "CAST(total_tokens * 1000000L DIV (n_bins * budget) AS BIGINT)"
+            " AS avg_fill_ppm",
+        )
+        .orderBy("budget")
+    )
+
+
+def _packing_sweep_sql() -> str:
+    per_budget = "\nUNION ALL\n".join(
+        f"""SELECT CAST({b} AS BIGINT) AS budget, g.n_docs,
+       g.str_{b} AS straddling_docs,
+       CAST(g.str_{b} * 1000000 // g.n_docs AS BIGINT) AS straddle_ppm,
+       s.bins_{b} AS n_bins,
+       CAST(g.total_tokens * 1000000 // (s.bins_{b} * {b}) AS BIGINT)
+         AS avg_fill_ppm
+FROM g CROSS JOIN s"""
+        for b in PACK_BUDGETS
+    )
+    str_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN (off // {b}) != ((off + n - 1) // {b})"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS str_{b}"
+        for b in PACK_BUDGETS
+    )
+    bin_cols = ",\n         ".join(
+        f"CAST(sum((tot - 1) // {b} + 1) AS BIGINT) AS bins_{b}"
+        for b in PACK_BUDGETS
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, len({_DUCK_TOKS}) AS n FROM documents
+),
+o AS (
+  SELECT source, n,
+         sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS off
+  FROM t
+),
+g AS (
+  SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+         {str_cols}
+  FROM o
+),
+srct AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1),
+s AS (SELECT {bin_cols} FROM srct)
+{per_budget}
+ORDER BY budget
+"""
+
+
+PACKING_BUDGET_SWEEP_SQL = _packing_sweep_sql()
+
+
+# --------------------------------------------------------------------------
 SPAN_W = 8  # exact-run width in tokens (Lee et al. use 50 on real corpora;
 #             8 fits the synthetic docs' ~30-token length at every SF)
 
@@ -1294,6 +1411,7 @@ QUERIES = {
     "chunk_dup_rate": chunk_dup_rate,
     "mixture_apply_sample": mixture_apply_sample,
     "token_concentration_bins": token_concentration_bins,
+    "packing_budget_sweep": packing_budget_sweep,
     "exact_substring_spans": exact_substring_spans,
     "dsir_importance_bins": dsir_importance_bins,
 }
@@ -1311,6 +1429,7 @@ ORACLE = {
     "chunk_dup_rate": CHUNK_DUP_RATE_SQL,
     "mixture_apply_sample": MIXTURE_APPLY_SAMPLE_SQL,
     "token_concentration_bins": TOKEN_CONCENTRATION_SQL,
+    "packing_budget_sweep": PACKING_BUDGET_SWEEP_SQL,
     "exact_substring_spans": EXACT_SUBSTRING_SPANS_SQL,
     "dsir_importance_bins": DSIR_IMPORTANCE_SQL,
 }

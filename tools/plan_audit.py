@@ -42,6 +42,12 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #     count bounded by calendar days, not data volume.
 ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_cosine_topk": frozenset({"NLJ"}),
+    # packing_budget_sweep: both aggregates are 1-row summaries (global
+    # straddle counts; per-source bin totals folded to one row) joined
+    # by a broadcast crossJoin -- the near-scalar report pattern
+    # (conversion_funnel class); corpus-sized work is the keyed cumsum
+    # window + two keyed aggregates before them.
+    "packing_budget_sweep": frozenset({"NLJ", "1PART"}),
     # shingle_df_curve: the NLJ is the 1-row distinct-shingle-total
     # broadcast into the O(buckets) rollup and the 1PART is that scalar
     # aggregate's own exchange -- the scalar-anchor pattern.
