@@ -612,6 +612,13 @@ def test_crossdoc_ngram_share_matches_hand_reference(spark, monkeypatch):
     monkeypatch.setattr(
         co, "load_table", lambda s, d, n: df if n == "documents" else None
     )
+    # the shingle sets now come from the dedup signature index (memo
+    # skipped: "unused" is unstattable), which loads via dedup's module
+    import real_time_fraud_detection_system_spark.operators.dedup as dd
+
+    monkeypatch.setattr(
+        dd, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
     got = {
         r["source"]: r
         for r in co.crossdoc_ngram_share(spark, "unused").collect()
