@@ -970,6 +970,24 @@ PR_ITERS = 4
 PR_TOPK = 50
 
 
+def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (l_orderkey, l_partkey) basket items, memoized to
+    parquet (operators/_memo.py): the shared first stage of the
+    co-purchase analytics (part_triangles' pair self-join and
+    part_cooccurrence_topk's basket counts both start here), so the
+    lineitem scan + distinct shuffle runs once per data snapshot."""
+    from ._memo import memo_parquet, table_fingerprint
+
+    return memo_parquet(
+        spark,
+        table_fingerprint(sf_dir, "lineitem", "orderitems"),
+        "orderitems",
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
+
+
 def _trade_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed weighted trade edge list (2*custkey -> 2*suppkey+1,
     w = lineitem count), memoized to parquet (operators/_memo.py --
@@ -1190,10 +1208,7 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle counts the same triangles from the unoriented a<b<c
     form -- different strategy, identical set, which is what the gate
     should pin."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    items = li.distinct()
+    items = _order_items(spark, sf_dir)
     edges = (
         items.selectExpr("l_orderkey", "l_partkey AS pa")
         .join(items.selectExpr("l_orderkey", "l_partkey AS pb"),
@@ -1523,13 +1538,10 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. (If a focus part's order list ever outgrows broadcast
     -- a single item on billions of orders -- drop the hint and the
     same plan shuffles on the order key.)"""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    # localCheckpoint (not cache): the two count actions below would
-    # re-run the distinct either way; checkpointing frees the blocks
-    # with the frame instead of pinning storage across the sweep
-    items = li.distinct().localCheckpoint()
+    # memoized distinct basket items (shared with part_triangles); the
+    # parquet read replays cheaply for the two count actions below, so
+    # no cache/checkpoint is pinned across the sweep
+    items = _order_items(spark, sf_dir)
     n_orders = items.select("l_orderkey").distinct().count()
     counts = items.groupBy("l_partkey").agg(
         F.count("*").alias("n_orders_part")
