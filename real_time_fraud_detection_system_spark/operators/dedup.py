@@ -490,6 +490,28 @@ def _rare_shingle_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
+def _rare_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_rare_shingle_candidates over the corpus signature index,
+    memoized to parquet (pure BIGINT triples, O(df-capped pairs) rows
+    -- tiny): dedup_containment and minhash_lsh_recall both pay the
+    one window-sort pass over the exploded shingle table otherwise."""
+    from ._memo import memo_parquet, table_fingerprint
+
+    return memo_parquet(
+        spark,
+        table_fingerprint(
+            sf_dir,
+            "documents",
+            MINHASH_K,
+            SHINGLE_N,
+            CONTAINMENT_MAX_DF,
+            CONTAINMENT_MIN_SHARED,
+        ),
+        "rarecand",
+        lambda: _rare_shingle_candidates(_sig_table(spark, sf_dir)),
+    )
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric CONTAINMENT near-dups: pairs where the smaller doc's
     shingle set is >= {CONTAINMENT_THRESHOLD} contained in the other's
@@ -513,9 +535,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc whose EVERY shingle is hot is unfindable by construction --
     it is boilerplate itself."""
     sig = _sig_table(spark, sf_dir).cache()
-    from pyspark.sql.window import Window
-
-    cand = _rare_shingle_candidates(sig)
+    cand = _rare_candidates(spark, sf_dir)
     da = sig.select(F.col("doc_id").alias("a_id"), F.col("hsh").alias("a_hsh"))
     db = sig.select(F.col("doc_id").alias("b_id"), F.col("hsh").alias("b_hsh"))
     n_inter = F.size(F.array_intersect(F.col("a_hsh"), F.col("b_hsh")))
@@ -1239,7 +1259,7 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the MIN_SHARED gate keeps one-shared-shingle coincidences out of
     # the array-carrying verification join (36.7M pairs -> ~26k at the
     # 100x scale test, 71 s -> 36 s).
-    truth_cand = _rare_shingle_candidates(sig).select("a_id", "b_id")
+    truth_cand = _rare_candidates(spark, sf_dir).select("a_id", "b_id")
     bands = _band_table(sig).select("doc_id", "band", "bkey")
     ba, bb = bands.alias("ba"), bands.alias("bb")
     caught = (
