@@ -120,6 +120,7 @@ HEADLINE = [
     "shingle_df_curve",
     "dedup_keep_best",
     "packing_budget_sweep",
+    "minhash_est_vs_exact",
 ]
 
 

@@ -90,7 +90,8 @@ PRIORITY = [
     "source_semantic_similarity", "threshold_sweep",
     # ROUND-8 WINDOW HEAD (the never-driver-checked queue is longer
     # than 50 slots; the remainder, in priority order): the late-round-7
-    # registrations packing_budget_sweep (context-length fragmentation
+    # registrations minhash_est_vs_exact (signature-agreement estimator
+    # bias vs exact Jaccard), packing_budget_sweep (context-length fragmentation
     # table), dedup_keep_best (keep-best-representative policy
     # audit), token_fertility (per-lang/source BPE fertility +
     # chars-per-subtoken) and shingle_df_curve (shingle document-

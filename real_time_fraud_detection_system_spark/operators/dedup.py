@@ -490,6 +490,78 @@ def _rare_shingle_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
+def minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR bias audit: over the verified near-dup pairs,
+    the k={MINHASH_K}-window signature-agreement estimate of Jaccard
+    (matches/k -- the number a signature-only pipeline would act on)
+    against the exact value, bucketed by matches. Completes the QA
+    trio: minhash_lsh_recall measures what the BANDING finds,
+    dedup_cluster_density what the CHAINING groups, this what the
+    ESTIMATOR itself claims -- at k=8 the estimate is coarse by
+    construction, and this is the table that shows by how much before
+    anyone thresholds on signature agreement instead of verified
+    Jaccard.
+
+    Cost with the memos: read pairs, join the signature table twice on
+    the pair ids (O(true pairs) rows), one O(k) rollup. Integer-exact
+    output: est_ppm = matches*1e6 DIV k; exact jaccard enters as its
+    round(,6)-ppm integer."""
+    pairs = _lsh_pairs(spark, sf_dir)
+    sig = _sig_table(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"s{j}").alias(f"a{j}") for j in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"s{j}").alias(f"b{j}") for j in range(MINHASH_K)],
+    )
+    matches = " + ".join(
+        f"CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END"
+        for j in range(MINHASH_K)
+    )
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .selectExpr(
+            f"CAST({matches} AS BIGINT) AS matches",
+            "CAST(round(jaccard * 1000000, 0) AS BIGINT) AS j_ppm",
+        )
+        .groupBy("matches")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr(
+                f"CAST(matches * 1000000L DIV {MINHASH_K} AS BIGINT)"
+            ).alias("est_ppm"),
+            F.expr("CAST(sum(j_ppm) DIV count(*) AS BIGINT)").alias(
+                "mean_exact_ppm"
+            ),
+        )
+        .orderBy("matches")
+    )
+
+
+MINHASH_EST_VS_EXACT_SQL = f"""
+WITH {_DUCK_MINHASH_PAIRS_CTES}
+SELECT CAST(matches AS BIGINT) AS matches,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(matches * 1000000 // {MINHASH_K} AS BIGINT) AS est_ppm,
+       CAST(sum(j_ppm) // count(*) AS BIGINT) AS mean_exact_ppm
+FROM (
+  SELECT ({" + ".join(
+      f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END"
+      for j in range(MINHASH_K)
+  )}) AS matches,
+         CAST(round(p.jaccard * 1000000, 0) AS BIGINT) AS j_ppm
+  FROM mh_pairs p
+  JOIN sig sa ON sa.doc_id = p.a_id
+  JOIN sig sb ON sb.doc_id = p.b_id
+)
+GROUP BY matches
+ORDER BY matches
+"""
+
+
 def _rare_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_rare_shingle_candidates over the corpus signature index,
     memoized to parquet (pure BIGINT triples, O(df-capped pairs) rows
@@ -2091,6 +2163,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_apply_stats": dedup_apply_stats,
     "dedup_keep_best": dedup_keep_best,
+    "minhash_est_vs_exact": minhash_est_vs_exact,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_incremental": dedup_incremental,
     "split_leakage_check": split_leakage_check,
@@ -2114,6 +2187,7 @@ ORACLE = {
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_apply_stats": DEDUP_APPLY_STATS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "minhash_est_vs_exact": MINHASH_EST_VS_EXACT_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "split_leakage_check": SPLIT_LEAKAGE_SQL,
