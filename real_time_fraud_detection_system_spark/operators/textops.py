@@ -747,13 +747,17 @@ def shingle_df_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail is boilerplate, and the 2..MAX_DF band is exactly the
     candidate-generating inventory.
 
-    Shape: one explode of per-doc DISTINCT shingles, one count keyed by
-    the shingle, one O(buckets) rollup; the distinct-shingle total
-    rides a 1-row broadcast (the scalar-anchor pattern)."""
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = shingles_expr("toks", SHINGLE_N)
-    per = docs.selectExpr("doc_id", f"{_TOKS} AS toks").selectExpr(
-        "doc_id", f"explode(array_distinct({sh})) AS s"
+    Shape: one explode of per-doc DISTINCT shingle hashes READ FROM the
+    memoized signature index (the shard_overlap/contamination pattern
+    -- the census only needs identity, and both engines hash the same
+    md5 construction, so even collisions land identically), one count
+    keyed by the 60-bit hash, one O(buckets) rollup; the
+    distinct-shingle total rides a 1-row broadcast (the scalar-anchor
+    pattern)."""
+    from .dedup import _sig_table
+
+    per = _sig_table(spark, sf_dir).select(
+        "doc_id", F.explode("hsh").alias("s")
     )
     dfc = per.groupBy("s").agg(F.count("*").alias("df"))
     tot = dfc.agg(F.count("*").alias("n_total"))
@@ -779,8 +783,9 @@ def shingle_df_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_DF_CURVE_SQL = f"""
 WITH per AS (
   SELECT doc_id,
-         unnest(list_distinct({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)}))
-           AS s
+         unnest(list_distinct(list_transform(
+             {duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)},
+             x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)))) AS s
   FROM documents
 ),
 dfc AS (SELECT s, count(*) AS df FROM per GROUP BY 1),
