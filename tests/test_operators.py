@@ -1662,3 +1662,94 @@ def test_part_cooccurrence_topk_engineered_baskets(spark, monkeypatch):
     # part 2: n_a=3; partner 1: n_ab=3, n_b=4 -> 3*4*1e6/(3*4) = 1e6
     assert got[(2, 1)] == (3, 1_000_000, 1)
     assert (1, 3) not in got  # support 1 pruned
+
+
+def test_exact_substring_spans_merges_overlapping_runs(spark, monkeypatch):
+    """Constructed corpus: one 10-token run repeated across two docs
+    must merge its 3 overlapping 8-token shingle hits into ONE span of
+    10 tokens per doc; a unique doc contributes nothing."""
+    import real_time_fraud_detection_system_spark.operators.corpusops as co
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    rows = [
+        (1, f"a1 a2 {run} a3 a4", "en", "srcA", 1),
+        (2, f"b1 {run} b2 b3 b4 b5", "en", "srcA", 1),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "srcB", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    monkeypatch.setattr(
+        co, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    got = {
+        r["source"]: r
+        for r in co.exact_substring_spans(spark, "unused").collect()
+    }
+    # each doc: 3 shingle positions of the run collide -> one merged
+    # span covering exactly the 10 run tokens
+    assert got["srcA"]["docs_with_dup"] == 2
+    assert got["srcA"]["dup_tokens"] == 20  # 10 per doc, merged
+    assert got["srcB"]["docs_with_dup"] == 0
+    assert got["srcB"]["dup_tokens"] == 0
+
+
+def test_packing_budget_sweep_straddle_accounting(spark, monkeypatch):
+    """One source with doc lengths 100, 100, 100: at budget 128 the
+    second doc straddles (starts at 100, ends at 199 across the
+    128-boundary) and the third straddles (200..299 across 256);
+    at budget 512 nothing straddles and one bin holds all 300 tokens."""
+    import real_time_fraud_detection_system_spark.operators.corpusops as co
+
+    text = " ".join(["t"] * 100)
+    rows = [(i, text, "en", "srcA", 1) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    monkeypatch.setattr(
+        co, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    got = {
+        r["budget"]: r
+        for r in co.packing_budget_sweep(spark, "unused").collect()
+    }
+    assert got[128]["straddling_docs"] == 2
+    assert got[128]["n_bins"] == 3  # 300 tokens / 128 -> bins 0,1,2
+    assert got[512]["straddling_docs"] == 0
+    assert got[512]["n_bins"] == 1
+    assert got[512]["avg_fill_ppm"] == 300 * 1_000_000 // 512
+
+
+def test_dedup_keep_best_prefers_richer_copy(spark, monkeypatch):
+    """Two near-dup docs where the LARGER id has more distinct tokens:
+    keep-best must move the keep off the min-id doc and the kept-token
+    budget must grow accordingly."""
+    import real_time_fraud_detection_system_spark.operators.dedup as dd
+
+    # docs 1 and 2 share enough 3-gram shingles to pair (>= 0.5
+    # Jaccard); doc 2 carries extra distinct tokens
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, base, "en", "srcA", 1),
+        (2, base + " x1 x2", "en", "srcA", 1),
+        (3, "z1 z2 z3 z4 z5", "en", "srcB", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    monkeypatch.setattr(
+        dd, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    got = {
+        r["source"]: r for r in dd.dedup_keep_best(spark, "unused").collect()
+    }
+    # min-id policy keeps doc 1 (10 tokens); best policy keeps doc 2
+    # (12 tokens, more distinct)
+    assert got["srcA"]["keeps_moved"] == 1
+    assert got["srcA"]["kept_tokens_best"] == 12
+    assert got["srcA"]["kept_tokens_minid"] == 10
+    # singleton cluster: keep never moves
+    assert got["srcB"]["keeps_moved"] == 0
