@@ -1753,3 +1753,53 @@ def test_dedup_keep_best_prefers_richer_copy(spark, monkeypatch):
     assert got["srcA"]["kept_tokens_minid"] == 10
     # singleton cluster: keep never moves
     assert got["srcB"]["keeps_moved"] == 0
+
+
+def test_dsir_importance_separates_target_like_docs(spark, monkeypatch):
+    """Docs written in the target source's vocabulary must land in
+    strictly higher importance bins than docs from a disjoint
+    vocabulary (the whole point of DSIR reweighting)."""
+    import real_time_fraud_detection_system_spark.operators.corpusops as co
+
+    tgt_vocab = "alpha beta gamma delta epsilon"
+    off_vocab = "zeta eta theta iota kappa"
+    rows = (
+        # target domain (src0) + a target-like doc in srcA
+        [(i, tgt_vocab, "en", "src0", 1) for i in range(5)]
+        + [(10, tgt_vocab, "en", "srcA", 1)]
+        + [(11, off_vocab, "en", "srcB", 1)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    monkeypatch.setattr(
+        co, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    bins = {
+        (r["source"], r["bin"])
+        for r in co.dsir_importance_bins(spark, "unused").collect()
+    }
+    bin_of = {src: b for src, b in bins}
+    assert bin_of["srcA"] > bin_of["srcB"]
+    assert bin_of["src0"] == bin_of["srcA"]  # same text -> same bin
+
+
+def test_token_fertility_counts(spark, monkeypatch):
+    """'ab12cd' splits to [ab,1,2,cd] under the BPE-ish regex: 4
+    subtokens over 1 whitespace word -> fertility 4.0 exactly."""
+    import real_time_fraud_detection_system_spark.operators.textops as tx
+
+    df = spark.createDataFrame(
+        [(1, "ab12cd", "en", "srcA", 6)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    monkeypatch.setattr(
+        tx, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    row = tx.token_fertility(spark, "unused").collect()[0]
+    assert row["n_ws_tokens"] == 1
+    assert row["n_bpe_tokens"] == 4
+    assert row["fertility_ppm"] == 4_000_000
+    assert row["chars_per_bpe_ppm"] == 6 * 1_000_000 // 4
