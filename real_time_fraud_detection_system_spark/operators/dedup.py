@@ -246,6 +246,9 @@ def signature_index(docs: DataFrame) -> DataFrame:
             F.expr("CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT)")
         ).alias("hsh")
     )
+    # the full-width 1-hash MinHash rides along for free (min over the
+    # same md5 stream): doc_fingerprint reads it instead of re-shingling
+    aggs.append(F.min("h").alias("min_md5"))
     return h.groupBy("doc_id").agg(*aggs)
 
 
@@ -253,7 +256,11 @@ def _sig_fingerprint(sf_dir: str) -> str | None:
     """Memo key for the documents-table MinHash derivations."""
     from ._memo import table_fingerprint
 
-    return table_fingerprint(sf_dir, "documents", MINHASH_K, SHINGLE_N)
+    # "sigv2": schema token -- v2 added the min_md5 column, which must
+    # not be read out of a v1 cache dir
+    return table_fingerprint(
+        sf_dir, "documents", MINHASH_K, SHINGLE_N, "sigv2"
+    )
 
 
 def _sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -203,32 +203,23 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-shingle fingerprint: min md5 over word {SHINGLE_N}-gram
     shingles (a 1-hash MinHash -- the winnowing-style content fingerprint).
     Documents shorter than the shingle width fall back to md5(text)."""
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    # token array staged: an inline split inside the shingle lambda
-    # re-tokenizes the text once per shingle (O(tokens^2) interpreted
-    # work; see dedup._doc_shingles). md5 runs AFTER the explode so it
-    # whole-stage-codegens (in the transform lambda it evaluates
-    # interpreted per shingle); min-agg == the old array_min, the
-    # groupBy is shuffle-free on the spread partitioning, and short
-    # docs (no shingles -> absent from the agg) rejoin via the left
-    # join to take the md5(text) fallback.
-    sh = shingles_expr("toks", SHINGLE_N)
-    base = docs.selectExpr("doc_id", "text", f"{_TOKS} AS toks")
-    fp_sh = (
-        base.selectExpr("doc_id", f"explode({sh}) AS s")
-        .select("doc_id", F.md5("s").alias("h"))
-        .groupBy("doc_id")
-        .agg(F.min("h").alias("fp_sh"))
+    # the fingerprint is min(md5(shingle)) -- exactly the min_md5
+    # column the memoized signature index carries (same shingle
+    # strings, same md5, min over the distinct set == min over all) --
+    # so read the index and compute the md5(text) fallback ONLY for
+    # the filtered-out short docs: no corpus re-shingle, no text ever
+    # shuffles (the short set is map-side-filtered and tiny).
+    from .dedup import _sig_table
+
+    sigfp = _sig_table(spark, sf_dir).select(
+        "doc_id", F.col("min_md5").alias("fingerprint")
     )
-    return (
-        base.join(fp_sh, "doc_id", "left")
-        .selectExpr(
-            "doc_id",
-            f"CASE WHEN size(toks) >= {SHINGLE_N} "
-            "THEN fp_sh ELSE md5(text) END AS fingerprint",
-        )
-        .orderBy("doc_id")
+    short = (
+        load_table(spark, sf_dir, "documents")
+        .filter(f"size({_TOKS}) < {SHINGLE_N}")
+        .selectExpr("doc_id", "md5(text) AS fingerprint")
     )
+    return sigfp.unionByName(short).orderBy("doc_id")
 
 
 DOC_FINGERPRINT_SQL = f"""
