@@ -21,6 +21,8 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import time
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +31,10 @@ MEMO_VERSION = 1
 # entries retained (older evicted by mtime): 4 artifact kinds x 4 SF
 # replicas is already 16, and each entry is megabytes, not gigabytes
 MEMO_KEEP = 32
+# a .tmp staging dir this old belongs to a crashed build and is swept
+TMP_SWEEP_SECONDS = 6 * 3600
+
+_warned_unstattable: set[str] = set()
 
 
 def memo_root() -> str:
@@ -40,12 +46,47 @@ def memo_root() -> str:
     )
 
 
+def code_token(*funcs) -> str:
+    """md5 digest of the given functions' SOURCE TEXT, for folding into
+    memo keys: any edit to the build pipeline invalidates its cached
+    artifacts automatically, instead of relying on a hand-bumped schema
+    token (the 'sigv2' near-miss class). Source unavailable (REPL,
+    builtins) degrades to the qualified name -- still stable per
+    process generation, never silently equal across code versions that
+    getsource CAN see."""
+    h = hashlib.md5()
+    for f in funcs:
+        try:
+            import inspect
+
+            h.update(inspect.getsource(f).encode())
+        except (OSError, TypeError):
+            h.update(getattr(f, "__qualname__", repr(f)).encode())
+    return h.hexdigest()[:12]
+
+
 def table_fingerprint(sf_dir: str, table: str, *consts) -> str | None:
     """Digest of one source table's identity (realpath + per-file size +
     mtime) and the derivation constants. None when the table isn't a
     plain local path we can stat (callers then rebuild)."""
     p = os.path.join(sf_dir, f"{table}.parquet")
     if not os.path.exists(p):
+        # non-stattable input (object-store URI, remote mount): the memo
+        # cannot key on file identity, so every consumer rebuilds its
+        # derived artifact PER QUERY. Say so once -- on shared storage
+        # the persisted index forms (persist_dedup_index /
+        # persist_ann_index, or a snapshots.py manifest version) are the
+        # production path, not this convenience cache.
+        if p not in _warned_unstattable:
+            _warned_unstattable.add(p)
+            warnings.warn(
+                f"derived-artifact memo disabled for {p!r} (not a "
+                "stattable local path): dedup/ANN index stages rebuild "
+                "per query. For shared/object storage use "
+                "persist_dedup_index / persist_ann_index (build once, "
+                "probe many) instead of relying on the memo.",
+                stacklevel=2,
+            )
         return None
     parts = [os.path.realpath(p), str(MEMO_VERSION)] + [
         str(c) for c in consts
@@ -67,15 +108,30 @@ def table_fingerprint(sf_dir: str, table: str, *consts) -> str | None:
 
 def _evict(root: str) -> None:
     try:
-        entries = [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if not d.endswith(".tmp") and not d.startswith(".")
-        ]
+        names = os.listdir(root)
     except OSError:
         return
-    entries.sort(key=lambda d: os.path.getmtime(d), reverse=True)
-    for stale in entries[MEMO_KEEP:]:
+    tmp_cutoff = time.time() - TMP_SWEEP_SECONDS
+    entries = []
+    for d in names:
+        if d.startswith("."):
+            continue
+        p = os.path.join(root, d)
+        if d.endswith(".tmp"):
+            # orphaned staging from a crashed build: sweep once it is
+            # old enough that no live writer can still own it
+            try:
+                if os.path.getmtime(p) < tmp_cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+            continue
+        try:
+            entries.append((os.path.getmtime(p), p))
+        except OSError:
+            continue  # concurrently evicted by another session
+    entries.sort(reverse=True)
+    for _, stale in entries[MEMO_KEEP:]:
         shutil.rmtree(stale, ignore_errors=True)
 
 

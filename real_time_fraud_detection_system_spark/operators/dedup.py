@@ -254,12 +254,14 @@ def signature_index(docs: DataFrame) -> DataFrame:
 
 def _sig_fingerprint(sf_dir: str) -> str | None:
     """Memo key for the documents-table MinHash derivations."""
-    from ._memo import table_fingerprint
+    from ._memo import code_token, table_fingerprint
 
-    # "sigv2": schema token -- v2 added the min_md5 column, which must
-    # not be read out of a v1 cache dir
+    # code_token(signature_index): any edit to the build pipeline
+    # auto-invalidates cached signatures (supersedes the hand-bumped
+    # "sigv2" schema token, kept for key continuity/history)
     return table_fingerprint(
-        sf_dir, "documents", MINHASH_K, SHINGLE_N, "sigv2"
+        sf_dir, "documents", MINHASH_K, SHINGLE_N, "sigv2",
+        code_token(signature_index),
     )
 
 
@@ -395,12 +397,13 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of per query. Values are exact through the roundtrip:
     BIGINT ids + a round(...,6) double. Same fingerprint/invalidation
     discipline as the signature memo; unstattable inputs skip it."""
-    from ._memo import memo_parquet
+    from ._memo import code_token, memo_parquet
 
     return memo_parquet(
         spark,
         _sig_fingerprint(sf_dir),
-        f"pairs-j{int(JACCARD_THRESHOLD * 100)}b{LSH_BANDS}",
+        f"pairs-j{int(JACCARD_THRESHOLD * 100)}b{LSH_BANDS}-"
+        f"{code_token(_lsh_pairs_fresh, _band_table)}",
         lambda: _lsh_pairs_fresh(spark, sf_dir),
     )
 
@@ -574,7 +577,7 @@ def _rare_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized to parquet (pure BIGINT triples, O(df-capped pairs) rows
     -- tiny): dedup_containment and minhash_lsh_recall both pay the
     one window-sort pass over the exploded shingle table otherwise."""
-    from ._memo import memo_parquet, table_fingerprint
+    from ._memo import code_token, memo_parquet, table_fingerprint
 
     return memo_parquet(
         spark,
@@ -585,6 +588,7 @@ def _rare_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             SHINGLE_N,
             CONTAINMENT_MAX_DF,
             CONTAINMENT_MIN_SHARED,
+            code_token(_rare_shingle_candidates, signature_index),
         ),
         "rarecand",
         lambda: _rare_shingle_candidates(_sig_table(spark, sf_dir)),

@@ -568,12 +568,13 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     both this query and dedup_signal_crosstab consume it, so the
     ~15-25 s pipeline at the 100x scale runs once per corpus snapshot.
     Exact through the roundtrip (pure BIGINTs)."""
-    from ._memo import memo_parquet, table_fingerprint
+    from ._memo import code_token, memo_parquet, table_fingerprint
 
     return memo_parquet(
         spark,
         table_fingerprint(
-            sf_dir, "embeddings", COSINE_THRESHOLD, SEM_TABLES
+            sf_dir, "embeddings", COSINE_THRESHOLD, SEM_TABLES,
+            code_token(_sem_labels_fresh),
         ),
         "semlabels",
         lambda: _sem_labels_fresh(spark, sf_dir),

@@ -976,11 +976,12 @@ def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase analytics (part_triangles' pair self-join and
     part_cooccurrence_topk's basket counts both start here), so the
     lineitem scan + distinct shuffle runs once per data snapshot."""
-    from ._memo import memo_parquet, table_fingerprint
+    from ._memo import code_token, memo_parquet, table_fingerprint
 
     return memo_parquet(
         spark,
-        table_fingerprint(sf_dir, "lineitem", "orderitems"),
+        table_fingerprint(sf_dir, "lineitem", "orderitems",
+                          code_token(_order_items)),
         "orderitems",
         lambda: load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -998,12 +999,13 @@ def _trade_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure BIGINTs -- exact through the roundtrip."""
     import hashlib
 
-    from ._memo import memo_parquet, table_fingerprint
+    from ._memo import code_token, memo_parquet, table_fingerprint
 
     fo = table_fingerprint(sf_dir, "orders")
     fl = table_fingerprint(sf_dir, "lineitem")
+    ct = code_token(_trade_fwd)
     fp = (
-        hashlib.md5(f"{fo}|{fl}|trade".encode()).hexdigest()
+        hashlib.md5(f"{fo}|{fl}|trade|{ct}".encode()).hexdigest()
         if fo and fl
         else None
     )

@@ -74,3 +74,106 @@ def test_jsonlsink_stream_exactly_once_across_restart(spark, tmp_path):
     assert len(ids) == len(set(ids)), "duplicate rows across restart"
     assert sorted(ids) == list(range(130))
     assert not os.listdir(os.path.join(out, ".staging"))
+
+
+# --------------------------------------------------------------------------
+# Round-8 ADVICE fixes: unit-level tests against the writer classes
+# directly (no streaming query needed -- commit semantics are pure
+# filesystem protocol).
+
+class _FakeRow:
+    def __init__(self, **kw):
+        self._d = kw
+
+    def asDict(self, recursive=True):
+        return dict(self._d)
+
+
+def _mk_stream_writer(path):
+    from real_time_fraud_detection_system_spark.sources.jsonl_sink import (
+        _JsonlStreamWriter,
+    )
+
+    return _JsonlStreamWriter({"path": str(path)})
+
+
+def test_replay_of_fully_committed_batch_discards_duplicates(tmp_path):
+    """The exactly-once crash window: attempt 1 fully committed
+    (files moved, _SUCCESS written) but Spark died before its own
+    checkpoint commit log -- the replayed attempt must NOT append its
+    rows alongside the old ones."""
+    out = tmp_path / "out"
+    out.mkdir()
+    w1 = _mk_stream_writer(out)
+    m1 = w1.write(iter([_FakeRow(id=1), _FakeRow(id=2)]))
+    w1.commit([m1], batchId=0)
+    rows1 = _read_rows(str(out), "batch=0/*.jsonl")
+    assert sorted(r["id"] for r in rows1) == [1, 2]
+
+    # replayed attempt (fresh writer, as after restart) stages the same
+    # logical rows again, then finds the marker
+    w2 = _mk_stream_writer(out)
+    m2 = w2.write(iter([_FakeRow(id=1), _FakeRow(id=2)]))
+    w2.commit([m2], batchId=0)
+
+    rows2 = _read_rows(str(out), "batch=0/*.jsonl")
+    assert sorted(r["id"] for r in rows2) == [1, 2], "rows duplicated"
+    with open(out / "batch=0" / "_SUCCESS") as fh:
+        assert int(fh.read()) == 2
+    # the duplicate attempt's staged files were discarded
+    staging = out / ".staging"
+    assert not any(staging.rglob("*.jsonl"))
+
+
+def test_half_committed_batch_is_cleared_and_redone(tmp_path):
+    out = tmp_path / "out"
+    out.mkdir()
+    # half-committed: dir with an orphan file, NO marker
+    (out / "batch=0").mkdir()
+    (out / "batch=0" / "orphan.jsonl").write_text('{"id": 99}\n')
+    w = _mk_stream_writer(out)
+    m = w.write(iter([_FakeRow(id=1)]))
+    w.commit([m], batchId=0)
+    rows = _read_rows(str(out), "batch=0/*.jsonl")
+    assert sorted(r["id"] for r in rows) == [1], "orphan survived replay"
+
+
+def test_batch_append_marker_accumulates_and_retry_is_idempotent(tmp_path):
+    from real_time_fraud_detection_system_spark.sources.jsonl_sink import (
+        _JsonlBatchWriter,
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    w1 = _JsonlBatchWriter({"path": str(out)}, overwrite=False)
+    m = w1.write(iter([_FakeRow(id=1), _FakeRow(id=2)]))
+    w1.commit([m])
+    w2 = _JsonlBatchWriter({"path": str(out)}, overwrite=False)
+    m2 = w2.write(iter([_FakeRow(id=3)]))
+    w2.commit([m2])
+    # marker describes the DIRECTORY (3 rows), not the newest write (1)
+    with open(out / "data" / "_SUCCESS") as fh:
+        assert int(fh.read()) == 3
+    # driver-side commit retry with the same messages: no re-count, no
+    # crash on the already-moved staged source
+    w2.commit([m2])
+    with open(out / "data" / "_SUCCESS") as fh:
+        assert int(fh.read()) == 3
+    rows = _read_rows(str(out), "data/*.jsonl")
+    assert sorted(r["id"] for r in rows) == [1, 2, 3]
+
+
+def test_concurrent_writer_staging_not_swept(tmp_path):
+    """A second live run's staged file must survive the first run's
+    commit sweep (staging is namespaced + age-gated)."""
+    out = tmp_path / "out"
+    out.mkdir()
+    w_a = _mk_stream_writer(out)
+    w_b = _mk_stream_writer(out)
+    m_b = w_b.write(iter([_FakeRow(id=7)]))  # staged, not yet committed
+    m_a = w_a.write(iter([_FakeRow(id=1)]))
+    w_a.commit([m_a], batchId=0)
+    # b's staged file is untouched and its own commit still succeeds
+    w_b.commit([m_b], batchId=1)
+    rows = _read_rows(str(out), "batch=*/*.jsonl")
+    assert sorted(r["id"] for r in rows) == [1, 7]

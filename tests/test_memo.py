@@ -68,3 +68,62 @@ def test_memo_eviction_keeps_newest(tmp_path, spark, monkeypatch):
     left = sorted(d for d in os.listdir(cache) if not d.endswith(".tmp"))
     assert len(left) == 3
     assert "fp4-t" in left  # newest survives
+
+
+def test_nonstattable_path_warns_once_and_disables_memo(tmp_path):
+    """Non-local/unstattable input (the 100 TB shared-storage case):
+    fingerprint is None (memo off, consumers rebuild) and a ONE-TIME
+    warning names the persisted-index production path."""
+    import warnings
+
+    _memo._warned_unstattable.clear()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _memo.table_fingerprint("s3a://bucket/corpus", "documents") is None
+        assert _memo.table_fingerprint("s3a://bucket/corpus", "documents") is None
+    warned = [x for x in w if "persist_dedup_index" in str(x.message)]
+    assert len(warned) == 1, "expected exactly one warning per path"
+
+
+def test_code_token_tracks_source_changes():
+    """Editing a build-pipeline function changes its code token (memo
+    keys folding it in auto-invalidate -- the 'sigv2' near-miss class
+    is closed by construction)."""
+    ns1, ns2 = {}, {}
+    exec("def f(x):\n    return x + 1\n", ns1)
+    exec("def f(x):\n    return x + 2\n", ns2)
+    # exec'd functions have no retrievable source -> fall back to name
+    # (stable, but equal); REAL module functions differ by source:
+    t_sig = _memo.code_token(_memo.table_fingerprint)
+    t_evict = _memo.code_token(_memo._evict)
+    assert t_sig != t_evict
+    assert t_sig == _memo.code_token(_memo.table_fingerprint)
+    # multi-function token differs from each single one
+    assert _memo.code_token(
+        _memo.table_fingerprint, _memo._evict
+    ) not in (t_sig, t_evict)
+
+
+def test_evict_sweeps_orphaned_tmp_and_survives_races(
+    tmp_path, spark, monkeypatch
+):
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setattr(_memo, "MEMO_KEEP", 2)
+    # an orphaned crashed-build staging dir, older than the sweep age
+    old_tmp = cache / "deadbeef-t.12345.tmp"
+    old_tmp.mkdir()
+    past = time.time() - _memo.TMP_SWEEP_SECONDS - 60
+    os.utime(old_tmp, (past, past))
+    # a FRESH tmp dir (live writer): must survive
+    live_tmp = cache / "cafe-t.999.tmp"
+    live_tmp.mkdir()
+    for i in range(4):
+        d = cache / f"fp{i}-t"
+        d.mkdir()
+        os.utime(d, (past + i, past + i))
+    _memo._evict(str(cache))
+    left = set(os.listdir(cache))
+    assert "deadbeef-t.12345.tmp" not in left, "orphan tmp not swept"
+    assert "cafe-t.999.tmp" in left, "live tmp wrongly swept"
+    assert {"fp2-t", "fp3-t"} <= left and "fp0-t" not in left
