@@ -36,80 +36,61 @@ def _modules():
 DRIVER_SAMPLE = 50
 
 PRIORITY = [
-    # (a) ROUND 7 -- no valid driver verdict on the current code:
-    #   * the MinHash family: _sig_table became a parquet-backed memo
-    #     this round (one signature build per corpus snapshot shared by
-    #     the whole family -- the round-6 verdict's one 'weak' item),
-    #     so every query routed through it has changed code. Values are
-    #     identical by construction (the hsh column is a set; every
-    #     consumer re-aggregates or sorts), which is exactly what the
-    #     driver should confirm;
-    "minhash_signatures", "dedup_minhash_lsh", "dedup_minhash_clusters",
-    "dedup_incremental", "split_leakage_check", "cluster_safe_split",
-    "dedup_apply_stats", "dedup_cluster_density", "minhash_lsh_recall",
-    "dedup_containment", "dedup_signal_crosstab",
-    #   * round-7 ADVICE fixes: fk_integrity_check grew the
-    #     empty-child-table zero guard; bloom_prefilter_stats and
-    #     part_cooccurrence_topk moved cache() -> localCheckpoint()
-    #     (storage-leak fix, values unchanged);
-    "fk_integrity_check", "bloom_prefilter_stats",
-    "part_cooccurrence_topk",
-    #   * rewritten late in round 6 AFTER their last in-window check
-    #     (the round-6 verdict's stale-verdict list): ann_ivf_topk
-    #     (assignment moved to the _nearest_cells_udf Arrow kernel),
-    #     shard_overlap and user_value_anomalies (late rewrites),
-    #     part_triangles (distinct-items self-join form),
-    #     exact_median_by_type (histogram median, no per-group sort),
-    #     supplier_pagerank (cached pre-partitioned edge table);
-    "ann_ivf_topk", "shard_overlap", "user_value_anomalies",
-    "part_triangles", "exact_median_by_type", "supplier_pagerank",
-    #   * NEW in round 7: exact-substring duplicated-run census (the
-    #     Lee et al. dedup gate MinHash can't see) and DSIR-style
-    #     hashed-unigram importance bins (target-domain mixture
-    #     planning) -- both corpusops, both oracle-checked;
-    "exact_substring_spans", "dsir_importance_bins",
-    # (b) the nine round-4-verdict tpch_extra queries deferred from the
-    #     round-6 window (oldest-verdict backfill, as published):
-    "q8_market_share", "q9_profit_by_nation",
-    "q12_shipping_delay_classes", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
-    "q19_disjunctive_revenue", "q22_dormant_high_balance",
-    # (c) family representatives not already covered above
-    #     (tests/test_registry.py gate): relational, multimodal,
-    #     windows, layout, sessionize, textops, skew -- preferring
-    #     never-driver-checked members where the family has one
-    #     (survival_weekly, source_token_entropy, join_blowup_probe);
-    "q1_pricing_summary", "multimodal_meta", "moving_avg_revenue",
-    "layout_pruning_stats", "survival_weekly", "source_token_entropy",
-    "join_blowup_probe",
-    # (d) never-driver-checked round-6 registrations, in the order the
-    #     round-6 window-head comment published them:
-    "embedding_outliers", "bigram_lm_score", "crossdoc_ngram_share",
-    "ann_recall_eval", "ivf_cell_stats", "doc_chunks", "chunk_dup_rate",
-    "mixture_apply_sample", "event_type_affinity", "dau_wau_stickiness",
-    "source_semantic_similarity", "threshold_sweep",
-    # ROUND-8 WINDOW HEAD (the never-driver-checked queue is longer
-    # than 50 slots; the remainder, in priority order): the late-round-7
-    # registrations minhash_est_vs_exact (signature-agreement estimator
-    # bias vs exact Jaccard), packing_budget_sweep (context-length fragmentation
-    # table), dedup_keep_best (keep-best-representative policy
-    # audit), token_fertility (per-lang/source BPE fertility +
-    # chars-per-subtoken) and shingle_df_curve (shingle document-
-    # frequency histogram -- the df-cap tuning curve); calibration_bins
-    # and ivf_probe_sweep (displaced from this window's section (d) by
-    # the two new round-7 operators; their families stay represented by
-    # threshold_sweep / ann_ivf_topk+3 others); ann_knn_join
-    # verdict stands (r6); next up are token_concentration_bins,
-    # kmeans_fixedpoint, dq_expectations, rfm_segments,
-    # bootstrap_fraud_ci, gapfill_hourly, emb_quantize_int8,
-    # benford_first_digit, seasonal_hour_baseline, peak_concurrency,
-    # event_transition_matrix, conversion_latency_buckets,
-    # velocity_profile, cusum_changepoints, risk_lift_matrix,
-    # time_weighted_value, daily_value_percentiles,
-    # last_touch_attribution, event_comovement_corr, skyline_parts,
-    # supplier_bfs_hops, daily_trend_slopes, and recent_topk (round-4
-    # verdict, displaced twice) -- then the oldest-verdict backfill
-    # resumes with the round-5-verdict cohort.
+    # (a) NEW IN ROUND 8 -- no driver verdict exists: the SCD2
+    #     dimension-history twin and the point-in-time enrichment that
+    #     drives storage.point_in_time_join (the round-7 verdict's
+    #     item 7: the temporal-correctness surface of the storage layer
+    #     finally under the oracle);
+    "scd2_priority_history", "pit_event_enrichment",
+    # (b) the 29 queries NO driver window has ever checked (round-7
+    #     verdict item 2 -- my independent 168/168 sf0.01 run covers
+    #     them, but a driver verdict is the contract). shingle_df_curve
+    #     and minhash_est_vs_exact double as changed-code coverage for
+    #     this round's memo-key refactor (code_token folded into every
+    #     memoized build): both route through the signature memo.
+    "minhash_est_vs_exact", "shingle_df_curve", "dedup_keep_best",
+    "dq_expectations", "emb_quantize_int8", "kmeans_fixedpoint",
+    "ivf_probe_sweep", "token_fertility", "token_concentration_bins",
+    "packing_budget_sweep", "peak_concurrency",
+    "event_transition_matrix", "conversion_latency_buckets",
+    "gapfill_hourly", "rfm_segments", "velocity_profile",
+    "calibration_bins", "skyline_parts", "supplier_bfs_hops",
+    "bootstrap_fraud_ci", "benford_first_digit",
+    "seasonal_hour_baseline", "cusum_changepoints", "risk_lift_matrix",
+    "time_weighted_value", "last_touch_attribution",
+    "daily_value_percentiles", "daily_trend_slopes",
+    "event_comovement_corr",
+    # (c) family representatives for the six families (b) leaves
+    #     uncovered (tests/test_registry.py gate), preferring the
+    #     OLDEST standing verdicts: relational (r4), multimodal (r5),
+    #     windows (r5), skew (r5), sketches (r6), layout (r7 -- its
+    #     only member);
+    "q4_order_priority_exists", "multimodal_frames",
+    "orders_pivot_status", "shuffle_balance_profile",
+    "countmin_heavy_hitters", "layout_pruning_stats",
+    # (d) oldest-verdict backfill: the round-4-verdict remainder
+    #     (ann_lsh_bucketed is ALSO the bench session-aging exhibit --
+    #     a fresh driver verdict on it this round pins that its values
+    #     never moved while its in-session timing did), then the
+    #     round-5-verdict cohort in registry order.
+    "recent_topk", "ann_lsh_bucketed", "q18_large_volume_customers",
+    "q5_local_supplier_volume", "q6_revenue_change",
+    "q10_returned_items", "top_orders_per_customer", "customer_rollup",
+    "order_priority_count", "customers_without_orders",
+    "nations_with_both", "segment_distinct_nations",
+    "part_price_buckets",
+    # ROUND-9 QUEUE (in priority order): the rest of the
+    # round-5-verdict cohort -- predictions_profile, dedup_exact,
+    # dedup_ngram_jaccard, simhash_fingerprints, dedup_simhash,
+    # dedup_simhash16, dedup_clusters, dedup_clusters_wide,
+    # dup_rate_by_source, ann_cosine_topk, embedding_near_dup,
+    # text_stats, lang_id_heuristic, doc_fingerprint,
+    # corpus_token_stats, bpe_token_stats, tfidf_top_terms,
+    # lang_mismatch_rate, contamination_check, source_mixture_plan,
+    # session_summary, weekly_retention_cohorts, part_rankings,
+    # value_percentiles, wire_format_roundtrip, event_gap_buckets,
+    # training_frame_det, logit_score, q21_sole_late_supplier,
+    # value_drift_psi -- then the round-6 cohort.
 ]
 
 

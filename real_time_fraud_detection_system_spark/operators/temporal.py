@@ -891,7 +891,143 @@ FROM feat GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 dimension history + point-in-time enrichment: the TEMPORAL
+# CORRECTNESS surface of storage.py's merge_dimension_scd2 /
+# point_in_time_join, expressed as oracle-checkable registry queries.
+# The reference stores only current-state rows (Postgres upserts,
+# services/fraud_service/app/main.py:150-170); a training-data pipeline
+# needs the feature value AS-OF the event, which requires the history
+# these two queries pin down.
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SCD2 history of each customer's order PRIORITY
+    attribute: per (customer, day) the attribute is the priority of
+    that day's highest orderkey; consecutive equal values collapse
+    (SCD2 records CHANGES, not updates); each change row carries
+    [valid_from, valid_to) with NULL = current.
+
+    Scale shape: two window passes over one shuffle keyed by customer
+    (the row_number partitioning (custkey, date) is a prefix of the
+    change-detection partitioning, so AQE reuses the exchange) -- no
+    join, no collect. tests/test_storage.py asserts this declarative
+    history is row-identical to applying storage.merge_dimension_scd2
+    incrementally over the same update stream, which is what gives the
+    disk-merge operator driver-verdict coverage."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_day = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    daily = (
+        orders.withColumn("_rn", F.row_number().over(w_day))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("eff"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    w_cust = Window.partitionBy("o_custkey").orderBy("eff")
+    changes = (
+        daily.withColumn("_prev", F.lag("priority").over(w_cust))
+        .filter(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col("priority"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "priority",
+            F.col("eff").alias("valid_from"),
+        )
+    )
+    w_hist = Window.partitionBy("custkey").orderBy("valid_from")
+    return changes.withColumn(
+        "valid_to", F.lead("valid_from").over(w_hist)
+    )
+
+
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 dimension itself: every (customer, priority) validity
+    window, full history."""
+    return _scd2_history(spark, sf_dir).select(
+        "custkey", "priority", "valid_from", "valid_to"
+    )
+
+
+def pit_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment through storage.point_in_time_join:
+    events (mapped onto the customer key space, shifted 28 years back
+    so they land MID-history -- both the bounded-window and the
+    no-valid-version branches get rows) pick up the customer's
+    priority AS-OF the event timestamp, never the current row (using
+    the current row would leak the future into training features).
+    Output: event count + value mass per as-of priority; the NULL
+    group is the before-first-window/unknown-key mass.
+
+    Scale shape: the SCD2 dimension is the small side of the star, so
+    point_in_time_join broadcasts it and the range predicate evaluates
+    map-side -- the event stream never shuffles."""
+    from ..storage import point_in_time_join
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    maxc = orders.agg(F.max("o_custkey").alias("_maxc"))
+    facts = ev.crossJoin(F.broadcast(maxc)).select(
+        (F.col("user_id") % F.col("_maxc") + F.lit(1)).alias("custkey"),
+        (F.col("ts") - F.expr("INTERVAL 28 YEARS")).alias("ts"),
+        "value",
+    )
+    dim = _scd2_history(spark, sf_dir)
+    joined = point_in_time_join(facts, dim, "custkey", "ts")
+    return joined.groupBy(
+        F.col("priority").alias("priority_asof")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_SCD2_HIST_CTE = """
+ranked AS (
+  SELECT o_custkey, o_orderdate AS eff, o_orderpriority AS priority,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), daily AS (SELECT o_custkey, eff, priority FROM ranked WHERE rn = 1),
+chg AS (
+  SELECT o_custkey, priority, eff AS valid_from,
+         lag(priority) OVER (PARTITION BY o_custkey ORDER BY eff) AS prev
+  FROM daily
+), hist AS (
+  SELECT o_custkey AS custkey, priority, valid_from,
+         lead(valid_from) OVER (PARTITION BY o_custkey
+                                ORDER BY valid_from) AS valid_to
+  FROM chg WHERE prev IS NULL OR prev <> priority
+)"""
+
+SCD2_PRIORITY_HISTORY_SQL = f"""
+WITH {_SCD2_HIST_CTE}
+SELECT custkey, priority, valid_from, valid_to FROM hist
+"""
+
+PIT_EVENT_ENRICHMENT_SQL = f"""
+WITH {_SCD2_HIST_CTE},
+maxc AS (SELECT max(o_custkey) AS m FROM orders),
+facts AS (SELECT (user_id % (SELECT m FROM maxc)) + 1 AS custkey,
+                 ts - INTERVAL 28 YEAR AS ts, value FROM events)
+SELECT h.priority AS priority_asof,
+       count(*) AS n_events,
+       round(sum(f.value), 4) AS sum_value
+FROM facts f LEFT JOIN hist h
+  ON f.custkey = h.custkey AND f.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+GROUP BY h.priority
+"""
+
+
 QUERIES = {
+    "scd2_priority_history": scd2_priority_history,
+    "pit_event_enrichment": pit_event_enrichment,
     "gapfill_hourly": gapfill_hourly,
     "rfm_segments": rfm_segments,
     "event_type_affinity": event_type_affinity,
@@ -906,6 +1042,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scd2_priority_history": SCD2_PRIORITY_HISTORY_SQL,
+    "pit_event_enrichment": PIT_EVENT_ENRICHMENT_SQL,
     "gapfill_hourly": GAPFILL_HOURLY_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
     "event_type_affinity": EVENT_TYPE_AFFINITY_SQL,

@@ -277,25 +277,35 @@ def merge_dimension_scd2(
     effective_col: str = "effective_ts",
 ) -> int:
     """SCD-type-2 merge: history-keeping upsert. Dimension rows carry
-    ``valid_from`` / ``valid_to`` (NULL = current). For each update
-    whose attributes DIFFER from the key's current row, the current
-    row closes (valid_to = the update's effective timestamp) and a new
-    current row opens; updates equal to the current attributes are
-    ignored -- which is precisely what makes re-applying the same
-    batch a no-op. New keys open their first row. Same
-    staging-rewrite + directory-swap commit as merge_dimension.
+    ``valid_from`` / ``valid_to`` (NULL = current). A batch may carry
+    a WHOLE SEQUENCE of updates per key (a daily ingest batch
+    legitimately contains several changes for one key): per key the
+    updates are ordered by the effective timestamp, consecutive equal
+    attributes collapse (SCD2 records changes, not updates), the
+    key's current row closes at the first surviving change, and the
+    intra-batch changes chain their own validity windows, the last
+    one staying open. Updates not NEWER than the key's current
+    ``valid_from`` are dropped as already-applied -- which is what
+    makes re-applying the same batch a no-op -- and a batch's first
+    change equal to the current attributes is likewise ignored. New
+    keys open at their first change. Same staging-rewrite +
+    directory-swap commit as merge_dimension.
 
-    Attribute equality uses a null-safe struct compare over every
-    column except the key and the effective timestamp. Returns the
-    merged row count (history rows included)."""
+    Assumes (key, effective_ts) is unique within a batch and batches
+    arrive in non-decreasing time order (the checkpointed-ingest
+    shape). Attribute equality uses a null-safe struct compare over
+    every column except the key and the effective timestamp. Returns
+    the merged row count (history rows included)."""
     import os
     import shutil
 
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     attr_cols = [
         c for c in updates.columns if c not in (key, effective_col)
     ]
+    w_seq = Window.partitionBy(key).orderBy("_eff")
     incoming = updates.select(
         key,
         F.col(effective_col).alias("_eff"),
@@ -304,19 +314,38 @@ def merge_dimension_scd2(
     if os.path.isdir(dim_dir):
         existing = spark.read.parquet(dim_dir)
         cur = existing.filter(F.col("valid_to").isNull()).select(
-            key, F.struct(*attr_cols).alias("_cur_attrs")
+            key,
+            F.struct(*attr_cols).alias("_cur_attrs"),
+            F.col("valid_from").alias("_cur_from"),
         )
-        # effective changes only: differing attrs or brand-new key
-        changes = (
+        # stale-drop (replay idempotence), then collapse the intra-batch
+        # sequence to changes, then drop a first change equal to the
+        # stored current attributes -- in that order: each step's output
+        # is what the next one's semantics are defined over
+        fresh = (
             incoming.join(F.broadcast(cur), key, "left")
             .filter(
-                F.col("_cur_attrs").isNull()
-                | ~F.col("_attrs").eqNullSafe(F.col("_cur_attrs"))
+                F.col("_cur_from").isNull()
+                | (F.col("_eff") > F.col("_cur_from"))
+            )
+        )
+        changes = (
+            fresh.withColumn("_prev", F.lag("_attrs").over(w_seq))
+            .filter(
+                F.col("_prev").isNull()
+                | ~F.col("_attrs").eqNullSafe(F.col("_prev"))
+            )
+            .withColumn("_rn", F.row_number().over(w_seq))
+            .filter(
+                ~(
+                    (F.col("_rn") == 1)
+                    & F.col("_attrs").eqNullSafe(F.col("_cur_attrs"))
+                )
             )
             .select(key, "_eff", "_attrs")
         )
         closing = F.broadcast(
-            changes.select(F.col(key), F.col("_eff").alias("_close_ts"))
+            changes.groupBy(key).agg(F.min("_eff").alias("_close_ts"))
         )
         kept = (
             existing.join(closing, key, "left")
@@ -332,12 +361,23 @@ def merge_dimension_scd2(
         )
     else:
         kept = None
-        changes = incoming
+        changes = (
+            incoming.withColumn("_prev", F.lag("_attrs").over(w_seq))
+            .filter(
+                F.col("_prev").isNull()
+                | ~F.col("_attrs").eqNullSafe(F.col("_prev"))
+            )
+            .select(key, "_eff", "_attrs")
+        )
     opened = changes.select(
         key,
         *[F.col("_attrs")[c].alias(c) for c in attr_cols],
         F.col("_eff").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
+        # intra-batch chains close at the NEXT change; the last stays
+        # open (NULL) as the key's new current row
+        F.lead("_eff").over(
+            Window.partitionBy(key).orderBy("_eff")
+        ).cast("timestamp").alias("valid_to"),
     )
     merged = opened if kept is None else kept.unionByName(opened)
     staging = dim_dir.rstrip("/") + ".staging"

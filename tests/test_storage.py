@@ -403,3 +403,117 @@ def test_point_in_time_join_reads_history_correctly(spark, tmp_path):
         ).collect()
     }
     assert got == {1: "a", 2: "A", 3: None, 4: None, 5: "A"}
+
+
+def test_scd2_merge_matches_declarative_history(spark, sf_dir, tmp_path):
+    """The disk-merge operator (merge_dimension_scd2, applied batch by
+    batch over the customer-priority update stream) produces the SAME
+    history table as the registry's declarative one-shot form
+    (operators/temporal._scd2_history) -- the bridge that makes the
+    oracle-checked scd2_priority_history query a genuine verdict on the
+    storage-layer merge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.temporal import (
+        _scd2_history,
+    )
+    from real_time_fraud_detection_system_spark.storage import (
+        merge_dimension_scd2,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_day = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    updates = (
+        orders.withColumn("_rn", F.row_number().over(w_day))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("effective_ts"),
+        )
+    )
+    # apply the update stream in 4 strictly time-ordered batches (the
+    # incremental path: each batch closes/opens windows against the
+    # dimension directory on disk)
+    dim_dir = str(tmp_path / "dim")
+    bounds = list(
+        updates.select(
+            F.percentile_approx("effective_ts", [0.25, 0.5, 0.75], 10000)
+        ).collect()[0][0]
+    )
+    lo = None
+    for hi in bounds + [None]:
+        batch = updates
+        if lo is not None:
+            batch = batch.filter(F.col("effective_ts") > F.lit(lo))
+        if hi is not None:
+            batch = batch.filter(F.col("effective_ts") <= F.lit(hi))
+        merge_dimension_scd2(spark, dim_dir, batch, "custkey")
+        lo = hi
+
+    merged = spark.read.parquet(dim_dir).select(
+        "custkey", "priority", "valid_from", "valid_to"
+    )
+    declared = _scd2_history(spark, sf_dir).select(
+        "custkey", "priority", "valid_from", "valid_to"
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, declared.collect()))
+    assert len(a) == len(b) and a == b
+
+
+def test_scd2_merge_multi_change_batch(spark, tmp_path):
+    """One batch carrying a per-key SEQUENCE of updates (a -> b -> a):
+    intra-batch windows chain correctly, no-op updates inside the
+    sequence collapse, and re-applying the batch is still a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from real_time_fraud_detection_system_spark.storage import (
+        merge_dimension_scd2,
+    )
+
+    t = [dt.datetime(2024, 1, d) for d in (1, 5, 9, 13)]
+    dim_dir = str(tmp_path / "dimm")
+    batch = spark.createDataFrame(
+        [
+            Row(k=1, v="a", effective_ts=t[0]),
+            Row(k=1, v="b", effective_ts=t[1]),
+            Row(k=1, v="b", effective_ts=t[2]),  # no-op inside sequence
+            Row(k=1, v="a", effective_ts=t[3]),
+        ]
+    )
+    assert merge_dimension_scd2(spark, dim_dir, batch, "k") == 3
+    rows = sorted(
+        (r["v"], r["valid_from"], r["valid_to"])
+        for r in spark.read.parquet(dim_dir).collect()
+    )
+    assert rows == [
+        ("a", t[0], t[1]),
+        ("a", t[3], None),
+        ("b", t[1], t[3]),
+    ]
+    # replay: nothing moves
+    assert merge_dimension_scd2(spark, dim_dir, batch, "k") == 3
+    # a later batch whose FIRST change equals the current row but whose
+    # second differs: only the real change lands
+    t2 = [dt.datetime(2024, 2, d) for d in (1, 5)]
+    nxt = spark.createDataFrame(
+        [
+            Row(k=1, v="a", effective_ts=t2[0]),  # equals current
+            Row(k=1, v="c", effective_ts=t2[1]),
+        ]
+    )
+    assert merge_dimension_scd2(spark, dim_dir, nxt, "k") == 4
+    cur = [
+        r
+        for r in spark.read.parquet(dim_dir).collect()
+        if r["valid_to"] is None
+    ]
+    assert len(cur) == 1 and cur[0]["v"] == "c"
+    assert cur[0]["valid_from"] == t2[1]
