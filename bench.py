@@ -123,6 +123,12 @@ HEADLINE = [
     "dedup_keep_best",
     "packing_budget_sweep",
     "minhash_est_vs_exact",
+    # round-8 additions: SCD2 history + PIT enrichment (storage-layer
+    # temporal surface), Zipf source screen, Chao1 dedup estimator
+    "scd2_priority_history",
+    "pit_event_enrichment",
+    "zipf_alpha_by_source",
+    "dup_chao1_estimate",
 ]
 
 

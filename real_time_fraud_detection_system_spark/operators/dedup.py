@@ -138,6 +138,71 @@ ORDER BY keep_id
 """
 
 
+def dup_chao1_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the TRUE distinct-content
+    count -- the 100 TB planning number exact dedup on a sample cannot
+    give you directly. From the frequency-of-frequencies of exact
+    content groups (f1 = singletons, f2 = doubletons), the
+    bias-corrected Chao1 lower bound D + f1*(f1-1)/(2*(f2+1)) estimates
+    how many distinct documents the FULL population holds, i.e. how
+    much of the corpus is copies you have not sampled yet: run it on a
+    1% shard and you know whether deduplicating the full 100 TB will
+    shrink it by 3% or by 40% BEFORE paying for the full pass.
+
+    All integer math end-to-end (counts of counts + one truncating
+    division), so both engines compute the identical fixpoint. Scale
+    shape: one md5 hash-groupBy (the dedup_exact stage), then a
+    groupBy over the O(max multiplicity) frequency histogram --
+    nothing quadratic, nothing collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        groups.agg(
+            F.sum("c").alias("n_docs"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+        )
+        .selectExpr(
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_distinct AS BIGINT) AS n_distinct",
+            "CAST(f1 AS BIGINT) AS f1",
+            "CAST(f2 AS BIGINT) AS f2",
+            "CAST(n_distinct + (f1 * (f1 - 1)) DIV (2 * (f2 + 1))"
+            " AS BIGINT) AS chao1_distinct_est",
+            # observed dup mass vs the estimated still-hidden one
+            "CAST(n_docs - n_distinct AS BIGINT) AS observed_dup_docs",
+            "CAST((f1 * (f1 - 1)) DIV (2 * (f2 + 1)) AS BIGINT)"
+            " AS est_unseen_distinct",
+        )
+    )
+
+
+DUP_CHAO1_SQL = """
+WITH groups AS (
+  SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM groups
+)
+SELECT n_docs, n_distinct, f1, f2,
+       CAST(n_distinct + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+         AS chao1_distinct_est,
+       CAST(n_docs - n_distinct AS BIGINT) AS observed_dup_docs,
+       CAST((f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+         AS est_unseen_distinct
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, max_rows: int | None = None
@@ -2168,6 +2233,7 @@ ORDER BY custkey_a, custkey_b
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dup_chao1_estimate": dup_chao1_estimate,
     "minhash_signatures": minhash_signatures,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2192,6 +2258,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dup_chao1_estimate": DUP_CHAO1_SQL,
     "minhash_signatures": MINHASH_SIGNATURES_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,

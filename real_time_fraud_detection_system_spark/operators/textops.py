@@ -791,6 +791,117 @@ GROUP BY 1, tot.n_total ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+ZIPF_TOP_RANKS = 500
+
+
+def zipf_alpha_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per source: OLS slope of ln(frequency) on ln(rank)
+    over the top-500 (ZIPF_TOP_RANKS) unigram ranks, emitted as positive
+    integer ppm. Natural corpora sit near alpha ~= 1; template/boiler-
+    plate-heavy sources flatten (small alpha) and spam-like sources
+    with a few hammered tokens steepen -- a one-number distribution-
+    shape screen next to source_token_entropy's diversity number.
+
+    Cross-engine exactness (the source_token_entropy posture): each
+    rank's ln(rank)/ln(count) quantizes ONCE to 1e6 fixed point
+    (single libm double op + round, deterministic), the OLS moments
+    fold as DECIMAL(38,0) (order-independent integer sums; Sxy at 1e12
+    per term x 500 ranks overflows int64), and the slope is one
+    truncating integer division -- both engines compute the identical
+    fixpoint.
+
+    Scale shape: the corpus-sized work is ONE (source, token) keyed
+    count with map-side partials; ranking is a window over the top
+    slice per source (bounded by vocabulary, further capped to
+    ZIPF_TOP_RANKS rows/source); the regression folds O(sources x ranks)
+    rows. Rank ties break on the token string so both engines rank
+    identically."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    counts = (
+        docs.selectExpr("source", f"explode({_TOKS}) AS tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("tok").asc()
+    )
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ZIPF_TOP_RANKS)
+        .selectExpr(
+            "source",
+            "CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+            " AS lx",
+            "CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+            " AS ly",
+        )
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_ranks"),
+            F.sum(F.col("lx").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("ly").cast("decimal(38,0)")).alias("sy"),
+            F.sum(
+                (F.col("lx") * F.col("ly")).cast("decimal(38,0)")
+            ).alias("sxy"),
+            F.sum(
+                (F.col("lx") * F.col("lx")).cast("decimal(38,0)")
+            ).alias("sxx"),
+        )
+        .selectExpr(
+            "source",
+            "CAST(n_ranks AS BIGINT) AS n_ranks",
+            # alpha = -slope; ppm via one truncating division kept in
+            # DECIMAL(38,0) space until the final BIGINT cast
+            "CAST((CAST(sx AS DECIMAL(38,0)) * sy - n_ranks * sxy)"
+            " * 1000000 DIV (n_ranks * sxx - sx * sx) AS BIGINT)"
+            " AS alpha_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+ZIPF_ALPHA_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+counts AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, tok ASC) AS r,
+         c
+  FROM counts
+),
+fixed AS (
+  SELECT source,
+         CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lx,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS ly
+  FROM ranked WHERE r <= {{ZIPF_TOP_RANKS}}
+),
+mom AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_ranks,
+         CAST(sum(CAST(lx AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(ly AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+  FROM fixed GROUP BY 1
+)
+SELECT source, n_ranks,
+       CAST((sx * sy - n_ranks * sxy) * 1000000
+            // (n_ranks * sxx - sx * sx) AS BIGINT) AS alpha_ppm
+FROM mom
+ORDER BY source
+""".replace("{ZIPF_TOP_RANKS}", str(ZIPF_TOP_RANKS))
+
+
 QUERIES = {
     "text_stats": text_stats,
     "pii_scrub_stats": pii_scrub_stats,
@@ -804,6 +915,7 @@ QUERIES = {
     "source_token_entropy": source_token_entropy,
     "token_fertility": token_fertility,
     "shingle_df_curve": shingle_df_curve,
+    "zipf_alpha_by_source": zipf_alpha_by_source,
 }
 
 ORACLE = {
@@ -819,4 +931,5 @@ ORACLE = {
     "source_token_entropy": SOURCE_TOKEN_ENTROPY_SQL,
     "token_fertility": TOKEN_FERTILITY_SQL,
     "shingle_df_curve": SHINGLE_DF_CURVE_SQL,
+    "zipf_alpha_by_source": ZIPF_ALPHA_SQL,
 }

@@ -1803,3 +1803,64 @@ def test_token_fertility_counts(spark, monkeypatch):
     assert row["n_bpe_tokens"] == 4
     assert row["fertility_ppm"] == 4_000_000
     assert row["chars_per_bpe_ppm"] == 6 * 1_000_000 // 4
+
+
+def test_dup_chao1_estimate_matches_hand_reference(spark, monkeypatch):
+    """5 docs: 3 singleton texts + 1 doubleton -> D=4, f1=3, f2=1,
+    chao1 = 4 + 3*2 // (2*2) = 5 (one estimated unseen distinct)."""
+    import real_time_fraud_detection_system_spark.operators.dedup as dd
+
+    rows = [
+        (1, "alpha", "en", "s", 5),
+        (2, "beta", "en", "s", 4),
+        (3, "gamma", "en", "s", 5),
+        (4, "delta", "en", "s", 5),
+        (5, "delta", "en", "s", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        dd, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    r = dd.dup_chao1_estimate(spark, "unused").collect()[0]
+    assert (r["n_docs"], r["n_distinct"], r["f1"], r["f2"]) == (5, 4, 3, 1)
+    assert r["chao1_distinct_est"] == 5
+    assert r["observed_dup_docs"] == 1
+    assert r["est_unseen_distinct"] == 1
+
+
+def test_zipf_alpha_matches_numpy_fixpoint(spark, monkeypatch):
+    """Synthetic corpus with known token counts: the integer-ppm alpha
+    must equal the SAME fixed-point OLS computed by hand in numpy
+    (quantize ln to 1e6, integer moments, truncating division)."""
+    import numpy as np
+
+    import real_time_fraud_detection_system_spark.operators.textops as tx
+
+    # counts: t1 x 8, t2 x 4, t3 x 2, t4 x 1 (a perfect power law)
+    text = " ".join(["t1"] * 8 + ["t2"] * 4 + ["t3"] * 2 + ["t4"])
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        tx, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    r = tx.zipf_alpha_by_source(spark, "unused").collect()[0]
+    assert r["n_ranks"] == 4
+    counts = np.array([8, 4, 2, 1])
+    ranks = np.arange(1, 5)
+    lx = np.rint(np.log(ranks) * 1e6).astype(np.int64)
+    ly = np.rint(np.log(counts) * 1e6).astype(np.int64)
+    n = 4
+    sx, sy = int(lx.sum()), int(ly.sum())
+    sxy, sxx = int((lx * ly).sum()), int((lx * lx).sum())
+    num = (sx * sy - n * sxy) * 1_000_000
+    den = n * sxx - sx * sx
+    # exact integer division truncating toward zero (Spark DIV and
+    # DuckDB // semantics; Python // floors, so divide magnitudes)
+    want = (abs(num) // abs(den)) * (1 if (num > 0) == (den > 0) else -1)
+    assert r["alpha_ppm"] == want
+    # a perfect 2^k power law over ranks 1,2,4? -- sanity: alpha near 1
+    assert 0 < r["alpha_ppm"] < 3_000_000

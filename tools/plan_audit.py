@@ -42,6 +42,17 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #     count bounded by calendar days, not data volume.
 ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_cosine_topk": frozenset({"NLJ"}),
+    # dup_chao1_estimate: the 1PART is the final single-row Chao1
+    # summary fold over the frequency-of-frequencies partials -- the
+    # near-scalar report pattern (null_id_check class); the
+    # corpus-sized work is the md5 hash-groupBy before it.
+    "dup_chao1_estimate": frozenset({"1PART"}),
+    # pit_event_enrichment: the NLJ is the 1-row max(custkey) anchor
+    # broadcast (the scalar-anchor pattern; the PIT join itself plans
+    # as a broadcast HASH join on the key with the range residual) and
+    # the 1PART is that scalar aggregate's own exchange plus the final
+    # 6-row priority rollup.
+    "pit_event_enrichment": frozenset({"NLJ", "1PART"}),
     # packing_budget_sweep: both aggregates are 1-row summaries (global
     # straddle counts; per-source bin totals folded to one row) joined
     # by a broadcast crossJoin -- the near-scalar report pattern
