@@ -908,20 +908,28 @@ def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCD2 records CHANGES, not updates); each change row carries
     [valid_from, valid_to) with NULL = current.
 
-    Scale shape: two window passes over one shuffle keyed by customer
-    (the row_number partitioning (custkey, date) is a prefix of the
-    change-detection partitioning, so AQE reuses the exchange) -- no
-    join, no collect. tests/test_storage.py asserts this declarative
-    history is row-identical to applying storage.merge_dimension_scd2
+    Scale shape: ONE shuffle keyed by customer and ONE sort serve all
+    three window passes -- the day's winning update is the FIRST row
+    per (customer, day) under the (date ASC, orderkey DESC) sort (a
+    lag(date) boundary test, equivalent to the row_number()=1 pick but
+    without its own (custkey, date) exchange), and the change-collapse
+    and validity-chain windows require only the (custkey, date-prefix)
+    ordering that sort already provides, so Catalyst plans no further
+    exchange or sort (plan-asserted in tests/test_plans.py). No join,
+    no collect. tests/test_storage.py asserts this declarative history
+    is row-identical to applying storage.merge_dimension_scd2
     incrementally over the same update stream, which is what gives the
     disk-merge operator driver-verdict coverage."""
     orders = load_table(spark, sf_dir, "orders")
-    w_day = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
-        F.col("o_orderkey").desc()
+    w_seq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").desc()
     )
     daily = (
-        orders.withColumn("_rn", F.row_number().over(w_day))
-        .filter(F.col("_rn") == 1)
+        orders.withColumn("_prev_eff", F.lag("o_orderdate").over(w_seq))
+        .filter(
+            F.col("_prev_eff").isNull()
+            | (F.col("_prev_eff") != F.col("o_orderdate"))
+        )
         .select(
             "o_custkey",
             F.col("o_orderdate").alias("eff"),

@@ -345,3 +345,18 @@ def test_skyline_scan_prunes_to_three_columns(spark, sf_dir):
     df = skyline_parts(spark, sf_dir)
     assert_pruned_schema(df, "part", 3)
     assert_broadcast_join(df)
+
+
+def test_scd2_history_one_exchange_one_sort(spark, sf_dir):
+    """The SCD2 history's three window passes (day-winner pick, change
+    collapse, validity chain) must share ONE customer-keyed exchange
+    and ONE sort -- the (date ASC, orderkey DESC) sort is a prefix
+    superset of every later window's required ordering."""
+    from real_time_fraud_detection_system_spark.operators.temporal import (
+        _scd2_history,
+    )
+
+    df = _scd2_history(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = simple_plan(df)
+    assert plan.count("+- Sort") == 1, plan
