@@ -28,9 +28,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 MEMO_VERSION = 1
-# entries retained (older evicted by mtime): 4 artifact kinds x 4 SF
-# replicas is already 16, and each entry is megabytes, not gigabytes
-MEMO_KEEP = 32
+# entries retained (older evicted by LRU mtime): 6 artifact kinds x 5
+# SF replicas = 30 live entries, so 32 thrashed at the margin during a
+# full multi-scale bench + test run; 40 leaves headroom
+MEMO_KEEP = 40
 # a .tmp staging dir this old belongs to a crashed build and is swept
 TMP_SWEEP_SECONDS = 6 * 3600
 
