@@ -454,3 +454,33 @@ def dedup_index_sink_writer(index_dir: str, pairs_dir: str):
             new_sigs.unpersist()
 
     return write_batch
+
+
+def scd2_dimension_sink_writer(
+    dim_dir: str, key: str, effective_col: str = "effective_ts"
+):
+    """foreachBatch hook over a DIMENSION-UPDATE stream: each
+    micro-batch applies ``storage.merge_dimension_scd2``, so the
+    history-keeping dimension (valid_from/valid_to windows) stays
+    current as updates arrive -- the streaming ingest shape of the
+    SCD2 surface (batch merge: storage.py; declarative twin:
+    operators/temporal._scd2_history; point-in-time reads:
+    storage.point_in_time_join).
+
+    Replay-idempotent under at-least-once foreachBatch semantics BY
+    THE MERGE'S OWN CONTRACT: a replayed batch's updates are not newer
+    than the key's current valid_from and drop as already-applied, and
+    a first change equal to the current attributes is ignored -- no
+    epoch bookkeeping needed. Batches must arrive in non-decreasing
+    event-time order per key (the checkpointed-ingest shape)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..storage import merge_dimension_scd2
+
+        if batch_df.isEmpty():
+            return
+        merge_dimension_scd2(
+            batch_df.sparkSession, dim_dir, batch_df, key, effective_col
+        )
+
+    return write_batch

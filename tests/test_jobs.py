@@ -316,3 +316,78 @@ def test_expectations_sink_reports_and_dead_letters(spark, tmp_path):
 
     bad = spark.read.parquet(dl).collect()
     assert {(r["id"], r["epoch_id"]) for r in bad} == {(None, 0), (3, 0)}
+
+
+def test_scd2_dimension_sink_streaming_matches_batch(spark, tmp_path):
+    """An update stream through scd2_dimension_sink_writer produces the
+    same history as one batch merge of the full update set, and a full
+    checkpoint-cleared REPLAY of the stream is a no-op (the merge's
+    stale-drop makes the sink replay-idempotent without epoch
+    bookkeeping)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from real_time_fraud_detection_system_spark.storage import (
+        merge_dimension_scd2,
+    )
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        scd2_dimension_sink_writer,
+    )
+
+    t = [dt.datetime(2024, 1, d) for d in (1, 5, 9, 13)]
+    updates = [
+        Row(k=1, v="a", effective_ts=t[0]),
+        Row(k=2, v="x", effective_ts=t[0]),
+        Row(k=1, v="b", effective_ts=t[1]),
+        Row(k=1, v="b", effective_ts=t[2]),  # no-op update
+        Row(k=2, v="y", effective_ts=t[2]),
+        Row(k=1, v="a", effective_ts=t[3]),
+    ]
+    schema = "k long, v string, effective_ts timestamp"
+    src = tmp_path / "src"
+    # two time-ordered landing files -> two micro-batches
+    spark.createDataFrame(updates[:2], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(updates[2:], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+
+    dim_dir = str(tmp_path / "dim")
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(scd2_dimension_sink_writer(dim_dir, "k"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ck1"))
+    streamed = sorted(
+        map(tuple, spark.read.parquet(dim_dir)
+            .select("k", "v", "valid_from", "valid_to").collect())
+    )
+    # batch reference: ONE merge of the full update set into a fresh dim
+    ref_dir = str(tmp_path / "ref")
+    merge_dimension_scd2(
+        spark, ref_dir, spark.createDataFrame(updates, schema), "k"
+    )
+    ref = sorted(
+        map(tuple, spark.read.parquet(ref_dir)
+            .select("k", "v", "valid_from", "valid_to").collect())
+    )
+    assert streamed == ref
+    # replay the WHOLE stream from a fresh checkpoint: nothing moves
+    run(str(tmp_path / "ck2"))
+    replayed = sorted(
+        map(tuple, spark.read.parquet(dim_dir)
+            .select("k", "v", "valid_from", "valid_to").collect())
+    )
+    assert replayed == streamed
