@@ -673,3 +673,65 @@ def test_last_touch_attribution_matches_bruteforce(spark, monkeypatch, events):
             else:
                 last_touch = typ
     assert got == want
+
+
+@PROP
+@given(
+    # per key: a sequence of attribute values drawn from a tiny alphabet
+    # (maximizing no-op and A->B->A patterns), one update per day
+    seqs=st.dictionaries(
+        st.integers(min_value=1, max_value=4),
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+def test_scd2_merge_batching_invariance(spark, tmp_path_factory, seqs,
+                                        n_batches):
+    """PROPERTY: applying an update stream through merge_dimension_scd2
+    in ANY number of time-ordered batches yields the same history as
+    one batch of everything -- the invariance the streaming sink's
+    exactly-once story rests on."""
+    from pyspark.sql import Row
+
+    from real_time_fraud_detection_system_spark.storage import (
+        merge_dimension_scd2,
+    )
+
+    updates = [
+        Row(k=k, v=v, effective_ts=EPOCH + dt.timedelta(days=i))
+        for k, vs in seqs.items()
+        for i, v in enumerate(vs)
+    ]
+    updates.sort(key=lambda r: r.effective_ts)
+    schema = "k long, v string, effective_ts timestamp"
+    base = tmp_path_factory.mktemp("scd2prop")
+
+    ref_dir = str(base / "ref")
+    merge_dimension_scd2(
+        spark, ref_dir, spark.createDataFrame(updates, schema), "k"
+    )
+
+    inc_dir = str(base / "inc")
+    # split on DAY boundaries (time-ordered batches, the operator's
+    # contract; a key may still carry several changes per batch)
+    days = sorted({r.effective_ts for r in updates})
+    cuts = [days[(len(days) * i) // n_batches] for i in range(1, n_batches)]
+    lo = None
+    for hi in cuts + [None]:
+        batch = [
+            r for r in updates
+            if (lo is None or r.effective_ts > lo)
+            and (hi is None or r.effective_ts <= hi)
+        ]
+        if batch:
+            merge_dimension_scd2(
+                spark, inc_dir, spark.createDataFrame(batch, schema), "k"
+            )
+        lo = hi
+
+    cols = ("k", "v", "valid_from", "valid_to")
+    ref = sorted(map(tuple, spark.read.parquet(ref_dir).select(*cols).collect()))
+    inc = sorted(map(tuple, spark.read.parquet(inc_dir).select(*cols).collect()))
+    assert ref == inc
