@@ -200,8 +200,18 @@ def _fresh_session(split_bytes: int):
 def _warmup(spark, queries, sf_dir: str) -> None:
     """JVM/codegen warmup outside the measurement, plus a trivial
     mapInPandas pass so Python-worker spawn (32 procs) is not billed to
-    the first pandas-stage query. Re-run per fresh session."""
+    the first pandas-stage query. One full pass over the two corpus
+    tables warms the OS page cache and the scan/explode codegen paths,
+    so the first heavy corpus query of a fresh-JVM section is not
+    billed for section-global cold-start (steady state on a real
+    cluster has those hot). Re-run per fresh session."""
     run_query(queries["q6_revenue_change"](spark, sf_dir))
+    import os
+
+    for t in ("documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            run_query(spark.read.parquet(p))
     import pandas as _pd  # noqa: F401
 
     spark.range(64, numPartitions=cpu_count()).mapInPandas(
