@@ -974,7 +974,11 @@ def pit_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the SCD2 dimension is the small side of the star, so
     point_in_time_join broadcasts it and the range predicate evaluates
-    map-side -- the event stream never shuffles."""
+    map-side -- the event stream never shuffles. Past the broadcast
+    threshold (a dimension with hundreds of millions of history rows)
+    the same equality key lets Spark degrade to a shuffled hash/SMJ
+    with the range as a residual filter -- never a cartesian, because
+    the key equality always anchors the join."""
     from ..storage import point_in_time_join
 
     ev = load_table(spark, sf_dir, "events")
