@@ -129,6 +129,7 @@ HEADLINE = [
     "pit_event_enrichment",
     "zipf_alpha_by_source",
     "dup_chao1_estimate",
+    "activity_shape_buckets",
 ]
 
 

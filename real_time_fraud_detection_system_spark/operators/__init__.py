@@ -45,6 +45,9 @@ PRIORITY = [
     #     registrations);
     "scd2_priority_history", "pit_event_enrichment",
     "zipf_alpha_by_source", "dup_chao1_estimate",
+    #     and the SAX-style activity-shape similarity buckets (the
+    #     time-series twin of MinHash banding);
+    "activity_shape_buckets",
     # (b) the 29 queries NO driver window has ever checked (round-7
     #     verdict item 2 -- my independent 168/168 sf0.01 run covers
     #     them, but a driver verdict is the contract). shingle_df_curve
@@ -80,10 +83,10 @@ PRIORITY = [
     "q5_local_supplier_volume", "q6_revenue_change",
     "q10_returned_items", "top_orders_per_customer", "customer_rollup",
     "order_priority_count", "customers_without_orders",
-    "nations_with_both",
-    # ROUND-9 QUEUE (in priority order): segment_distinct_nations and
-    # part_price_buckets (round-5 verdicts, displaced by the two late
-    # round-8 registrations above), then the rest of the
+    # ROUND-9 QUEUE (in priority order): nations_with_both,
+    # segment_distinct_nations and part_price_buckets (round-5
+    # verdicts, displaced by the three late round-8 registrations
+    # above), then the rest of the
     # round-5-verdict cohort -- predictions_profile, dedup_exact,
     # dedup_ngram_jaccard, simhash_fingerprints, dedup_simhash,
     # dedup_simhash16, dedup_clusters, dedup_clusters_wide,

@@ -714,6 +714,154 @@ GROUP BY 1, 2 ORDER BY stage, digits
 """
 
 
+# --------------------------------------------------------------------------
+SAX_SEGMENTS = 6
+SAX_SEG_DAYS = 5
+# share-of-activity breakpoints (ppm of the user's total, 4 symbols):
+# uniform share is 1/6 ~ 166,667 ppm; a=quiet, b=below-par, c=par,
+# d=burst. Fixed constants so both engines symbolize identically.
+SAX_BREAKS = (100_000, 166_667, 250_000)
+
+
+def activity_shape_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series SHAPE similarity buckets (SAX-style symbolization --
+    the indexable form of time-series similarity search): each user's
+    event stream becomes a 30-day activity vector, PAA-compressed into
+    SAX_SEGMENTS 5-day segment shares (integer ppm of the user's own
+    total, so shape is scale-free without float z-normalization), each
+    share symbolized by fixed breakpoints into a/b/c/d, and the
+    concatenated word is the user's shape signature. Users sharing a
+    word are each other's similarity CANDIDATES -- the same
+    bucket-then-verify economics as MinHash banding, for behavior
+    shapes instead of text. Output: the shape-bucket census (word,
+    users, total events) -- bucket sizes ARE the candidate-set costs a
+    verify stage would pay.
+
+    Scale shape: one (user, segment) keyed count does the corpus-sized
+    work; the dense 6-segment frame comes from a broadcast VALUES cross
+    join against the O(users) totals (the threshold_sweep pattern);
+    symbolization and the word build are fixed-width conditional
+    aggregates. All integer math -- both engines bucket identically."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.min(F.to_date("ts")).alias("_d0"))
+    seg_counts = (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr(
+                f"CAST(datediff(to_date(ts), _d0) DIV {SAX_SEG_DAYS}"
+                " AS INT)"
+            ).alias("seg"),
+        )
+        .filter(F.col("seg") < SAX_SEGMENTS)
+        .groupBy("user_id", "seg")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = seg_counts.groupBy("user_id").agg(
+        F.sum("c").alias("total")
+    )
+    segs = spark.range(SAX_SEGMENTS).select(
+        F.col("id").cast("int").alias("seg")
+    )
+    dense = (
+        totals.crossJoin(F.broadcast(segs))
+        .join(seg_counts, ["user_id", "seg"], "left")
+        .select(
+            "user_id",
+            "seg",
+            "total",
+            (F.coalesce(F.col("c"), F.lit(0)) * 1_000_000)
+            .cast("bigint").alias("share_num"),
+        )
+        .selectExpr(
+            "user_id",
+            "seg",
+            "total",
+            "share_num DIV total AS share_ppm",
+        )
+    )
+    b1, b2, b3 = SAX_BREAKS
+    sym = (
+        F.when(F.col("share_ppm") < b1, F.lit("a"))
+        .when(F.col("share_ppm") < b2, F.lit("b"))
+        .when(F.col("share_ppm") < b3, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    words = (
+        dense.withColumn("sym", sym)
+        .groupBy("user_id", "total")
+        .agg(
+            *[
+                F.max(F.when(F.col("seg") == i, F.col("sym")))
+                .alias(f"s{i}")
+                for i in range(SAX_SEGMENTS)
+            ]
+        )
+        .select(
+            "user_id",
+            "total",
+            F.concat(*[F.col(f"s{i}") for i in range(SAX_SEGMENTS)])
+            .alias("sax_word"),
+        )
+    )
+    return (
+        words.groupBy("sax_word")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("total").alias("n_events"),
+            F.min("user_id").alias("example_user"),
+        )
+        .orderBy(F.col("n_users").desc(), F.col("sax_word"))
+    )
+
+
+ACTIVITY_SHAPE_SQL = f"""
+WITH anchor AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+seg_counts AS (
+  SELECT user_id,
+         CAST(datediff('day', (SELECT d0 FROM anchor),
+                       CAST(ts AS DATE)) // {SAX_SEG_DAYS} AS INT) AS seg,
+         count(*) AS c
+  FROM events
+  WHERE CAST(datediff('day', (SELECT d0 FROM anchor),
+                      CAST(ts AS DATE)) // {SAX_SEG_DAYS} AS INT)
+        < {SAX_SEGMENTS}
+  GROUP BY 1, 2
+),
+totals AS (SELECT user_id, sum(c) AS total FROM seg_counts GROUP BY 1),
+dense AS (
+  SELECT t.user_id, s.seg, t.total,
+         CAST(COALESCE(sc.c, 0) * 1000000 AS BIGINT) // t.total
+           AS share_ppm
+  FROM totals t
+  CROSS JOIN (SELECT unnest(range({SAX_SEGMENTS})) AS seg) s
+  LEFT JOIN seg_counts sc
+    ON sc.user_id = t.user_id AND sc.seg = s.seg
+),
+syms AS (
+  SELECT user_id, seg, total,
+         CASE WHEN share_ppm < {SAX_BREAKS[0]} THEN 'a'
+              WHEN share_ppm < {SAX_BREAKS[1]} THEN 'b'
+              WHEN share_ppm < {SAX_BREAKS[2]} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM dense
+),
+words AS (
+  SELECT user_id, total,
+         {" || ".join(f"max(CASE WHEN seg = {i} THEN sym END)" for i in range(6))}
+           AS sax_word
+  FROM syms GROUP BY user_id, total
+)
+SELECT sax_word,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(total) AS BIGINT) AS n_events,
+       min(user_id) AS example_user
+FROM words
+GROUP BY 1
+ORDER BY n_users DESC, sax_word
+"""
+
+
 QUERIES = {
     "user_sessions": user_sessions,
     "session_summary": session_summary,
@@ -723,6 +871,7 @@ QUERIES = {
     "peak_concurrency": peak_concurrency,
     "event_transition_matrix": event_transition_matrix,
     "conversion_latency_buckets": conversion_latency_buckets,
+    "activity_shape_buckets": activity_shape_buckets,
 }
 
 ORACLE = {
@@ -734,4 +883,5 @@ ORACLE = {
     "peak_concurrency": PEAK_CONCURRENCY_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "conversion_latency_buckets": CONVERSION_LATENCY_SQL,
+    "activity_shape_buckets": ACTIVITY_SHAPE_SQL,
 }

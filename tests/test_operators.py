@@ -1864,3 +1864,34 @@ def test_zipf_alpha_matches_numpy_fixpoint(spark, monkeypatch):
     assert r["alpha_ppm"] == want
     # a perfect 2^k power law over ranks 1,2,4? -- sanity: alpha near 1
     assert 0 < r["alpha_ppm"] < 3_000_000
+
+
+def test_activity_shape_buckets_matches_hand_reference(spark, monkeypatch):
+    """Two shape archetypes: a front-loaded burster (all events in
+    segment 0 -> 'daaaaa') and a uniform user (one event per segment;
+    1e6 DIV 6 = 166,666 ppm sits just under the 166,667 par breakpoint
+    -> 'bbbbbb')."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.sessionize as sz
+
+    rows = []
+    # user 1: 10 events on days 0-4 (all segment 0)
+    for i in range(10):
+        rows.append((i, dt.datetime(2024, 1, 1 + (i % 5)), 1, "click", 1.0, "{}"))
+    # user 2: one event in each 5-day segment (days 0,5,10,15,20,25)
+    for j in range(6):
+        rows.append((100 + j, dt.datetime(2024, 1, 1 + 5 * j), 2, "click", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        sz, "load_table", lambda s, d, n: df if n == "events" else None
+    )
+    got = {
+        r["sax_word"]: (r["n_users"], r["n_events"], r["example_user"])
+        for r in sz.activity_shape_buckets(spark, "unused").collect()
+    }
+    assert got == {"daaaaa": (1, 10, 1), "bbbbbb": (1, 6, 2)}

@@ -42,6 +42,12 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #     count bounded by calendar days, not data volume.
 ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_cosine_topk": frozenset({"NLJ"}),
+    # activity_shape_buckets: the NLJs are the 1-row min-date anchor
+    # broadcast and the 6-row segment-range VALUES cross join (both the
+    # threshold_sweep scalar/VALUES pattern, constant size at any
+    # scale); the 1PART is the anchor scalar's own exchange. The
+    # corpus-sized work is the (user, segment) keyed count.
+    "activity_shape_buckets": frozenset({"NLJ", "1PART"}),
     # dup_chao1_estimate: the 1PART is the final single-row Chao1
     # summary fold over the frequency-of-frequencies partials -- the
     # near-scalar report pattern (null_id_check class); the
