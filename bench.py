@@ -130,6 +130,7 @@ HEADLINE = [
     "zipf_alpha_by_source",
     "dup_chao1_estimate",
     "activity_shape_buckets",
+    "kmv_source_overlap",
 ]
 
 

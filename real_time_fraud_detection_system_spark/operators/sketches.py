@@ -301,11 +301,216 @@ ORDER BY exact_n DESC, user_id
 """
 
 
+# --------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch with SET ALGEBRA: the scale path for
+# cross-dump overlap. The K smallest 60-bit shingle hashes per source
+# form a uniform sample of that source's distinct shingle set; the
+# bottom-K of a PAIR's union is a uniform sample of the union, and the
+# fraction of it present in both sources estimates the same Jaccard
+# shard_overlap computes EXACTLY -- without ever joining two 100 TB
+# dumps' full shingle sets. Exact-replay: every hash is the repo-wide
+# md5/60-bit construction, so DuckDB computes the identical sketch;
+# the exact Jaccard rides along as the honest baseline (the
+# ann_recall_eval estimator-vs-exact pattern) with the signed error.
+KMV_K = 256
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap ESTIMATES from bottom-K shingle
+    sketches next to the exact Jaccard, both in integer ppm, plus the
+    signed estimator error.
+
+    Scale shape: the corpus-sized work is one explode of the memoized
+    signature index's per-doc shingle sets into a (source, h) distinct
+    + one h-keyed aggregate (both reused for the exact baseline, the
+    shard_overlap one-shuffle pattern); the sketches are K rows per
+    source, CONSTANT at any data size, so the estimator stage touches
+    O(sources^2 * K) rows. At 100 TB you ship only the K-row sketches
+    between dumps and skip the exact side entirely."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _sig_table
+
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    dist = (
+        _sig_table(spark, sf_dir)
+        .select("doc_id", "hsh")
+        .join(F.broadcast(src), "doc_id")
+        .select("source", F.explode("hsh").alias("h"))
+        .distinct()
+    )
+    # ---- estimator: bottom-K per source, bottom-K of each pair union
+    w = Window.partitionBy("source").orderBy("h")
+    sketch = (
+        dist.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= KMV_K)
+        .select("source", "h")
+    )
+    srcs = sketch.select("source").distinct()
+    pair_names = srcs.selectExpr("source AS src_a").join(
+        F.broadcast(srcs.selectExpr("source AS src_b")),
+        F.col("src_a") < F.col("src_b"),
+    )
+    side_a = pair_names.join(
+        F.broadcast(sketch.selectExpr("source AS src_a", "h")), "src_a"
+    ).select(
+        "src_a", "src_b", "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    side_b = pair_names.join(
+        F.broadcast(sketch.selectExpr("source AS src_b", "h")), "src_b"
+    ).select(
+        "src_a", "src_b", "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    est = (
+        merged.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= KMV_K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum(
+                (F.col("in_a") * F.col("in_b")).cast("bigint")
+            ).alias("n_both"),
+        )
+        .selectExpr(
+            "src_a", "src_b", "k_used",
+            "CAST(n_both * 1000000 DIV k_used AS BIGINT)"
+            " AS est_jaccard_ppm",
+        )
+    )
+    # ---- exact baseline: shard_overlap's one-shuffle form (collect
+    # the <= |sources| source set per shingle, expand pairs map-side)
+    per_h = dist.groupBy("h").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pair_expr = (
+        "flatten(transform(ss, (a, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "b -> named_struct('src_a', a, 'src_b', b))))"
+    )
+    sizes = (
+        per_h.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    inter = (
+        per_h.filter(F.size("ss") >= 2)
+        .selectExpr(f"explode({pair_expr}) AS p")
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(sizes.selectExpr("source AS src_a", "n_sh AS n_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.selectExpr("source AS src_b", "n_sh AS n_b")),
+            "src_b",
+        )
+        .selectExpr(
+            "src_a", "src_b",
+            "CAST(n_inter * 1000000 DIV (n_a + n_b - n_inter) AS BIGINT)"
+            " AS exact_jaccard_ppm",
+        )
+    )
+    return (
+        est.join(exact, ["src_a", "src_b"], "left")
+        .selectExpr(
+            "src_a", "src_b", "k_used", "est_jaccard_ppm",
+            "COALESCE(exact_jaccard_ppm, 0) AS exact_jaccard_ppm",
+            "est_jaccard_ppm - COALESCE(exact_jaccard_ppm, 0) AS err_ppm",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _kmv_sql() -> str:
+    from .corpusops import _DUCK_SH
+
+    return f"""
+WITH dist AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform({_DUCK_SH},
+           x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)))) AS h
+  FROM documents
+),
+sketch AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS r
+    FROM dist
+  ) WHERE r <= {KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM sketch),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+sides AS (
+  SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+  FROM pairs p JOIN sketch s ON s.source = p.src_a
+  UNION ALL
+  SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+  FROM pairs p JOIN sketch s ON s.source = p.src_b
+),
+merged AS (
+  SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM sides GROUP BY 1, 2, 3
+),
+bottomk AS (
+  SELECT * FROM (
+    SELECT src_a, src_b, in_a, in_b,
+           row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r
+    FROM merged
+  ) WHERE r <= {KMV_K}
+),
+est AS (
+  SELECT src_a, src_b,
+         CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM bottomk GROUP BY 1, 2
+),
+sizes AS (SELECT source, count(*) AS n_sh FROM dist GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+  FROM dist a JOIN dist b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, e.k_used,
+       CAST(e.n_both * 1000000 // e.k_used AS BIGINT) AS est_jaccard_ppm,
+       COALESCE(CAST(i.n_inter * 1000000
+                     // (sa.n_sh + sb.n_sh - i.n_inter) AS BIGINT), 0)
+         AS exact_jaccard_ppm,
+       CAST(e.n_both * 1000000 // e.k_used AS BIGINT)
+         - COALESCE(CAST(i.n_inter * 1000000
+                         // (sa.n_sh + sb.n_sh - i.n_inter) AS BIGINT), 0)
+         AS err_ppm
+FROM est e
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+JOIN sizes sa ON sa.source = e.src_a
+JOIN sizes sb ON sb.source = e.src_b
+ORDER BY e.src_a, e.src_b
+"""
+
+
 QUERIES = {
     "bloom_prefilter_stats": bloom_prefilter_stats,
+    "kmv_source_overlap": kmv_source_overlap,
     "countmin_heavy_hitters": countmin_heavy_hitters,
 }
 ORACLE = {
     "bloom_prefilter_stats": _bloom_sql(),
+    "kmv_source_overlap": _kmv_sql(),
     "countmin_heavy_hitters": _cms_sql(),
 }

@@ -1895,3 +1895,25 @@ def test_activity_shape_buckets_matches_hand_reference(spark, monkeypatch):
         for r in sz.activity_shape_buckets(spark, "unused").collect()
     }
     assert got == {"daaaaa": (1, 10, 1), "bbbbbb": (1, 6, 2)}
+
+
+def test_kmv_source_overlap_estimator_properties(spark, sf_dir):
+    """KMV bottom-K overlap estimator on the real corpus: k_used is
+    exactly K wherever the pair's union has >= K shingles, the
+    estimate is a valid ppm share, and the estimator error vs the
+    exact Jaccard stays inside the ~4/sqrt(K) sampling band."""
+    from real_time_fraud_detection_system_spark.operators.sketches import (
+        KMV_K,
+        kmv_source_overlap,
+    )
+
+    rows = kmv_source_overlap(spark, sf_dir).collect()
+    assert rows, "no source pairs"
+    band = int(4_000_000 / (KMV_K ** 0.5))  # 4 sigma of a K-sample share
+    for r in rows:
+        assert 0 < r["k_used"] <= KMV_K
+        assert 0 <= r["est_jaccard_ppm"] <= 1_000_000
+        assert abs(r["err_ppm"]) <= band, (
+            f"{r['src_a']}x{r['src_b']}: err {r['err_ppm']} "
+            f"outside +/-{band}"
+        )

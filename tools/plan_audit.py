@@ -48,6 +48,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # scale); the 1PART is the anchor scalar's own exchange. The
     # corpus-sized work is the (user, segment) keyed count.
     "activity_shape_buckets": frozenset({"NLJ", "1PART"}),
+    # kmv_source_overlap: the NLJ is the |sources| x |sources|
+    # inequality pair-name join (20x20 rows, constant at any data
+    # scale) anchoring the K-row-per-source sketch replication; the
+    # corpus-sized work is the (source, h) distinct + h-keyed
+    # aggregate, both keyed exchanges.
+    "kmv_source_overlap": frozenset({"NLJ"}),
     # dup_chao1_estimate: the 1PART is the final single-row Chao1
     # summary fold over the frequency-of-frequencies partials -- the
     # near-scalar report pattern (null_id_check class); the
