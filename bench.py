@@ -131,6 +131,7 @@ HEADLINE = [
     "dup_chao1_estimate",
     "activity_shape_buckets",
     "kmv_source_overlap",
+    "activity_shape_matches",
 ]
 
 

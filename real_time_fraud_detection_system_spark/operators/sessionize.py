@@ -723,8 +723,8 @@ SAX_SEG_DAYS = 5
 SAX_BREAKS = (100_000, 166_667, 250_000)
 
 
-def activity_shape_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series SHAPE similarity buckets (SAX-style symbolization --
+def _sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series SHAPE similarity words (SAX-style symbolization --
     the indexable form of time-series similarity search): each user's
     event stream becomes a 30-day activity vector, PAA-compressed into
     SAX_SEGMENTS 5-day segment shares (integer ppm of the user's own
@@ -795,15 +795,29 @@ def activity_shape_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.when(F.col("seg") == i, F.col("sym")))
                 .alias(f"s{i}")
                 for i in range(SAX_SEGMENTS)
-            ]
+            ],
+            *[
+                F.max(
+                    F.when(F.col("seg") == i, F.col("share_ppm"))
+                ).alias(f"p{i}")
+                for i in range(SAX_SEGMENTS)
+            ],
         )
         .select(
             "user_id",
             "total",
             F.concat(*[F.col(f"s{i}") for i in range(SAX_SEGMENTS)])
             .alias("sax_word"),
+            *[F.col(f"p{i}") for i in range(SAX_SEGMENTS)],
         )
     )
+    return words
+
+
+def activity_shape_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shape-bucket census over _sax_words (see module constants):
+    word, users, total events, example user."""
+    words = _sax_words(spark, sf_dir)
     return (
         words.groupBy("sax_word")
         .agg(
@@ -812,6 +826,63 @@ def activity_shape_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("user_id").alias("example_user"),
         )
         .orderBy(F.col("n_users").desc(), F.col("sax_word"))
+    )
+
+
+SAX_MAX_BUCKET = 2000
+
+
+def activity_shape_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage of SAX bucket-then-verify: within each shape
+    bucket, every user's single nearest neighbor by exact L1 distance
+    over the 6 PAA shares (integer ppm; ties break on the smaller
+    partner id so both engines pick identically). Quadratic work is
+    confined to within-bucket pairs -- the same candidate-confinement
+    contract as MinHash banding -- and buckets larger than
+    SAX_MAX_BUCKET would be refused by the dedup-family guard if the
+    symbol alphabet ever collapsed (4^6 words over user-scale data
+    keeps buckets small; the census query IS the check).
+
+    Output: one row per user with >= 1 bucket-mate (user_id, its
+    nearest partner, the shared word, l1_ppm)."""
+    from pyspark.sql.window import Window
+
+    words = _sax_words(spark, sf_dir)
+    a = words.select(
+        F.col("sax_word"),
+        F.col("user_id").alias("user_a"),
+        *[F.col(f"p{i}").alias(f"a{i}") for i in range(SAX_SEGMENTS)],
+    )
+    b = words.select(
+        F.col("sax_word"),
+        F.col("user_id").alias("user_b"),
+        *[F.col(f"p{i}").alias(f"b{i}") for i in range(SAX_SEGMENTS)],
+    )
+    l1 = sum(
+        F.abs(F.col(f"a{i}") - F.col(f"b{i}"))
+        for i in range(SAX_SEGMENTS)
+    )
+    pairs = (
+        a.join(b, "sax_word")
+        .filter(F.col("user_a") != F.col("user_b"))
+        .select(
+            "sax_word", "user_a", "user_b",
+            l1.cast("bigint").alias("l1_ppm"),
+        )
+    )
+    w = Window.partitionBy("user_a").orderBy(
+        F.col("l1_ppm").asc(), F.col("user_b").asc()
+    )
+    return (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("user_a").alias("user_id"),
+            F.col("user_b").alias("nearest_user"),
+            "sax_word",
+            "l1_ppm",
+        )
+        .orderBy("user_id")
     )
 
 
@@ -862,6 +933,65 @@ ORDER BY n_users DESC, sax_word
 """
 
 
+ACTIVITY_MATCHES_SQL = f"""
+WITH anchor AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+seg_counts AS (
+  SELECT user_id,
+         CAST(datediff('day', (SELECT d0 FROM anchor),
+                       CAST(ts AS DATE)) // 5 AS INT) AS seg,
+         count(*) AS c
+  FROM events
+  WHERE CAST(datediff('day', (SELECT d0 FROM anchor),
+                      CAST(ts AS DATE)) // 5 AS INT) < 6
+  GROUP BY 1, 2
+),
+totals AS (SELECT user_id, sum(c) AS total FROM seg_counts GROUP BY 1),
+dense AS (
+  SELECT t.user_id, s.seg, t.total,
+         CAST(COALESCE(sc.c, 0) * 1000000 AS BIGINT) // t.total
+           AS share_ppm
+  FROM totals t
+  CROSS JOIN (SELECT unnest(range(6)) AS seg) s
+  LEFT JOIN seg_counts sc
+    ON sc.user_id = t.user_id AND sc.seg = s.seg
+),
+syms AS (
+  SELECT user_id, seg, share_ppm,
+         CASE WHEN share_ppm < {SAX_BREAKS[0]} THEN 'a'
+              WHEN share_ppm < {SAX_BREAKS[1]} THEN 'b'
+              WHEN share_ppm < {SAX_BREAKS[2]} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM dense
+),
+words AS (
+  SELECT user_id,
+         max(CASE WHEN seg = 0 THEN sym END) || max(CASE WHEN seg = 1 THEN sym END) || max(CASE WHEN seg = 2 THEN sym END) || max(CASE WHEN seg = 3 THEN sym END) || max(CASE WHEN seg = 4 THEN sym END) || max(CASE WHEN seg = 5 THEN sym END) AS sax_word,
+         max(CASE WHEN seg = 0 THEN share_ppm END) AS p0,
+         max(CASE WHEN seg = 1 THEN share_ppm END) AS p1,
+         max(CASE WHEN seg = 2 THEN share_ppm END) AS p2,
+         max(CASE WHEN seg = 3 THEN share_ppm END) AS p3,
+         max(CASE WHEN seg = 4 THEN share_ppm END) AS p4,
+         max(CASE WHEN seg = 5 THEN share_ppm END) AS p5
+  FROM syms GROUP BY user_id
+),
+pairs AS (
+  SELECT a.sax_word, a.user_id AS user_a, b.user_id AS user_b,
+         CAST(abs(a.p0 - b.p0) + abs(a.p1 - b.p1) + abs(a.p2 - b.p2) + abs(a.p3 - b.p3) + abs(a.p4 - b.p4) + abs(a.p5 - b.p5) AS BIGINT) AS l1_ppm
+  FROM words a JOIN words b
+    ON a.sax_word = b.sax_word AND a.user_id <> b.user_id
+),
+ranked AS (
+  SELECT user_a, user_b, sax_word, l1_ppm,
+         row_number() OVER (PARTITION BY user_a
+                            ORDER BY l1_ppm ASC, user_b ASC) AS r
+  FROM pairs
+)
+SELECT user_a AS user_id, user_b AS nearest_user, sax_word, l1_ppm
+FROM ranked WHERE r = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "user_sessions": user_sessions,
     "session_summary": session_summary,
@@ -872,6 +1002,7 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "conversion_latency_buckets": conversion_latency_buckets,
     "activity_shape_buckets": activity_shape_buckets,
+    "activity_shape_matches": activity_shape_matches,
 }
 
 ORACLE = {
@@ -884,4 +1015,5 @@ ORACLE = {
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "conversion_latency_buckets": CONVERSION_LATENCY_SQL,
     "activity_shape_buckets": ACTIVITY_SHAPE_SQL,
+    "activity_shape_matches": ACTIVITY_MATCHES_SQL,
 }

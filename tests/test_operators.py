@@ -1917,3 +1917,48 @@ def test_kmv_source_overlap_estimator_properties(spark, sf_dir):
             f"{r['src_a']}x{r['src_b']}: err {r['err_ppm']} "
             f"outside +/-{band}"
         )
+
+
+def test_activity_shape_matches_hand_reference(spark, monkeypatch):
+    """Three users sharing one shape word with hand-computed L1
+    distances: each picks its nearest partner (ties would break on the
+    smaller id); a user alone in its bucket emits no row.
+
+    Share vectors (ppm, seg0/seg1): u1 (17,3) -> (850000, 150000),
+    u2 (9,1) -> (900000, 100000), u3 (13,2) -> (866666, 133333).
+    All symbolize 'd','b' -> word dbaaaa. L1: u1-u2 100000,
+    u1-u3 33333, u2-u3 66667."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.sessionize as sz
+
+    rows = []
+    eid = 0
+    for uid, (n0, n1) in ((1, (17, 3)), (2, (9, 1)), (3, (13, 2))):
+        for _ in range(n0):
+            rows.append((eid, dt.datetime(2024, 1, 2), uid, "c", 1.0, "{}"))
+            eid += 1
+        for _ in range(n1):
+            rows.append((eid, dt.datetime(2024, 1, 7), uid, "c", 1.0, "{}"))
+            eid += 1
+    # user 9: uniform across all 6 segments -> word bbbbbb, alone
+    for j in range(6):
+        rows.append((eid, dt.datetime(2024, 1, 1 + 5 * j), 9, "c", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        sz, "load_table", lambda s, d, n: df if n == "events" else None
+    )
+    got = {
+        r["user_id"]: (r["nearest_user"], r["sax_word"], r["l1_ppm"])
+        for r in sz.activity_shape_matches(spark, "unused").collect()
+    }
+    assert got == {
+        1: (3, "dbaaaa", 33333),
+        2: (3, "dbaaaa", 66667),
+        3: (1, "dbaaaa", 33333),
+    }

@@ -48,6 +48,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # scale); the 1PART is the anchor scalar's own exchange. The
     # corpus-sized work is the (user, segment) keyed count.
     "activity_shape_buckets": frozenset({"NLJ", "1PART"}),
+    # activity_shape_matches: inherits _sax_words' anchor/VALUES
+    # broadcasts (see activity_shape_buckets); the within-bucket
+    # self-join itself is an equi-join on the shape word, quadratic
+    # only inside buckets (the banding-confinement contract).
+    "activity_shape_matches": frozenset({"NLJ", "1PART"}),
     # kmv_source_overlap: the NLJ is the |sources| x |sources|
     # inequality pair-name join (20x20 rows, constant at any data
     # scale) anchoring the K-row-per-source sketch replication; the
