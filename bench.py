@@ -132,6 +132,7 @@ HEADLINE = [
     "activity_shape_buckets",
     "kmv_source_overlap",
     "activity_shape_matches",
+    "shape_match_recall",
 ]
 
 

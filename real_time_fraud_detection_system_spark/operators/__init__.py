@@ -49,7 +49,7 @@ PRIORITY = [
     #     time-series twin of MinHash banding) and the KMV bottom-k
     #     overlap estimator (sketch set-algebra for cross-dump triage);
     "activity_shape_buckets", "activity_shape_matches",
-    "kmv_source_overlap",
+    "shape_match_recall", "kmv_source_overlap",
     # (b) the 29 queries NO driver window has ever checked (round-7
     #     verdict item 2 -- my independent 168/168 sf0.01 run covers
     #     them, but a driver verdict is the contract). shingle_df_curve
@@ -83,9 +83,9 @@ PRIORITY = [
     #     round-5-verdict cohort in registry order.
     "recent_topk", "ann_lsh_bucketed", "q18_large_volume_customers",
     "q5_local_supplier_volume", "q6_revenue_change",
-    "q10_returned_items", "top_orders_per_customer", "customer_rollup",
-    # ROUND-9 QUEUE (in priority order): order_priority_count,
-    # customers_without_orders,
+    "q10_returned_items", "top_orders_per_customer",
+    # ROUND-9 QUEUE (in priority order): customer_rollup,
+    # order_priority_count, customers_without_orders,
     # nations_with_both,
     # segment_distinct_nations and part_price_buckets (round-5
     # verdicts, displaced by the three late round-8 registrations

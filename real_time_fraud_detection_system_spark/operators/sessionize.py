@@ -898,6 +898,69 @@ def activity_shape_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAX_SAMPLE_MOD = 16
+
+
+def shape_match_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the sorted-neighborhood match: for a
+    deterministic md5 sample (~1/SAX_SAMPLE_MOD) of users, the true
+    bucket nearest-neighbor distance comes from an all-pairs pass of
+    the SAMPLED users against their buckets (bounded: sample_size x
+    max bucket, fixed fraction of users regardless of corpus size),
+    and the operator's sorted-neighborhood distance is compared to it.
+    One row: sampled users with mates, how many the neighborhood got
+    exactly right (same L1), recall ppm, and the mean excess distance
+    ppm when it missed -- the quality number next to the 10x speed
+    number (64 -> 6.2 s per 100x run), same contract as
+    ann_recall_eval / minhash_lsh_recall."""
+    words = _sax_words(spark, sf_dir)
+    sampled = words.filter(
+        F.expr(
+            "CAST(conv(substr(md5(concat('smp:', CAST(user_id AS STRING)))"
+            f", 1, 6), 16, 10) AS BIGINT) % {SAX_SAMPLE_MOD} = 0"
+        )
+    )
+    a = sampled.select(
+        F.col("sax_word"),
+        F.col("user_id").alias("ua"),
+        *[F.col(f"p{i}").alias(f"a{i}") for i in range(SAX_SEGMENTS)],
+    )
+    b = words.select(
+        F.col("sax_word"),
+        F.col("user_id").alias("ub"),
+        *[F.col(f"p{i}").alias(f"b{i}") for i in range(SAX_SEGMENTS)],
+    )
+    l1 = sum(
+        F.abs(F.col(f"a{i}") - F.col(f"b{i}"))
+        for i in range(SAX_SEGMENTS)
+    )
+    truth = (
+        a.join(b, "sax_word")
+        .filter(F.col("ua") != F.col("ub"))
+        .groupBy(F.col("ua").alias("user_id"))
+        .agg(F.min(l1.cast("bigint")).alias("true_l1"))
+    )
+    sn = activity_shape_matches(spark, sf_dir).select(
+        "user_id", F.col("l1_ppm").alias("sn_l1")
+    )
+    return (
+        truth.join(sn, "user_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(
+                F.when(F.col("sn_l1") == F.col("true_l1"), 1).otherwise(0)
+            ).alias("n_exact"),
+            F.sum(F.col("sn_l1") - F.col("true_l1")).alias("_excess"),
+        )
+        .selectExpr(
+            "CAST(n_sampled AS BIGINT) AS n_sampled",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            "CAST(n_exact * 1000000 DIV n_sampled AS BIGINT) AS recall_ppm",
+            "CAST(_excess DIV n_sampled AS BIGINT) AS avg_excess_ppm",
+        )
+    )
+
+
 ACTIVITY_SHAPE_SQL = f"""
 WITH anchor AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
 seg_counts AS (
@@ -1013,6 +1076,94 @@ FROM ranked WHERE r = 1
 ORDER BY user_id
 """
 
+
+SHAPE_MATCH_RECALL_SQL = f"""
+WITH anchor AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+seg_counts AS (
+  SELECT user_id,
+         CAST(datediff('day', (SELECT d0 FROM anchor),
+                       CAST(ts AS DATE)) // 5 AS INT) AS seg,
+         count(*) AS c
+  FROM events
+  WHERE CAST(datediff('day', (SELECT d0 FROM anchor),
+                      CAST(ts AS DATE)) // 5 AS INT) < 6
+  GROUP BY 1, 2
+),
+totals AS (SELECT user_id, sum(c) AS total FROM seg_counts GROUP BY 1),
+dense AS (
+  SELECT t.user_id, s.seg, t.total,
+         CAST(COALESCE(sc.c, 0) * 1000000 AS BIGINT) // t.total
+           AS share_ppm
+  FROM totals t
+  CROSS JOIN (SELECT unnest(range(6)) AS seg) s
+  LEFT JOIN seg_counts sc
+    ON sc.user_id = t.user_id AND sc.seg = s.seg
+),
+syms AS (
+  SELECT user_id, seg, share_ppm,
+         CASE WHEN share_ppm < {SAX_BREAKS[0]} THEN 'a'
+              WHEN share_ppm < {SAX_BREAKS[1]} THEN 'b'
+              WHEN share_ppm < {SAX_BREAKS[2]} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM dense
+),
+words AS (
+  SELECT user_id,
+         max(CASE WHEN seg = 0 THEN sym END) || max(CASE WHEN seg = 1 THEN sym END) || max(CASE WHEN seg = 2 THEN sym END) || max(CASE WHEN seg = 3 THEN sym END) || max(CASE WHEN seg = 4 THEN sym END) || max(CASE WHEN seg = 5 THEN sym END) AS sax_word,
+         max(CASE WHEN seg = 0 THEN share_ppm END) AS p0,
+         max(CASE WHEN seg = 1 THEN share_ppm END) AS p1,
+         max(CASE WHEN seg = 2 THEN share_ppm END) AS p2,
+         max(CASE WHEN seg = 3 THEN share_ppm END) AS p3,
+         max(CASE WHEN seg = 4 THEN share_ppm END) AS p4,
+         max(CASE WHEN seg = 5 THEN share_ppm END) AS p5
+  FROM syms GROUP BY user_id
+),
+cands AS (
+  SELECT user_id, sax_word, p0, p1, p2, p3, p4, p5,
+         array_agg(struct_pack(u := user_id, q0 := p0, q1 := p1, q2 := p2, q3 := p3, q4 := p4, q5 := p5))
+           OVER (PARTITION BY sax_word ORDER BY p0, p1, p2, p3, p4, p5, user_id
+                 ROWS BETWEEN {SAX_NEIGHBORHOOD} PRECEDING
+                          AND {SAX_NEIGHBORHOOD} FOLLOWING) AS cs
+  FROM words
+),
+ex AS (
+  SELECT user_id, sax_word, p0, p1, p2, p3, p4, p5, unnest(cs) AS c FROM cands
+),
+pairs AS (
+  SELECT w.user_id, w.sax_word, w.c.u AS user_b,
+         CAST(abs(w.p0 - w.c.q0) + abs(w.p1 - w.c.q1) + abs(w.p2 - w.c.q2) + abs(w.p3 - w.c.q3) + abs(w.p4 - w.c.q4) + abs(w.p5 - w.c.q5) AS BIGINT) AS l1_ppm
+  FROM ex w WHERE w.c.u <> w.user_id
+),
+ranked AS (
+  SELECT user_id, user_b, l1_ppm,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY l1_ppm ASC, user_b ASC) AS r
+  FROM pairs
+),
+sn AS (SELECT user_id, l1_ppm AS sn_l1 FROM ranked WHERE r = 1),
+sample AS (
+  SELECT user_id FROM words
+  WHERE CAST('0x' || substr(md5('smp:' || CAST(user_id AS VARCHAR)), 1, 6)
+             AS BIGINT) % {SAX_SAMPLE_MOD} = 0
+),
+truth AS (
+  SELECT a.user_id AS user_id,
+         min(CAST(abs(a.p0 - b.p0) + abs(a.p1 - b.p1) + abs(a.p2 - b.p2) + abs(a.p3 - b.p3) + abs(a.p4 - b.p4) + abs(a.p5 - b.p5) AS BIGINT)) AS true_l1
+  FROM words a JOIN words b
+    ON a.sax_word = b.sax_word AND a.user_id <> b.user_id
+  WHERE a.user_id IN (SELECT user_id FROM sample)
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN sn.sn_l1 = t.true_l1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN sn.sn_l1 = t.true_l1 THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS recall_ppm,
+       CAST(sum(sn.sn_l1 - t.true_l1) // count(*) AS BIGINT)
+         AS avg_excess_ppm
+FROM truth t JOIN sn ON sn.user_id = t.user_id
+"""
+
 QUERIES = {
     "user_sessions": user_sessions,
     "session_summary": session_summary,
@@ -1024,6 +1175,7 @@ QUERIES = {
     "conversion_latency_buckets": conversion_latency_buckets,
     "activity_shape_buckets": activity_shape_buckets,
     "activity_shape_matches": activity_shape_matches,
+    "shape_match_recall": shape_match_recall,
 }
 
 ORACLE = {
@@ -1037,4 +1189,5 @@ ORACLE = {
     "conversion_latency_buckets": CONVERSION_LATENCY_SQL,
     "activity_shape_buckets": ACTIVITY_SHAPE_SQL,
     "activity_shape_matches": ACTIVITY_MATCHES_SQL,
+    "shape_match_recall": SHAPE_MATCH_RECALL_SQL,
 }

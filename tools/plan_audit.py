@@ -53,6 +53,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # self-join itself is an equi-join on the shape word, quadratic
     # only inside buckets (the banding-confinement contract).
     "activity_shape_matches": frozenset({"NLJ", "1PART"}),
+    # shape_match_recall: inherits _sax_words' anchor/VALUES
+    # broadcasts; the truth side is a bounded sample x bucket join and
+    # the output is a single summary row (near-scalar 1PART).
+    "shape_match_recall": frozenset({"NLJ", "1PART"}),
     # kmv_source_overlap: the NLJ is the |sources| x |sources|
     # inequality pair-name join (20x20 rows, constant at any data
     # scale) anchoring the K-row-per-source sketch replication; the
