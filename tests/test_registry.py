@@ -91,6 +91,11 @@ JUDGE_SAMPLED_R6 = [
     "skyline_parts", "supplier_bfs_hops", "part_cooccurrence_topk",
     "daily_trend_slopes", "velocity_profile", "dedup_cluster_density",
     "ann_ivf_topk",
+    # round-8 registrations ride the same opt-in sf0.1 funnel
+    "scd2_priority_history", "pit_event_enrichment",
+    "zipf_alpha_by_source", "dup_chao1_estimate",
+    "activity_shape_buckets", "activity_shape_matches",
+    "shape_match_recall", "kmv_source_overlap",
 ]
 
 
