@@ -294,8 +294,14 @@ def _spawn(args: list[str], timeout_s: float) -> dict | None:
             capture_output=True, text=True, timeout=timeout_s,
         )
     except subprocess.TimeoutExpired as e:
-        if e.stdout:
-            print(e.stdout, end="", flush=True)
+        # CPython quirk: even with text=True, the partial output
+        # captured at timeout is raw bytes (and None on POSIX when
+        # nothing was read) -- decode defensively or the evidence
+        # stream gets a b'...' repr blob instead of the JSON lines
+        out = (e.stdout.decode(errors="replace")
+               if isinstance(e.stdout, bytes) else (e.stdout or ""))
+        if out:
+            print(out, end="", flush=True)
         return None
     last = None
     for ln in proc.stdout.splitlines():
@@ -338,7 +344,15 @@ def main() -> None:
     ingest_eps = (ing or {}).get("ingest_eps", 0.0)
 
     ran01 = {k: v for k, v in timings.items() if v >= 0}
-    result = {
+    result = {}
+    # a dead gate/ingest child must be distinguishable from an
+    # impossibly-fast suite in the parsed record (scale sections
+    # already mark this; mirror it here)
+    if gate is None:
+        result["gate_error"] = "section subprocess died/timed out"
+    if ing is None:
+        result["ingest_error"] = "section subprocess died/timed out"
+    result.update({
         "metric": "headline_suite_seconds",
         "value": round(sum(ran01.values()), 3),
         "unit": "sec",
@@ -356,7 +370,7 @@ def main() -> None:
             key=lambda kv: -kv[1])[:15]),
         "queries_shed": max(0, len(ran01) - 15),
         "streaming_ingest_eps": ingest_eps,
-    }
+    })
 
     # Scale validation: run the suite over whichever replica datasets
     # exist (built with tools/make_scale_data.py): sf1 = 10x sf0.1,

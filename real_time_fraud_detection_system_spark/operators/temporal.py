@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.money import cents_sql
+from ..functions.money import cents_sql, exact_sum
 
 BUCKET_S = 300  # interval-join window width: 5 minutes
 APPROX_RSD = 0.05
@@ -995,7 +995,13 @@ def pit_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority").alias("priority_asof")
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        # Fixed-point sum: double summation order differs between
+        # Spark's partial aggregation and DuckDB's single-node sum,
+        # and round(double, 4) breaks ties differently per engine --
+        # the exact cross-engine mismatch class sessionize's
+        # session_summary documents. Integer ten-thousandths are
+        # order-independent and identical by construction.
+        F.expr(exact_sum("value", 4)).alias("sum_value"),
     )
 
 
@@ -1029,7 +1035,7 @@ facts AS (SELECT (user_id % (SELECT m FROM maxc)) + 1 AS custkey,
                  ts - INTERVAL 28 YEAR AS ts, value FROM events)
 SELECT h.priority AS priority_asof,
        count(*) AS n_events,
-       round(sum(f.value), 4) AS sum_value
+       {exact_sum("f.value", 4)} AS sum_value
 FROM facts f LEFT JOIN hist h
   ON f.custkey = h.custkey AND f.ts >= h.valid_from
      AND (h.valid_to IS NULL OR f.ts < h.valid_to)

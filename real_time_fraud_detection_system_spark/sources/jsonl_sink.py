@@ -236,7 +236,23 @@ class _JsonlBatchWriter(DataSourceWriter):
         dest = os.path.join(self.path, "data")
         marker = os.path.join(dest, "_SUCCESS")
         if self.overwrite and os.path.isdir(dest):
-            shutil.rmtree(dest, ignore_errors=True)
+            # driver-side commit retry guard (the streaming writer's
+            # _SUCCESS check, adapted to overwrite): if every winner's
+            # staged source is gone AND its destination file exists, a
+            # prior attempt already finished the move -- rmtree here
+            # would delete the winners and the re-move would crash on
+            # the vanished sources, losing the batch. Treat the
+            # overwrite as already done and fall through to the
+            # (idempotent) _move_staged + marker rewrite.
+            staging = os.path.join(self.path, ".staging")
+            winners = [m for m in messages if m is not None]
+            done = bool(winners) and all(
+                not os.path.exists(os.path.join(staging, m.ns, m.filename))
+                and os.path.exists(os.path.join(dest, m.filename))
+                for m in winners
+            )
+            if not done:
+                shutil.rmtree(dest, ignore_errors=True)
         prior = 0
         if not self.overwrite and os.path.exists(marker):
             # append mode: the marker carries the DIRECTORY's total row
@@ -248,6 +264,11 @@ class _JsonlBatchWriter(DataSourceWriter):
             except (OSError, ValueError):
                 prior = 0
         n = _move_staged(self.path, messages, dest)
+        if self.overwrite:
+            # retry-safe total: _move_staged returns only NEWLY moved
+            # rows (0 on a retry of a completed attempt), but in
+            # overwrite mode the directory's content IS the winners
+            n = sum(m.n_rows for m in messages if m is not None)
         with open(marker, "w") as fh:
             fh.write(str(prior + n))
 

