@@ -345,65 +345,21 @@ def shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; shingles travel as 60-bit hashed longs, not n-gram strings.
     Measured 43 s -> 17 s per 100x run vs the distinct + self-join +
     pair-count form (three shuffles)."""
-    # The per-doc distinct 60-bit shingle-hash sets this query needs
-    # are EXACTLY the signature index's hsh column (identical md5/conv
-    # construction, see dedup.signature_index) -- so read the memoized
-    # index instead of re-tokenizing the corpus: a doc-keyed join onto
-    # (doc_id, source) at one row per document, THEN the map-side
-    # explode. Parquet column pruning reads only (doc_id, hsh); the
-    # corpus-shingling cost is paid once per snapshot by whichever
-    # dedup-family query touches the index first. Measured 43 s (three
-    # shuffles) -> 17 s (one fused pass) -> ~6 s (index reuse) per
-    # 100x run.
-    from .dedup import _sig_table
+    # The corpus-sized work is two memoized derived artifacts, both
+    # shared with sketches.kmv_source_overlap and paid once per corpus
+    # snapshot: the per-shingle source census (dedup._source_shingle_
+    # table -- ONE h-keyed aggregate of the signature index's hsh
+    # sets, identical md5/conv construction) and its O(sources^2)
+    # pairwise reduction (dedup._source_pair_overlap -- pairs expand
+    # map-side from each census row's sorted source array, never
+    # |A| x |B|). This query is then a probe of the pair table.
+    # Measured per 100x run: 43 s (three shuffles) -> 17 s (one fused
+    # pass) -> ~6 s (signature-index reuse) -> ~1 s warm (pair-table
+    # memo; one-time census+pair build ~20 s per snapshot).
+    from .dedup import _source_pair_overlap
 
-    src = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source"
-    )
-    # broadcast the (doc_id, source) side -- two longs per document --
-    # so the array-carrying signature rows never shuffle into the join
-    # (on a corpus whose doc list outgrows broadcast, drop the hint and
-    # this becomes one doc-keyed exchange of the index)
-    sh = (
-        _sig_table(spark, sf_dir)
-        .select("doc_id", "hsh")
-        .join(F.broadcast(src), "doc_id")
-        .select("source", F.explode("hsh").alias("h"))
-    )
-    # One shuffle instead of three: the old form ran distinct (shuffle
-    # 1), self-joined on the shingle (shuffle 2 -- re-sorting BOTH
-    # sides), then pair-counted (shuffle 3) -- 43 s per 100x run. Now a
-    # single groupBy(h) collects the <= |sources| source set per
-    # shingle (collect_set dedups, so the explicit distinct is gone),
-    # pairs expand map-side from the sorted array, and the pair count's
-    # map-side partials collapse to O(sources^2) rows before any wire.
-    # Both downstream branches (pair counts + per-source sizes) hang
-    # off the same h-keyed exchange, which Spark reuses.
-    srcs = sh.groupBy("h").agg(
-        F.sort_array(F.collect_set("source")).alias("ss")
-    )
-    pair_expr = (
-        "flatten(transform(ss, (a, i) -> "
-        "transform(slice(ss, i + 2, size(ss)), "
-        "b -> named_struct('src_a', a, 'src_b', b))))"
-    )
-    sizes = (
-        srcs.select(F.explode("ss").alias("source"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n_sh"))
-    )
-    inter = (
-        srcs.filter(F.size("ss") >= 2)
-        .selectExpr(f"explode({pair_expr}) AS p")
-        .select("p.src_a", "p.src_b")
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "src_a")
-        .join(F.broadcast(sb), "src_b")
+        _source_pair_overlap(spark, sf_dir)
         .select(
             "src_a",
             "src_b",

@@ -315,39 +315,74 @@ ORDER BY exact_n DESC, user_id
 KMV_K = 256
 
 
+def _kmv_sketch_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, h): the bottom-KMV_K distinct shingle hashes per
+    source -- the K-row sketch a dump SHIPS at 100 TB. One map-side
+    explode of the memoized census + one per-source sort (row_number
+    window); output is K * |sources| rows, constant in the data."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _source_shingle_table
+
+    dist = _source_shingle_table(spark, sf_dir).select(
+        F.explode("ss").alias("source"), "h"
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    return (
+        dist.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= KMV_K)
+        .select("source", "h")
+    )
+
+
+def _kmv_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bottom-K sketch, memoized like the census it reduces:
+    this IS the cross-dump artifact (K rows per source, shipped instead
+    of the dump), so build-once/probe-many is the production shape, and
+    the estimator's plan references it four times."""
+    from .dedup import (
+        _source_shingle_census_fresh,
+        signature_index,
+    )
+    from ._memo import code_token, memo_parquet, table_fingerprint
+
+    from .dedup import MINHASH_K, SHINGLE_N
+
+    fp = table_fingerprint(
+        sf_dir, "documents", MINHASH_K, SHINGLE_N, KMV_K, "kmvsketch",
+        code_token(
+            signature_index, _source_shingle_census_fresh, _kmv_sketch_fresh
+        ),
+    )
+    return memo_parquet(
+        spark, fp, "kmvsketch",
+        lambda: _kmv_sketch_fresh(spark, sf_dir),
+    )
+
+
 def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap ESTIMATES from bottom-K shingle
     sketches next to the exact Jaccard, both in integer ppm, plus the
     signed estimator error.
 
-    Scale shape: the corpus-sized work is one explode of the memoized
-    signature index's per-doc shingle sets into a (source, h) distinct
-    + one h-keyed aggregate (both reused for the exact baseline, the
-    shard_overlap one-shuffle pattern); the sketches are K rows per
-    source, CONSTANT at any data size, so the estimator stage touches
+    Scale shape: the corpus-sized work is the memoized per-shingle
+    source census (dedup._source_shingle_table -- ONE h-keyed
+    aggregate of the signature index, shared with
+    corpusops.shard_overlap so the stage is paid once per corpus
+    snapshot, not once per query); the (source, h) distinct is a
+    map-side explode of it and the exact baseline reduces over the
+    census rows directly. The sketches are K rows per source,
+    CONSTANT at any data size, so the estimator stage touches
     O(sources^2 * K) rows. At 100 TB you ship only the K-row sketches
     between dumps and skip the exact side entirely."""
     from pyspark.sql.window import Window
 
-    from .dedup import _sig_table
-
-    src = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source"
-    )
-    dist = (
-        _sig_table(spark, sf_dir)
-        .select("doc_id", "hsh")
-        .join(F.broadcast(src), "doc_id")
-        .select("source", F.explode("hsh").alias("h"))
-        .distinct()
-    )
-    # ---- estimator: bottom-K per source, bottom-K of each pair union
-    w = Window.partitionBy("source").orderBy("h")
-    sketch = (
-        dist.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= KMV_K)
-        .select("source", "h")
-    )
+    # the estimator consumes the PERSISTED sketch: the plan references
+    # it four times (source list + both pair sides), and an unmemoized
+    # sketch subtree re-ran the census scan + per-source sort for each
+    # reference (~11 s warm at the 100x scale test vs ~2 s reading the
+    # K-rows-per-source parquet)
+    sketch = _kmv_sketch_table(spark, sf_dir)
     srcs = sketch.select("source").distinct()
     pair_names = srcs.selectExpr("source AS src_a").join(
         F.broadcast(srcs.selectExpr("source AS src_b")),
@@ -387,42 +422,14 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS est_jaccard_ppm",
         )
     )
-    # ---- exact baseline: shard_overlap's one-shuffle form (collect
-    # the <= |sources| source set per shingle, expand pairs map-side)
-    per_h = dist.groupBy("h").agg(
-        F.sort_array(F.collect_set("source")).alias("ss")
-    )
-    pair_expr = (
-        "flatten(transform(ss, (a, i) -> "
-        "transform(slice(ss, i + 2, size(ss)), "
-        "b -> named_struct('src_a', a, 'src_b', b))))"
-    )
-    sizes = (
-        per_h.select(F.explode("ss").alias("source"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n_sh"))
-    )
-    inter = (
-        per_h.filter(F.size("ss") >= 2)
-        .selectExpr(f"explode({pair_expr}) AS p")
-        .select("p.src_a", "p.src_b")
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    exact = (
-        inter.join(
-            F.broadcast(sizes.selectExpr("source AS src_a", "n_sh AS n_a")),
-            "src_a",
-        )
-        .join(
-            F.broadcast(sizes.selectExpr("source AS src_b", "n_sh AS n_b")),
-            "src_b",
-        )
-        .selectExpr(
-            "src_a", "src_b",
-            "CAST(n_inter * 1000000 DIV (n_a + n_b - n_inter) AS BIGINT)"
-            " AS exact_jaccard_ppm",
-        )
+    # ---- exact baseline: the memoized O(sources^2) pairwise overlap
+    # aggregate (dedup._source_pair_overlap, shared with shard_overlap)
+    from .dedup import _source_pair_overlap
+
+    exact = _source_pair_overlap(spark, sf_dir).selectExpr(
+        "src_a", "src_b",
+        "CAST(n_shared * 1000000 DIV (n_a + n_b - n_shared) AS BIGINT)"
+        " AS exact_jaccard_ppm",
     )
     return (
         est.join(exact, ["src_a", "src_b"], "left")
