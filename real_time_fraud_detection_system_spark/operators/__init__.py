@@ -36,71 +36,61 @@ def _modules():
 DRIVER_SAMPLE = 50
 
 PRIORITY = [
-    # (a) NEW IN ROUND 8 -- no driver verdict exists: the SCD2
-    #     dimension-history twin and the point-in-time enrichment that
-    #     drives storage.point_in_time_join (the round-7 verdict's
-    #     item 7: the temporal-correctness surface of the storage layer
-    #     finally under the oracle); plus the Zipf-exponent source
-    #     screen and the Chao1 dedup-at-scale estimator (late round-8
-    #     registrations);
-    "scd2_priority_history", "pit_event_enrichment",
-    "zipf_alpha_by_source", "dup_chao1_estimate",
-    #     and the SAX-style activity-shape similarity buckets (the
-    #     time-series twin of MinHash banding) and the KMV bottom-k
-    #     overlap estimator (sketch set-algebra for cross-dump triage);
-    "activity_shape_buckets", "activity_shape_matches",
-    "shape_match_recall", "kmv_source_overlap",
-    # (b) the 29 queries NO driver window has ever checked (round-7
-    #     verdict item 2 -- my independent 168/168 sf0.01 run covers
-    #     them, but a driver verdict is the contract). shingle_df_curve
-    #     and minhash_est_vs_exact double as changed-code coverage for
-    #     this round's memo-key refactor (code_token folded into every
-    #     memoized build): both route through the signature memo.
-    "minhash_est_vs_exact", "shingle_df_curve", "dedup_keep_best",
-    "dq_expectations", "emb_quantize_int8", "kmeans_fixedpoint",
-    "ivf_probe_sweep", "token_fertility", "token_concentration_bins",
-    "packing_budget_sweep", "peak_concurrency",
-    "event_transition_matrix", "conversion_latency_buckets",
-    "gapfill_hourly", "rfm_segments", "velocity_profile",
-    "calibration_bins", "skyline_parts", "supplier_bfs_hops",
-    "bootstrap_fraud_ci", "benford_first_digit",
-    "seasonal_hour_baseline", "cusum_changepoints", "risk_lift_matrix",
-    "time_weighted_value", "last_touch_attribution",
-    "daily_value_percentiles", "daily_trend_slopes",
-    "event_comovement_corr",
-    # (c) family representatives for the six families (b) leaves
+    # (a) CHANGED IN ROUND 9 -- code touched since the round-8 window,
+    #     so their standing verdicts describe superseded code:
+    #     containment_recall is NEW (the measured-recall twin for the
+    #     df-capped containment candidacy -- round-8 verdict missing
+    #     item 3); pit_event_enrichment was rewritten to the repo's
+    #     fixed-point cross-engine sum convention (ADVICE r8 medium);
+    #     shard_overlap and kmv_source_overlap now share the memoized
+    #     source-shingle census + pairwise-overlap artifacts (round-8
+    #     verdict item 2).
+    "containment_recall", "pit_event_enrichment",
+    "kmv_source_overlap", "shard_overlap",
+    # (b) the round-5-verdict cohort, stale per round-8 verdict item 1:
+    #     every one has a green verdict ever, but the dedup/textops/
+    #     similarity modules were rewritten since round 5 (signature
+    #     memoization, SimHash refactor, Arrow kernels) -- their latest
+    #     driver verdicts predate the code they now run. Exactly the
+    #     ROUND-9 QUEUE order promised last round.
+    "customer_rollup", "order_priority_count",
+    "customers_without_orders", "nations_with_both",
+    "segment_distinct_nations", "part_price_buckets",
+    "predictions_profile", "dedup_exact", "dedup_ngram_jaccard",
+    "simhash_fingerprints", "dedup_simhash", "dedup_simhash16",
+    "dedup_clusters", "dedup_clusters_wide", "dup_rate_by_source",
+    "ann_cosine_topk", "embedding_near_dup", "text_stats",
+    "lang_id_heuristic", "doc_fingerprint", "corpus_token_stats",
+    "bpe_token_stats", "tfidf_top_terms", "lang_mismatch_rate",
+    "contamination_check", "source_mixture_plan", "session_summary",
+    "weekly_retention_cohorts", "part_rankings", "value_percentiles",
+    "wire_format_roundtrip", "event_gap_buckets", "training_frame_det",
+    "logit_score", "q21_sole_late_supplier", "value_drift_psi",
+    # (c) family representatives for the four families (a)+(b) leave
     #     uncovered (tests/test_registry.py gate), preferring the
-    #     OLDEST standing verdicts: relational (r4), multimodal (r5),
-    #     windows (r5), skew (r5), sketches (r6), layout (r7 -- its
-    #     only member);
-    "q4_order_priority_exists", "multimodal_frames",
-    "orders_pivot_status", "shuffle_balance_profile",
-    "countmin_heavy_hitters", "layout_pruning_stats",
-    # (d) oldest-verdict backfill: the round-4-verdict remainder
-    #     (ann_lsh_bucketed is ALSO the bench session-aging exhibit --
-    #     a fresh driver verdict on it this round pins that its values
-    #     never moved while its in-session timing did), then the
-    #     round-5-verdict cohort in registry order.
-    "recent_topk", "ann_lsh_bucketed", "q18_large_volume_customers",
-    "q5_local_supplier_volume", "q6_revenue_change",
-    "q10_returned_items", "top_orders_per_customer",
-    # ROUND-9 QUEUE (in priority order): customer_rollup,
-    # order_priority_count, customers_without_orders,
-    # nations_with_both,
-    # segment_distinct_nations and part_price_buckets (round-5
-    # verdicts, displaced by the three late round-8 registrations
-    # above), then the rest of the
-    # round-5-verdict cohort -- predictions_profile, dedup_exact,
-    # dedup_ngram_jaccard, simhash_fingerprints, dedup_simhash,
-    # dedup_simhash16, dedup_clusters, dedup_clusters_wide,
-    # dup_rate_by_source, ann_cosine_topk, embedding_near_dup,
-    # text_stats, lang_id_heuristic, doc_fingerprint,
-    # corpus_token_stats, bpe_token_stats, tfidf_top_terms,
-    # lang_mismatch_rate, contamination_check, source_mixture_plan,
-    # session_summary, weekly_retention_cohorts, part_rankings,
-    # value_percentiles, wire_format_roundtrip, event_gap_buckets,
-    # training_frame_det, logit_score, q21_sole_late_supplier,
-    # value_drift_psi -- then the round-6 cohort.
+    #     OLDEST standing verdicts: multimodal (r6), skew (r6),
+    #     stats (r6), layout (r8 -- its only member);
+    "multimodal_features", "salted_value_by_type", "activity_islands",
+    "layout_pruning_stats",
+    # (d) oldest-verdict filler: the round-6-verdict cohort in registry
+    #     order.
+    "q3_shipping_priority", "props_json_stats", "daily_metrics",
+    "freshness_check", "null_id_check", "windowed_rates",
+    # ROUND-10 QUEUE (in priority order): round-9 changed code first,
+    # then the rest of the round-6-verdict cohort -- hourly_timeseries,
+    # tumbling_15min, heuristic_score, feature_extract,
+    # customer_blocking_er, ann_knn_join, semantic_dedup_clusters,
+    # pii_scrub_stats, corpus_quality_gate, repetition_stats,
+    # sequence_packing, vocab_coverage, user_sessions,
+    # conversion_funnel, multimodal_resize, unpivot_daily_metrics,
+    # cube_region_segment, lapsed_customers_except,
+    # parts_above_brand_avg, grouping_sets_summary,
+    # asof_click_before_purchase, clicks_before_errors,
+    # approx_distinct_users, approx_value_quantiles,
+    # decayed_user_value, deterministic_split, stratified_sample,
+    # q7_volume_shipping, q2_min_cost_supplier, q11_important_stock,
+    # q16_parts_supplier_counts, q20_excess_stock_suppliers --
+    # then the round-7 cohort.
 ]
 
 
