@@ -35,6 +35,18 @@ def _modules():
 # family has a representative in the first 50.
 DRIVER_SAMPLE = 50
 
+# Queries whose CODE changed this round (new registrations or rewritten
+# internals). This list is the head of PRIORITY (the driver re-verifies
+# changed code first) AND a bench-headline obligation: tests/
+# test_bench_headline.py asserts every member is in bench.py HEADLINE,
+# so anything rewritten for scale gets measured the same round it
+# changes (the round-6 lesson: ann_ivf_topk's 521 s pre-kernel cost
+# went unmeasured precisely because it sat outside the headline).
+ROUND_CHANGED = [
+    "containment_recall", "pit_event_enrichment",
+    "kmv_source_overlap", "shard_overlap",
+]
+
 PRIORITY = [
     # (a) CHANGED IN ROUND 9 -- code touched since the round-8 window,
     #     so their standing verdicts describe superseded code:
@@ -45,8 +57,7 @@ PRIORITY = [
     #     shard_overlap and kmv_source_overlap now share the memoized
     #     source-shingle census + pairwise-overlap artifacts (round-8
     #     verdict item 2).
-    "containment_recall", "pit_event_enrichment",
-    "kmv_source_overlap", "shard_overlap",
+    *ROUND_CHANGED,
     # (b) the round-5-verdict cohort, stale per round-8 verdict item 1:
     #     every one has a green verdict ever, but the dedup/textops/
     #     similarity modules were rewritten since round 5 (signature
