@@ -154,6 +154,10 @@ HEADLINE = [
     # rule-2 backfill: the windows/OLAP family had no headline member
     # (found by the new membership test)
     "part_rankings",
+    # round-9 new registrations (rule 1): the banding-parameter pricing
+    # table and the int8-retrieval recall gate
+    "lsh_band_sweep",
+    "ann_int8_recall",
 ]
 
 

@@ -45,6 +45,9 @@ DRIVER_SAMPLE = 50
 ROUND_CHANGED = [
     "containment_recall", "pit_event_enrichment",
     "kmv_source_overlap", "shard_overlap",
+    # new round-9 registrations: the banding-parameter pricing table
+    # and the int8-retrieval recall gate
+    "lsh_band_sweep", "ann_int8_recall",
 ]
 
 PRIORITY = [
@@ -56,7 +59,11 @@ PRIORITY = [
     #     fixed-point cross-engine sum convention (ADVICE r8 medium);
     #     shard_overlap and kmv_source_overlap now share the memoized
     #     source-shingle census + pairwise-overlap artifacts (round-8
-    #     verdict item 2).
+    #     verdict item 2); lsh_band_sweep (the table that PICKS the
+    #     banding -- recall + verify-cost per (bands, rows) config) and
+    #     ann_int8_recall (retrieval recall@k of int8-quantized
+    #     vectors, the retrieval side of emb_quantize_int8's
+    #     compression audit) are NEW this round.
     *ROUND_CHANGED,
     # (b) the round-5-verdict cohort, stale per round-8 verdict item 1:
     #     every one has a green verdict ever, but the dedup/textops/
@@ -84,11 +91,14 @@ PRIORITY = [
     "multimodal_features", "salted_value_by_type", "activity_islands",
     "layout_pruning_stats",
     # (d) oldest-verdict filler: the round-6-verdict cohort in registry
-    #     order.
+    #     order (null_id_check and windowed_rates were displaced by the
+    #     two late round-9 registrations above -- they head the queue).
     "q3_shipping_priority", "props_json_stats", "daily_metrics",
-    "freshness_check", "null_id_check", "windowed_rates",
-    # ROUND-10 QUEUE (in priority order): round-9 changed code first,
-    # then the rest of the round-6-verdict cohort -- hourly_timeseries,
+    "freshness_check",
+    # ROUND-10 QUEUE (in priority order): round-10 changed code first,
+    # then null_id_check and windowed_rates (displaced round-6
+    # verdicts), then the rest of the round-6-verdict cohort --
+    # hourly_timeseries,
     # tumbling_15min, heuristic_score, feature_extract,
     # customer_blocking_er, ann_knn_join, semantic_dedup_clusters,
     # pii_scrub_stats, corpus_quality_gate, repetition_stats,

@@ -1770,6 +1770,212 @@ ORDER BY 1
 
 
 # --------------------------------------------------------------------------
+# Every (bands, rows-per-band) factorization of the k=MINHASH_K
+# signature. More bands / fewer rows per band = higher collision
+# probability (P[collide] = 1-(1-j^rows)^bands) = higher recall AND
+# more candidate pairs to verify -- the sweep prices that trade.
+BAND_SWEEP_CONFIGS = [(1, 8), (2, 4), (4, 2), (8, 1)]
+
+
+def _band_caught_expr(bands: int, rows: int, a: str = "a", b: str = "b") -> str:
+    """1 iff a pair collides in >= 1 band under (bands, rows): OR over
+    bands of AND over that band's signature slots -- a pure expression
+    over the joined signature columns, so sweeping a config costs zero
+    extra joins. Identical token stream in both dialects."""
+    ors = " OR ".join(
+        "("
+        + " AND ".join(
+            f"{a}{i * rows + j} = {b}{i * rows + j}" for j in range(rows)
+        )
+        + ")"
+        for i in range(bands)
+    )
+    return f"CASE WHEN {ors} THEN 1 ELSE 0 END"
+
+
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table that PICKS the LSH banding -- recall AND verify-cost
+    for every (bands, rows-per-band) factorization of the k=
+    {MINHASH_K} signature, from ONE signature table. ivf_probe_sweep
+    is this table for NPROBE; minhash_lsh_recall measures the ONE
+    shipped config per Jaccard decile; this prices the alternatives so
+    the {LSH_BANDS}-band choice is a read-off, not a belief.
+
+    Two sides, neither quadratic:
+      * cost: every config's band keys fan out of the signature rows
+        in ONE generator pass (sum(bands) = 15 structs/doc), and the
+        candidate-pair count is sum over band-key groups of C(n,2) --
+        a keyed count, the join_blowup_probe trick: the price of a
+        config is computed WITHOUT materializing its candidate pairs;
+      * recall: the df-capped truth pairs (shared with
+        minhash_lsh_recall, linear by the MAX_DF^2 fanout bound) join
+        the signature table once per side, then every config's
+        caught-bit is a pure column expression (_band_caught_expr) --
+        four configs cost four conditional sums in one aggregate, not
+        four self-joins.
+
+    Integer-exact: counts, C(n,2) by integer floor, recall in ppm by
+    integer division. At 100 TB the sweep costs one signature scan +
+    one (cfg, band, bkey) keyed count + an O(true pairs) join --
+    re-run it per corpus snapshot before committing band parameters.
+    Extends the reference's threshold-QA posture (main.py:64-83 fixes
+    its 0.5 by fiat) to the dedup index's own parameters."""
+    sig = _sig_table(spark, sf_dir)
+    # cost side: one generator pass emits every config's band keys
+    structs = [
+        F.struct(
+            F.lit(b).alias("cfg"),
+            F.lit(i).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"s{i * r + j}") for j in range(r)]
+                )
+            ).alias("bkey"),
+        )
+        for b, r in BAND_SWEEP_CONFIGS
+        for i in range(b)
+    ]
+    cost = (
+        sig.select(F.explode(F.array(*structs)).alias("bk"))
+        .select("bk.cfg", "bk.band", "bk.bkey")
+        .groupBy("cfg", "band", "bkey")
+        .agg(F.count("*").alias("n"))
+        .groupBy("cfg")
+        .agg(
+            F.sum(F.expr("(n * (n - 1)) DIV 2")).alias("cand_pairs")
+        )
+    )
+    # recall side: truth pairs (minhash_lsh_recall's df-capped ground
+    # truth) + both signatures, then per-config conditional sums
+    truth_cand = _rare_candidates(spark, sf_dir).select("a_id", "b_id")
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hsh").alias("a_hsh"),
+        *[F.col(f"s{j}").alias(f"a{j}") for j in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("hsh").alias("b_hsh"),
+        *[F.col(f"s{j}").alias(f"b{j}") for j in range(MINHASH_K)],
+    )
+    ni = F.size(F.array_intersect(F.col("a_hsh"), F.col("b_hsh")))
+    truth = (
+        truth_cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("ni", ni)
+        .withColumn("nu", F.size("a_hsh") + F.size("b_hsh") - F.col("ni"))
+        .filter(F.col("ni") * 10 >= F.col("nu") * RECALL_J_MIN_TENTHS)
+    )
+    rec = truth.agg(
+        F.count("*").alias("n_true"),
+        *[
+            F.sum(F.expr(_band_caught_expr(b, r))).alias(f"c{b}")
+            for b, r in BAND_SWEEP_CONFIGS
+        ],
+    )
+    stack_args = ", ".join(
+        f"{b}, COALESCE(c{b}, 0)" for b, _ in BAND_SWEEP_CONFIGS
+    )
+    rec_rows = rec.selectExpr(
+        "n_true",
+        f"stack({len(BAND_SWEEP_CONFIGS)}, {stack_args})"
+        " AS (cfg, n_caught)",
+    )
+    return (
+        cost.join(rec_rows, "cfg")
+        .selectExpr(
+            "CAST(cfg AS BIGINT) AS bands",
+            f"CAST({MINHASH_K} DIV cfg AS BIGINT) AS rows_per_band",
+            "CAST(cand_pairs AS BIGINT) AS cand_pairs",
+            "CAST(n_true AS BIGINT) AS n_true",
+            "CAST(n_caught AS BIGINT) AS n_caught",
+            "CAST(CASE WHEN n_true = 0 THEN 0"
+            " ELSE (n_caught * 1000000) DIV n_true END AS BIGINT)"
+            " AS recall_ppm",
+        )
+        .orderBy("bands")
+    )
+
+
+_DUCK_SWEEP_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS cfg, {i} AS band, "
+    + "md5("
+    + " || '|' || ".join(f"s{i * r + j}" for j in range(r))
+    + ") AS bkey FROM sig"
+    for b, r in BAND_SWEEP_CONFIGS
+    for i in range(b)
+)
+
+_DUCK_SWEEP_CAUGHT = ", ".join(
+    f"sum({_band_caught_expr(b, r)}) AS c{b}" for b, r in BAND_SWEEP_CONFIGS
+)
+
+_DUCK_SWEEP_UNPIVOT = " UNION ALL ".join(
+    f"SELECT {b} AS cfg, n_true, COALESCE(c{b}, 0) AS n_caught FROM rec"
+    for b, _ in BAND_SWEEP_CONFIGS
+)
+
+LSH_BAND_SWEEP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct({duck_shingles_expr(_DUCK_TOKS, SHINGLE_N)}) AS shingles
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, {_DUCK_SIG_COLS}
+  FROM d WHERE len(shingles) > 0
+),
+bt AS ({_DUCK_SWEEP_BANDS}),
+grp AS (
+  SELECT cfg, band, bkey, count(*) AS n FROM bt GROUP BY 1, 2, 3
+),
+cost AS (
+  SELECT cfg, sum((n * (n - 1)) // 2) AS cand_pairs FROM grp GROUP BY 1
+),
+sh AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+cnt AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+rare AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh JOIN cnt USING (s)
+  WHERE df BETWEEN 2 AND {CONTAINMENT_MAX_DF}
+),
+tcand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {CONTAINMENT_MIN_SHARED}
+),
+truth AS (
+  SELECT t.a_id, t.b_id,
+         {", ".join(f"sa.s{j} AS a{j}" for j in range(MINHASH_K))},
+         {", ".join(f"sb.s{j} AS b{j}" for j in range(MINHASH_K))}
+  FROM tcand t
+  JOIN d da ON da.doc_id = t.a_id
+  JOIN d db ON db.doc_id = t.b_id
+  JOIN sig sa ON sa.doc_id = t.a_id
+  JOIN sig sb ON sb.doc_id = t.b_id
+  WHERE len(list_intersect(da.shingles, db.shingles)) * 10
+        >= {RECALL_J_MIN_TENTHS} * (len(da.shingles) + len(db.shingles)
+            - len(list_intersect(da.shingles, db.shingles)))
+),
+rec AS (
+  SELECT count(*) AS n_true, {_DUCK_SWEEP_CAUGHT} FROM truth
+),
+rec_rows AS ({_DUCK_SWEEP_UNPIVOT})
+SELECT CAST(cfg AS BIGINT) AS bands,
+       CAST({MINHASH_K} // cfg AS BIGINT) AS rows_per_band,
+       CAST(cand_pairs AS BIGINT) AS cand_pairs,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       CAST(CASE WHEN n_true = 0 THEN 0
+            ELSE (n_caught * 1000000) // n_true END AS BIGINT)
+         AS recall_ppm
+FROM cost JOIN rec_rows USING (cfg)
+ORDER BY bands
+"""
+
+
+# --------------------------------------------------------------------------
 def _vote_fingerprints(
     docs: DataFrame, hash_sql: str, n_bits: int
 ) -> DataFrame:
@@ -2505,6 +2711,7 @@ QUERIES = {
     "split_leakage_check": split_leakage_check,
     "cluster_safe_split": cluster_safe_split,
     "minhash_lsh_recall": minhash_lsh_recall,
+    "lsh_band_sweep": lsh_band_sweep,
     "dedup_cluster_density": dedup_cluster_density,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash": dedup_simhash,
@@ -2531,6 +2738,7 @@ ORACLE = {
     "split_leakage_check": SPLIT_LEAKAGE_SQL,
     "cluster_safe_split": CLUSTER_SAFE_SPLIT_SQL,
     "minhash_lsh_recall": MINHASH_LSH_RECALL_SQL,
+    "lsh_band_sweep": LSH_BAND_SWEEP_SQL,
     "dedup_cluster_density": DEDUP_CLUSTER_DENSITY_SQL,
     "simhash_fingerprints": SIMHASH_FP_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -1725,6 +1725,190 @@ _Q_RECON = (
 )
 _Q_ERRFP = "CAST(floor(abs(x - recon) * 1000000000) AS BIGINT)"
 
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval recall@{TOPK} of int8-quantized vectors vs the exact
+    float baseline -- the RETRIEVAL side of the compression decision
+    emb_quantize_int8 audits by reconstruction error. A store that
+    quantizes to int8 gets 4x smaller vectors and ~4x faster scans; the
+    number that approves it is "how many true top-{TOPK} neighbors does
+    the quantized index still return", and reconstruction error alone
+    does not answer that. Same measured-recall contract as
+    ann_recall_eval (IVF), minhash_lsh_recall (banding),
+    shape_match_recall (SAX): every approximate path ships the gate
+    that prices its loss.
+
+    Semantics: per-dimension [min, max] is cut into {QUANT_CELLS}
+    cells (exactly emb_quantize_int8's floor-coding); every vector --
+    queries included, as a real int8 store quantizes everything --
+    reconstructs at cell midpoints, and the quantized ranking is
+    cosine over reconstructed vectors with the ann_cosine_topk
+    contract (round 6 dp, vec_id tie-break). Truth is the exact float
+    top-{TOPK}. Output per query: hits and integer-ppm recall.
+
+    Scale shape: the dims-row stats table collapses to ONE broadcast
+    row of [min],[max] arrays (the bounded-collect pattern: dims
+    doubles, ~1 KB), reconstruction is a map-only transform, and both
+    rankings are broadcast-query scans of the corpus -- two linear
+    passes, no corpus self-join anywhere. At 100 TB you persist the
+    coded vectors next to the IVF index (persist_ann_index) and re-run
+    this gate per corpus snapshot before switching reads to int8."""
+    vecs = _vectors(spark, sf_dir)
+    # per-dim stats -> one broadcast row of mn/mx arrays (dims-bounded)
+    stats = (
+        vecs.select(F.posexplode("emb").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, mn))),"
+                " s -> s.mn) AS mn_arr"
+            ),
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, mx))),"
+                " s -> s.mx) AS mx_arr"
+            ),
+        )
+    )
+    recon = (
+        vecs.crossJoin(F.broadcast(stats))
+        .selectExpr("vec_id", f"{_I8_RECON_SPARK} AS remb")
+        .withColumn(
+            "rnorm", F.expr("sqrt(" + _DOT.format(a="remb", b="remb") + ")")
+        )
+    )
+
+    def _topk(frame: DataFrame, emb_col: str, norm_col: str) -> DataFrame:
+        queries = frame.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.col(norm_col).alias("q_norm"),
+        )
+        scored = (
+            frame.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn(
+                "cosine",
+                F.round(
+                    F.expr(_DOT.format(a="q_emb", b=emb_col))
+                    / (F.col("q_norm") * F.col(norm_col)),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    exact = _topk(vecs, "emb", "norm")
+    coded = _topk(recon, "remb", "rnorm").withColumn("hit", F.lit(1))
+    return (
+        exact.join(coded, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+        .selectExpr(
+            "q_id",
+            "CAST(n_hit AS BIGINT) AS n_hit",
+            f"CAST((n_hit * 1000000L) DIV {TOPK} AS BIGINT) AS recall_ppm",
+        )
+        .orderBy("q_id")
+    )
+
+
+# Reconstruction expression: identical arithmetic token stream in both
+# dialects (Spark lambda index i is 0-based with 0-based brackets; the
+# DuckDB twin ranges 1-based), so every floor-coded cell and midpoint
+# matches bit-for-bit.
+def _i8_recon(x: str, mn: str, mx: str) -> str:
+    return (
+        f"CASE WHEN {mx} = {mn} THEN {mn} ELSE {mn} + "
+        f"(CAST(LEAST(CAST(floor(({x} - {mn}) / ({mx} - {mn})"
+        f" * {QUANT_CELLS}) AS INT), {QUANT_CELLS - 1}) AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) * ({mx} - {mn}) / {QUANT_CELLS} END"
+    )
+
+
+_I8_RECON_SPARK = (
+    "transform(emb, (x, i) -> "
+    + _i8_recon("x", "mn_arr[i]", "mx_arr[i]")
+    + ")"
+)
+
+_I8_RECON_DUCK = (
+    "list_transform(range(1, len(emb) + 1), i -> "
+    + _i8_recon("emb[i]", "mn_arr[i]", "mx_arr[i]")
+    + ")"
+)
+
+ANN_INT8_RECALL_SQL = f"""
+WITH vecs AS ({_DUCK_VECTORS}),
+ex AS (
+  SELECT d.dim, v.emb[d.dim + 1] AS x
+  FROM vecs v,
+       (SELECT unnest(range((SELECT max(len(emb)) FROM vecs))) AS dim) d
+  WHERE d.dim < len(v.emb)
+),
+stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+sarr AS (
+  SELECT list(mn ORDER BY dim) AS mn_arr, list(mx ORDER BY dim) AS mx_arr
+  FROM stats
+),
+recon AS (
+  SELECT vec_id, {_I8_RECON_DUCK} AS remb
+  FROM vecs, sarr
+),
+rnormed AS (
+  SELECT vec_id, remb,
+         sqrt({_DUCK_DOT.format(a='remb', b='remb')}) AS rnorm
+  FROM recon
+),
+exact_scored AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+         round({_DUCK_DOT.format(a='q.emb', b='v.emb')}
+               / (q.norm * v.norm), 6) AS cosine
+  FROM vecs q, vecs v
+  WHERE q.vec_id < {N_QUERIES} AND v.vec_id != q.vec_id
+),
+exact_topk AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, neighbor_id ASC)
+           AS rank
+    FROM exact_scored
+  ) WHERE rank <= {TOPK}
+),
+coded_scored AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+         round({_DUCK_DOT.format(a='q.remb', b='v.remb')}
+               / (q.rnorm * v.rnorm), 6) AS cosine
+  FROM rnormed q, rnormed v
+  WHERE q.vec_id < {N_QUERIES} AND v.vec_id != q.vec_id
+),
+coded_topk AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, neighbor_id ASC)
+           AS rank
+    FROM coded_scored
+  ) WHERE rank <= {TOPK}
+)
+SELECT e.q_id,
+       CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST((sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000000) // {TOPK} AS BIGINT) AS recall_ppm
+FROM exact_topk e
+LEFT JOIN coded_topk c
+  ON c.q_id = e.q_id AND c.neighbor_id = e.neighbor_id
+GROUP BY e.q_id
+ORDER BY e.q_id
+"""
+
+
 EMB_QUANTIZE_INT8_SQL = f"""
 WITH ex AS (
   SELECT d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS x
@@ -1936,6 +2120,7 @@ ORDER BY new_id, rank
 
 QUERIES = {
     "emb_quantize_int8": emb_quantize_int8,
+    "ann_int8_recall": ann_int8_recall,
     "ann_knn_join": ann_knn_join,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
@@ -1953,6 +2138,7 @@ QUERIES = {
 
 ORACLE = {
     "emb_quantize_int8": EMB_QUANTIZE_INT8_SQL,
+    "ann_int8_recall": ANN_INT8_RECALL_SQL,
     "ann_knn_join": ANN_KNN_JOIN_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,

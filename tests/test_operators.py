@@ -2009,3 +2009,70 @@ def test_activity_shape_matches_hand_reference(spark, monkeypatch):
         2: (3, "dbaaaa", 66667),
         3: (1, "dbaaaa", 33333),
     }
+
+
+def test_lsh_band_sweep_monotone_and_exact(spark, monkeypatch):
+    """Engineered corpus (the minhash_lsh_recall fixture): an exact-dup
+    pair whose identical signatures collide under EVERY banding, plus a
+    mid-Jaccard pair. Doubling the band count must never lose a caught
+    pair (a coarse band all-equal implies both its sub-bands all-equal)
+    and never shrink the candidate-pair bill -- the two monotonicities
+    that make the sweep a price table."""
+    import real_time_fraud_detection_system_spark.operators.dedup as dd
+
+    a_toks = [f"a{i}" for i in range(20)]
+    b_toks = a_toks[:12] + [f"b{i}" for i in range(8)]
+    texts = {
+        1: " ".join(a_toks),
+        2: " ".join(b_toks),
+        3: " ".join(a_toks),  # exact dup of 1
+        4: "zz yy xx ww vv uu tt ss",
+    }
+    rows = [(i, t, "en", "src", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        dd, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    out = [r.asDict() for r in dd.lsh_band_sweep(spark, "unused").collect()]
+
+    assert [r["bands"] for r in out] == [b for b, _ in dd.BAND_SWEEP_CONFIGS]
+    for r in out:
+        assert r["rows_per_band"] == dd.MINHASH_K // r["bands"]
+        # truth set is config-independent: (1,2), (2,3), (1,3)
+        assert r["n_true"] == 3
+        # the exact-dup pair (1,3) is caught even by the 1-band
+        # full-signature config
+        assert r["n_caught"] >= 1
+        assert r["n_caught"] <= r["n_true"]
+        assert r["recall_ppm"] == r["n_caught"] * 1_000_000 // r["n_true"]
+    for prev, cur in zip(out, out[1:]):
+        assert cur["n_caught"] >= prev["n_caught"]
+        assert cur["cand_pairs"] >= prev["cand_pairs"]
+
+
+def test_ann_int8_recall_preserves_separated_clusters(spark, monkeypatch):
+    """Three orthogonal direction groups: within-group cosine stays
+    maximal after midpoint reconstruction and cross-group ties keep the
+    id order, so int8 retrieval loses nothing -- recall is exactly
+    1e6 ppm for every query, and the report has one row per query."""
+    import real_time_fraud_detection_system_spark.operators.similarity as sim
+
+    dims = 12
+    rows = []
+    for i in range(12):
+        v = [0.0] * dims
+        v[i % 3] = 1.0
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(
+        sim, "load_table", lambda s, d, n: df if n == "embeddings" else None
+    )
+    got = sim.ann_int8_recall(spark, "unused").collect()
+    assert [r["q_id"] for r in got] == list(range(sim.N_QUERIES))
+    for r in got:
+        assert r["n_hit"] == sim.TOPK
+        assert r["recall_ppm"] == 1_000_000
