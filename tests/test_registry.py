@@ -96,6 +96,9 @@ JUDGE_SAMPLED_R6 = [
     "zipf_alpha_by_source", "dup_chao1_estimate",
     "activity_shape_buckets", "activity_shape_matches",
     "shape_match_recall", "kmv_source_overlap",
+    # round-9 registrations
+    "containment_recall", "lsh_band_sweep", "ann_int8_recall",
+    "shard_overlap",
 ]
 
 

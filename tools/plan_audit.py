@@ -42,6 +42,19 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #     count bounded by calendar days, not data volume.
 ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_cosine_topk": frozenset({"NLJ"}),
+    # ann_int8_recall: the NLJs are the 1-row [min],[max]-arrays stats
+    # broadcast (the scalar-anchor pattern -- dims doubles, ~1 KB at
+    # any corpus size) and the two N_QUERIES-row query broadcasts
+    # (ann_cosine_topk's bounded query fan-out); the 1PART is the stats
+    # aggregate's own single-row exchange. The corpus-sized work is two
+    # linear broadcast-query scans.
+    "ann_int8_recall": frozenset({"NLJ", "1PART"}),
+    # lsh_band_sweep: the 1PART is the single-row recall aggregate
+    # (count + one conditional sum per banding config, stacked to 4
+    # rows) -- a near-scalar output over the O(true pairs) truth frame;
+    # the corpus-sized work is the keyed (cfg, band, bkey) count and
+    # the keyed signature joins, all spread shuffles.
+    "lsh_band_sweep": frozenset({"1PART"}),
     # activity_shape_buckets: the NLJs are the 1-row min-date anchor
     # broadcast and the 6-row segment-range VALUES cross join (both the
     # threshold_sweep scalar/VALUES pattern, constant size at any
