@@ -158,6 +158,7 @@ HEADLINE = [
     # table and the int8-retrieval recall gate
     "lsh_band_sweep",
     "ann_int8_recall",
+    "corpus_snapshot_diff",
 ]
 
 

@@ -45,9 +45,9 @@ DRIVER_SAMPLE = 50
 ROUND_CHANGED = [
     "containment_recall", "pit_event_enrichment",
     "kmv_source_overlap", "shard_overlap",
-    # new round-9 registrations: the banding-parameter pricing table
-    # and the int8-retrieval recall gate
-    "lsh_band_sweep", "ann_int8_recall",
+    # new round-9 registrations: the banding-parameter pricing table,
+    # the int8-retrieval recall gate, and the dump-over-dump diff census
+    "lsh_band_sweep", "ann_int8_recall", "corpus_snapshot_diff",
 ]
 
 PRIORITY = [
@@ -94,10 +94,9 @@ PRIORITY = [
     #     order (null_id_check and windowed_rates were displaced by the
     #     two late round-9 registrations above -- they head the queue).
     "q3_shipping_priority", "props_json_stats", "daily_metrics",
-    "freshness_check",
     # ROUND-10 QUEUE (in priority order): round-10 changed code first,
-    # then null_id_check and windowed_rates (displaced round-6
-    # verdicts), then the rest of the round-6-verdict cohort --
+    # then freshness_check, null_id_check and windowed_rates (displaced
+    # round-6 verdicts), then the rest of the round-6-verdict cohort --
     # hourly_timeseries,
     # tumbling_15min, heuristic_score, feature_extract,
     # customer_blocking_er, ann_knn_join, semantic_dedup_clusters,

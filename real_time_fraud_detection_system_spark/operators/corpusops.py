@@ -1365,7 +1365,121 @@ FROM per GROUP BY 1, 2 ORDER BY 1, 2
 DSIR_IMPORTANCE_SQL = _dsir_sql()
 
 
+# --------------------------------------------------------------------------
+# Dump-over-dump triage: what changed between two corpus snapshots.
+# The driver ships ONE documents table, so the two snapshots are
+# deterministic md5 selections of it (the pit_event_enrichment
+# synthetic-mapping convention): ~90% membership per snapshot drawn
+# independently, and ~5% of the intersection re-crawled with different
+# content. With two REAL snapshot tables the plan is the same shape
+# with the single scan replaced by a doc_id-keyed full-outer join of
+# the two (doc_id, content_md5) projections -- the census never reads
+# text twice and never shuffles anything wider than id + 32-char hash.
+SNAP_MOD = 10       # ~90% of docs present in each snapshot
+SNAP_KEEP = 9
+EDIT_MOD = 20       # ~5% of surviving docs re-crawled with new content
+
+
+def _snap_member_spark(tag: str) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat('{tag}:', CAST(doc_id AS STRING))),"
+        f" 1, 8), 16, 10) AS BIGINT) % {SNAP_MOD} < {SNAP_KEEP}"
+    )
+
+
+def _snap_member_duck(tag: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{tag}:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 8) AS BIGINT) % {SNAP_MOD} < {SNAP_KEEP}"
+    )
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dump-over-dump diff census: per (source, status) --
+    added / removed / changed / unchanged -- document and character
+    counts between two corpus snapshots. The first table a pipeline
+    owner reads when a new dump lands: a source whose 'changed' mass
+    explodes had its extractor or upstream site churn; one whose
+    'removed' mass spikes lost a crawl partition; the 'added' rows are
+    the only ones the incremental dedup/index passes must touch.
+    Extends the reference's freshness-DQ posture
+    (Data_quality_checks.py:20-29 asks 'did new rows arrive'; this
+    asks WHAT arrived, left, or mutated, per source).
+
+    'changed' is detected the production way -- content hashes
+    disagree: h_a = md5(text), h_b = md5 of the re-crawled text, and
+    the status compares hashes rather than trusting the edit flag, so
+    the same census runs unmodified over two real snapshot tables
+    carrying (doc_id, source, content_md5, n_chars) projections.
+
+    Scale shape: one scan of the corpus (two-table form: one
+    doc_id-keyed full-outer join of two id+hash projections), one
+    (source, status) keyed count -- nothing wider than a 32-char hash
+    shuffles, output bounded at sources x 4 rows at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        f"{_snap_member_spark('snapA')} AS in_a",
+        f"{_snap_member_spark('snapB')} AS in_b",
+        "md5(text) AS h_a",
+        f"CASE WHEN CAST(conv(substr(md5(concat('edit:',"
+        f" CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" % {EDIT_MOD} = 0 THEN md5(concat(text, '~r9'))"
+        f" ELSE md5(text) END AS h_b",
+    )
+    status = (
+        "CASE WHEN in_a AND in_b THEN"
+        " (CASE WHEN h_a = h_b THEN 'unchanged' ELSE 'changed' END)"
+        " WHEN in_a THEN 'removed'"
+        " WHEN in_b THEN 'added' END"
+    )
+    return (
+        d.selectExpr("source", "n_chars", f"{status} AS status")
+        .filter(F.col("status").isNotNull())
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("CAST(sum(n_chars) AS BIGINT)").alias("n_chars"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+CORPUS_SNAPSHOT_DIFF_SQL = f"""
+WITH d AS (
+  SELECT source, n_chars,
+         {_snap_member_duck('snapA')} AS in_a,
+         {_snap_member_duck('snapB')} AS in_b,
+         md5(text) AS h_a,
+         CASE WHEN CAST('0x' || substr(md5('edit:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {EDIT_MOD} = 0 THEN md5(text || '~r9')
+              ELSE md5(text) END AS h_b
+  FROM documents
+),
+st AS (
+  SELECT source, n_chars,
+         CASE WHEN in_a AND in_b THEN
+                (CASE WHEN h_a = h_b THEN 'unchanged' ELSE 'changed' END)
+              WHEN in_a THEN 'removed'
+              WHEN in_b THEN 'added' END AS status
+  FROM d
+)
+SELECT source, status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM st
+WHERE status IS NOT NULL
+GROUP BY source, status
+ORDER BY source, status
+"""
+
+
 QUERIES = {
+    "corpus_snapshot_diff": corpus_snapshot_diff,
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
     "contamination_check": contamination_check,
@@ -1384,6 +1498,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_snapshot_diff": CORPUS_SNAPSHOT_DIFF_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,

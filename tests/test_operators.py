@@ -2076,3 +2076,50 @@ def test_ann_int8_recall_preserves_separated_clusters(spark, monkeypatch):
     for r in got:
         assert r["n_hit"] == sim.TOPK
         assert r["recall_ppm"] == 1_000_000
+
+
+def test_corpus_snapshot_diff_census_matches_python_replay(spark, monkeypatch):
+    """The md5 membership/edit arithmetic replays exactly in Python:
+    build 40 docs, compute each one's expected status with hashlib, and
+    require the census to equal the Python census -- statuses partition
+    the union, 'changed' only inside the intersection."""
+    import hashlib
+    from collections import Counter
+
+    import real_time_fraud_detection_system_spark.operators.corpusops as co
+
+    def frac(tag, i):
+        return int(
+            hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16
+        )
+
+    rows = [
+        (i, f"doc body {i} " + "x" * (i % 7), "en",
+         f"s{i % 3}", 10 + i % 7)
+        for i in range(40)
+    ]
+    expected = Counter()
+    for i, _t, _l, src, n_chars in rows:
+        in_a = frac("snapA", i) % co.SNAP_MOD < co.SNAP_KEEP
+        in_b = frac("snapB", i) % co.SNAP_MOD < co.SNAP_KEEP
+        edited = frac("edit", i) % co.EDIT_MOD == 0
+        if in_a and in_b:
+            st = "changed" if edited else "unchanged"
+        elif in_a:
+            st = "removed"
+        elif in_b:
+            st = "added"
+        else:
+            continue
+        expected[(src, st)] += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        co, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    got = {
+        (r["source"], r["status"]): r["n_docs"]
+        for r in co.corpus_snapshot_diff(spark, "unused").collect()
+    }
+    assert got == dict(expected)
