@@ -42,6 +42,9 @@ DRIVER_SAMPLE = 50
 # so anything rewritten for scale gets measured the same round it
 # changes (the round-6 lesson: ann_ivf_topk's 521 s pre-kernel cost
 # went unmeasured precisely because it sat outside the headline).
+# RESET this list at the START of each round (members keep their
+# HEADLINE seats -- rule 3 -- but only current-round changes belong
+# here), then refill it as code changes land.
 ROUND_CHANGED = [
     "containment_recall", "pit_event_enrichment",
     "kmv_source_overlap", "shard_overlap",
