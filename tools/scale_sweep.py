@@ -87,6 +87,14 @@ def main() -> int:
     ap.add_argument("--filter", nargs="*", default=None,
                     help="only sweep queries whose name contains one of "
                          "these substrings (default: all)")
+    ap.add_argument("--split-mb", type=int, default=64,
+                    help="spark.sql.files.maxPartitionBytes in MB "
+                         "(default 64, matching bench.py's sf10 section: "
+                         "the replica tables are ~16 x 75 MB files, and "
+                         "the 128 MB default yields 16 input splits on "
+                         "32 cores -- half the machine idle through every "
+                         "scan; measured on q1 at sf10: 19.1 s at 128 MB "
+                         "vs 3.2 s at 64 MB warm)")
     args = ap.parse_args()
 
     done: set[str] = set()
@@ -97,7 +105,15 @@ def main() -> int:
                 done = {ln.split()[0] for ln in fh if len(ln.split()) >= 2}
         sink = open(args.out, "a")  # noqa: SIM115 (long-lived handle)
 
-    spark = get_spark("scale-sweep", cpus=cpu_count())
+    spark = get_spark(
+        "scale-sweep",
+        cpus=cpu_count(),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(
+                args.split_mb * 1024 * 1024
+            )
+        },
+    )
     res: dict[str, object] = {}
     for name, fn in all_queries().items():
         if name in done:
