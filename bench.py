@@ -159,6 +159,7 @@ HEADLINE = [
     "lsh_band_sweep",
     "ann_int8_recall",
     "corpus_snapshot_diff",
+    "snapshot_novelty",
 ]
 
 

@@ -49,8 +49,10 @@ ROUND_CHANGED = [
     "containment_recall", "pit_event_enrichment",
     "kmv_source_overlap", "shard_overlap",
     # new round-9 registrations: the banding-parameter pricing table,
-    # the int8-retrieval recall gate, and the dump-over-dump diff census
+    # the int8-retrieval recall gate, and the dump-over-dump diff
+    # census + its shingle-level novelty companion
     "lsh_band_sweep", "ann_int8_recall", "corpus_snapshot_diff",
+    "snapshot_novelty",
 ]
 
 PRIORITY = [
@@ -96,11 +98,11 @@ PRIORITY = [
     # (d) oldest-verdict filler: the round-6-verdict cohort in registry
     #     order (null_id_check and windowed_rates were displaced by the
     #     two late round-9 registrations above -- they head the queue).
-    "q3_shipping_priority", "props_json_stats", "daily_metrics",
+    "q3_shipping_priority", "props_json_stats",
     # ROUND-10 QUEUE (in priority order): round-10 changed code first,
-    # then freshness_check, null_id_check and windowed_rates (displaced
-    # round-6 verdicts), then the rest of the round-6-verdict cohort --
-    # hourly_timeseries,
+    # then daily_metrics, freshness_check, null_id_check and
+    # windowed_rates (displaced round-6 verdicts), then the rest of
+    # the round-6-verdict cohort -- hourly_timeseries,
     # tumbling_15min, heuristic_score, feature_extract,
     # customer_blocking_er, ann_knn_join, semantic_dedup_clusters,
     # pii_scrub_stats, corpus_quality_gate, repetition_stats,

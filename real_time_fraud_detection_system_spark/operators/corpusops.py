@@ -1478,8 +1478,123 @@ ORDER BY source, status
 """
 
 
+def snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle-level companion of corpus_snapshot_diff: of the
+    ADDED documents' shingles, what share existed nowhere in snapshot
+    A? A dump can add 10% new docs that are 99% recycled boilerplate --
+    the doc-level diff says how many rows the incremental passes must
+    touch, THIS says how much genuinely new text is in them (the
+    number that predicts how much the dedup index and the training
+    mixture will actually move).
+
+    Rides the memoized 60-bit signature index like contamination_check
+    (no re-shingling; both engines hash the same md5 construction, so
+    even a collision lands identically). Unlike contamination's
+    broadcast-sized eval set, snapshot A's shingle set is corpus-sized
+    -- membership is ONE h-keyed shuffle (distinct + left-anti), linear
+    at any corpus size, never a broadcast. Docs shorter than the
+    shingle width have no index rows: they count as added docs but
+    contribute no shingles, exactly as in contamination_check.
+
+    Integer-exact: counts of distinct (doc, shingle-hash) pairs and a
+    ppm floor quotient -- nothing floats across the engine boundary."""
+    from .dedup import _sig_table
+
+    src = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        f"{_snap_member_spark('snapA')} AS in_a",
+        f"{_snap_member_spark('snapB')} AS in_b",
+    )
+    sig = (
+        _sig_table(spark, sf_dir)
+        .select("doc_id", "hsh")
+        .join(F.broadcast(src.select("doc_id", "source", "in_a", "in_b")),
+              "doc_id")
+    )
+    a_set = (
+        sig.filter(F.col("in_a"))
+        .select(F.explode("hsh").alias("h"))
+        .distinct()
+    )
+    added_sh = (
+        sig.filter(F.col("in_b") & ~F.col("in_a"))
+        .select("doc_id", "source", F.explode("hsh").alias("h"))
+    )
+    totals = added_sh.groupBy("source").agg(
+        F.count("*").alias("n_shingles")
+    )
+    novel = (
+        added_sh.join(a_set, "h", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    base = (
+        src.filter(F.col("in_b") & ~F.col("in_a"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_added_docs"))
+    )
+    return (
+        base.join(totals, "source", "left")
+        .join(novel, "source", "left")
+        .selectExpr(
+            "source",
+            "CAST(n_added_docs AS BIGINT) AS n_added_docs",
+            "CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles",
+            "CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel",
+            "CAST(CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0"
+            " ELSE (COALESCE(n_novel, 0) * 1000000)"
+            " DIV n_shingles END AS BIGINT) AS novelty_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+SNAPSHOT_NOVELTY_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         {_snap_member_duck('snapA')} AS in_a,
+         {_snap_member_duck('snapB')} AS in_b,
+         list_distinct(list_transform({duck_shingles_expr(_DUCK_TOKS)},
+             s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
+  FROM documents
+),
+a_set AS (
+  SELECT DISTINCT unnest(hs) AS h FROM sh WHERE in_a
+),
+added AS (
+  SELECT doc_id, source, unnest(hs) AS h FROM sh WHERE in_b AND NOT in_a
+),
+totals AS (
+  SELECT source, count(*) AS n_shingles FROM added GROUP BY 1
+),
+novel AS (
+  SELECT source, count(*) AS n_novel
+  FROM added WHERE h NOT IN (SELECT h FROM a_set)
+  GROUP BY 1
+),
+base AS (
+  SELECT source, count(*) AS n_added_docs
+  FROM sh WHERE in_b AND NOT in_a
+  GROUP BY 1
+)
+SELECT b.source,
+       CAST(b.n_added_docs AS BIGINT) AS n_added_docs,
+       CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN COALESCE(t.n_shingles, 0) = 0 THEN 0
+            ELSE (COALESCE(n.n_novel, 0) * 1000000)
+                 // t.n_shingles END AS BIGINT) AS novelty_ppm
+FROM base b
+LEFT JOIN totals t ON t.source = b.source
+LEFT JOIN novel n ON n.source = b.source
+ORDER BY b.source
+"""
+
+
 QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "snapshot_novelty": snapshot_novelty,
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
     "contamination_check": contamination_check,
@@ -1499,6 +1614,7 @@ QUERIES = {
 
 ORACLE = {
     "corpus_snapshot_diff": CORPUS_SNAPSHOT_DIFF_SQL,
+    "snapshot_novelty": SNAPSHOT_NOVELTY_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,

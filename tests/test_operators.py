@@ -2123,3 +2123,50 @@ def test_corpus_snapshot_diff_census_matches_python_replay(spark, monkeypatch):
         for r in co.corpus_snapshot_diff(spark, "unused").collect()
     }
     assert got == dict(expected)
+
+
+def test_snapshot_novelty_pins_recycled_vs_new_text(spark, monkeypatch):
+    """An added doc whose text is an exact copy of a snapshot-A doc has
+    novelty 0 ppm; an added doc of entirely unseen tokens has novelty
+    1e6 ppm; shingle counts equal n_toks - SHINGLE_N + 1. Membership
+    ids are discovered by replaying the md5 arithmetic in Python."""
+    import hashlib
+
+    import real_time_fraud_detection_system_spark.operators.corpusops as co
+    from real_time_fraud_detection_system_spark.functions.text import (
+        SHINGLE_N,
+    )
+
+    def member(tag, i):
+        h = int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16)
+        return h % co.SNAP_MOD < co.SNAP_KEEP
+
+    ids = range(500)
+    added = [i for i in ids if member("snapB", i) and not member("snapA", i)]
+    in_a = [i for i in ids if member("snapA", i)]
+    assert len(added) >= 2 and len(in_a) >= 1
+    base_toks = [f"t{j}" for j in range(12)]
+    new_toks = [f"u{j}" for j in range(10)]
+    rows = [
+        (in_a[0], " ".join(base_toks), "en", "sa", 1),      # snapshot-A text
+        (added[0], " ".join(base_toks), "en", "s0", 1),     # recycled copy
+        (added[1], " ".join(new_toks), "en", "s1", 1),      # genuinely new
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import real_time_fraud_detection_system_spark.operators.dedup as dd
+
+    monkeypatch.setattr(
+        co, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    monkeypatch.setattr(
+        dd, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    got = {r["source"]: r for r in co.snapshot_novelty(spark, "unused").collect()}
+    assert got["s0"]["n_added_docs"] == 1
+    assert got["s0"]["n_shingles"] == len(base_toks) - SHINGLE_N + 1
+    assert got["s0"]["novelty_ppm"] == 0
+    assert got["s1"]["n_shingles"] == len(new_toks) - SHINGLE_N + 1
+    assert got["s1"]["n_novel"] == got["s1"]["n_shingles"]
+    assert got["s1"]["novelty_ppm"] == 1_000_000
