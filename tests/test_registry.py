@@ -30,6 +30,29 @@ def test_priority_is_exactly_the_sample_window():
     assert len(set(PRIORITY)) == DRIVER_SAMPLE
 
 
+def test_round_changed_is_stamped_for_the_current_round():
+    """ADVICE r9: a forgotten ROUND_CHANGED reset must be DETECTABLE.
+    The build round is 1 + the newest driver correctness record on
+    disk (CORRECTNESS_r{N}.json lands at round close), so a stale
+    ROUND -- and with it a stale changed-queries list silently keeping
+    the headline gate green -- fails here at round start."""
+    import glob
+    import re
+
+    from real_time_fraud_detection_system_spark.operators import ROUND
+
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+    ]
+    assert rounds, "no driver correctness records found"
+    assert ROUND == max(rounds) + 1, (
+        f"operators.ROUND is {ROUND} but the newest driver record is "
+        f"round {max(rounds)} -- reset ROUND/_ROUND_CHANGED_BY_ROUND "
+        "for the new round"
+    )
+
+
 def test_first_50_queries_cover_every_family():
     names = list(all_queries())
     first = set(names[:DRIVER_SAMPLE])
