@@ -57,18 +57,103 @@ from .operators.dedup import _doc_split_spark, dedup_minhash_clusters
 from .operators.textops import QUALITY_KEEP, _quality_expr
 
 
+def _incremental_labels(
+    spark: SparkSession, sf_dir: str, base_snapshot: str
+) -> DataFrame:
+    """Near-dup cluster labels over the NEW dump, built incrementally:
+    the base dump's memoized signature index and verified-pair table
+    are reused as-is, the expensive shingle/signature/band-probe work
+    runs ONLY over the added docs (incremental_dedup_pairs -- the
+    shard-probe primitive), and connected components run over the
+    union pair set. Value-identical to dedup_minhash_clusters over the
+    union corpus: every verified pair either has both ends in the base
+    (the memoized base pair table) or touches an added doc (the
+    incremental probe covers added-vs-base and added-vs-added), and
+    LSH banding is per-doc deterministic, so the edge sets match
+    exactly (proved in tests/test_corpus_pipeline.py)."""
+    from .operators.dedup import (
+        _lsh_pairs,
+        _sig_table,
+        incremental_dedup_pairs,
+        signature_index,
+    )
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_ids = load_table(spark, base_snapshot, "documents").select("doc_id")
+    added = docs.join(base_ids, "doc_id", "left_anti")
+    new_pairs = incremental_dedup_pairs(
+        _sig_table(spark, base_snapshot), signature_index(added)
+    ).select("a_id", "b_id")
+    base_pairs = _lsh_pairs(spark, base_snapshot).select("a_id", "b_id")
+    edges = (
+        base_pairs.unionByName(new_pairs)
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("node")), edges
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def prepare_corpus(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str,
     quality_keep: float = QUALITY_KEEP,
     semantic: bool = False,
+    base_snapshot: str | None = None,
 ) -> dict:
     """Run the full prep over ``sf_dir``'s documents table, write the
     surviving docs (with their split label) to ``out_dir`` partitioned
-    by split, and return the exact stage funnel."""
+    by split, and return the exact stage funnel.
+
+    ``base_snapshot`` (a table dir holding the PREVIOUS dump's
+    documents.parquet) switches on the incremental mode the snapshot
+    censuses exist for: the run reads the dump-over-dump diff census
+    FIRST (operators.corpusops.snapshot_diff -- its 'added' rows are
+    the bound on what the incremental passes must touch), and if the
+    new dump is add-only, the expensive index stages (shingling,
+    MinHash signatures, LSH band probe) run ONLY over the added docs
+    against the base dump's memoized signature/pair artifacts. The
+    output is value-identical to a full run over the union (tested).
+    The stateless per-row stages (md5, quality score) re-evaluate over
+    the union -- cheap codegen'd expressions; at petabyte scale persist
+    the staged projection alongside the survivors and join it back
+    instead. A dump with 'changed' or 'removed' mass falls back to the
+    full rebuild (removed docs invalidate base pairs; the census that
+    detected them is kept in the funnel either way, funnel['mode']
+    says which path ran)."""
     docs = load_table(spark, sf_dir, "documents")
-    labels = dedup_minhash_clusters(spark, sf_dir)  # doc_id, cluster_id
+    labels = None
+    census_rows = None
+    mode = "full"
+    if base_snapshot is not None:
+        from .operators.corpusops import snapshot_diff
+
+        proj = "doc_id, source, md5(text) AS content_md5, n_chars"
+        census = snapshot_diff(
+            load_table(spark, base_snapshot, "documents").selectExpr(
+                *proj.split(", ")
+            ),
+            docs.selectExpr(*proj.split(", ")),
+        )
+        census_rows = [r.asDict() for r in census.collect()]
+        statuses = {r["status"] for r in census_rows}
+        added_ids = docs.select("doc_id").join(
+            load_table(spark, base_snapshot, "documents").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        if statuses <= {"added", "unchanged"}:
+            mode = "incremental"
+            labels = _incremental_labels(spark, sf_dir, base_snapshot)
+        else:
+            mode = "full_fallback"
+    if labels is None:
+        labels = dedup_minhash_clusters(spark, sf_dir)  # doc_id, cluster_id
 
     # round(quality, 6) BEFORE the comparison: the oracle-checked
     # corpus_quality_gate counts kept docs on the 6-dp-rounded score,
@@ -156,6 +241,29 @@ def prepare_corpus(
     }
     if semantic:
         funnel["after_semantic_dedup"] = survivors.count()
+    if base_snapshot is not None:
+        funnel["mode"] = mode
+        by_status: dict = {}
+        for r in census_rows:
+            cell = by_status.setdefault(
+                r["status"], {"n_docs": 0, "n_chars": 0}
+            )
+            cell["n_docs"] += r["n_docs"]
+            cell["n_chars"] += r["n_chars"]
+        funnel["census"] = by_status
+        # the incremental contract's audit record: the added docs'
+        # own funnel (everything else was already settled by the base
+        # run; these counts bound what this run actually decided)
+        funnel["added"] = {
+            "raw": added_ids.count(),
+            "after_quality": kept_q.join(added_ids, "doc_id").count(),
+            "after_exact_dedup": after_exact.join(
+                added_ids, "doc_id"
+            ).count(),
+            "after_neardup_dedup": after_neardup.join(
+                added_ids, "doc_id"
+            ).count(),
+        }
     survivors.unpersist()
     staged.unpersist()
     with open(os.path.join(out_dir, "_funnel.json"), "w") as fh:

@@ -1593,6 +1593,116 @@ ORDER BY b.source
 """
 
 
+# --------------------------------------------------------------------------
+# Two-real-tables snapshot census: the library form the registry
+# queries above simulate over one table (the driver's fixed corpus
+# can't ship two dumps). A pipeline owner points these at two actual
+# snapshot reads -- e.g. two snapshots.read_version(...) frames -- and
+# gets the identical census; tests/test_snapshot_diff_frames.py proves
+# the simulated single-table queries and these frame forms agree on a
+# membership split of the documents table, driven end-to-end through
+# two snapshots.py versions.
+def snapshot_diff(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    """Dump-over-dump diff census over two REAL snapshot tables, each
+    carrying a (doc_id, source, content_md5, n_chars) projection --
+    the production entry point corpus_snapshot_diff's docstring
+    promises. Status per doc_id: present in both and hashes agree ->
+    'unchanged', hashes differ -> 'changed', A-only -> 'removed',
+    B-only -> 'added'; source/n_chars come from the surviving side (B
+    when present, else A), so a re-crawl that changed a doc's length
+    reports the NEW size.
+
+    Scale shape: ONE doc_id-keyed full-outer join of two id+hash
+    projections (nothing wider than a 32-char hash shuffles), then a
+    (source, status) keyed count with map-side partials -- output
+    bounded at sources x 4 rows at any corpus size. No broadcasts
+    anywhere: both sides are corpus-sized, and AQE picks the join
+    strategy if one side happens to be a small delta dump."""
+    a = df_a.select(
+        "doc_id",
+        F.col("source").alias("src_a"),
+        F.col("content_md5").alias("h_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    b = df_b.select(
+        "doc_id",
+        F.col("source").alias("src_b"),
+        F.col("content_md5").alias("h_b"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    status = (
+        "CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL THEN"
+        " (CASE WHEN h_a = h_b THEN 'unchanged' ELSE 'changed' END)"
+        " WHEN h_a IS NOT NULL THEN 'removed'"
+        " ELSE 'added' END"
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .selectExpr(
+            "COALESCE(src_b, src_a) AS source",
+            "COALESCE(nc_b, nc_a) AS n_chars",
+            f"{status} AS status",
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("CAST(sum(n_chars) AS BIGINT)").alias("n_chars"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+def snapshot_novelty_frames(
+    added_docs: DataFrame, a_index: DataFrame
+) -> DataFrame:
+    """snapshot_novelty's two-input library form: the shingle-level
+    new-content share of an ADDED-docs frame (doc_id, source, text --
+    e.g. snapshot_diff's 'added' rows joined back to the new dump)
+    against snapshot A's signature index (any frame carrying a
+    per-doc ``hsh`` 60-bit shingle-hash array -- the persisted dedup
+    index from persist_dedup_index, or signature_index over the A
+    snapshot). Output schema and semantics are identical to the
+    registry query: (source, n_added_docs, n_shingles, n_novel,
+    novelty_ppm), docs shorter than the shingle width count as added
+    but contribute no shingles.
+
+    Scale shape: the A membership test is ONE h-keyed exchange
+    (distinct + left-anti) -- linear at any corpus size, never a
+    broadcast; the added side shingles via signature_index's
+    shuffle-free explode."""
+    from .dedup import signature_index
+
+    a_set = a_index.select(F.explode("hsh").alias("h")).distinct()
+    added_sh = signature_index(added_docs).select(
+        "doc_id", "source", F.explode("hsh").alias("h")
+    )
+    totals = added_sh.groupBy("source").agg(
+        F.count("*").alias("n_shingles")
+    )
+    novel = (
+        added_sh.join(a_set, "h", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    base = added_docs.groupBy("source").agg(
+        F.count("*").alias("n_added_docs")
+    )
+    return (
+        base.join(totals, "source", "left")
+        .join(novel, "source", "left")
+        .selectExpr(
+            "source",
+            "CAST(n_added_docs AS BIGINT) AS n_added_docs",
+            "CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles",
+            "CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel",
+            "CAST(CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0"
+            " ELSE (COALESCE(n_novel, 0) * 1000000)"
+            " DIV n_shingles END AS BIGINT) AS novelty_ppm",
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "snapshot_novelty": snapshot_novelty,

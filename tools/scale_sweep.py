@@ -72,15 +72,20 @@ def main() -> int:
     ap.add_argument("--best-of", type=int, default=1,
                     help="runs per query; 1 (default) for a survey "
                          "sweep, 2 to suppress cold-start noise")
-    ap.add_argument("--slow-twice", type=float, default=None,
+    ap.add_argument("--slow-twice", type=float, default=10.0,
                     metavar="SECONDS",
                     help="re-run any query whose first pass took at "
                          "least SECONDS and record the min (the >30 s "
                          "graph/bootstrap class swings ~2x on a shared "
                          "host under single cold runs -- 78 s in-sweep "
                          "vs 56 s solo was round 8's recurring 'is "
-                         "this a regression?' question); cheap queries "
-                         "still run once so the sweep stays a survey")
+                         "this a regression?' question; round 9's was "
+                         "the 5-30 s class, q12 reading 21.5 s vs "
+                         "2.6 s same round, hence the 10 s default -- "
+                         "a genuine default, not a recorded protocol "
+                         "flag, per ADVICE r9); cheap queries still "
+                         "run once so the sweep stays a survey; pass "
+                         "a huge value to disable")
     ap.add_argument("--out", default=None,
                     help="append per-query lines here and skip queries "
                          "already present (resumable)")
