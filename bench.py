@@ -160,6 +160,9 @@ HEADLINE = [
     "ann_int8_recall",
     "corpus_snapshot_diff",
     "snapshot_novelty",
+    # round-10 new registration (rule 1): duplication provenance of a
+    # new dump's added docs against the base snapshot
+    "added_dup_against_base",
 ]
 
 

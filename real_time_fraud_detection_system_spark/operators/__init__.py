@@ -63,6 +63,11 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         "shard_overlap", "kmv_source_overlap", "contamination_check",
         "crossdoc_ngram_share", "snapshot_novelty",
         "containment_recall",
+        # NEW round-10 registration: duplication provenance of a new
+        # dump's added docs (recycled-from-base / within-dump / novel)
+        # -- the third leg of the incremental-ingest pricing triad
+        # with corpus_snapshot_diff and snapshot_novelty
+        "added_dup_against_base",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -100,8 +105,9 @@ PRIORITY = [
     "q1_pricing_summary", "join_blowup_probe", "user_value_anomalies",
     "exact_median_by_type", "layout_pruning_stats",
     # (d) oldest-verdict filler: the round-7 cohort in name order --
-    #     swapped out first if (a) grows later this round.
-    "ann_ivf_topk", "ann_recall_eval", "bigram_lm_score",
+    #     swapped out first if (a) grows later this round
+    #     (bigram_lm_score was displaced by added_dup_against_base).
+    "ann_ivf_topk", "ann_recall_eval",
     # ROUND-11 QUEUE (in priority order): round-11 changed code first,
     # then the rest of the round-7-verdict cohort in name order --
     # bloom_prefilter_stats, chunk_dup_rate, cluster_safe_split,

@@ -1376,16 +1376,16 @@ SNAP_KEEP = 9
 EDIT_MOD = 20       # ~5% of surviving docs re-crawled with new content
 
 
-def _snap_member_spark(tag: str) -> str:
+def _snap_member_spark(tag: str, col: str = "doc_id") -> str:
     return (
-        f"CAST(conv(substr(md5(concat('{tag}:', CAST(doc_id AS STRING))),"
+        f"CAST(conv(substr(md5(concat('{tag}:', CAST({col} AS STRING))),"
         f" 1, 8), 16, 10) AS BIGINT) % {SNAP_MOD} < {SNAP_KEEP}"
     )
 
 
-def _snap_member_duck(tag: str) -> str:
+def _snap_member_duck(tag: str, col: str = "doc_id") -> str:
     return (
-        f"CAST('0x' || substr(md5('{tag}:' || CAST(doc_id AS VARCHAR)),"
+        f"CAST('0x' || substr(md5('{tag}:' || CAST({col} AS VARCHAR)),"
         f" 1, 8) AS BIGINT) % {SNAP_MOD} < {SNAP_KEEP}"
     )
 
@@ -1594,6 +1594,145 @@ ORDER BY b.source
 
 
 # --------------------------------------------------------------------------
+def added_dup_against_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication PROVENANCE of a new dump's added documents: per
+    source, how many of the docs snapshot B added are (a) near-dups of
+    a document already in snapshot A ('recycled' -- the incremental
+    dedup pass will drop them against the existing index), (b)
+    near-dups only of OTHER added docs ('within-dump' templates the
+    shard-local pass catches), or (c) genuinely novel. This is the
+    triage that prices an incremental ingest before it runs:
+    corpus_snapshot_diff bounds how many rows the passes must touch,
+    snapshot_novelty says how much new TEXT is in them, and this says
+    how many of them will survive dedup at all -- recycled_ppm is the
+    fraction the index probe alone removes.
+
+    Scale shape: rides the memoized verified-pair table (_lsh_pairs;
+    never recomputes candidacy), fans each pair into its two
+    directed ends map-side, and evaluates BOTH ends' snapshot
+    memberships as pure md5(doc_id) expressions in place -- no join
+    against any corpus-sized map anywhere (the round-10 rule). The
+    per-doc classification aggregate is bounded by docs-that-have-dups
+    (<= 2x pairs), and the only corpus-sized stage is the per-source
+    added-doc count off the documents scan; the classification joins
+    back to doc sources on doc_id, a keyed exchange AQE is free to
+    broadcast because the classified side is pair-bounded, sublinear
+    in corpus rows.
+
+    A pair end in NEITHER snapshot (the fixture's ~1% holdout) is in
+    neither the base nor the dump and contributes to no class, exactly
+    as if the pair table had been built on the union corpus. Exclusive
+    classes, integer counts, ppm floor quotient -- nothing floats
+    across the engine boundary."""
+    from .dedup import _lsh_pairs
+
+    pairs = _lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.selectExpr(
+        "a_id AS doc_id", "b_id AS other"
+    ).unionAll(pairs.selectExpr("b_id AS doc_id", "a_id AS other"))
+    added_self = (
+        f"({_snap_member_spark('snapB')})"
+        f" AND NOT ({_snap_member_spark('snapA')})"
+    )
+    per_doc = (
+        edges.filter(added_self)
+        .selectExpr(
+            "doc_id",
+            f"CAST({_snap_member_spark('snapA', 'other')} AS INT)"
+            " AS o_base",
+            f"CAST(({_snap_member_spark('snapB', 'other')}) AND NOT"
+            f" ({_snap_member_spark('snapA', 'other')}) AS INT)"
+            " AS o_added",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("o_base").alias("dup_base"),
+            F.max("o_added").alias("dup_added"),
+        )
+    )
+    added = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "source")
+        .filter(added_self)
+    )
+    return (
+        added.join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "source",
+            "CASE WHEN dup_base = 1 THEN 'dup_of_base'"
+            " WHEN dup_added = 1 THEN 'dup_within_dump'"
+            " ELSE 'novel' END AS cls",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_added"),
+            F.sum((F.col("cls") == "dup_of_base").cast("long")).alias(
+                "n_dup_of_base"
+            ),
+            F.sum((F.col("cls") == "dup_within_dump").cast("long")).alias(
+                "n_dup_within_dump"
+            ),
+            F.sum((F.col("cls") == "novel").cast("long")).alias("n_novel"),
+            F.expr(
+                "CAST(sum(CAST(cls = 'dup_of_base' AS LONG)) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("recycled_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _added_dup_sql() -> str:
+    from .dedup import _DUCK_MINHASH_PAIRS_CTES
+
+    added_self = (
+        f"({_snap_member_duck('snapB', 'd.doc_id')})"
+        f" AND NOT ({_snap_member_duck('snapA', 'd.doc_id')})"
+    )
+    return f"""
+WITH {_DUCK_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT a_id AS doc_id, b_id AS other FROM mh_pairs
+  UNION ALL
+  SELECT b_id, a_id FROM mh_pairs
+),
+cls AS (
+  SELECT doc_id,
+         max(CASE WHEN {_snap_member_duck('snapA', 'other')}
+             THEN 1 ELSE 0 END) AS dup_base,
+         max(CASE WHEN ({_snap_member_duck('snapB', 'other')})
+                  AND NOT ({_snap_member_duck('snapA', 'other')})
+             THEN 1 ELSE 0 END) AS dup_added
+  FROM edges
+  WHERE ({_snap_member_duck('snapB')})
+        AND NOT ({_snap_member_duck('snapA')})
+  GROUP BY doc_id
+),
+lab AS (
+  SELECT d.source,
+         CASE WHEN c.dup_base = 1 THEN 'dup_of_base'
+              WHEN c.dup_added = 1 THEN 'dup_within_dump'
+              ELSE 'novel' END AS cl
+  FROM documents d LEFT JOIN cls c ON d.doc_id = c.doc_id
+  WHERE ({added_self})
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN cl = 'dup_of_base' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_of_base,
+       CAST(sum(CASE WHEN cl = 'dup_within_dump' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_within_dump,
+       CAST(sum(CASE WHEN cl = 'novel' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN cl = 'dup_of_base' THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS recycled_ppm
+FROM lab
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Two-real-tables snapshot census: the library form the registry
 # queries above simulate over one table (the driver's fixed corpus
 # can't ship two dumps). A pipeline owner points these at two actual
@@ -1706,6 +1845,7 @@ def snapshot_novelty_frames(
 QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "snapshot_novelty": snapshot_novelty,
+    "added_dup_against_base": added_dup_against_base,
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
     "contamination_check": contamination_check,
@@ -1726,6 +1866,7 @@ QUERIES = {
 ORACLE = {
     "corpus_snapshot_diff": CORPUS_SNAPSHOT_DIFF_SQL,
     "snapshot_novelty": SNAPSHOT_NOVELTY_SQL,
+    "added_dup_against_base": _added_dup_sql(),
     "repetition_stats": REPETITION_STATS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
