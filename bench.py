@@ -160,9 +160,12 @@ HEADLINE = [
     "ann_int8_recall",
     "corpus_snapshot_diff",
     "snapshot_novelty",
-    # round-10 new registration (rule 1): duplication provenance of a
-    # new dump's added docs against the base snapshot
+    # round-10 new registrations (rule 1): duplication provenance of a
+    # new dump's added docs against the base snapshot; the TwoNN
+    # intrinsic-dimension estimate; the max-epoch token allocation plan
     "added_dup_against_base",
+    "intrinsic_dim_twonn",
+    "source_epoch_plan",
 ]
 
 

@@ -63,11 +63,15 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         "shard_overlap", "kmv_source_overlap", "contamination_check",
         "crossdoc_ngram_share", "snapshot_novelty",
         "containment_recall",
-        # NEW round-10 registration: duplication provenance of a new
-        # dump's added docs (recycled-from-base / within-dump / novel)
+        # NEW round-10 registrations: duplication provenance of a new
+        # dump's added docs (recycled-from-base / within-dump / novel
         # -- the third leg of the incremental-ingest pricing triad
-        # with corpus_snapshot_diff and snapshot_novelty
-        "added_dup_against_base",
+        # with corpus_snapshot_diff and snapshot_novelty); the TwoNN
+        # intrinsic-dimension estimate of the embedding manifold; and
+        # the max-epoch-capped token allocation plan (the repeat
+        # dimension source_mixture_plan defers).
+        "added_dup_against_base", "intrinsic_dim_twonn",
+        "source_epoch_plan",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -104,12 +108,13 @@ PRIORITY = [
     #     anomaly (r7), stats (r7), layout (r9 -- its only member);
     "q1_pricing_summary", "join_blowup_probe", "user_value_anomalies",
     "exact_median_by_type", "layout_pruning_stats",
-    # (d) oldest-verdict filler: the round-7 cohort in name order --
-    #     swapped out first if (a) grows later this round
-    #     (bigram_lm_score was displaced by added_dup_against_base).
-    "ann_ivf_topk", "ann_recall_eval",
+    # (d) no filler this round: the three round-10 registrations
+    #     displaced ann_ivf_topk, ann_recall_eval and bigram_lm_score
+    #     (they head the ROUND-11 QUEUE below).
     # ROUND-11 QUEUE (in priority order): round-11 changed code first,
-    # then the rest of the round-7-verdict cohort in name order --
+    # then the round-7-verdict cohort in name order --
+    # ann_ivf_topk, ann_recall_eval, bigram_lm_score (displaced from
+    # this round's filler slots by the three new registrations),
     # bloom_prefilter_stats, chunk_dup_rate, cluster_safe_split,
     # dau_wau_stickiness, dedup_apply_stats, dedup_cluster_density,
     # dedup_containment, dedup_incremental, dedup_minhash_clusters,

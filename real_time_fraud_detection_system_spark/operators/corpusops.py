@@ -466,6 +466,94 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+EPOCH_BUDGET_MULT = 4  # train budget = 4x the corpus's token inventory
+#                        (the data-constrained regime where repeats matter)
+MAX_EPOCHS = 4  # repeated data loses value past ~4 epochs (the
+#                 data-constrained scaling rule); allocation caps there
+
+
+def source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPEAT dimension source_mixture_plan defers: when the
+    training-token budget EXCEEDS a source's inventory, the source
+    repeats for multiple epochs -- but repeated tokens lose value, so
+    allocation caps at {MAX_EPOCHS} epochs (Muennighoff et al. 2023's
+    data-constrained scaling rule) and the capped surplus is emitted
+    as each source's reallocatable shortfall. Budget is
+    {EPOCH_BUDGET_MULT}x the corpus's own token inventory split
+    uniformly across sources, so the plan is scale-invariant: small
+    sources cap, large ones train under one epoch, at any corpus
+    size. Everything is integer token arithmetic (floor DIV shares,
+    milli-epochs) -- nothing floats across the engine boundary.
+
+    Shape: one explode + (source) count agg (the mixture-plan stage),
+    then window arithmetic on the O(sources)-row inventory -- the
+    planning math never touches the corpus again."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    inv = (
+        docs.select("source", F.explode(F.expr(_TOKS)).alias("t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    from pyspark.sql.window import Window
+
+    all_w = Window.partitionBy()
+    share = F.expr(
+        f"CAST(sum(n_tokens) OVER () * {EPOCH_BUDGET_MULT}"
+        " DIV count(*) OVER () AS BIGINT)"
+    )
+    return (
+        inv.select("source", "n_tokens", share.alias("target_tokens"))
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "target_tokens",
+            f"least(target_tokens, {MAX_EPOCHS} * n_tokens)"
+            " AS allocated_tokens",
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "target_tokens",
+            "allocated_tokens",
+            "CAST(allocated_tokens * 1000 DIV n_tokens AS BIGINT)"
+            " AS epochs_milli",
+            "CAST(target_tokens > allocated_tokens AS INT) AS capped",
+            "target_tokens - allocated_tokens AS shortfall_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_EPOCH_PLAN_SQL = f"""
+WITH inv AS (
+  SELECT source, count(*) AS n_tokens
+  FROM (SELECT source, unnest({_DUCK_TOKS}) AS t FROM documents)
+  GROUP BY source
+),
+planned AS (
+  SELECT source, n_tokens,
+         CAST((SELECT sum(n_tokens) FROM inv) * {EPOCH_BUDGET_MULT}
+              // (SELECT count(*) FROM inv) AS BIGINT) AS target_tokens
+  FROM inv
+),
+alloc AS (
+  SELECT source, n_tokens, target_tokens,
+         least(target_tokens, {MAX_EPOCHS} * n_tokens) AS allocated_tokens
+  FROM planned
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       target_tokens,
+       CAST(allocated_tokens AS BIGINT) AS allocated_tokens,
+       CAST(allocated_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli,
+       CAST(target_tokens > allocated_tokens AS INT) AS capped,
+       CAST(target_tokens - allocated_tokens AS BIGINT) AS shortfall_tokens
+FROM alloc
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fluency under a corpus-trained bigram MLE language
     model: avg log P(w2|w1) over the doc's bigrams, with P(w2|w1) =
@@ -1846,6 +1934,7 @@ QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "snapshot_novelty": snapshot_novelty,
     "added_dup_against_base": added_dup_against_base,
+    "source_epoch_plan": source_epoch_plan,
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
     "contamination_check": contamination_check,
@@ -1867,6 +1956,7 @@ ORACLE = {
     "corpus_snapshot_diff": CORPUS_SNAPSHOT_DIFF_SQL,
     "snapshot_novelty": SNAPSHOT_NOVELTY_SQL,
     "added_dup_against_base": _added_dup_sql(),
+    "source_epoch_plan": SOURCE_EPOCH_PLAN_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,

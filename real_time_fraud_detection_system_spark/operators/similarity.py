@@ -2118,7 +2118,125 @@ ORDER BY new_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+TWONN_SAMPLE = 64  # constant-size anchor set at ANY corpus scale
+
+
+def intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding manifold
+    (Facco et al. 2017): for each of {TWONN_SAMPLE} md5-ranked sample
+    points, the ratio mu = r2/r1 of its two nearest-neighbor distances;
+    the MLE is d = n / sum(ln mu). The number an embedding pipeline
+    reads before choosing index parameters and quantization budgets --
+    a 64-dim column whose data lives on a ~9-dim manifold prunes very
+    differently from one that fills the space (IVF cell balance,
+    int8 clipping, and SemDeDup radius all track intrinsic, not
+    ambient, dimension.)
+
+    Scale shape: the sample is a CONSTANT {TWONN_SAMPLE} rows at any
+    corpus size (md5-ranked TakeOrdered -- deterministic, engine-
+    agnostic), so the distance pass is a broadcast-anchor linear scan
+    of the corpus (the ann_cosine_topk pattern) and the only exchange
+    after it carries sample_id-keyed (dist, id) pairs into the top-2
+    ranking. Squared distances come from the bit-exact norm/dot fold
+    (d2 = qn^2 + n^2 - 2*dot, rounded 6dp like every cross-engine
+    cosine here); ln(mu) is summed in 1e-6 fixed point (the
+    dsir/bigram_lm convention), so the estimate is integer-exact
+    across engines. Zero-distance neighbors (exact duplicate vectors)
+    are excluded, per the estimator's definition."""
+    vecs = _vectors(spark, sf_dir)
+    sample = (
+        vecs.withColumn(
+            "sk", F.expr("md5(concat('twonn:', CAST(vec_id AS STRING)))")
+        )
+        .orderBy("sk", "vec_id")
+        .limit(TWONN_SAMPLE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    d2 = F.round(
+        F.col("q_norm") * F.col("q_norm")
+        + F.col("norm") * F.col("norm")
+        - 2 * F.expr(_DOT.format(a="q_emb", b="emb")),
+        6,
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(sample))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") > 0)
+        .select("q_id", "d2", "vec_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    two = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("q_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("r1s"),
+            F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("r2s"),
+        )
+        .filter(F.col("r2s").isNotNull())
+    )
+    return two.select(
+        F.expr(
+            "CAST(round(0.5 * ln(r2s / r1s) * 1000000, 0) AS BIGINT)"
+        ).alias("lnmu_fp")
+    ).agg(
+        F.count("*").alias("n_points"),
+        F.sum("lnmu_fp").alias("sum_log_mu_fp"),
+        F.expr(
+            "CAST(CASE WHEN sum(lnmu_fp) <= 0 THEN 0"
+            " ELSE count(*) * 1000000000 DIV sum(lnmu_fp) END AS BIGINT)"
+        ).alias("id_milli"),
+    )
+
+
+INTRINSIC_DIM_TWONN_SQL = f"""
+WITH vecs AS ({_DUCK_VECTORS}),
+sample AS (
+  SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm
+  FROM vecs
+  ORDER BY md5('twonn:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {TWONN_SAMPLE}
+),
+scored AS (
+  SELECT s.q_id, v.vec_id,
+         round(s.q_norm * s.q_norm + v.norm * v.norm
+               - 2 * ({_DUCK_DOT.format(a='s.q_emb', b='v.emb')}), 6) AS d2
+  FROM sample s, vecs v
+),
+ranked AS (
+  SELECT q_id, d2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY d2 ASC, vec_id ASC) AS rn
+  FROM scored WHERE d2 > 0
+),
+two AS (
+  SELECT q_id,
+         min(CASE WHEN rn = 1 THEN d2 END) AS r1s,
+         min(CASE WHEN rn = 2 THEN d2 END) AS r2s
+  FROM ranked WHERE rn <= 2
+  GROUP BY q_id
+  HAVING min(CASE WHEN rn = 2 THEN d2 END) IS NOT NULL
+),
+fp AS (
+  SELECT CAST(round(0.5 * ln(r2s / r1s) * 1000000, 0) AS BIGINT) AS lnmu_fp
+  FROM two
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(lnmu_fp) AS BIGINT) AS sum_log_mu_fp,
+       CAST(CASE WHEN sum(lnmu_fp) <= 0 THEN 0
+            ELSE count(*) * 1000000000 // sum(lnmu_fp) END AS BIGINT)
+         AS id_milli
+FROM fp
+"""
+
+
 QUERIES = {
+    "intrinsic_dim_twonn": intrinsic_dim_twonn,
     "emb_quantize_int8": emb_quantize_int8,
     "ann_int8_recall": ann_int8_recall,
     "ann_knn_join": ann_knn_join,
@@ -2137,6 +2255,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "intrinsic_dim_twonn": INTRINSIC_DIM_TWONN_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_INT8_SQL,
     "ann_int8_recall": ANN_INT8_RECALL_SQL,
     "ann_knn_join": ANN_KNN_JOIN_SQL,

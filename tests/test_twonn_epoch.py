@@ -1,0 +1,96 @@
+"""intrinsic_dim_twonn (estimator behavior + duplicate exclusion) and
+source_epoch_plan (hand-computed integer arithmetic on a skewed
+corpus) -- the two round-10 planning/geometry operators."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from real_time_fraud_detection_system_spark.operators.corpusops import (
+    source_epoch_plan,
+)
+from real_time_fraud_detection_system_spark.operators.similarity import (
+    intrinsic_dim_twonn,
+)
+
+
+def _write_embeddings(spark, tmp_path, mat, name):
+    sf = tmp_path / name
+    sf.mkdir()
+    rows = [(i, [float(x) for x in mat[i]], 0) for i in range(len(mat))]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(sf / "embeddings.parquet"))
+    return str(sf)
+
+
+def test_twonn_recovers_manifold_dimension(spark, tmp_path):
+    """Points drawn on a 2-D plane embedded in 8-D must read ~2;
+    full-rank 8-D Gaussian points must read much higher. TwoNN only
+    sees local nearest-neighbor ratios, so the estimate tracks the
+    manifold, not the ambient space -- the property the operator
+    exists to measure."""
+    rng = np.random.default_rng(7)
+    basis = rng.normal(size=(2, 8))
+    planar = rng.normal(size=(400, 2)) @ basis
+    full = rng.normal(size=(400, 8))
+
+    sf2 = _write_embeddings(spark, tmp_path, planar, "planar")
+    sf8 = _write_embeddings(spark, tmp_path, full, "full")
+    est2 = intrinsic_dim_twonn(spark, sf2).collect()[0]
+    est8 = intrinsic_dim_twonn(spark, sf8).collect()[0]
+    assert est2["n_points"] == 64
+    assert 1300 <= est2["id_milli"] <= 2900, est2["id_milli"]
+    assert est8["id_milli"] >= 4500, est8["id_milli"]
+    assert est8["id_milli"] > est2["id_milli"]
+
+
+def test_twonn_excludes_zero_distance_duplicates(spark, tmp_path):
+    """Exact duplicate vectors have distance 0 and would blow up the
+    ratio; the estimator's definition drops them from the neighbor
+    ranking (r1 comes from the nearest DISTINCT point)."""
+    pts = np.array(
+        [[0.0, 0.0], [0.0, 0.0], [1.0, 0.0], [3.0, 0.0], [7.0, 0.0]]
+    )
+    sf = _write_embeddings(spark, tmp_path, pts, "dups")
+    row = intrinsic_dim_twonn(spark, sf).collect()[0]
+    # every sampled point found two positive-distance neighbors
+    assert row["n_points"] == 5
+    assert row["sum_log_mu_fp"] > 0
+
+
+def test_source_epoch_plan_integer_arithmetic(spark, tmp_path):
+    """Skewed corpus, every number hand-derived: two sources of 4
+    tokens, one of 40 -- budget = 4 * 48 = 192, uniform share =
+    192 DIV 3 = 64. Small sources cap at 4 epochs (16 tokens),
+    shortfall 48; the big one trains 1.6 epochs uncapped."""
+    rows = (
+        [(i, "a b c d", "en", "small1", 7) for i in range(1)]
+        + [(10 + i, "e f g h", "en", "small2", 7) for i in range(1)]
+        + [(100 + i, "t u v w", "en", "big", 7) for i in range(10)]
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    got = {
+        r["source"]: (
+            r["n_tokens"],
+            r["target_tokens"],
+            r["allocated_tokens"],
+            r["epochs_milli"],
+            r["capped"],
+            r["shortfall_tokens"],
+        )
+        for r in source_epoch_plan(spark, str(sf)).collect()
+    }
+    assert got == {
+        "small1": (4, 64, 16, 4000, 1, 48),
+        "small2": (4, 64, 16, 4000, 1, 48),
+        "big": (40, 64, 64, 1600, 0, 0),
+    }

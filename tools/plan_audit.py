@@ -55,6 +55,18 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #     count bounded by calendar days, not data volume.
 ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_cosine_topk": frozenset({"NLJ"}),
+    # intrinsic_dim_twonn: the NLJ is the TWONN_SAMPLE(=64)-row
+    # md5-ranked anchor broadcast against the corpus linear scan (the
+    # ann_cosine_topk bounded-query pattern -- constant rows at any
+    # corpus size) and the 1PART is the final single-row MLE fold --
+    # the near-scalar summary pattern. The corpus-sized work is the
+    # distance scan and the sample-keyed top-2 exchange (64 x 2 rows).
+    "intrinsic_dim_twonn": frozenset({"NLJ", "1PART"}),
+    # source_epoch_plan: the 1PART is the budget-share window over the
+    # O(sources)-row token inventory -- the source_mixture_plan
+    # near-scalar pattern; the corpus-sized work is the keyed token
+    # count agg before it.
+    "source_epoch_plan": frozenset({"1PART"}),
     # ann_int8_recall: the NLJs are the 1-row [min],[max]-arrays stats
     # broadcast (the scalar-anchor pattern -- dims doubles, ~1 KB at
     # any corpus size) and the two N_QUERIES-row query broadcasts
