@@ -166,6 +166,8 @@ HEADLINE = [
     "added_dup_against_base",
     "intrinsic_dim_twonn",
     "source_epoch_plan",
+    # ...and the per-source quality-PSI leg of the snapshot census
+    "snapshot_quality_drift",
 ]
 
 

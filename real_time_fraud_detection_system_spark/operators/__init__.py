@@ -72,6 +72,11 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # dimension source_mixture_plan defers).
         "added_dup_against_base", "intrinsic_dim_twonn",
         "source_epoch_plan",
+        # snapshot_quality_drift: the QUALITY leg of the census family
+        # (per-source PSI of the quality score between snapshots);
+        # fk_integrity_check gained the embeddings->documents
+        # multimodal alignment relation.
+        "snapshot_quality_drift", "fk_integrity_check",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -101,7 +106,9 @@ PRIORITY = [
     "approx_value_quantiles", "decayed_user_value",
     "deterministic_split", "stratified_sample", "q7_volume_shipping",
     "q2_min_cost_supplier", "q11_important_stock",
-    "q16_parts_supplier_counts", "q20_excess_stock_suppliers",
+    # (q16_parts_supplier_counts and q20_excess_stock_suppliers were
+    #  displaced by the round-10 head growth -- they lead the round-6
+    #  remainder in the ROUND-11 QUEUE)
     # (c) family representatives for the five families (a)+(b) leave
     #     uncovered (tests/test_registry.py gate), preferring the
     #     OLDEST standing verdicts: relational (r7), skew (r7),
@@ -112,9 +119,11 @@ PRIORITY = [
     #     displaced ann_ivf_topk, ann_recall_eval and bigram_lm_score
     #     (they head the ROUND-11 QUEUE below).
     # ROUND-11 QUEUE (in priority order): round-11 changed code first,
-    # then the round-7-verdict cohort in name order --
+    # then q16_parts_supplier_counts and q20_excess_stock_suppliers
+    # (round-6 verdicts displaced by this round's head growth), then
+    # the round-7-verdict cohort in name order --
     # ann_ivf_topk, ann_recall_eval, bigram_lm_score (displaced from
-    # this round's filler slots by the three new registrations),
+    # this round's filler slots by the new registrations),
     # bloom_prefilter_stats, chunk_dup_rate, cluster_safe_split,
     # dau_wau_stickiness, dedup_apply_stats, dedup_cluster_density,
     # dedup_containment, dedup_incremental, dedup_minhash_clusters,

@@ -1821,6 +1821,118 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+QDRIFT_BUCKETS = 10  # fixed 0.1-wide quality bins: reproducible edges
+QDRIFT_ALERT = 0.2  # the standard PSI 'investigate' threshold
+
+
+def snapshot_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUALITY leg of the snapshot census family: per source, the
+    Population Stability Index of the 6-dp quality score between
+    snapshot A's docs and snapshot B's. A new dump whose added docs
+    look fine in volume (corpus_snapshot_diff) and novelty
+    (snapshot_novelty) can still shift the quality distribution --
+    an extractor regression turns boilerplate-heavy, a spam wave
+    floods one domain -- and THIS is the gate that catches it before
+    the mixture plan trains on it.
+
+    Same reproducibility discipline as value_drift_psi: FIXED-width
+    0.1 buckets on the rounded score (quantile edges are engine- and
+    order-sensitive; fixed edges are not), add-0.5 smoothing over each
+    source's observed bucket set, memberships as pure md5(doc_id)
+    expressions evaluated in place. Shape: one scan -> (source,
+    bucket) count agg on a tiny composite key, then window arithmetic
+    over an O(sources x {QDRIFT_BUCKETS}) frame."""
+    from pyspark.sql.window import Window
+
+    from .textops import _quality_expr
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    q = f"round({_quality_expr('spark')}, 6)"
+    bucket = (
+        f"least({QDRIFT_BUCKETS - 1},"
+        f" greatest(0, CAST(floor({q} * {QDRIFT_BUCKETS}) AS INT)))"
+    )
+    counts = (
+        docs.selectExpr(
+            "source",
+            f"{bucket} AS bucket",
+            f"CAST({_snap_member_spark('snapA')} AS INT) AS a",
+            f"CAST({_snap_member_spark('snapB')} AS INT) AS b",
+        )
+        .filter("a = 1 OR b = 1")
+        .groupBy("source", "bucket")
+        .agg(F.sum("a").alias("n_a"), F.sum("b").alias("n_b"))
+    )
+    w = Window.partitionBy("source")
+    p = (F.col("n_a") + 0.5) / (
+        F.sum("n_a").over(w) + 0.5 * F.count("*").over(w)
+    )
+    q2 = (F.col("n_b") + 0.5) / (
+        F.sum("n_b").over(w) + 0.5 * F.count("*").over(w)
+    )
+    stats = counts.select(
+        "source",
+        F.sum("n_a").over(w).alias("n_snap_a"),
+        F.sum("n_b").over(w).alias("n_snap_b"),
+        F.count("*").over(w).alias("n_buckets"),
+        ((q2 - p) * F.log(q2 / p)).alias("term"),
+    )
+    return (
+        stats.groupBy("source", "n_snap_a", "n_snap_b", "n_buckets")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .withColumn("drifted", (F.col("psi") > QDRIFT_ALERT).cast("int"))
+        .orderBy("source")
+    )
+
+
+def _snapshot_quality_drift_sql() -> str:
+    from .textops import _DUCK_QUALITY
+
+    q = f"round({_DUCK_QUALITY}, 6)"
+    bucket = (
+        f"least({QDRIFT_BUCKETS - 1},"
+        f" greatest(0, CAST(floor({q} * {QDRIFT_BUCKETS}) AS INT)))"
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, {bucket} AS bucket,
+         sum(CASE WHEN {_snap_member_duck('snapA')} THEN 1 ELSE 0 END)
+           AS n_a,
+         sum(CASE WHEN {_snap_member_duck('snapB')} THEN 1 ELSE 0 END)
+           AS n_b
+  FROM documents
+  WHERE ({_snap_member_duck('snapA')}) OR ({_snap_member_duck('snapB')})
+  GROUP BY source, bucket
+),
+stats AS (
+  SELECT source,
+         sum(n_a) OVER (PARTITION BY source) AS n_snap_a,
+         sum(n_b) OVER (PARTITION BY source) AS n_snap_b,
+         count(*) OVER (PARTITION BY source) AS n_buckets,
+         ((n_b + 0.5) / (sum(n_b) OVER (PARTITION BY source)
+                         + 0.5 * count(*) OVER (PARTITION BY source))
+          - (n_a + 0.5) / (sum(n_a) OVER (PARTITION BY source)
+                           + 0.5 * count(*) OVER (PARTITION BY source)))
+         * ln(((n_b + 0.5) / (sum(n_b) OVER (PARTITION BY source)
+                              + 0.5 * count(*) OVER (PARTITION BY source)))
+              / ((n_a + 0.5) / (sum(n_a) OVER (PARTITION BY source)
+                                + 0.5 * count(*) OVER (PARTITION BY source))))
+           AS term
+  FROM counts
+)
+SELECT source,
+       CAST(n_snap_a AS BIGINT) AS n_snap_a,
+       CAST(n_snap_b AS BIGINT) AS n_snap_b,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       round(sum(term), 6) AS psi,
+       CAST(round(sum(term), 6) > {QDRIFT_ALERT} AS INT) AS drifted
+FROM stats
+GROUP BY source, n_snap_a, n_snap_b, n_buckets
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Two-real-tables snapshot census: the library form the registry
 # queries above simulate over one table (the driver's fixed corpus
 # can't ship two dumps). A pipeline owner points these at two actual
@@ -1935,6 +2047,7 @@ QUERIES = {
     "snapshot_novelty": snapshot_novelty,
     "added_dup_against_base": added_dup_against_base,
     "source_epoch_plan": source_epoch_plan,
+    "snapshot_quality_drift": snapshot_quality_drift,
     "repetition_stats": repetition_stats,
     "sequence_packing": sequence_packing,
     "contamination_check": contamination_check,
@@ -1957,6 +2070,7 @@ ORACLE = {
     "snapshot_novelty": SNAPSHOT_NOVELTY_SQL,
     "added_dup_against_base": _added_dup_sql(),
     "source_epoch_plan": SOURCE_EPOCH_PLAN_SQL,
+    "snapshot_quality_drift": _snapshot_quality_drift_sql(),
     "repetition_stats": REPETITION_STATS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,

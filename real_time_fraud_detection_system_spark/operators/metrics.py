@@ -560,6 +560,11 @@ FK_RELATIONS: tuple[tuple[str, str, str, str, str], ...] = (
     ("supplier_nationkey", "supplier", "s_nationkey", "nation",
      "n_nationkey"),
     ("nation_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    # the multimodal alignment rule: every embedding row must reference
+    # a document (vec_id IS the doc_id in the 1:1 alignment
+    # dedup_signal_crosstab and the SemDeDup stage depend on) -- an
+    # orphan vector means the doc store and the vector store diverged
+    ("embeddings_vec_doc", "embeddings", "vec_id", "documents", "doc_id"),
 )
 
 

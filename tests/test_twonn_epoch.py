@@ -94,3 +94,50 @@ def test_source_epoch_plan_integer_arithmetic(spark, tmp_path):
         "small2": (4, 64, 16, 4000, 1, 48),
         "big": (40, 64, 64, 1600, 0, 0),
     }
+
+
+def test_snapshot_quality_drift_detects_engineered_shift(spark, tmp_path):
+    """A dump whose ADDED docs are stopword-sludge while the surviving
+    docs are high-quality must alert; a source whose composition is
+    unchanged must not. Membership ids derived from the md5 rule and
+    re-asserted so a constant drift fails loudly."""
+    import hashlib
+
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        snapshot_quality_drift,
+    )
+
+    def in_snap(tag, i):
+        h = hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10 < 9
+
+    both = [0, 1, 3, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 18, 19, 20]
+    b_only = [4, 17, 25, 62, 66, 124, 125, 126]
+    for i in both:
+        assert in_snap("snapA", i) and in_snap("snapB", i)
+    for i in b_only:
+        assert in_snap("snapB", i) and not in_snap("snapA", i)
+
+    good = " ".join(f"w{k}" for k in range(60))  # unique tokens, long
+    bad = "the a of and to in the a of and to in"  # pure stopwords
+    rows = (
+        # drifting source: stable good docs + sludge arriving in B
+        [(i, good, "en", "drifting", len(good)) for i in both]
+        + [(i, bad, "en", "drifting", len(bad)) for i in b_only]
+        # stable source: same-quality docs in both snapshots
+        + [(1000 + i, good, "en", "stable", len(good)) for i in both]
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    got = {
+        r["source"]: (r["psi"], r["drifted"])
+        for r in snapshot_quality_drift(spark, str(sf)).collect()
+    }
+    assert got["drifting"][1] == 1, got
+    assert got["stable"][1] == 0, got
+    assert got["drifting"][0] > got["stable"][0] >= 0.0
