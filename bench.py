@@ -168,6 +168,8 @@ HEADLINE = [
     "source_epoch_plan",
     # ...and the per-source quality-PSI leg of the snapshot census
     "snapshot_quality_drift",
+    # ...and the embedding-space class-separability gate
+    "label_centroid_separation",
 ]
 
 

@@ -2119,6 +2119,172 @@ ORDER BY new_id, rank
 
 
 # --------------------------------------------------------------------------
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class separability of the embedding space: for every label pair,
+    the cosine between the two label centroids (inter-class) next to
+    each side's mean vector-to-own-centroid cosine (intra-class
+    cohesion), and a separable verdict (inter < both intras). The gate
+    run before trusting the label column for classifier training or
+    stratified eval splits -- labels whose centroids cosine higher
+    than their own cohesion are not linearly distinguishable in this
+    space, and a drop in this table after an embedding-model swap is
+    the regression signal.
+
+    EXACT arithmetic end to end (the source_semantic_similarity
+    discipline): vector components quantize to 1e-6 integers, every
+    dot/norm accumulates in DECIMAL/HUGEINT integer space in ANY
+    order, and the single double division + ppm round at the end
+    starts from identical integers on both engines. Scale shape: one
+    posexplode (shuffle-free on the spread partitioning), a
+    (label, dim) keyed centroid agg bounded by |labels| x dims, the
+    per-vector rejoin against that bounded table, and a final
+    |labels|^2 pair join -- nothing corpus-sized ever broadcasts or
+    re-shuffles wider than (vec_id, dim) rows."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    v = emb.selectExpr(
+        "vec_id", "label", "posexplode(embedding) AS (i, x)"
+    ).selectExpr(
+        "vec_id", "label", "i",
+        "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS v",
+    )
+    cent = v.groupBy("label", "i").agg(
+        F.expr("CAST(sum(v) AS DECIMAL(19, 0))").alias("s"),
+        F.count("*").alias("n"),
+    )
+    # per-vector cosine to OWN centroid, all-integer accumulations
+    per_vec = (
+        v.join(cent.select("label", "i", "s"), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr("sum(CAST(v AS DECIMAL(19,0)) * s)").alias("dot"),
+            F.expr(
+                "sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))"
+            ).alias("nv"),
+        )
+    )
+    ns = cent.groupBy("label").agg(
+        F.expr("sum(s * s)").alias("ns2"),
+        F.max("n").alias("n_vecs"),
+    )
+    intra = (
+        per_vec.join(ns, "label")
+        .selectExpr(
+            "label",
+            "CAST(round(CAST(dot AS DOUBLE)"
+            " / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE)))"
+            " * 1000000, 0) AS BIGINT) AS cos_ppm",
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "CAST(round(avg(cos_ppm), 0) AS BIGINT) AS intra_ppm"
+            )
+        )
+        .join(ns.select("label", "n_vecs"), "label")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.expr("sum(a.s * b.s)").alias("dot"),
+            F.expr("sum(a.s * a.s)").alias("na"),
+            F.expr("sum(b.s * b.s)").alias("nb"),
+        )
+        .selectExpr(
+            "label_a",
+            "label_b",
+            "CAST(round(CAST(dot AS DOUBLE)"
+            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+            " * 1000000, 0) AS BIGINT) AS centroid_cos_ppm",
+        )
+    )
+    ia = intra.selectExpr(
+        "label AS label_a", "intra_ppm AS intra_a_ppm",
+        "n_vecs AS n_a",
+    )
+    ib = intra.selectExpr(
+        "label AS label_b", "intra_ppm AS intra_b_ppm",
+        "n_vecs AS n_b",
+    )
+    return (
+        pair.join(ia, "label_a")
+        .join(ib, "label_b")
+        .selectExpr(
+            "label_a", "label_b", "n_a", "n_b", "centroid_cos_ppm",
+            "intra_a_ppm", "intra_b_ppm",
+            "CAST(centroid_cos_ppm < least(intra_a_ppm, intra_b_ppm)"
+            " AS INT) AS separable",
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+LABEL_CENTROID_SEPARATION_SQL = """
+WITH v AS (
+  SELECT vec_id, label, i - 1 AS i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+           AS v
+  FROM (SELECT vec_id, label, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+cent AS (
+  SELECT label, i, CAST(sum(v) AS HUGEINT) AS s, count(*) AS n
+  FROM v GROUP BY label, i
+),
+per_vec AS (
+  SELECT vec_id, a.label,
+         sum(CAST(a.v AS HUGEINT) * c.s) AS dot,
+         sum(CAST(a.v AS HUGEINT) * CAST(a.v AS HUGEINT)) AS nv
+  FROM v a JOIN cent c ON a.label = c.label AND a.i = c.i
+  GROUP BY vec_id, a.label
+),
+ns AS (
+  SELECT label, sum(s * s) AS ns2, max(n) AS n_vecs
+  FROM cent GROUP BY label
+),
+intra AS (
+  SELECT p.label,
+         CAST(round(avg(CAST(round(CAST(dot AS DOUBLE)
+              / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE)))
+              * 1000000, 0) AS BIGINT)), 0) AS BIGINT) AS intra_ppm,
+         max(n_vecs) AS n_vecs
+  FROM per_vec p JOIN ns USING (label)
+  GROUP BY p.label
+),
+pair AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(round(CAST(sum(a.s * b.s) AS DOUBLE)
+              / (sqrt(CAST(sum(a.s * a.s) AS DOUBLE))
+                 * sqrt(CAST(sum(b.s * b.s) AS DOUBLE)))
+              * 1000000, 0) AS BIGINT) AS centroid_cos_ppm
+  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT p.label_a, p.label_b,
+       CAST(ia.n_vecs AS BIGINT) AS n_a,
+       CAST(ib.n_vecs AS BIGINT) AS n_b,
+       p.centroid_cos_ppm,
+       ia.intra_ppm AS intra_a_ppm,
+       ib.intra_ppm AS intra_b_ppm,
+       CAST(p.centroid_cos_ppm < least(ia.intra_ppm, ib.intra_ppm) AS INT)
+         AS separable
+FROM pair p
+JOIN intra ia ON ia.label = p.label_a
+JOIN intra ib ON ib.label = p.label_b
+ORDER BY p.label_a, p.label_b
+"""
+
+
+# --------------------------------------------------------------------------
 TWONN_SAMPLE = 64  # constant-size anchor set at ANY corpus scale
 
 
@@ -2237,6 +2403,7 @@ FROM fp
 
 QUERIES = {
     "intrinsic_dim_twonn": intrinsic_dim_twonn,
+    "label_centroid_separation": label_centroid_separation,
     "emb_quantize_int8": emb_quantize_int8,
     "ann_int8_recall": ann_int8_recall,
     "ann_knn_join": ann_knn_join,
@@ -2256,6 +2423,7 @@ QUERIES = {
 
 ORACLE = {
     "intrinsic_dim_twonn": INTRINSIC_DIM_TWONN_SQL,
+    "label_centroid_separation": LABEL_CENTROID_SEPARATION_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_INT8_SQL,
     "ann_int8_recall": ANN_INT8_RECALL_SQL,
     "ann_knn_join": ANN_KNN_JOIN_SQL,

@@ -141,3 +141,39 @@ def test_snapshot_quality_drift_detects_engineered_shift(spark, tmp_path):
     assert got["drifting"][1] == 1, got
     assert got["stable"][1] == 0, got
     assert got["drifting"][0] > got["stable"][0] >= 0.0
+
+
+def test_label_centroid_separation_engineered_classes(spark, tmp_path):
+    """Two tight clusters on orthogonal directions are separable; a
+    third label sharing the first's direction is not separable from
+    it (centroid cosine ~1 > intra cohesion)."""
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        label_centroid_separation,
+    )
+
+    def jig(i, base):  # tight jitter around a direction
+        out = list(base)
+        out[3] = 0.01 * (i % 3)
+        return out
+
+    ax = [1.0, 0.0, 0.0, 0.0]
+    ay = [0.0, 1.0, 0.0, 0.0]
+    rows = (
+        [(i, jig(i, ax), 0) for i in range(10)]
+        + [(100 + i, jig(i, ay), 1) for i in range(10)]
+        + [(200 + i, jig(i, ax), 2) for i in range(10)]
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    got = {
+        (r["label_a"], r["label_b"]): (r["centroid_cos_ppm"], r["separable"])
+        for r in label_centroid_separation(spark, str(sf)).collect()
+    }
+    assert got[(0, 1)][1] == 1 and got[(1, 2)][1] == 1
+    assert got[(0, 2)][1] == 0  # same direction: not separable
+    assert got[(0, 2)][0] > 990000  # centroids nearly identical
+    assert abs(got[(0, 1)][0]) < 100000  # near-orthogonal
