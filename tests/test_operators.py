@@ -1644,6 +1644,15 @@ def test_fk_integrity_counts_orphans_and_nulls(spark, monkeypatch):
             [(5, 2)], "n_nationkey long, n_regionkey long"
         ),
         "region": spark.createDataFrame([(2,)], "r_regionkey long"),
+        "documents": spark.createDataFrame(
+            [(1, "t")], "doc_id long, text string"
+        ),
+        "embeddings": spark.createDataFrame(
+            # vec 1 aligns to doc 1; vec 8 is an orphan vector (the
+            # doc store and the vector store diverged)
+            [(1, [0.1]), (8, [0.2])],
+            "vec_id long, embedding array<float>",
+        ),
     }
     monkeypatch.setattr(mt, "load_table", lambda s, d, n: tables[n])
     got = {
@@ -1653,6 +1662,7 @@ def test_fk_integrity_counts_orphans_and_nulls(spark, monkeypatch):
     }
     assert got["lineitem_orderkey"] == (4, 1, 2, 500_000)
     assert got["orders_custkey"] == (3, 0, 1, 333_333)
+    assert got["embeddings_vec_doc"] == (2, 0, 1, 500_000)
     for clean in ("lineitem_partkey", "lineitem_suppkey",
                   "customer_nationkey", "supplier_nationkey",
                   "nation_regionkey"):
