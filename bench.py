@@ -170,6 +170,8 @@ HEADLINE = [
     "snapshot_quality_drift",
     # ...and the embedding-space class-separability gate
     "label_centroid_separation",
+    # ...and the deterministic A-Res weighted sampler
+    "weighted_sample_topk",
 ]
 
 

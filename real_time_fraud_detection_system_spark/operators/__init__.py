@@ -81,6 +81,9 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # separability (inter-centroid cosine vs intra cohesion, all
         # integer accumulations) -- the label-column trust gate.
         "label_centroid_separation",
+        # weighted_sample_topk: Efraimidis-Spirakis A-Res weighted
+        # without-replacement sampling, md5-deterministic.
+        "weighted_sample_topk",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -109,10 +112,10 @@ PRIORITY = [
     "clicks_before_errors", "approx_distinct_users",
     "approx_value_quantiles", "decayed_user_value",
     "deterministic_split", "stratified_sample", "q7_volume_shipping",
-    "q2_min_cost_supplier",
-    # (q11_important_stock, q16_parts_supplier_counts and
-    #  q20_excess_stock_suppliers were displaced by the round-10 head
-    #  growth -- they lead the round-6 remainder in the ROUND-11 QUEUE)
+    # (q2_min_cost_supplier, q11_important_stock,
+    #  q16_parts_supplier_counts and q20_excess_stock_suppliers were
+    #  displaced by the round-10 head growth -- they lead the round-6
+    #  remainder in the ROUND-11 QUEUE)
     # (c) family representatives for the five families (a)+(b) leave
     #     uncovered (tests/test_registry.py gate), preferring the
     #     OLDEST standing verdicts: relational (r7), skew (r7),
@@ -123,8 +126,8 @@ PRIORITY = [
     #     displaced ann_ivf_topk, ann_recall_eval and bigram_lm_score
     #     (they head the ROUND-11 QUEUE below).
     # ROUND-11 QUEUE (in priority order): round-11 changed code first,
-    # then q11_important_stock, q16_parts_supplier_counts and
-    # q20_excess_stock_suppliers
+    # then q2_min_cost_supplier, q11_important_stock,
+    # q16_parts_supplier_counts and q20_excess_stock_suppliers
     # (round-6 verdicts displaced by this round's head growth), then
     # the round-7-verdict cohort in name order --
     # ann_ivf_topk, ann_recall_eval, bigram_lm_score (displaced from

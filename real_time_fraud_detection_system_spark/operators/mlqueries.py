@@ -361,6 +361,66 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATIFIED_SAMPLE_SQL = _stratified_sql("duck")
 
 
+# --------------------------------------------------------------------------
+WSAMPLE_K = 5  # sampled docs per source
+
+
+def _wsample_sql(dialect: str) -> str:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement
+    (A-Res), deterministic: each doc draws the md5-uniform u and takes
+    key u^(1/w) with w = n_chars; the top-{WSAMPLE_K} keys per source
+    ARE a without-replacement sample with inclusion probability
+    proportional to weight. Ordering by ln(u)/w is monotone-equivalent
+    to u^(1/w) (both strictly increasing transforms for u in (0,1),
+    w > 0) and numerically safer; the key is emitted in 1e-9 fixed
+    point (the dsir/bigram integer-log convention) so ranking compares
+    identical integers on both engines, doc_id breaking the only
+    possible ties (identical u AND w). This is the
+    mixture-materialization primitive when big documents should be
+    favored: mixture_apply_sample keeps a deterministic FRACTION,
+    this picks a deterministic weighted TOP-K.
+
+    Scale shape: one scan, one per-source top-k window (keyed
+    exchange on source; a source with extreme cardinality takes the
+    part_rankings two-phase partial-top-k variant)."""
+    if dialect == "spark":
+        u = ("CAST(conv(substr(md5(concat('wsample:',"
+             " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    else:
+        u = ("CAST('0x' || substr(md5('wsample:'"
+             " || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)")
+    return f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(round(ln(({u} + 1) / 4294967297.0) / n_chars
+                    * 1000000000, 0) AS BIGINT) AS key_fp
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, key_fp,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY key_fp DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT source, CAST(rank AS INT) AS rank, doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars, key_fp
+FROM ranked WHERE rank <= {WSAMPLE_K}
+ORDER BY source, rank
+"""
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted without-replacement sample (see
+    _wsample_sql)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_wsample_sql("spark"))
+
+
+WEIGHTED_SAMPLE_SQL = _wsample_sql("duck")
+
+
 QUERIES = {
     "training_frame_det": training_frame_det,
     "logit_score": logit_score,
@@ -368,6 +428,7 @@ QUERIES = {
     "threshold_sweep": threshold_sweep,
     "deterministic_split": deterministic_split,
     "stratified_sample": stratified_sample,
+    "weighted_sample_topk": weighted_sample_topk,
 }
 
 ORACLE = {
@@ -377,4 +438,5 @@ ORACLE = {
     "threshold_sweep": THRESHOLD_SWEEP_SQL,
     "deterministic_split": DETERMINISTIC_SPLIT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "weighted_sample_topk": WEIGHTED_SAMPLE_SQL,
 }

@@ -177,3 +177,47 @@ def test_label_centroid_separation_engineered_classes(spark, tmp_path):
     assert got[(0, 2)][1] == 0  # same direction: not separable
     assert got[(0, 2)][0] > 990000  # centroids nearly identical
     assert abs(got[(0, 1)][0]) < 100000  # near-orthogonal
+
+
+def test_weighted_sample_topk_matches_hand_reference(spark, tmp_path):
+    """A-Res keys hand-computed in Python (hashlib + math.log) must
+    reproduce the engine's sample exactly, and heavy docs must
+    dominate the sample (weight-proportional inclusion)."""
+    import hashlib
+    import math
+
+    from real_time_fraud_detection_system_spark.operators.mlqueries import (
+        WSAMPLE_K,
+        weighted_sample_topk,
+    )
+
+    def key_fp(doc_id, w):
+        u = int(
+            hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return round(math.log((u + 1) / 4294967297.0) / w * 1e9)
+
+    # one source: 200 light docs (w=10) + 5 heavy docs (w=10000)
+    rows = [(i, "t", "en", "s", 10) for i in range(200)] + [
+        (1000 + i, "t", "en", "s", 10000) for i in range(5)
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    got = [
+        (r["rank"], r["doc_id"], r["key_fp"])
+        for r in weighted_sample_topk(spark, str(sf)).collect()
+    ]
+    want = sorted(
+        ((key_fp(d, w), d) for d, w in [(r[0], r[4]) for r in rows]),
+        key=lambda kw: (-kw[0], kw[1]),
+    )[:WSAMPLE_K]
+    assert got == [
+        (i + 1, d, k) for i, (k, d) in enumerate(want)
+    ]
+    heavy_sampled = sum(1 for _, d, _k in got if d >= 1000)
+    assert heavy_sampled >= 3  # 1000x weight dominates the sample
