@@ -172,6 +172,8 @@ HEADLINE = [
     "label_centroid_separation",
     # ...and the deterministic A-Res weighted sampler
     "weighted_sample_topk",
+    # ...and the exact (recall-1.0) prefix-filter similarity join
+    "dedup_prefix_filter",
 ]
 
 

@@ -84,6 +84,10 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # weighted_sample_topk: Efraimidis-Spirakis A-Res weighted
         # without-replacement sampling, md5-deterministic.
         "weighted_sample_topk",
+        # dedup_prefix_filter: PPJoin-style EXACT set-similarity join
+        # (prefix + length filters, recall 1.0) -- the provably-
+        # complete complement to the LSH path.
+        "dedup_prefix_filter",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -111,11 +115,12 @@ PRIORITY = [
     "grouping_sets_summary", "asof_click_before_purchase",
     "clicks_before_errors", "approx_distinct_users",
     "approx_value_quantiles", "decayed_user_value",
-    "deterministic_split", "stratified_sample", "q7_volume_shipping",
-    # (q2_min_cost_supplier, q11_important_stock,
-    #  q16_parts_supplier_counts and q20_excess_stock_suppliers were
-    #  displaced by the round-10 head growth -- they lead the round-6
-    #  remainder in the ROUND-11 QUEUE)
+    "deterministic_split", "q7_volume_shipping",
+    # (stratified_sample -- its mlqueries family is covered by
+    #  weighted_sample_topk in the head -- plus q2_min_cost_supplier,
+    #  q11_important_stock, q16_parts_supplier_counts and
+    #  q20_excess_stock_suppliers were displaced by the round-10 head
+    #  growth; they lead the round-6 remainder in the ROUND-11 QUEUE)
     # (c) family representatives for the five families (a)+(b) leave
     #     uncovered (tests/test_registry.py gate), preferring the
     #     OLDEST standing verdicts: relational (r7), skew (r7),
@@ -126,8 +131,9 @@ PRIORITY = [
     #     displaced ann_ivf_topk, ann_recall_eval and bigram_lm_score
     #     (they head the ROUND-11 QUEUE below).
     # ROUND-11 QUEUE (in priority order): round-11 changed code first,
-    # then q2_min_cost_supplier, q11_important_stock,
-    # q16_parts_supplier_counts and q20_excess_stock_suppliers
+    # then stratified_sample, q2_min_cost_supplier,
+    # q11_important_stock, q16_parts_supplier_counts and
+    # q20_excess_stock_suppliers
     # (round-6 verdicts displaced by this round's head growth), then
     # the round-7-verdict cohort in name order --
     # ann_ivf_topk, ann_recall_eval, bigram_lm_score (displaced from

@@ -221,3 +221,64 @@ def test_weighted_sample_topk_matches_hand_reference(spark, tmp_path):
     ]
     heavy_sampled = sum(1 for _, d, _k in got if d >= 1000)
     assert heavy_sampled >= 3  # 1000x weight dominates the sample
+
+
+def test_prefix_filter_is_exact_and_supersets_lsh(spark, sf_dir, tmp_path):
+    """The completeness lemma, executed: prefix-filter pairs must equal
+    BRUTE-FORCE exact-Jaccard pairs on a hand corpus (recall 1.0, the
+    property LSH cannot give), and on the fixture corpus must be a
+    superset of the LSH pairs at the same threshold."""
+    from real_time_fraud_detection_system_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLE_N,
+        dedup_minhash_lsh,
+        dedup_prefix_filter,
+    )
+
+    # hand corpus: near-dup pairs at varying overlap around t=0.5
+    base = [f"w{k}" for k in range(12)]
+    texts = {
+        1: " ".join(base),
+        2: " ".join(base[:10] + ["x1", "x2"]),  # high overlap
+        3: " ".join(base[:6] + [f"y{k}" for k in range(6)]),  # ~boundary
+        4: " ".join(f"z{k}" for k in range(12)),  # disjoint
+        5: " ".join(base),  # exact dup of 1
+    }
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i:i + SHINGLE_N])
+            for i in range(len(toks) - SHINGLE_N + 1)
+        }
+
+    want = []
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= JACCARD_THRESHOLD:
+                want.append((a, b, round(j, 6)))
+    got = [tuple(r) for r in dedup_prefix_filter(spark, str(sf)).collect()]
+    assert got == sorted(want)
+    assert want, "hand corpus must contain qualifying pairs"
+
+    # fixture corpus: exact pairs ⊇ LSH pairs (LSH may miss, never add)
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in dedup_prefix_filter(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    assert exact, "fixture must contain near-dup pairs"
