@@ -174,6 +174,8 @@ HEADLINE = [
     "weighted_sample_topk",
     # ...and the exact (recall-1.0) prefix-filter similarity join
     "dedup_prefix_filter",
+    # ...and BM25 lexical retrieval
+    "bm25_topk",
 ]
 
 

@@ -88,6 +88,9 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # (prefix + length filters, recall 1.0) -- the provably-
         # complete complement to the LSH path.
         "dedup_prefix_filter",
+        # bm25_topk: Okapi BM25 lexical retrieval, fixed-point scored
+        # -- the lexical side of hybrid search next to the ANN family.
+        "bm25_topk",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -115,9 +118,10 @@ PRIORITY = [
     "grouping_sets_summary", "asof_click_before_purchase",
     "clicks_before_errors", "approx_distinct_users",
     "approx_value_quantiles", "decayed_user_value",
-    "deterministic_split", "q7_volume_shipping",
-    # (stratified_sample -- its mlqueries family is covered by
-    #  weighted_sample_topk in the head -- plus q2_min_cost_supplier,
+    "q7_volume_shipping",
+    # (deterministic_split and stratified_sample -- their mlqueries
+    #  family is covered by weighted_sample_topk in the head -- plus
+    #  q2_min_cost_supplier,
     #  q11_important_stock, q16_parts_supplier_counts and
     #  q20_excess_stock_suppliers were displaced by the round-10 head
     #  growth; they lead the round-6 remainder in the ROUND-11 QUEUE)
@@ -131,7 +135,7 @@ PRIORITY = [
     #     displaced ann_ivf_topk, ann_recall_eval and bigram_lm_score
     #     (they head the ROUND-11 QUEUE below).
     # ROUND-11 QUEUE (in priority order): round-11 changed code first,
-    # then stratified_sample, q2_min_cost_supplier,
+    # then deterministic_split, stratified_sample, q2_min_cost_supplier,
     # q11_important_stock, q16_parts_supplier_counts and
     # q20_excess_stock_suppliers
     # (round-6 verdicts displaced by this round's head growth), then

@@ -902,7 +902,106 @@ ORDER BY source
 """.replace("{ZIPF_TOP_RANKS}", str(ZIPF_TOP_RANKS))
 
 
+# --------------------------------------------------------------------------
+BM25_TERMS = ("dup", "join", "window")  # mixed-df fixture query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: the top-{BM25_TOPK} documents for the
+    fixed query {BM25_TERMS} under Okapi BM25 (k1={BM25_K1},
+    b={BM25_B}) -- the LEXICAL side of hybrid search next to the ANN
+    family's semantic side, and the missing retrieval primitive a
+    training-data pipeline uses for targeted corpus audits ('show me
+    the docs about X'). idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form; per-(doc, term) scores
+    quantize to 1e-6 fixed point BEFORE the per-doc sum (the
+    dsir/bigram integer-log convention), so ranking compares identical
+    integers on both engines, doc_id breaking ties.
+
+    Scale shape: one token explode filtered to the |query| terms
+    IMMEDIATELY (the scan's predicate -- everything downstream is
+    O(matching postings), not corpus-sized), per-(doc, term) tf
+    aggregate, N / df / avgdl as one bounded global aggregate joined
+    back broadcast, final TakeOrdered top-{BM25_TOPK}. The per-doc
+    length rides the same scan as a projection."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tok = docs.selectExpr(
+        "doc_id", f"size({_TOKS}) AS dl", f"explode({_TOKS}) AS t"
+    )
+    tf = (
+        tok.filter(f"t IN ({terms})")
+        .groupBy("doc_id", "t", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = docs.selectExpr(
+        "CAST(count(*) AS DOUBLE) AS n_docs",
+        f"CAST(sum(size({_TOKS})) AS DOUBLE)"
+        " / count(*) AS avgdl",
+    )
+    dfc = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfc), "t")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "doc_id",
+            f"""CAST(round(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * ({BM25_K1} + 1.0))
+                 / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * dl / avgdl))
+                 * 1000000, 0) AS BIGINT) AS term_score_fp""",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score_fp").alias("score_fp"))
+    )
+    return (
+        scored.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+        .selectExpr("doc_id", "score_fp")
+    )
+
+
+BM25_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS dl,
+         unnest({_DUCK_TOKS}) AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, t, dl, count(*) AS tf
+  FROM tok WHERE t IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, t, dl
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(len({_DUCK_TOKS})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(CAST(round(
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * tf.dl / s.avgdl))
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_fp
+  FROM tf JOIN dfc f USING (t), stats s
+  GROUP BY doc_id
+)
+SELECT doc_id, score_fp
+FROM scored
+ORDER BY score_fp DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
 QUERIES = {
+    "bm25_topk": bm25_topk,
     "text_stats": text_stats,
     "pii_scrub_stats": pii_scrub_stats,
     "corpus_quality_gate": corpus_quality_gate,
@@ -919,6 +1018,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bm25_topk": BM25_TOPK_SQL,
     "text_stats": TEXT_STATS_SQL,
     "pii_scrub_stats": PII_SCRUB_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,

@@ -282,3 +282,64 @@ def test_prefix_filter_is_exact_and_supersets_lsh(spark, sf_dir, tmp_path):
     }
     assert lsh <= exact
     assert exact, "fixture must contain near-dup pairs"
+
+
+def test_bm25_topk_matches_hand_reference(spark, tmp_path):
+    """Okapi BM25 replayed in Python must reproduce the engine's
+    ranking and fixed-point scores exactly; a doc holding the RARE
+    query term must outrank docs holding only the common one."""
+    import math
+
+    from real_time_fraud_detection_system_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        bm25_topk,
+    )
+
+    texts = {
+        1: "dup alpha beta gamma",          # rare term, short doc
+        2: "join join join alpha beta",     # common term, repeated
+        3: "join window alpha beta gamma",  # two common terms
+        4: "alpha beta gamma delta",        # no query terms
+        5: "join alpha beta gamma delta epsilon zeta eta",  # long doc
+    }
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    n_docs = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df = {
+        t: sum(1 for v in toks.values() if t in v)
+        for t in BM25_TERMS
+    }
+    want = {}
+    for i, v in toks.items():
+        s = 0
+        for t in BM25_TERMS:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(
+                idf * tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(v) / avgdl))
+                * 1e6
+            )
+        if s:
+            want[i] = s
+    got = [
+        (r["doc_id"], r["score_fp"])
+        for r in bm25_topk(spark, str(sf)).collect()
+    ]
+    assert got == sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert 4 not in dict(got)  # no-term doc never scores
+    # one hit of the df=1 term outranks one hit of the df=3 term at
+    # comparable length (idf ordering)
+    assert dict(got)[1] > dict(got)[5]

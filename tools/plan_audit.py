@@ -67,6 +67,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # near-scalar pattern; the corpus-sized work is the keyed token
     # count agg before it.
     "source_epoch_plan": frozenset({"1PART"}),
+    # bm25_topk: the NLJ is the 1-row (n_docs, avgdl) corpus-stats
+    # broadcast into the O(matching postings) scored frame (the
+    # scalar-anchor pattern) and the 1PART is that scalar aggregate's
+    # own exchange; the corpus-sized work is the postings-filtered
+    # token scan and the (doc, term) keyed tf aggregate.
+    "bm25_topk": frozenset({"NLJ", "1PART"}),
     # ann_int8_recall: the NLJs are the 1-row [min],[max]-arrays stats
     # broadcast (the scalar-anchor pattern -- dims doubles, ~1 KB at
     # any corpus size) and the two N_QUERIES-row query broadcasts
