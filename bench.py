@@ -176,6 +176,8 @@ HEADLINE = [
     "dedup_prefix_filter",
     # ...and BM25 lexical retrieval
     "bm25_topk",
+    # ...and U-shaped multi-touch attribution
+    "position_attribution",
 ]
 
 

@@ -91,14 +91,19 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # bm25_topk: Okapi BM25 lexical retrieval, fixed-point scored
         # -- the lexical side of hybrid search next to the ANN family.
         "bm25_topk",
+        # position_attribution: U-shaped multi-touch revenue credit
+        # (40/20/40 in exact ppm, deterministic remainder rule) --
+        # the multi-touch generalization of last_touch_attribution.
+        "position_attribution",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
 
 PRIORITY = [
-    # (a) CHANGED IN ROUND 10 (see _ROUND_CHANGED_BY_ROUND[10]): the
-    #     forced-doc-map-broadcast fix touched these six queries'
-    #     plans, so their round-9 verdicts describe superseded code.
+    # (a) CHANGED IN ROUND 10 (see _ROUND_CHANGED_BY_ROUND[10]): six
+    #     queries whose plans the forced-doc-map-broadcast fix touched
+    #     (their round-9 verdicts describe superseded code) plus the
+    #     ten new round-10 registrations.
     *ROUND_CHANGED,
     # (b) the round-6-verdict cohort -- the oldest standing driver
     #     verdicts in the registry (36 queries; the verdict-union
@@ -117,7 +122,7 @@ PRIORITY = [
     "lapsed_customers_except", "parts_above_brand_avg",
     "grouping_sets_summary", "asof_click_before_purchase",
     "clicks_before_errors", "approx_distinct_users",
-    "approx_value_quantiles", "decayed_user_value",
+    "approx_value_quantiles",
     "q7_volume_shipping",
     # (deterministic_split and stratified_sample -- their mlqueries
     #  family is covered by weighted_sample_topk in the head -- plus
@@ -135,7 +140,8 @@ PRIORITY = [
     #     displaced ann_ivf_topk, ann_recall_eval and bigram_lm_score
     #     (they head the ROUND-11 QUEUE below).
     # ROUND-11 QUEUE (in priority order): round-11 changed code first,
-    # then deterministic_split, stratified_sample, q2_min_cost_supplier,
+    # then decayed_user_value, deterministic_split, stratified_sample,
+    # q2_min_cost_supplier,
     # q11_important_stock, q16_parts_supplier_counts and
     # q20_excess_stock_suppliers
     # (round-6 verdicts displaced by this round's head growth), then

@@ -374,6 +374,134 @@ GROUP BY 1 ORDER BY touch_type
 
 
 # --------------------------------------------------------------------------
+_POS_SHARE = """CASE
+  WHEN m = 1 THEN 1000000
+  WHEN m = 2 THEN 500000
+  WHEN pos = 1 OR pos = m THEN 400000
+  ELSE 200000 DIV (m - 2)
+       + CASE WHEN pos - 1 <= 200000 % (m - 2) THEN 1 ELSE 0 END
+END"""
+
+
+def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch revenue attribution --
+    the multi-touch generalization of last_touch_attribution: each
+    purchase's value splits 40% to the journey's FIRST touch, 40% to
+    its LAST, 20% evenly across the middle (1 touch takes 100%, 2
+    take 50/50, none credits 'direct'). A journey is the user's
+    non-purchase events since their previous purchase, so every touch
+    is credited at most once and every purchase's credit sums to
+    exactly its value.
+
+    Exactness: shares are integer ppm; the even middle split uses
+    floor DIV with the remainder ppm going to the EARLIEST middle
+    touches one-by-one (a deterministic rule both engines replay), so
+    sum(share_ppm) == 1,000,000 per purchase by construction and
+    credited cents fold as exact integers. Equal-timestamp events
+    order non-purchase-first then by event_id -- the
+    last_touch_attribution convention.
+
+    Scale shape: journey ids are ONE user-keyed running sum of prior
+    purchases (the same single shuffle the last-touch form pays);
+    journey length and purchase value attach via (user, journey)
+    keyed joins whose key space is purchases, and the rollup is
+    O(event types)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    tagged = ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "CAST(event_type = 'purchase' AS INT) AS is_p",
+        "event_type",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "is_p", "event_id")
+    jid = (
+        tagged.withColumn(
+            "jid",
+            F.sum("is_p").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn("jid", F.coalesce("jid", F.lit(0)))
+    )
+    touches = (
+        jid.filter("is_p = 0")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("user_id", "jid").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+        .withColumn(
+            "m",
+            F.count("*").over(Window.partitionBy("user_id", "jid")),
+        )
+        .select("user_id", "jid", "event_type", "pos", "m")
+    )
+    purchases = jid.filter("is_p = 1").select("user_id", "jid", "cents")
+    credited = (
+        purchases.join(touches, ["user_id", "jid"], "left")
+        .selectExpr(
+            "coalesce(event_type, 'direct') AS touch_type",
+            f"cents * (CASE WHEN event_type IS NULL THEN 1000000"
+            f" ELSE {_POS_SHARE} END) AS credit_fp",
+        )
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.expr(
+                "CAST(sum(credit_fp) DIV 1000000 AS BIGINT)"
+            ).alias("credited_cents"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+POSITION_ATTRIBUTION_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CAST(event_type = 'purchase' AS INT) AS is_p,
+         event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+),
+jid AS (
+  SELECT *,
+         coalesce(sum(is_p) OVER (PARTITION BY user_id
+                                  ORDER BY ts, is_p, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS jid
+  FROM tagged
+),
+touches AS (
+  SELECT user_id, jid, event_type,
+         row_number() OVER (PARTITION BY user_id, jid
+                            ORDER BY ts, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id, jid) AS m
+  FROM jid WHERE is_p = 0
+),
+credited AS (
+  SELECT coalesce(t.event_type, 'direct') AS touch_type,
+         p.cents * (CASE WHEN t.event_type IS NULL THEN 1000000
+                    ELSE {_POS_SHARE.replace("DIV", "//")} END) AS credit_fp
+  FROM (SELECT user_id, jid, cents FROM jid WHERE is_p = 1) p
+  LEFT JOIN touches t USING (user_id, jid)
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit_fp) // 1000000 AS BIGINT) AS credited_cents
+FROM credited
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+# --------------------------------------------------------------------------
 def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank (type-1) p10/p50/p90 of ``value`` per day:
     rank_q = ceil(q * n / 100) in pure integer math, values in integer
@@ -594,6 +722,7 @@ QUERIES = {
     "exact_median_by_type": exact_median_by_type,
     "time_weighted_value": time_weighted_value,
     "last_touch_attribution": last_touch_attribution,
+    "position_attribution": position_attribution,
     "daily_value_percentiles": daily_value_percentiles,
     "daily_trend_slopes": daily_trend_slopes,
     "event_comovement_corr": event_comovement_corr,
@@ -602,6 +731,7 @@ QUERIES = {
 ORACLE = {
     "exact_median_by_type": EXACT_MEDIAN_SQL,
     "last_touch_attribution": LAST_TOUCH_SQL,
+    "position_attribution": POSITION_ATTRIBUTION_SQL,
     "daily_value_percentiles": DAILY_PCTL_SQL,
     "daily_trend_slopes": DAILY_TREND_SQL,
     "time_weighted_value": TIME_WEIGHTED_SQL,

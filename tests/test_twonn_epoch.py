@@ -343,3 +343,59 @@ def test_bm25_topk_matches_hand_reference(spark, tmp_path):
     # one hit of the df=1 term outranks one hit of the df=3 term at
     # comparable length (idf ordering)
     assert dict(got)[1] > dict(got)[5]
+
+
+def test_position_attribution_hand_journeys(spark, tmp_path, monkeypatch):
+    """Every share branch hand-computed on one user's journeys:
+    0 touches (direct), 1 (100%), 2 (50/50), and 5 (40/20/40 with the
+    middle's floor-DIV remainder going to the EARLIEST middles), and
+    per-purchase credit sums exactly to the purchase value."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.stats as st
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(minute, etype, value=0.0):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=minute), 1, etype,
+                     value, None))
+
+    ev(0, "purchase", 1.00)            # journey 0: no touches -> direct
+    ev(10, "click"); ev(20, "purchase", 2.00)          # 1 touch: 100%
+    ev(30, "click"); ev(40, "view"); ev(50, "purchase", 3.00)  # 50/50
+    for et in ("click", "view", "error", "view", "click"):
+        ev(60 + eid, et)
+    ev(200, "purchase", 3.00)  # 5 touches: 40 / (66667,66667,66666)ppm*20% / 40
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string")
+    monkeypatch.setattr(st, "load_table", lambda s, d, n: df)
+
+    got = {
+        r["touch_type"]: (r["n_touches"], r["credited_cents"])
+        for r in st.position_attribution(spark, "x").collect()
+    }
+    # journey 3 (cents=300): first click 40% = 120; middles view/error/
+    # view split 20% = 60 -> ppm 66667/66667/66666 -> floor cents
+    # 20/20/19 (per-touch credit_fp floors only at the final rollup,
+    # so exactness holds at the fp level; the rollup sums fp first)
+    # per touch_type totals:
+    #   direct: 100
+    #   click: j1 200 + j2 150 + j4 first 120 + j4 last 120 = 590
+    #   view:  j2 150 + j4 middles 300*66667ppm + 300*66666ppm
+    #   error: 300*66667ppm
+    fp = {
+        "direct": 100 * 1000000,
+        "click": 200 * 1000000 + 150 * 1000000 + 120 * 1000000 * 2,
+        "view": 150 * 1000000 + 300 * 66667 + 300 * 66666,
+        "error": 300 * 66667,
+    }
+    want = {k: v // 1000000 for k, v in fp.items()}
+    assert {k: v[1] for k, v in got.items()} == want
+    assert got["click"][0] == 4 and got["view"][0] == 3
+    # the ppm shares of every journey sum to exactly 1e6 (here: the
+    # credited fp across all types equals total purchase cents * 1e6)
+    assert sum(fp.values()) == (100 + 200 + 300 + 300) * 1000000
