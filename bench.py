@@ -178,6 +178,8 @@ HEADLINE = [
     "bm25_topk",
     # ...and U-shaped multi-touch attribution
     "position_attribution",
+    # ...and the opening-path session census
+    "top_session_paths",
 ]
 
 

@@ -95,6 +95,10 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # (40/20/40 in exact ppm, deterministic remainder rule) --
         # the multi-touch generalization of last_touch_attribution.
         "position_attribution",
+        # top_session_paths: path analysis over whole sessions
+        # (opening-path census) -- the journey view next to
+        # event_transition_matrix's one-hop view.
+        "top_session_paths",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -122,7 +126,7 @@ PRIORITY = [
     "lapsed_customers_except", "parts_above_brand_avg",
     "grouping_sets_summary", "asof_click_before_purchase",
     "clicks_before_errors", "approx_distinct_users",
-    "approx_value_quantiles",
+
     "q7_volume_shipping",
     # (deterministic_split and stratified_sample -- their mlqueries
     #  family is covered by weighted_sample_topk in the head -- plus
@@ -140,7 +144,8 @@ PRIORITY = [
     #     displaced ann_ivf_topk, ann_recall_eval and bigram_lm_score
     #     (they head the ROUND-11 QUEUE below).
     # ROUND-11 QUEUE (in priority order): round-11 changed code first,
-    # then decayed_user_value, deterministic_split, stratified_sample,
+    # then approx_value_quantiles, decayed_user_value,
+    # deterministic_split, stratified_sample,
     # q2_min_cost_supplier,
     # q11_important_stock, q16_parts_supplier_counts and
     # q20_excess_stock_suppliers

@@ -1164,7 +1164,98 @@ SELECT CAST(count(*) AS BIGINT) AS n_sampled,
 FROM truth t JOIN sn ON sn.user_id = t.user_id
 """
 
+
+# --------------------------------------------------------------------------
+PATH_MAX_STEPS = 5  # sessions compare by their OPENING path
+PATH_TOPK = 15
+
+
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the {PATH_TOPK} most common within-session
+    event-type sequences (each session keyed by its OPENING path --
+    the first {PATH_MAX_STEPS} steps in (ts, event_id) order, joined
+    with '>'), with session counts and integer-ppm share of all
+    sessions. event_transition_matrix answers 'what follows a click'
+    one hop at a time; this answers 'what do whole journeys look
+    like' -- the product-analytics view that finds dead-end and
+    looping flows.
+
+    Determinism: step order is (ts, event_id) exactly like the
+    sessionizer itself, so equal-timestamp events replay identically;
+    counts and the floor-ppm share are pure integers. Scale shape: the
+    session assignment's ONE user-keyed window, then a per-session
+    collect bounded at {PATH_MAX_STEPS} steps after an in-aggregate
+    sort of the session's own events (per-session frames are
+    gap-bounded), one path-keyed count, and a TakeOrdered top-k; the
+    total-sessions scalar rides a window over the O(distinct paths)
+    rollup, never a second scan."""
+    from pyspark.sql.window import Window as W
+
+    sess = sessionized(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    paths = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.expr(
+                "array_join(transform(slice(sort_array("
+                "collect_list(struct(ts, event_id, event_type))),"
+                f" 1, {PATH_MAX_STEPS}), s -> s.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    rolled = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    total = W.partitionBy()
+    return (
+        rolled.withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST(n_sessions * 1000000 DIV"
+                " sum(n_sessions) OVER () AS BIGINT)"
+            ),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+TOP_SESSION_PATHS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {GAP_MINUTES * 60 * 1000000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM marked
+),
+paths AS (
+  SELECT array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:{PATH_MAX_STEPS}],
+           '>') AS path
+  FROM sessions
+  GROUP BY user_id, session_seq
+),
+rolled AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_sessions * 1000000 // sum(n_sessions) OVER () AS BIGINT)
+         AS share_ppm
+FROM rolled
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOPK}
+"""
+
 QUERIES = {
+    "top_session_paths": top_session_paths,
     "user_sessions": user_sessions,
     "session_summary": session_summary,
     "conversion_funnel": conversion_funnel,
@@ -1179,6 +1270,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "top_session_paths": TOP_SESSION_PATHS_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "session_summary": SESSION_SUMMARY_SQL,
     "conversion_funnel": CONVERSION_FUNNEL_SQL,

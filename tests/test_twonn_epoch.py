@@ -399,3 +399,46 @@ def test_position_attribution_hand_journeys(spark, tmp_path, monkeypatch):
     # the ppm shares of every journey sum to exactly 1e6 (here: the
     # credited fp across all types equals total purchase cents * 1e6)
     assert sum(fp.values()) == (100 + 200 + 300 + 300) * 1000000
+
+
+def test_top_session_paths_hand_sessions(spark, monkeypatch):
+    """Hand-built sessions: gap splits, step ordering with timestamp
+    ties (event_id tie-break), opening-path truncation at 5 steps, and
+    exact floor-ppm shares."""
+    import datetime as dt
+
+    import real_time_fraud_detection_system_spark.operators.sessionize as sz
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, minute, etype):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=minute), user, etype,
+                     1.0, None))
+
+    # user 1, session A: click>view ; session B after 31-min gap: view
+    ev(1, 0, "click"); ev(1, 1, "view"); ev(1, 40, "view")
+    # user 2: same instant events -> event_id order; 7 steps truncate
+    for i, et in enumerate(
+        ("click", "view", "click", "view", "click", "view", "error")
+    ):
+        ev(2, 0 if i < 2 else i, et)
+    # user 3: another click>view session
+    ev(3, 0, "click"); ev(3, 2, "view")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string")
+    monkeypatch.setattr(sz, "load_table", lambda s, d, n: df)
+
+    got = [
+        (r["path"], r["n_sessions"], r["share_ppm"])
+        for r in sz.top_session_paths(spark, "x").collect()
+    ]
+    # 4 sessions total: click>view x2, view x1, truncated 5-step x1
+    assert got == [
+        ("click>view", 2, 500000),
+        ("click>view>click>view>click", 1, 250000),
+        ("view", 1, 250000),
+    ]

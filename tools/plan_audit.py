@@ -73,6 +73,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # own exchange; the corpus-sized work is the postings-filtered
     # token scan and the (doc, term) keyed tf aggregate.
     "bm25_topk": frozenset({"NLJ", "1PART"}),
+    # top_session_paths: the 1PART is the total-sessions window over
+    # the O(distinct paths) rollup -- the source_mixture_plan
+    # near-scalar pattern; the corpus-sized work is the user-keyed
+    # session window and the (user, session) collect before it.
+    "top_session_paths": frozenset({"1PART"}),
     # ann_int8_recall: the NLJs are the 1-row [min],[max]-arrays stats
     # broadcast (the scalar-anchor pattern -- dims doubles, ~1 KB at
     # any corpus size) and the two N_QUERIES-row query broadcasts
