@@ -180,6 +180,8 @@ HEADLINE = [
     "position_attribution",
     # ...and the opening-path session census
     "top_session_paths",
+    # ...and the exactly-replayed HyperLogLog cardinality audit
+    "hll_shingle_cardinality",
 ]
 
 

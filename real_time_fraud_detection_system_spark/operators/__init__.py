@@ -99,6 +99,10 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # (opening-path census) -- the journey view next to
         # event_transition_matrix's one-hop view.
         "top_session_paths",
+        # hll_shingle_cardinality: exactly-replayed HyperLogLog
+        # (integer register fold, linear-counting fallback) -- KMV's
+        # cardinality companion in the shippable-sketch pair.
+        "hll_shingle_cardinality",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -125,7 +129,7 @@ PRIORITY = [
     "multimodal_resize", "unpivot_daily_metrics", "cube_region_segment",
     "lapsed_customers_except", "parts_above_brand_avg",
     "grouping_sets_summary", "asof_click_before_purchase",
-    "clicks_before_errors", "approx_distinct_users",
+    "clicks_before_errors",
 
     "q7_volume_shipping",
     # (deterministic_split and stratified_sample -- their mlqueries
@@ -144,7 +148,8 @@ PRIORITY = [
     #     displaced ann_ivf_topk, ann_recall_eval and bigram_lm_score
     #     (they head the ROUND-11 QUEUE below).
     # ROUND-11 QUEUE (in priority order): round-11 changed code first,
-    # then approx_value_quantiles, decayed_user_value,
+    # then approx_distinct_users, approx_value_quantiles,
+    # decayed_user_value,
     # deterministic_split, stratified_sample,
     # q2_min_cost_supplier,
     # q11_important_stock, q16_parts_supplier_counts and

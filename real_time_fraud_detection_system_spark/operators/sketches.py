@@ -511,13 +511,141 @@ ORDER BY e.src_a, e.src_b
 """
 
 
+# --------------------------------------------------------------------------
+HLL_P = 8  # 2^8 = 256 registers; standard error 1.04/sqrt(m) ~ 6.5%
+_HLL_M = 1 << HLL_P
+
+
+def _rho_ladder(w_sql: str) -> str:
+    """Leading-zero rank of the 52-bit post-bucket hash remainder as a
+    pure integer CASE ladder -- bit-exact in both engines, no float
+    log2 whose rounding could flip at exact powers of two."""
+    branches = " ".join(
+        f"WHEN {w_sql} >= {1 << (52 - r)} THEN {r}" for r in range(1, 53)
+    )
+    return f"CASE {branches} ELSE 53 END"
+
+
+def hll_shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-shingle cardinality per source, EXACTLY
+    replayed: registers come from the same md5-derived 60-bit shingle
+    hashes both engines already share (bucket = h mod {_HLL_M}, rho =
+    leading-zero rank of the remaining 52 bits via an integer CASE
+    ladder), the register fold is the INTEGER sum S2 = sum over
+    buckets of 2^(53 - reg) (empty registers contribute 2^53; max
+    total 2^61, comfortably BIGINT), and the single double step
+    est = alpha * m^2 * 2^53 / S2 -- with the standard linear-counting
+    fallback below 2.5m -- starts from identical integers everywhere.
+    Next to ``kmv_source_overlap`` this completes the sketch pair a
+    dump SHIPS instead of its data: KMV answers overlap BETWEEN dumps,
+    HLL answers size WITHIN one, both mergeable (HLL registers merge
+    by max) and both audited here against the exact count with a
+    signed integer-ppm error.
+
+    Scale shape: rides the memoized per-shingle source census (one
+    map-side explode), a (source, bucket) keyed max -- output bounded
+    at sources x {_HLL_M} rows -- and an O(sources) fold. The exact
+    baseline is the same census's per-source count."""
+    from .dedup import _source_shingle_table
+
+    dist = _source_shingle_table(spark, sf_dir).select(
+        F.explode("ss").alias("source"), "h"
+    )
+    regs = (
+        dist.selectExpr(
+            "source",
+            f"h % {_HLL_M} AS bucket",
+            f"{_rho_ladder(f'(h DIV {_HLL_M})')} AS rho",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    folded = regs.groupBy("source").agg(
+        F.count("*").alias("occupied"),
+        F.expr("sum(CAST(pow(2, 53 - reg) AS BIGINT))").alias("s_occ"),
+    )
+    exact = dist.groupBy("source").agg(F.count("*").alias("n_exact"))
+    alpha = f"(0.7213 / (1 + 1.079 / {_HLL_M}))"
+    est_raw = (
+        f"{alpha} * {_HLL_M} * {_HLL_M} * 9007199254740992.0"
+        f" / (s_occ + ({_HLL_M} - occupied) * 9007199254740992)"
+    )
+    return (
+        folded.join(exact, "source")
+        .selectExpr(
+            "source",
+            "n_exact",
+            f"""CAST(round(CASE
+                 WHEN {est_raw} <= 2.5 * {_HLL_M}
+                      AND occupied < {_HLL_M}
+                 THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                    / ({_HLL_M} - occupied))
+                 ELSE {est_raw} END, 0) AS BIGINT) AS hll_est""",
+        )
+        .selectExpr(
+            "source",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            "hll_est",
+            "CAST((hll_est - n_exact) * 1000000 DIV n_exact AS BIGINT)"
+            " AS err_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+def _hll_sql() -> str:
+    from .corpusops import _DUCK_SH
+
+    rho = _rho_ladder(f"(h // {_HLL_M})")
+    alpha = f"(0.7213 / (1 + 1.079 / {_HLL_M}))"
+    est_raw = (
+        f"{alpha} * {_HLL_M} * {_HLL_M} * 9007199254740992.0"
+        f" / (s_occ + ({_HLL_M} - occupied) * 9007199254740992)"
+    )
+    return f"""
+WITH dist AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform({_DUCK_SH},
+           x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)))) AS h
+  FROM documents
+),
+regs AS (
+  SELECT source, h % {_HLL_M} AS bucket, max({rho}) AS reg
+  FROM dist GROUP BY source, bucket
+),
+folded AS (
+  SELECT source, count(*) AS occupied,
+         CAST(sum(CAST(pow(2, 53 - reg) AS BIGINT)) AS BIGINT) AS s_occ
+  FROM regs GROUP BY source
+),
+exact AS (SELECT source, count(*) AS n_exact FROM dist GROUP BY source),
+est AS (
+  SELECT f.source, e.n_exact,
+         CAST(round(CASE
+           WHEN {est_raw} <= 2.5 * {_HLL_M} AND occupied < {_HLL_M}
+           THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                              / ({_HLL_M} - occupied))
+           ELSE {est_raw} END, 0) AS BIGINT) AS hll_est
+  FROM folded f JOIN exact e USING (source)
+)
+SELECT source,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       hll_est,
+       CAST((hll_est - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
+FROM est
+ORDER BY source
+"""
+
+
 QUERIES = {
     "bloom_prefilter_stats": bloom_prefilter_stats,
     "kmv_source_overlap": kmv_source_overlap,
     "countmin_heavy_hitters": countmin_heavy_hitters,
+    "hll_shingle_cardinality": hll_shingle_cardinality,
 }
 ORACLE = {
     "bloom_prefilter_stats": _bloom_sql(),
     "kmv_source_overlap": _kmv_sql(),
     "countmin_heavy_hitters": _cms_sql(),
+    "hll_shingle_cardinality": _hll_sql(),
 }

@@ -442,3 +442,50 @@ def test_top_session_paths_hand_sessions(spark, monkeypatch):
         ("click>view>click>view>click", 1, 250000),
         ("view", 1, 250000),
     ]
+
+
+def test_hll_shingle_cardinality_bounds_and_linear_counting(
+    spark, sf_dir, tmp_path
+):
+    """The HLL estimate must sit within sketch error of the exact
+    count on every fixture source (a rho/bucket bug throws estimates
+    off by orders of magnitude, not percent), and a tiny corpus must
+    take the linear-counting branch with a value replayed exactly in
+    Python."""
+    import hashlib
+    import math
+
+    from real_time_fraud_detection_system_spark.operators.sketches import (
+        hll_shingle_cardinality,
+    )
+
+    rows = hll_shingle_cardinality(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["err_ppm"]) < 250_000, (r["source"], r["err_ppm"])
+        assert r["hll_est"] > 0
+
+    # linear-counting branch: few shingles, hand-replayed exactly
+    text = "a b c d e f g h i j k l"
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    toks = text.split(" ")
+    shingles = {
+        " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+    }
+    hs = {
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        for s in shingles
+    }
+    occupied = len({h % 256 for h in hs})
+    want = round(256 * math.log(256 / (256 - occupied)))
+    got = hll_shingle_cardinality(spark, str(sf)).collect()
+    assert [(r["source"], r["n_exact"], r["hll_est"]) for r in got] == [
+        ("s", len(hs), want)
+    ]
