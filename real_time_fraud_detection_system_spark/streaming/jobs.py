@@ -456,6 +456,67 @@ def dedup_index_sink_writer(index_dir: str, pairs_dir: str):
     return write_batch
 
 
+def ingest_census_sink_writer(index_dir: str, census_dir: str):
+    """foreachBatch hook over a (doc_id, source, text, n_chars)
+    document stream: per micro-batch, append the per-(source, status)
+    ingest census against the persisted signature index -- status =
+    'added' (doc_id not yet indexed) or 'replayed' (already there) --
+    with doc and char counts. The STREAMING twin of
+    corpus_snapshot_diff's batch census: where the batch form prices a
+    whole dump after it lands, this writes the same triage row-by-row
+    as shards arrive, so an ingest dashboard sees a source's replay
+    mass or volume spike within one trigger instead of at the next
+    dump boundary. Usually composed with dedup_index_sink_writer over
+    the same stream (census first, then the index append).
+
+    Replay-idempotent BY PARTITION: rows carry epoch_id and write with
+    dynamic partition overwrite, so an at-least-once re-delivery of an
+    epoch overwrites its own census rows instead of double-counting
+    (the dedup_index_sink_writer discipline). The membership anti-join
+    probes only the index's doc_id column -- with the index persisted
+    doc_id-bucketed, a shard's census costs the shard, not the
+    corpus."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from ..session import conf_override
+
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "source", "n_chars")
+        try:
+            idx_ids = spark.read.parquet(index_dir).select("doc_id")
+            tagged = docs.join(
+                idx_ids.withColumn("_known", F.lit(1)), "doc_id", "left"
+            )
+        except AnalysisException:  # first batch: no index yet
+            tagged = docs.withColumn("_known", F.lit(None).cast("int"))
+        census = (
+            tagged.selectExpr(
+                "source",
+                "CASE WHEN _known IS NULL THEN 'added'"
+                " ELSE 'replayed' END AS status",
+                "n_chars",
+            )
+            .groupBy("source", "status")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.expr("CAST(sum(n_chars) AS BIGINT)").alias("n_chars"),
+            )
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+        )
+        with conf_override(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            (
+                census.write.mode("overwrite")
+                .partitionBy("epoch_id")
+                .parquet(census_dir)
+            )
+
+    return write_batch
+
+
 def scd2_dimension_sink_writer(
     dim_dir: str, key: str, effective_col: str = "effective_ts"
 ):

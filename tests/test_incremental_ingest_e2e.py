@@ -105,3 +105,68 @@ def test_day2_incremental_ingest_runbook(spark, tmp_path):
     # replay of the same batch adds nothing (crash-retry idempotence)
     writer(added, 1)
     assert spark.read.parquet(idx_dir).count() == docs.count()
+
+
+def test_ingest_census_sink_streams_and_replays(spark, tmp_path):
+    """The streaming census twin: two file micro-batches of docs
+    arrive against a growing persisted index -- batch 0 is all 'added'
+    (empty index), batch 1 splits added/replayed after the index
+    absorbed batch 0; re-delivering an epoch overwrites its own
+    partition instead of double-counting."""
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        dedup_index_sink_writer,
+        ingest_census_sink_writer,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b0 = docs.filter("doc_id % 3 = 0")
+    b1 = docs.filter("doc_id % 3 <= 1")  # overlaps b0 on doc_id % 3 = 0
+
+    idx_dir = str(tmp_path / "idx")
+    census_dir = str(tmp_path / "census")
+    census = ingest_census_sink_writer(idx_dir, census_dir)
+    index = dedup_index_sink_writer(idx_dir, str(tmp_path / "pairs"))
+
+    census(b0, 0)
+    index(b0, 0)
+    census(b1, 1)
+    index(b1, 1)
+
+    got = spark.read.parquet(census_dir)
+    n_e0_rows = got.filter("epoch_id = 0").count()
+    e0 = got.filter("epoch_id = 0").groupBy("status").agg(
+        F.sum("n_docs").alias("n")
+    )
+    assert {(r["status"], r["n"]) for r in e0.collect()} == {
+        ("added", b0.count())
+    }
+    e1 = {
+        r["status"]: r["n"]
+        for r in got.filter("epoch_id = 1")
+        .groupBy("status")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    n_overlap = docs.filter("doc_id % 3 = 0").count()
+    assert e1 == {
+        "added": b1.count() - n_overlap,
+        "replayed": n_overlap,
+    }
+
+    # re-delivery of epoch 1 (now everything is indexed): its census
+    # partition is REWRITTEN, not appended -- and reads all-replayed
+    census(b1, 1)
+    again = {
+        r["status"]: r["n"]
+        for r in spark.read.parquet(census_dir)
+        .filter("epoch_id = 1")
+        .groupBy("status")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    assert again == {"replayed": b1.count()}
+    # epoch 0 rows untouched by the replay
+    assert (
+        spark.read.parquet(census_dir).filter("epoch_id = 0").count()
+        == n_e0_rows
+    )
