@@ -526,6 +526,23 @@ def _rho_ladder(w_sql: str) -> str:
     return f"CASE {branches} ELSE 53 END"
 
 
+def hll_registers(dist: DataFrame) -> DataFrame:
+    """(source, bucket, reg): HLL registers over a (source, h) frame of
+    distinct 60-bit hashes -- the K-bytes-per-source artifact a dump
+    SHIPS. Registers from independent shards MERGE BY MAX (proved in
+    tests against the union build), so per-dump sketches combine
+    without touching the data again."""
+    return (
+        dist.selectExpr(
+            "source",
+            f"h % {_HLL_M} AS bucket",
+            f"{_rho_ladder(f'(h DIV {_HLL_M})')} AS rho",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
 def hll_shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-shingle cardinality per source, EXACTLY
     replayed: registers come from the same md5-derived 60-bit shingle
@@ -551,15 +568,7 @@ def hll_shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = _source_shingle_table(spark, sf_dir).select(
         F.explode("ss").alias("source"), "h"
     )
-    regs = (
-        dist.selectExpr(
-            "source",
-            f"h % {_HLL_M} AS bucket",
-            f"{_rho_ladder(f'(h DIV {_HLL_M})')} AS rho",
-        )
-        .groupBy("source", "bucket")
-        .agg(F.max("rho").alias("reg"))
-    )
+    regs = hll_registers(dist)
     folded = regs.groupBy("source").agg(
         F.count("*").alias("occupied"),
         F.expr("sum(CAST(pow(2, 53 - reg) AS BIGINT))").alias("s_occ"),

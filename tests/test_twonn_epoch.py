@@ -489,3 +489,34 @@ def test_hll_shingle_cardinality_bounds_and_linear_counting(
     assert [(r["source"], r["n_exact"], r["hll_est"]) for r in got] == [
         ("s", len(hs), want)
     ]
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """The mergeable-dump claim, executed: registers built on two
+    disjoint shards and merged by max must equal the registers built
+    on the union -- hence identical estimates without re-reading the
+    data."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.operators.dedup import (
+        _source_shingle_table,
+    )
+    from real_time_fraud_detection_system_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    dist = _source_shingle_table(spark, sf_dir).select(
+        F.explode("ss").alias("source"), "h"
+    )
+    a = dist.filter("h % 2 = 0")
+    b = dist.filter("h % 2 = 1")
+    merged = (
+        hll_registers(a)
+        .unionByName(hll_registers(b))
+        .groupBy("source", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    union_regs = hll_registers(dist)
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in union_regs.collect())
+    assert got == want and want
