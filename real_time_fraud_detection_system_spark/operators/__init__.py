@@ -46,125 +46,83 @@ DRIVER_SAMPLE = 50
 # DETECTABLE, not silent (ADVICE r9): tests/test_registry.py asserts
 # ROUND == 1 + the newest CORRECTNESS_r*.json on disk, so a stale
 # round number fails the suite at round start.
-ROUND = 10
+ROUND = 11
 _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
-    9: [
-        "containment_recall", "pit_event_enrichment",
-        "kmv_source_overlap", "shard_overlap",
-        "lsh_band_sweep", "ann_int8_recall", "corpus_snapshot_diff",
-        "snapshot_novelty",
-    ],
     # round 10: the five queries freed of the forced corpus-sized
-    # doc-map broadcast (source now rides the signature memo;
-    # round-9 verdict What's wrong #1) plus containment_recall,
-    # whose sample-linear size/id hints were dropped for AQE's
-    # size-adaptive join choice.
+    # doc-map broadcast (round-9 verdict What's wrong #1), plus the
+    # ten new round-10 registrations (pricing triad completion, TwoNN,
+    # epoch plan, quality drift PSI, label separation, A-Res sampling,
+    # the exact PPJoin, BM25, position attribution, session paths,
+    # replayed HLL). Kept for the staleness audit trail.
     10: [
         "shard_overlap", "kmv_source_overlap", "contamination_check",
         "crossdoc_ngram_share", "snapshot_novelty",
         "containment_recall",
-        # NEW round-10 registrations: duplication provenance of a new
-        # dump's added docs (recycled-from-base / within-dump / novel
-        # -- the third leg of the incremental-ingest pricing triad
-        # with corpus_snapshot_diff and snapshot_novelty); the TwoNN
-        # intrinsic-dimension estimate of the embedding manifold; and
-        # the max-epoch-capped token allocation plan (the repeat
-        # dimension source_mixture_plan defers).
         "added_dup_against_base", "intrinsic_dim_twonn",
         "source_epoch_plan",
-        # snapshot_quality_drift: the QUALITY leg of the census family
-        # (per-source PSI of the quality score between snapshots);
-        # fk_integrity_check gained the embeddings->documents
-        # multimodal alignment relation.
         "snapshot_quality_drift", "fk_integrity_check",
-        # label_centroid_separation: embedding-space class
-        # separability (inter-centroid cosine vs intra cohesion, all
-        # integer accumulations) -- the label-column trust gate.
         "label_centroid_separation",
-        # weighted_sample_topk: Efraimidis-Spirakis A-Res weighted
-        # without-replacement sampling, md5-deterministic.
         "weighted_sample_topk",
-        # dedup_prefix_filter: PPJoin-style EXACT set-similarity join
-        # (prefix + length filters, recall 1.0) -- the provably-
-        # complete complement to the LSH path.
         "dedup_prefix_filter",
-        # bm25_topk: Okapi BM25 lexical retrieval, fixed-point scored
-        # -- the lexical side of hybrid search next to the ANN family.
         "bm25_topk",
-        # position_attribution: U-shaped multi-touch revenue credit
-        # (40/20/40 in exact ppm, deterministic remainder rule) --
-        # the multi-touch generalization of last_touch_attribution.
         "position_attribution",
-        # top_session_paths: path analysis over whole sessions
-        # (opening-path census) -- the journey view next to
-        # event_transition_matrix's one-hop view.
         "top_session_paths",
-        # hll_shingle_cardinality: exactly-replayed HyperLogLog
-        # (integer register fold, linear-counting fallback) -- KMV's
-        # cardinality companion in the shippable-sketch pair.
         "hll_shingle_cardinality",
+    ],
+    11: [
+        # snapshot_quality_drift: per-bucket PSI terms now quantized
+        # to 1e-9 fixed-point BIGINT before the per-source sum
+        # (ADVICE r10 -- the repo's integer-before-sum convention);
+        # source_epoch_plan: dead Window binding deleted (plan
+        # unchanged; re-attested out of caution).
+        "snapshot_quality_drift", "source_epoch_plan",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
 
 PRIORITY = [
-    # (a) CHANGED IN ROUND 10 (see _ROUND_CHANGED_BY_ROUND[10]): six
-    #     queries whose plans the forced-doc-map-broadcast fix touched
-    #     (their round-9 verdicts describe superseded code) plus the
-    #     ten new round-10 registrations.
+    # (a) CHANGED IN ROUND 11 (see _ROUND_CHANGED_BY_ROUND[11]).
     *ROUND_CHANGED,
-    # (b) the round-6-verdict cohort -- the oldest standing driver
-    #     verdicts in the registry (36 queries; the verdict-union
-    #     histogram after round 9 reads r6=36, r7=48, r8=47, r9=50).
-    #     Exactly the ROUND-10 QUEUE order promised last round:
-    #     daily_metrics/freshness_check/null_id_check/windowed_rates
-    #     first (displaced from the round-9 window by late round-9
-    #     registrations), then the rest in registry order.
-    "daily_metrics", "freshness_check", "null_id_check",
-    "windowed_rates", "hourly_timeseries", "tumbling_15min",
-    "heuristic_score", "feature_extract", "customer_blocking_er",
-    "ann_knn_join", "semantic_dedup_clusters", "pii_scrub_stats",
-    "corpus_quality_gate", "repetition_stats", "sequence_packing",
-    "vocab_coverage", "user_sessions", "conversion_funnel",
-    "multimodal_resize", "unpivot_daily_metrics", "cube_region_segment",
-    "lapsed_customers_except", "parts_above_brand_avg",
-    "grouping_sets_summary", "asof_click_before_purchase",
-    "clicks_before_errors",
-
-    "q7_volume_shipping",
-    # (deterministic_split and stratified_sample -- their mlqueries
-    #  family is covered by weighted_sample_topk in the head -- plus
-    #  q2_min_cost_supplier,
-    #  q11_important_stock, q16_parts_supplier_counts and
-    #  q20_excess_stock_suppliers were displaced by the round-10 head
-    #  growth; they lead the round-6 remainder in the ROUND-11 QUEUE)
-    # (c) family representatives for the five families (a)+(b) leave
+    # (b) the round-6-verdict cohort -- the 9 oldest standing driver
+    #     verdicts (verdict-union histogram after round 10 reads
+    #     r6=9, r7=42, r8=47, r9=44, r10=50) -- exactly the ROUND-11
+    #     QUEUE promised last round;
+    "approx_distinct_users", "approx_value_quantiles",
+    "decayed_user_value", "deterministic_split", "stratified_sample",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_parts_supplier_counts", "q20_excess_stock_suppliers",
+    #     then the round-7 cohort in name order as far as the window
+    #     reaches (32 of 42; survival_weekly rides slot (c) as the
+    #     sessionize rep, and source_token_entropy jumps the name
+    #     order as the only round-7 textops query -- the family gate);
+    "ann_ivf_topk", "ann_recall_eval", "bigram_lm_score",
+    "bloom_prefilter_stats", "chunk_dup_rate", "cluster_safe_split",
+    "dau_wau_stickiness", "dedup_apply_stats", "dedup_cluster_density",
+    "dedup_containment", "dedup_incremental", "dedup_minhash_clusters",
+    "dedup_minhash_lsh", "dedup_signal_crosstab", "doc_chunks",
+    "dsir_importance_bins", "embedding_outliers", "event_type_affinity",
+    "exact_substring_spans", "ivf_cell_stats", "minhash_lsh_recall",
+    "minhash_signatures", "mixture_apply_sample", "moving_avg_revenue",
+    "multimodal_meta", "part_cooccurrence_topk", "part_triangles",
+    "q12_shipping_delay_classes", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "source_token_entropy",
+    # (c) family representatives for the seven families (a)+(b) leave
     #     uncovered (tests/test_registry.py gate), preferring the
-    #     OLDEST standing verdicts: relational (r7), skew (r7),
-    #     anomaly (r7), stats (r7), layout (r9 -- its only member);
-    "q1_pricing_summary", "join_blowup_probe", "user_value_anomalies",
-    "exact_median_by_type", "layout_pruning_stats",
-    # (d) no filler this round: the three round-10 registrations
-    #     displaced ann_ivf_topk, ann_recall_eval and bigram_lm_score
-    #     (they head the ROUND-11 QUEUE below).
-    # ROUND-11 QUEUE (in priority order): round-11 changed code first,
-    # then approx_distinct_users, approx_value_quantiles,
-    # decayed_user_value,
-    # deterministic_split, stratified_sample,
-    # q2_min_cost_supplier,
-    # q11_important_stock, q16_parts_supplier_counts and
-    # q20_excess_stock_suppliers
-    # (round-6 verdicts displaced by this round's head growth), then
-    # the round-7-verdict cohort in name order --
-    # ann_ivf_topk, ann_recall_eval, bigram_lm_score (displaced from
-    # this round's filler slots by the new registrations),
-    # bloom_prefilter_stats, chunk_dup_rate, cluster_safe_split,
-    # dau_wau_stickiness, dedup_apply_stats, dedup_cluster_density,
-    # dedup_containment, dedup_incremental, dedup_minhash_clusters,
-    # dedup_minhash_lsh, dedup_signal_crosstab, doc_chunks,
-    # dsir_importance_bins, and onward (compute the exact staleness
-    # order from the CORRECTNESS_r*.json union at round start) --
-    # then the round-8 cohort.
+    #     OLDEST standing verdicts: sessionize (r7), anomaly (r8),
+    #     metrics (r8), relational (r8), skew (r8), stats (r8),
+    #     layout (r10 -- its only member).
+    "survival_weekly", "benford_first_digit", "dq_expectations",
+    "q10_returned_items", "shuffle_balance_profile",
+    "daily_trend_slopes", "layout_pruning_stats",
+    # ROUND-12 QUEUE (in priority order): round-12 changed code first,
+    # then the round-7 remainder in name order --
+    # q17_small_qty_revenue, q19_disjunctive_revenue,
+    # q22_dormant_high_balance, q8_market_share, q9_profit_by_nation,
+    # source_semantic_similarity,
+    # split_leakage_check, supplier_pagerank, threshold_sweep --
+    # then the round-8 cohort in name order (compute the exact
+    # staleness order from the CORRECTNESS_r*.json union at round
+    # start).
 ]
 
 

@@ -494,9 +494,6 @@ def source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_tokens"))
     )
-    from pyspark.sql.window import Window
-
-    all_w = Window.partitionBy()
     share = F.expr(
         f"CAST(sum(n_tokens) OVER () * {EPOCH_BUDGET_MULT}"
         " DIV count(*) OVER () AS BIGINT)"
@@ -1839,9 +1836,13 @@ def snapshot_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.1 buckets on the rounded score (quantile edges are engine- and
     order-sensitive; fixed edges are not), add-0.5 smoothing over each
     source's observed bucket set, memberships as pure md5(doc_id)
-    expressions evaluated in place. Shape: one scan -> (source,
-    bucket) count agg on a tiny composite key, then window arithmetic
-    over an O(sources x {QDRIFT_BUCKETS}) frame."""
+    expressions evaluated in place. Each bucket's PSI term is
+    quantized to 1e-9 fixed-point BIGINT before the per-source sum
+    (the dsir/bigram/bm25 convention) so cross-engine equality never
+    rides on order-insensitive double summation (ADVICE r10). Shape:
+    one scan -> (source, bucket) count agg on a tiny composite key,
+    then window arithmetic over an O(sources x {QDRIFT_BUCKETS})
+    frame."""
     from pyspark.sql.window import Window
 
     from .textops import _quality_expr
@@ -1875,11 +1876,13 @@ def snapshot_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_a").over(w).alias("n_snap_a"),
         F.sum("n_b").over(w).alias("n_snap_b"),
         F.count("*").over(w).alias("n_buckets"),
-        ((q2 - p) * F.log(q2 / p)).alias("term"),
+        F.round((q2 - p) * F.log(q2 / p) * 1e9, 0)
+        .cast("long")
+        .alias("term_fp"),
     )
     return (
         stats.groupBy("source", "n_snap_a", "n_snap_b", "n_buckets")
-        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .agg(F.round(F.sum("term_fp") / 1e9, 6).alias("psi"))
         .withColumn("drifted", (F.col("psi") > QDRIFT_ALERT).cast("int"))
         .orderBy("source")
     )
@@ -1909,23 +1912,24 @@ stats AS (
          sum(n_a) OVER (PARTITION BY source) AS n_snap_a,
          sum(n_b) OVER (PARTITION BY source) AS n_snap_b,
          count(*) OVER (PARTITION BY source) AS n_buckets,
-         ((n_b + 0.5) / (sum(n_b) OVER (PARTITION BY source)
+         CAST(round((((n_b + 0.5) / (sum(n_b) OVER (PARTITION BY source)
                          + 0.5 * count(*) OVER (PARTITION BY source))
           - (n_a + 0.5) / (sum(n_a) OVER (PARTITION BY source)
                            + 0.5 * count(*) OVER (PARTITION BY source)))
          * ln(((n_b + 0.5) / (sum(n_b) OVER (PARTITION BY source)
                               + 0.5 * count(*) OVER (PARTITION BY source)))
               / ((n_a + 0.5) / (sum(n_a) OVER (PARTITION BY source)
-                                + 0.5 * count(*) OVER (PARTITION BY source))))
-           AS term
+                                + 0.5 * count(*) OVER (PARTITION BY source)))))
+           * 1000000000, 0) AS BIGINT) AS term_fp
   FROM counts
 )
 SELECT source,
        CAST(n_snap_a AS BIGINT) AS n_snap_a,
        CAST(n_snap_b AS BIGINT) AS n_snap_b,
        CAST(n_buckets AS BIGINT) AS n_buckets,
-       round(sum(term), 6) AS psi,
-       CAST(round(sum(term), 6) > {QDRIFT_ALERT} AS INT) AS drifted
+       round(sum(term_fp) / 1000000000.0, 6) AS psi,
+       CAST(round(sum(term_fp) / 1000000000.0, 6) > {QDRIFT_ALERT} AS INT)
+         AS drifted
 FROM stats
 GROUP BY source, n_snap_a, n_snap_b, n_buckets
 ORDER BY source

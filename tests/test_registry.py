@@ -37,16 +37,26 @@ def test_round_changed_is_stamped_for_the_current_round():
     ROUND -- and with it a stale changed-queries list silently keeping
     the headline gate green -- fails here at round start."""
     import glob
+    import os
     import re
 
+    import real_time_fraud_detection_system_spark.operators as ops
     from real_time_fraud_detection_system_spark.operators import ROUND
 
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(ops.__file__)))
+    )
     rounds = [
         int(re.search(r"_r(\d+)\.json$", p).group(1))
-        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
     ]
     assert rounds, "no driver correctness records found"
-    assert ROUND == max(rounds) + 1, (
+    # Two valid states (ADVICE r10): mid-round (ROUND == newest record
+    # + 1) and round-close, after the driver drops this round's record
+    # but before the next round's reset (ROUND == newest record). Only
+    # a FORGOTTEN reset -- ROUND lagging two records behind, or racing
+    # ahead -- fails.
+    assert max(rounds) <= ROUND <= max(rounds) + 1, (
         f"operators.ROUND is {ROUND} but the newest driver record is "
         f"round {max(rounds)} -- reset ROUND/_ROUND_CHANGED_BY_ROUND "
         "for the new round"
