@@ -469,13 +469,19 @@ def ingest_census_sink_writer(index_dir: str, census_dir: str):
     dump boundary. Usually composed with dedup_index_sink_writer over
     the same stream (census first, then the index append).
 
-    Replay-idempotent BY PARTITION: rows carry epoch_id and write with
-    dynamic partition overwrite, so an at-least-once re-delivery of an
-    epoch overwrites its own census rows instead of double-counting
-    (the dedup_index_sink_writer discipline). The membership anti-join
-    probes only the index's doc_id column -- with the index persisted
-    doc_id-bucketed, a shard's census costs the shard, not the
-    corpus."""
+    VALUE-STABLE under at-least-once retry BY FIRST-WRITE-WINS
+    (ADVICE r10): an epoch whose census partition is already committed
+    is skipped outright, so a crash-retry that re-delivers epoch N
+    AFTER the composed index writer already appended N's docs cannot
+    rewrite N's census as all-'replayed' and erase its original
+    'added' mass -- foreachBatch re-delivers the same rows for the
+    same epoch_id, so the committed census is still the truth.
+    (Partition-directory presence implies a successful job commit:
+    dynamic partition overwrite stages under a job-scoped temp dir and
+    moves files only on commit, so a crashed first attempt leaves no
+    partition to defer to.) The membership anti-join probes only the
+    index's doc_id column -- with the index persisted doc_id-bucketed,
+    a shard's census costs the shard, not the corpus."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -483,6 +489,14 @@ def ingest_census_sink_writer(index_dir: str, census_dir: str):
         from ..session import conf_override
 
         spark = batch_df.sparkSession
+        try:  # first write wins: epoch already priced -> keep it
+            prior = spark.read.parquet(census_dir).where(
+                F.col("epoch_id") == int(epoch_id)
+            )
+            if not prior.isEmpty():
+                return
+        except AnalysisException:  # first batch: no census yet
+            pass
         docs = batch_df.select("doc_id", "source", "n_chars")
         try:
             idx_ids = spark.read.parquet(index_dir).select("doc_id")

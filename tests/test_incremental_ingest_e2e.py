@@ -153,8 +153,11 @@ def test_ingest_census_sink_streams_and_replays(spark, tmp_path):
         "replayed": n_overlap,
     }
 
-    # re-delivery of epoch 1 (now everything is indexed): its census
-    # partition is REWRITTEN, not appended -- and reads all-replayed
+    # re-delivery of epoch 1 (now everything is indexed): first write
+    # wins -- the committed census keeps its ORIGINAL added/replayed
+    # split even though the index has since absorbed the epoch's docs
+    # (ADVICE r10: a crash-retry straddling the composed index append
+    # must not erase the epoch's 'added' mass)
     census(b1, 1)
     again = {
         r["status"]: r["n"]
@@ -164,9 +167,20 @@ def test_ingest_census_sink_streams_and_replays(spark, tmp_path):
         .agg(F.sum("n_docs").alias("n"))
         .collect()
     }
-    assert again == {"replayed": b1.count()}
+    assert again == e1
     # epoch 0 rows untouched by the replay
     assert (
         spark.read.parquet(census_dir).filter("epoch_id = 0").count()
         == n_e0_rows
     )
+    # a NEW epoch against the fully-absorbed index still prices fresh
+    census(docs.filter("doc_id % 3 = 2"), 2)
+    e2 = {
+        r["status"]: r["n"]
+        for r in spark.read.parquet(census_dir)
+        .filter("epoch_id = 2")
+        .groupBy("status")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    assert e2 == {"added": docs.filter("doc_id % 3 = 2").count()}
