@@ -166,3 +166,46 @@ def memo_parquet(
         except OSError:
             pass
     return spark.read.parquet(path)
+
+
+def prime_memos(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Build every cross-query memo artifact for ``sf_dir`` up front,
+    returning {tag: build_seconds} (~0 s for an already-fresh entry).
+
+    The steady-state posture BASELINE.md declares is "build the index
+    once per corpus snapshot, probe it from every query" -- but a
+    single-cold measured pass that happens to be the first consumer of
+    an invalidated memo records the ONE-TIME build as that query's
+    cost (round-10 exhibit: kmv_source_overlap 28.7 s recorded in the
+    bench sf10 section vs 2.3 s warm, purely the census memo rebuild
+    forced by a schema change). bench.py calls this before each
+    measured section so the contract line records query cost; the
+    per-tag seconds are the audit trail of what the priming paid.
+
+    Build order follows the artifact DAG (signatures before the
+    census/pairs built on them), so no builder pays a dependency's
+    cost twice."""
+    builders: list[tuple[str, Callable[[], DataFrame]]] = []
+
+    def _add(tag: str, fn: Callable[[], DataFrame]) -> None:
+        builders.append((tag, fn))
+
+    from . import dedup, sketches, tpch_extra
+    from .similarity import semantic_dedup_clusters
+
+    _add("sig", lambda: dedup._sig_table(spark, sf_dir))
+    _add("srcsh", lambda: dedup._source_shingle_table(spark, sf_dir))
+    _add("srcpairs", lambda: dedup._source_pair_overlap(spark, sf_dir))
+    _add("pairs", lambda: dedup._lsh_pairs(spark, sf_dir))
+    _add("rarecand", lambda: dedup._rare_candidates(spark, sf_dir))
+    _add("semlabels", lambda: semantic_dedup_clusters(spark, sf_dir))
+    _add("kmvsketch", lambda: sketches._kmv_sketch_table(spark, sf_dir))
+    _add("orderitems", lambda: tpch_extra._order_items(spark, sf_dir))
+    _add("tradew", lambda: tpch_extra._trade_fwd(spark, sf_dir))
+
+    out: dict[str, float] = {}
+    for tag, fn in builders:
+        t0 = time.time()
+        fn()  # memo_parquet materializes on first call
+        out[tag] = round(time.time() - t0, 3)
+    return out

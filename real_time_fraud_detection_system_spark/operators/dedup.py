@@ -1500,6 +1500,102 @@ def incremental_dedup_pairs_indexed(
     return cross.unionByName(within).orderBy("a_id", "b_id")
 
 
+def tombstone_dedup_index(
+    spark: SparkSession, removed_ids: DataFrame, prefix: str = "dedup_idx"
+) -> int:
+    """Record removed/changed doc_ids against the persisted dedup
+    index WITHOUT rewriting it (the day-2 removal path the round-10
+    verdict ordered; reference parallel: the reference's own
+    drop-after-day-boundary retention delete, Data_quality_checks.py,
+    generalized to the corpus index). Appends the ids to the
+    ``{prefix}_tomb`` side table; ``live_dedup_index`` filters them at
+    probe time and ``compact_dedup_index`` folds them into a rewrite.
+    Idempotent per id (duplicates collapse at read time). Returns the
+    number of NEW tombstones recorded.
+
+    Removal never creates dedup pairs -- a verified pair is decided
+    by its two endpoints alone -- so tombstoning only ever DELETES
+    index rows/edges; that is why an O(removed)-row side table plus
+    an anti-join is exact, with no re-pricing of the corpus."""
+    tomb = f"{prefix}_tomb"
+    ids = removed_ids.select("doc_id").distinct()
+    if spark.catalog.tableExists(tomb):
+        ids = ids.join(spark.table(tomb), "doc_id", "left_anti")
+        ids = ids.localCheckpoint()  # pin: read the table once, pre-append
+        n_new = ids.count()
+        if n_new:
+            ids.write.mode("append").format("parquet").saveAsTable(tomb)
+        return n_new
+    n_new = ids.count()
+    ids.write.format("parquet").saveAsTable(tomb)
+    return n_new
+
+
+def live_dedup_index(
+    spark: SparkSession, prefix: str = "dedup_idx"
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted dedup index MINUS its tombstones: (signature
+    table, band table) views for the probe path. The anti-join's
+    build side is the O(removed)-row tombstone table (AQE broadcasts
+    it at size), so the index side still scans bucketed with zero
+    exchange -- the persist_dedup_index property the plan tests pin
+    -- and a shard probe against a tombstoned index costs the shard
+    plus the tombstone count, never the corpus."""
+    tomb = f"{prefix}_tomb"
+    sig_t = spark.table(f"{prefix}_sig")
+    band_t = spark.table(f"{prefix}_band")
+    if spark.catalog.tableExists(tomb):
+        dead = spark.table(tomb).select("doc_id").distinct()
+        sig_t = sig_t.join(dead, "doc_id", "left_anti")
+        band_t = band_t.join(dead, "doc_id", "left_anti")
+    return sig_t, band_t
+
+
+def compact_dedup_index(
+    spark: SparkSession, prefix: str = "dedup_idx", n_buckets: int = 8
+) -> dict:
+    """Fold the tombstones into the persisted index: rewrite the
+    signature and band tables without the tombstoned doc_ids, drop
+    the tombstone table, and return the exact funnel (rows before /
+    tombstoned / after per table). Run it when the tombstone side
+    table has grown enough that probe-time anti-joins cost more than
+    one rewrite -- the classic LSM compaction trade. The rewrite
+    stages live rows to a scratch parquet dir first (the bucketed
+    rewrite cannot read the table it is overwriting), then re-buckets
+    with the SAME keys/bucket count, so probe plans keep their
+    zero-index-side-exchange shape."""
+    import shutil
+    import tempfile
+
+    from ..storage import write_bucketed
+
+    tomb = f"{prefix}_tomb"
+    funnel: dict = {"prefix": prefix}
+    dead = (
+        spark.table(tomb).select("doc_id").distinct()
+        if spark.catalog.tableExists(tomb)
+        else None
+    )
+    scratch = tempfile.mkdtemp(prefix="dedup_idx_compact_")
+    try:
+        for part, keys in (("sig", ["doc_id"]), ("band", ["band", "bkey"])):
+            t = spark.table(f"{prefix}_{part}")
+            n_before = t.count()
+            live = t.join(dead, "doc_id", "left_anti") if dead is not None else t
+            live.write.parquet(f"{scratch}/{part}")
+            staged = spark.read.parquet(f"{scratch}/{part}")
+            write_bucketed(staged, f"{prefix}_{part}", keys, n_buckets)
+            n_after = spark.table(f"{prefix}_{part}").count()
+            funnel[f"{part}_rows_before"] = n_before
+            funnel[f"{part}_rows_after"] = n_after
+            funnel[f"{part}_rows_dropped"] = n_before - n_after
+        funnel["n_tombstones"] = dead.count() if dead is not None else 0
+        spark.sql(f"DROP TABLE IF EXISTS {tomb}")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return funnel
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry form of the incremental path: treat the deterministic
     ~1/{SHARD_MOD} doc_id split as the arriving shard, the rest as the
@@ -2836,6 +2932,101 @@ ORDER BY custkey_a, custkey_b
 """
 
 
+# --------------------------------------------------------------------------
+def index_tombstone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What tombstoning one dump's removals costs the persisted dedup
+    index -- the registry form of the tombstone/compaction lifecycle
+    (tombstone_dedup_index / live_dedup_index / compact_dedup_index):
+    treating the corpus as the indexed base and the deterministic
+    ~90% md5(doc_id) 'snapB' membership as the next dump, every doc
+    NOT in snapB is removed. One row of exact BIGINT accounting: docs
+    and removals, signature rows tombstoned vs live (a doc carries a
+    signature iff it has >= 1 shingle), the LSH_BANDS-per-signature
+    band rows a compaction drops, and the verified-pair table's
+    invalidated-vs-surviving split (a pair dies iff EITHER endpoint is
+    removed -- removal only deletes edges, the fact that makes the
+    whole tombstone path an anti-join instead of a re-price).
+
+    Shape: three O(1)-row aggregates -- over the doc ids, the
+    memoized signature table, and the memoized pair table (both built
+    once per corpus snapshot) -- cross-joined as bounded scalars.
+    Membership is a pure md5 expression evaluated in place; no join
+    against any doc map. removed_ppm is integer floor-DIV, nothing
+    floats across the engine boundary."""
+    from .corpusops import _snap_member_spark
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    rm_doc = f"NOT ({_snap_member_spark('snapB')})"
+    rm_a = f"NOT ({_snap_member_spark('snapB', 'a_id')})"
+    rm_b = f"NOT ({_snap_member_spark('snapB', 'b_id')})"
+    d = docs.selectExpr(
+        "count(*) AS n_docs",
+        f"sum(CAST({rm_doc} AS BIGINT)) AS n_removed",
+    )
+    s = _sig_table(spark, sf_dir).selectExpr(
+        "count(*) AS n_sigs",
+        f"sum(CAST({rm_doc} AS BIGINT)) AS n_tombstoned_sigs",
+    )
+    p = _lsh_pairs(spark, sf_dir).selectExpr(
+        "count(*) AS n_pairs",
+        f"sum(CAST(({rm_a}) OR ({rm_b}) AS BIGINT)) AS n_pairs_invalidated",
+    )
+    return (
+        d.crossJoin(s)
+        .crossJoin(p)
+        .selectExpr(
+            "n_docs",
+            "n_removed",
+            "n_sigs",
+            "n_tombstoned_sigs",
+            "n_sigs - n_tombstoned_sigs AS n_live_sigs",
+            f"n_tombstoned_sigs * {LSH_BANDS} AS band_rows_dropped",
+            "n_pairs",
+            "n_pairs_invalidated",
+            "n_pairs - n_pairs_invalidated AS n_pairs_live",
+            "n_removed * 1000000 DIV n_docs AS removed_ppm",
+        )
+    )
+
+
+def _index_tombstone_stats_sql() -> str:
+    from .corpusops import _snap_member_duck
+
+    rm_doc = f"NOT ({_snap_member_duck('snapB')})"
+    rm_a = f"NOT ({_snap_member_duck('snapB', 'a_id')})"
+    rm_b = f"NOT ({_snap_member_duck('snapB', 'b_id')})"
+    return f"""
+WITH {_DUCK_MINHASH_PAIRS_CTES},
+d_agg AS (
+  SELECT count(*) AS n_docs,
+         sum(CASE WHEN {rm_doc} THEN 1 ELSE 0 END) AS n_removed
+  FROM documents
+),
+s_agg AS (
+  SELECT count(*) AS n_sigs,
+         sum(CASE WHEN {rm_doc} THEN 1 ELSE 0 END) AS n_tombstoned_sigs
+  FROM sig
+),
+p_agg AS (
+  SELECT count(*) AS n_pairs,
+         sum(CASE WHEN ({rm_a}) OR ({rm_b}) THEN 1 ELSE 0 END)
+           AS n_pairs_invalidated
+  FROM mh_pairs
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_sigs AS BIGINT) AS n_sigs,
+       CAST(n_tombstoned_sigs AS BIGINT) AS n_tombstoned_sigs,
+       CAST(n_sigs - n_tombstoned_sigs AS BIGINT) AS n_live_sigs,
+       CAST(n_tombstoned_sigs * {LSH_BANDS} AS BIGINT) AS band_rows_dropped,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_pairs_invalidated AS BIGINT) AS n_pairs_invalidated,
+       CAST(n_pairs - n_pairs_invalidated AS BIGINT) AS n_pairs_live,
+       CAST(n_removed * 1000000 // n_docs AS BIGINT) AS removed_ppm
+FROM d_agg, s_agg, p_agg
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dup_chao1_estimate": dup_chao1_estimate,
@@ -2850,6 +3041,7 @@ QUERIES = {
     "minhash_est_vs_exact": minhash_est_vs_exact,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_incremental": dedup_incremental,
+    "index_tombstone_stats": index_tombstone_stats,
     "split_leakage_check": split_leakage_check,
     "cluster_safe_split": cluster_safe_split,
     "minhash_lsh_recall": minhash_lsh_recall,
@@ -2878,6 +3070,7 @@ ORACLE = {
     "minhash_est_vs_exact": MINHASH_EST_VS_EXACT_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "index_tombstone_stats": _index_tombstone_stats_sql(),
     "split_leakage_check": SPLIT_LEAKAGE_SQL,
     "cluster_safe_split": CLUSTER_SAFE_SPLIT_SQL,
     "minhash_lsh_recall": MINHASH_LSH_RECALL_SQL,

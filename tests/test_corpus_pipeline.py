@@ -160,10 +160,12 @@ def test_prepare_corpus_incremental_equals_full_rerun(spark, tmp_path):
     assert rows_inc == rows_full
 
 
-def test_prepare_corpus_base_snapshot_fallback_on_changed(spark, tmp_path):
-    """A dump with 'changed' mass (re-crawled text) invalidates base
-    pair reuse: the run must fall back to the full rebuild, say so in
-    the funnel, and still produce the full-run output."""
+def test_prepare_corpus_incremental_on_changed(spark, tmp_path):
+    """A dump with 'changed' mass (re-crawled text) no longer falls
+    back (round-10 verdict Next #4): the changed docs' OLD versions
+    are tombstoned out of the reused base signature/pair artifacts,
+    their NEW versions re-probe like added docs, and the output is
+    byte-identical to the full rebuild."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -177,7 +179,7 @@ def test_prepare_corpus_base_snapshot_fallback_on_changed(spark, tmp_path):
     inc = prepare_corpus(
         spark, SF, str(tmp_path / "fb"), base_snapshot=base_dir
     )
-    assert inc["mode"] == "full_fallback"
+    assert inc["mode"] == "incremental_removals"
     assert inc["census"]["changed"]["n_docs"] == docs.filter(
         "doc_id % 97 = 0"
     ).count()
@@ -185,3 +187,59 @@ def test_prepare_corpus_base_snapshot_fallback_on_changed(spark, tmp_path):
     for k in ("raw_docs", "after_quality", "after_exact_dedup",
               "after_neardup_dedup", "splits"):
         assert inc[k] == full[k], k
+    rows_full = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "fb_full")).collect()
+    )
+    rows_inc = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "fb")).collect()
+    )
+    assert rows_inc == rows_full
+
+
+def test_prepare_corpus_incremental_removed_changed_added(spark, tmp_path):
+    """The general day-2 shape: the base snapshot has docs the new
+    dump REMOVED (tombstoned), docs it CHANGED (old version
+    tombstoned, new version re-probed), and is missing docs the dump
+    ADDED -- all three at once must still price incrementally and
+    reproduce the full rebuild byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # base: 80% of the dump (the rest become 'added'), some texts
+    # perturbed (those become 'changed'), plus synthetic docs absent
+    # from the dump (those become 'removed')
+    kept = docs.filter("doc_id % 5 > 0")
+    perturbed = kept.withColumn(
+        "text",
+        F.expr("CASE WHEN doc_id % 97 = 0 THEN concat(text, ' old') "
+               "ELSE text END"),
+    )
+    ghosts = docs.filter("doc_id % 31 = 0").withColumn(
+        "doc_id", F.expr("doc_id + 10000000")
+    )
+    base = perturbed.unionByName(ghosts)
+    base_dir = _write_base_snapshot(spark, tmp_path, base)
+
+    inc = prepare_corpus(
+        spark, SF, str(tmp_path / "rca"), base_snapshot=base_dir
+    )
+    assert inc["mode"] == "incremental_removals"
+    assert inc["census"]["removed"]["n_docs"] == ghosts.count()
+    assert inc["census"]["changed"]["n_docs"] == kept.filter(
+        "doc_id % 97 = 0"
+    ).count()
+    assert inc["census"]["added"]["n_docs"] == docs.count() - kept.count()
+
+    full = prepare_corpus(spark, SF, str(tmp_path / "rca_full"))
+    for k in ("raw_docs", "after_quality", "after_exact_dedup",
+              "after_neardup_dedup", "splits"):
+        assert inc[k] == full[k], k
+    rows_full = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "rca_full")).collect()
+    )
+    rows_inc = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "rca")).collect()
+    )
+    assert rows_inc == rows_full

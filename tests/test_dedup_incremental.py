@@ -197,3 +197,81 @@ def test_dedup_index_sink_tolerates_empty_batch(spark, sf_dir, tmp_path):
     writer(docs, 1)
     idx = spark.read.parquet(str(tmp_path / "index"))
     assert idx.count() == docs.count()
+
+
+def test_tombstone_live_probe_and_compaction(spark, sf_dir):
+    """The day-2 removal path (round-10 verdict Next #4): tombstoning
+    removed doc_ids must make the persisted index probe EXACTLY as if
+    the index had been rebuilt without them (removal only deletes
+    edges -- a pair is decided by its endpoints alone), tombstoning is
+    idempotent per id, and compaction folds the tombstones into a
+    rewrite whose funnel reconciles row-for-row and whose probe
+    results are unchanged."""
+    from real_time_fraud_detection_system_spark.operators.dedup import (
+        compact_dedup_index,
+        incremental_dedup_pairs_indexed,
+        live_dedup_index,
+        persist_dedup_index,
+        tombstone_dedup_index,
+        LSH_BANDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.expr(_shard_pred_spark())
+    corpus, shard = docs.filter(~is_new), docs.filter(is_new)
+    removed = corpus.filter("doc_id % 7 = 0").select("doc_id")
+    live_corpus = corpus.filter("doc_id % 7 <> 0")
+    try:
+        persist_dedup_index(corpus, prefix="t_tomb_idx")
+        n_removed = removed.count()
+        assert n_removed > 0
+        assert (
+            tombstone_dedup_index(spark, removed, prefix="t_tomb_idx")
+            == n_removed
+        )
+        # idempotent: re-applying the same ids records nothing new
+        assert (
+            tombstone_dedup_index(spark, removed, prefix="t_tomb_idx") == 0
+        )
+
+        sig_t, band_t = live_dedup_index(spark, "t_tomb_idx")
+        new_sigs = signature_index(shard)
+        got = incremental_dedup_pairs_indexed(sig_t, band_t, new_sigs)
+
+        want_sig, want_band = persist_dedup_index(
+            live_corpus, prefix="t_tomb_want"
+        )
+        want = incremental_dedup_pairs_indexed(
+            want_sig, want_band, new_sigs
+        )
+        assert _pairs_set(got) == _pairs_set(want)
+        # no tombstoned endpoint survives in the probe result
+        dead = {r["doc_id"] for r in removed.collect()}
+        for a_id, b_id, _ in _pairs_set(got):
+            assert a_id not in dead and b_id not in dead
+
+        # compaction: funnel reconciles exactly -- the signature table
+        # loses one row per tombstoned doc that had a signature, the
+        # band table LSH_BANDS rows each -- and the tombstone side
+        # table is gone afterwards
+        n_sig_dead = (
+            spark.table("t_tomb_idx_sig")
+            .join(removed, "doc_id", "left_semi")
+            .count()
+        )
+        funnel = compact_dedup_index(spark, "t_tomb_idx")
+        assert funnel["n_tombstones"] == n_removed
+        assert funnel["sig_rows_dropped"] == n_sig_dead
+        assert funnel["band_rows_dropped"] == n_sig_dead * LSH_BANDS
+        assert funnel["sig_rows_before"] - funnel["sig_rows_after"] == n_sig_dead
+        assert not spark.catalog.tableExists("t_tomb_idx_tomb")
+
+        sig2, band2 = live_dedup_index(spark, "t_tomb_idx")
+        got2 = incremental_dedup_pairs_indexed(sig2, band2, new_sigs)
+        assert _pairs_set(got2) == _pairs_set(want)
+    finally:
+        for t in (
+            "t_tomb_idx_sig", "t_tomb_idx_band", "t_tomb_idx_tomb",
+            "t_tomb_want_sig", "t_tomb_want_band",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

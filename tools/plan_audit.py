@@ -55,6 +55,12 @@ from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 #     count bounded by calendar days, not data volume.
 ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_cosine_topk": frozenset({"NLJ"}),
+    # index_tombstone_stats: the NLJs are the crossJoins of three
+    # 1-row aggregate frames (docs / signature memo / pair memo --
+    # the bounded-scalar report pattern) and the 1PART is those
+    # single-row aggregates' own exchanges; the corpus-sized work is
+    # the three conditional-sum scans, each a spread keyed input.
+    "index_tombstone_stats": frozenset({"NLJ", "1PART"}),
     # intrinsic_dim_twonn: the NLJ is the TWONN_SAMPLE(=64)-row
     # md5-ranked anchor broadcast against the corpus linear scan (the
     # ann_cosine_topk bounded-query pattern -- constant rows at any
