@@ -182,10 +182,12 @@ HEADLINE = [
     "top_session_paths",
     # ...and the exactly-replayed HyperLogLog cardinality audit
     "hll_shingle_cardinality",
-    # round-11 new registration (rule 1): the tombstone/compaction
+    # round-11 new registrations (rule 1): the tombstone/compaction
     # accounting of the persisted dedup index (removals leg of the
-    # incremental-ingest story)
+    # incremental-ingest story), and the BM25+IVF reciprocal-rank
+    # hybrid retrieval fusion
     "index_tombstone_stats",
+    "hybrid_topk",
 ]
 
 

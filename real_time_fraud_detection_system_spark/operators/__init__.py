@@ -82,6 +82,11 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # compact_dedup_index -- the removals leg the incremental
         # ingest story was missing; round-10 verdict Next #4).
         "index_tombstone_stats",
+        # NEW round-11 registration: reciprocal-rank fusion of the
+        # BM25 lexical ranking and the IVF semantic ranking
+        # (integer-exact RRF -- the canonical hybrid-search primitive;
+        # round-10 verdict Next #5).
+        "hybrid_topk",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -111,7 +116,7 @@ PRIORITY = [
     "minhash_signatures", "mixture_apply_sample", "moving_avg_revenue",
     "multimodal_meta", "part_cooccurrence_topk", "part_triangles",
     "q12_shipping_delay_classes", "q13_customer_distribution",
-    "q14_promo_revenue", "source_token_entropy",
+    "source_token_entropy",
     # (c) family representatives for the seven families (a)+(b) leave
     #     uncovered (tests/test_registry.py gate), preferring the
     #     OLDEST standing verdicts: sessionize (r7), anomaly (r8),
@@ -122,7 +127,7 @@ PRIORITY = [
     "daily_trend_slopes", "layout_pruning_stats",
     # ROUND-12 QUEUE (in priority order): round-12 changed code first,
     # then the round-7 remainder in name order --
-    # q15_top_supplier, q17_small_qty_revenue,
+    # q14_promo_revenue, q15_top_supplier, q17_small_qty_revenue,
     # q19_disjunctive_revenue,
     # q22_dormant_high_balance, q8_market_share, q9_profit_by_nation,
     # source_semantic_similarity,

@@ -2401,7 +2401,107 @@ FROM fp
 """
 
 
+# --------------------------------------------------------------------------
+HYBRID_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+HYBRID_QVEC = 0  # the query vector fused with the BM25 term query
+HYBRID_TOPK = 20
+
+
+def hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion -- the canonical
+    way an LLM-data pipeline combines its two retrieval primitives
+    for targeted corpus audits: the LEXICAL ranking (textops.bm25_topk
+    -- Okapi BM25 over the fixed term query, postings-filtered at the
+    scan) and the SEMANTIC ranking (ann_ivf_topk's IVF-probed cosine
+    top-{TOPK} for query vector {HYBRID_QVEC}, riding the 1:1
+    doc_id==vec_id alignment fk_integrity_check audits). Fusion is
+    INTEGER-EXACT RRF: each ranking contributes
+    1000000 DIV ({HYBRID_RRF_K} + rank) and a doc absent from one
+    ranking contributes 0 from it -- no doubles cross the engine
+    boundary, and ties break by doc_id.
+
+    Scale shape: both input rankings are already top-K frames (the
+    BM25 TakeOrdered and the IVF probe's per-query top-{TOPK}), so
+    the fusion itself is a full-outer join of two constant-size
+    frames -- free at any corpus size. The corpus-sized work is
+    exactly the two components' own audited plans; in production the
+    semantic side swaps for ann_search over the persisted IVF index
+    (persist_ann_index) and pays no assignment pass at all."""
+    from pyspark.sql.window import Window
+
+    from .textops import bm25_topk
+
+    lex = bm25_topk(spark, sf_dir)
+    w = Window.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w).alias("lex_rank")
+    )
+    sem_r = (
+        ann_ivf_topk(spark, sf_dir)
+        .filter(F.col("q_id") == HYBRID_QVEC)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+    )
+    rrf = (
+        f"CASE WHEN lex_rank IS NULL THEN 0"
+        f" ELSE 1000000 DIV ({HYBRID_RRF_K} + lex_rank) END"
+        f" + CASE WHEN sem_rank IS NULL THEN 0"
+        f" ELSE 1000000 DIV ({HYBRID_RRF_K} + sem_rank) END"
+    )
+    return (
+        lex_r.join(sem_r, "doc_id", "full_outer")
+        .selectExpr(
+            "doc_id",
+            "CAST(COALESCE(lex_rank, 0) AS INT) AS lex_rank",
+            "CAST(COALESCE(sem_rank, 0) AS INT) AS sem_rank",
+            f"CAST({rrf} AS BIGINT) AS rrf_fp",
+        )
+        .orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
+    )
+
+
+def _hybrid_topk_sql() -> str:
+    from .textops import BM25_TOPK_SQL
+
+    return f"""
+WITH lex AS ({BM25_TOPK_SQL}),
+sem AS ({ANN_IVF_TOPK_SQL}),
+lex_r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
+           AS lex_rank
+  FROM lex
+),
+sem_r AS (
+  SELECT neighbor_id AS doc_id, rank AS sem_rank
+  FROM sem WHERE q_id = {HYBRID_QVEC}
+),
+fused AS (
+  SELECT doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(s.sem_rank, 0) AS sem_rank,
+         (CASE WHEN l.lex_rank IS NULL THEN 0
+               ELSE 1000000 // ({HYBRID_RRF_K} + l.lex_rank) END
+          + CASE WHEN s.sem_rank IS NULL THEN 0
+                 ELSE 1000000 // ({HYBRID_RRF_K} + s.sem_rank) END)
+           AS rrf_fp
+  FROM lex_r l FULL OUTER JOIN sem_r s USING (doc_id)
+)
+SELECT doc_id,
+       CAST(lex_rank AS INT) AS lex_rank,
+       CAST(sem_rank AS INT) AS sem_rank,
+       CAST(rrf_fp AS BIGINT) AS rrf_fp
+FROM fused
+ORDER BY rrf_fp DESC, doc_id ASC
+LIMIT {HYBRID_TOPK}
+"""
+
+
 QUERIES = {
+    "hybrid_topk": hybrid_topk,
     "intrinsic_dim_twonn": intrinsic_dim_twonn,
     "label_centroid_separation": label_centroid_separation,
     "emb_quantize_int8": emb_quantize_int8,
@@ -2422,6 +2522,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "hybrid_topk": _hybrid_topk_sql(),
     "intrinsic_dim_twonn": INTRINSIC_DIM_TWONN_SQL,
     "label_centroid_separation": LABEL_CENTROID_SEPARATION_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_INT8_SQL,

@@ -79,6 +79,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # own exchange; the corpus-sized work is the postings-filtered
     # token scan and the (doc, term) keyed tf aggregate.
     "bm25_topk": frozenset({"NLJ", "1PART"}),
+    # hybrid_topk: inherits bm25_topk's scalar-anchor NLJ/1PART; the
+    # GLOBALWIN is the un-partitioned row_number over the BM25
+    # TakeOrdered output -- a CONSTANT {BM25_TOPK}=20-row frame at any
+    # corpus size (the fusion join itself is two top-K frames). The
+    # corpus-sized work is the two components' own audited plans.
+    "hybrid_topk": frozenset({"NLJ", "1PART", "GLOBALWIN"}),
     # top_session_paths: the 1PART is the total-sessions window over
     # the O(distinct paths) rollup -- the source_mixture_plan
     # near-scalar pattern; the corpus-sized work is the user-keyed
