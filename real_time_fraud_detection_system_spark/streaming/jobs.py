@@ -531,6 +531,31 @@ def ingest_census_sink_writer(index_dir: str, census_dir: str):
     return write_batch
 
 
+def tombstone_sink_writer(prefix: str = "dedup_idx"):
+    """foreachBatch hook over a DELETION stream (doc_id rows -- e.g.
+    takedown notices, retention expiries, re-crawl invalidations):
+    each micro-batch records its doc_ids as tombstones against the
+    persisted dedup index (operators.dedup.tombstone_dedup_index), so
+    every subsequent shard probe through live_dedup_index stops
+    matching the dead docs WITHIN ONE TRIGGER of the deletion
+    arriving -- the streaming leg of the tombstone/compaction
+    lifecycle (compaction itself stays a scheduled batch job,
+    compact_dedup_index, the retention_sweep discipline).
+
+    Replay-idempotent BY THE TOMBSTONE'S OWN CONTRACT: appends are
+    anti-join-gated per doc_id, so a re-delivered epoch records
+    nothing new. Empty batches no-op."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.dedup import tombstone_dedup_index
+
+        if batch_df.isEmpty():
+            return
+        tombstone_dedup_index(batch_df.sparkSession, batch_df, prefix)
+
+    return write_batch
+
+
 def scd2_dimension_sink_writer(
     dim_dir: str, key: str, effective_col: str = "effective_ts"
 ):

@@ -275,3 +275,42 @@ def test_tombstone_live_probe_and_compaction(spark, sf_dir):
             "t_tomb_want_sig", "t_tomb_want_band",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_tombstone_sink_writer_streams_deletions(spark, sf_dir):
+    """The streaming leg: deletion micro-batches tombstone the
+    persisted index trigger-by-trigger -- a probe between triggers
+    stops matching the dead docs -- and a re-delivered epoch records
+    nothing new (anti-join idempotence). Empty batches no-op."""
+    from real_time_fraud_detection_system_spark.operators.dedup import (
+        live_dedup_index,
+        persist_dedup_index,
+    )
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        tombstone_sink_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        persist_dedup_index(docs, prefix="t_ts_idx")
+        writer = tombstone_sink_writer(prefix="t_ts_idx")
+
+        b0 = docs.filter("doc_id % 11 = 0").select("doc_id")
+        b1 = docs.filter("doc_id % 11 = 1").select("doc_id")
+        writer(docs.select("doc_id").limit(0), 0)  # idle trigger: no-op
+        assert not spark.catalog.tableExists("t_ts_idx_tomb")
+        writer(b0, 1)
+        sig_t, _ = live_dedup_index(spark, "t_ts_idx")
+        assert sig_t.join(b0, "doc_id", "left_semi").count() == 0
+        n_after_b0 = sig_t.count()
+        writer(b1, 2)
+        sig_t, _ = live_dedup_index(spark, "t_ts_idx")
+        assert sig_t.join(b1, "doc_id", "left_semi").count() == 0
+        assert sig_t.count() < n_after_b0
+        # replay of epoch 1: tombstone table unchanged
+        n_tomb = spark.table("t_ts_idx_tomb").count()
+        writer(b0, 1)
+        assert spark.table("t_ts_idx_tomb").count() == n_tomb
+    finally:
+        for t in ("t_ts_idx_sig", "t_ts_idx_band", "t_ts_idx_tomb"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
