@@ -2180,3 +2180,75 @@ def test_snapshot_novelty_pins_recycled_vs_new_text(spark, monkeypatch):
     assert got["s1"]["n_shingles"] == len(new_toks) - SHINGLE_N + 1
     assert got["s1"]["n_novel"] == got["s1"]["n_shingles"]
     assert got["s1"]["novelty_ppm"] == 1_000_000
+
+
+def test_ann_tombstone_live_and_compact(spark, sf_dir):
+    """The ANN removal path (twin of the dedup index tombstones): a
+    tombstoned vector must vanish from search results within one
+    live_ann_members read, equality must hold against a manual
+    filter of the same member table (centroids fixed, so removal
+    cannot move surviving cells), appends must be idempotent, and
+    compaction must reconcile row-for-row and leave search results
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        ann_search,
+        compact_ann_index,
+        live_ann_members,
+        persist_ann_index,
+        tombstone_ann_index,
+    )
+
+    try:
+        cents, members = persist_ann_index(spark, sf_dir, prefix="t_annt")
+        queries = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter("vec_id < 5")
+            .selectExpr("vec_id", "embedding AS emb")
+        )
+        removed = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter("vec_id % 9 = 7")
+            .select("vec_id")
+        )
+        n_removed = removed.count()
+        assert n_removed > 0
+        assert tombstone_ann_index(spark, removed, prefix="t_annt") == n_removed
+        assert tombstone_ann_index(spark, removed, prefix="t_annt") == 0
+
+        live = live_ann_members(spark, "t_annt")
+        got = [tuple(r) for r in ann_search(cents, live, queries).collect()]
+        manual = members.join(
+            removed.withColumnRenamed("vec_id", "m_id"), "m_id", "left_anti"
+        )
+        want = [
+            tuple(r) for r in ann_search(cents, manual, queries).collect()
+        ]
+        assert got == want
+        dead = {r["vec_id"] for r in removed.collect()}
+        assert not any(r[1] in dead for r in got)
+        # removal must actually change at least one result set
+        before = [
+            tuple(r) for r in ann_search(cents, members, queries).collect()
+        ]
+        assert got != before
+
+        n_member_dead = members.join(
+            removed.withColumnRenamed("vec_id", "m_id"), "m_id", "left_semi"
+        ).count()
+        funnel = compact_ann_index(spark, "t_annt")
+        assert funnel["n_tombstones"] == n_removed
+        assert funnel["members_rows_dropped"] == n_member_dead
+        assert not spark.catalog.tableExists("t_annt_tomb")
+        after = [
+            tuple(r)
+            for r in ann_search(
+                cents, live_ann_members(spark, "t_annt"), queries
+            ).collect()
+        ]
+        assert after == want
+    finally:
+        for t in ("t_annt_cents", "t_annt_members", "t_annt_tomb"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
