@@ -87,6 +87,12 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # (integer-exact RRF -- the canonical hybrid-search primitive;
         # round-10 verdict Next #5).
         "hybrid_topk",
+        # REWRITTEN for scale: the exact set-similarity join gained
+        # PPJoin's positional filter (overlap bound from matching
+        # prefix positions) -- 7.8M -> 2.49M verified candidates,
+        # 21.9 -> 18.6 s at 100x, recall still 1.0 (purely
+        # conservative pruning; brute-force equality re-tested).
+        "dedup_prefix_filter",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -115,7 +121,7 @@ PRIORITY = [
     "exact_substring_spans", "ivf_cell_stats", "minhash_lsh_recall",
     "minhash_signatures", "mixture_apply_sample", "moving_avg_revenue",
     "multimodal_meta", "part_cooccurrence_topk", "part_triangles",
-    "q12_shipping_delay_classes", "q13_customer_distribution",
+    "q12_shipping_delay_classes",
     "source_token_entropy",
     # (c) family representatives for the seven families (a)+(b) leave
     #     uncovered (tests/test_registry.py gate), preferring the
@@ -127,7 +133,8 @@ PRIORITY = [
     "daily_trend_slopes", "layout_pruning_stats",
     # ROUND-12 QUEUE (in priority order): round-12 changed code first,
     # then the round-7 remainder in name order --
-    # q14_promo_revenue, q15_top_supplier, q17_small_qty_revenue,
+    # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
+    # q17_small_qty_revenue,
     # q19_disjunctive_revenue,
     # q22_dormant_high_balance, q8_market_share, q9_profit_by_nation,
     # source_semantic_similarity,
