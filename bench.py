@@ -400,6 +400,17 @@ def _spawn(args: list[str], timeout_s: float) -> dict | None:
             last = json.loads(ln)
         except ValueError:
             pass
+    if last is None:
+        # a crashed child previously recorded only "died/timed out"
+        # with no cause (the round-11 ingest checkpoint-cleanup race
+        # took three bench runs to diagnose for exactly this reason);
+        # surface the stderr tail on the evidence stream
+        tail = [
+            ln for ln in (proc.stderr or "").splitlines()
+            if ln.strip() and not ln.startswith("\tat ")
+        ][-12:]
+        if tail:
+            print(json.dumps({"child_stderr_tail": tail}), flush=True)
     return last
 
 
