@@ -685,9 +685,10 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured at the 100x scale test: 500k docs -> 13.4M prefix tokens
     -> 7.8M length-filtered pairs -> 2.49M positional survivors (vs
     the 125 BILLION of brute force -- ~50,000x pruned with zero
-    recall loss), 18.6 s end to end best-of-3 (was 21.9 s without
-    the positional lemma; the residual cost is the prefix self-join
-    and the doc-keyed ranking window, not verification)."""
+    recall loss), 18.6-21.1 s end to end across best-of-N passes
+    (was 21.9 s minimum without the positional lemma; the residual
+    cost is the prefix self-join and the doc-keyed ranking window,
+    not verification)."""
     from pyspark.sql.window import Window
 
     t = JACCARD_THRESHOLD
@@ -734,7 +735,13 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("a_id", "b_id")
         .agg(F.max("bound").alias("best"), F.max("ns").alias("ns"))
-        .filter(F.col("best") >= F.lit(t / (1.0 + t)) * F.col("ns"))
+        # keep iff Jaccard AT the bound passes the very comparison the
+        # verify step runs (J monotone in overlap, so o <= best means
+        # J(o) <= J(best)) -- NOT the algebraic rearrangement
+        # best >= t/(1+t)*ns, whose product rounding can exceed the
+        # exact threshold for ns divisible by (1+t)/t and prune a
+        # boundary pair the verify would keep
+        .filter(F.col("best") / (F.col("ns") - F.col("best")) >= F.lit(t))
         .select("a_id", "b_id")
     )
     sa = sig.select(F.col("doc_id").alias("a_id"), F.col("hsh").alias("ha"))
