@@ -46,29 +46,8 @@ DRIVER_SAMPLE = 50
 # DETECTABLE, not silent (ADVICE r9): tests/test_registry.py asserts
 # ROUND == 1 + the newest CORRECTNESS_r*.json on disk, so a stale
 # round number fails the suite at round start.
-ROUND = 11
+ROUND = 12
 _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
-    # round 10: the five queries freed of the forced corpus-sized
-    # doc-map broadcast (round-9 verdict What's wrong #1), plus the
-    # ten new round-10 registrations (pricing triad completion, TwoNN,
-    # epoch plan, quality drift PSI, label separation, A-Res sampling,
-    # the exact PPJoin, BM25, position attribution, session paths,
-    # replayed HLL). Kept for the staleness audit trail.
-    10: [
-        "shard_overlap", "kmv_source_overlap", "contamination_check",
-        "crossdoc_ngram_share", "snapshot_novelty",
-        "containment_recall",
-        "added_dup_against_base", "intrinsic_dim_twonn",
-        "source_epoch_plan",
-        "snapshot_quality_drift", "fk_integrity_check",
-        "label_centroid_separation",
-        "weighted_sample_topk",
-        "dedup_prefix_filter",
-        "bm25_topk",
-        "position_attribution",
-        "top_session_paths",
-        "hll_shingle_cardinality",
-    ],
     11: [
         # snapshot_quality_drift: per-bucket PSI terms now quantized
         # to 1e-9 fixed-point BIGINT before the per-source sum
@@ -94,52 +73,56 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # conservative pruning; brute-force equality re-tested).
         "dedup_prefix_filter",
     ],
+    # Round 12: seeded at round open; grows as operators land (the
+    # persisted lexical index family, multimodal perceptual-hash
+    # dedup -- round-11 verdict Next #3/#4).
+    12: [],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
 
 PRIORITY = [
-    # (a) CHANGED IN ROUND 11 (see _ROUND_CHANGED_BY_ROUND[11]).
+    # (a) CHANGED IN ROUND 12 (see _ROUND_CHANGED_BY_ROUND[12]) --
+    #     grows as round-12 operators land; filler drops from the
+    #     tail of (d) to keep the window at exactly 50.
     *ROUND_CHANGED,
-    # (b) the round-6-verdict cohort -- the 9 oldest standing driver
-    #     verdicts (verdict-union histogram after round 10 reads
-    #     r6=9, r7=42, r8=47, r9=44, r10=50) -- exactly the ROUND-11
-    #     QUEUE promised last round;
-    "approx_distinct_users", "approx_value_quantiles",
-    "decayed_user_value", "deterministic_split", "stratified_sample",
-    "q2_min_cost_supplier", "q11_important_stock",
-    "q16_parts_supplier_counts", "q20_excess_stock_suppliers",
-    #     then the round-7 cohort in name order as far as the window
-    #     reaches (32 of 42; survival_weekly rides slot (c) as the
-    #     sessionize rep, and source_token_entropy jumps the name
-    #     order as the only round-7 textops query -- the family gate);
-    "ann_ivf_topk", "ann_recall_eval", "bigram_lm_score",
-    "bloom_prefilter_stats", "chunk_dup_rate", "cluster_safe_split",
-    "dau_wau_stickiness", "dedup_apply_stats", "dedup_cluster_density",
-    "dedup_containment", "dedup_incremental", "dedup_minhash_clusters",
-    "dedup_minhash_lsh", "dedup_signal_crosstab", "doc_chunks",
-    "dsir_importance_bins", "embedding_outliers", "event_type_affinity",
-    "exact_substring_spans", "ivf_cell_stats", "minhash_lsh_recall",
-    "minhash_signatures", "mixture_apply_sample", "moving_avg_revenue",
-    "multimodal_meta", "part_cooccurrence_topk", "part_triangles",
-    "q12_shipping_delay_classes",
-    "source_token_entropy",
-    # (c) family representatives for the seven families (a)+(b) leave
-    #     uncovered (tests/test_registry.py gate), preferring the
-    #     OLDEST standing verdicts: sessionize (r7), anomaly (r8),
-    #     metrics (r8), relational (r8), skew (r8), stats (r8),
-    #     layout (r10 -- its only member).
-    "survival_weekly", "benford_first_digit", "dq_expectations",
-    "q10_returned_items", "shuffle_balance_profile",
-    "daily_trend_slopes", "layout_pruning_stats",
-    # ROUND-12 QUEUE (in priority order): round-12 changed code first,
-    # then the round-7 remainder in name order --
-    # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-    # q17_small_qty_revenue,
-    # q19_disjunctive_revenue,
-    # q22_dormant_high_balance, q8_market_share, q9_profit_by_nation,
-    # source_semantic_similarity,
-    # split_leakage_check, supplier_pagerank, threshold_sweep --
-    # then the round-8 cohort in name order (compute the exact
+    # (b) the round-7-verdict cohort -- the 12 oldest standing driver
+    #     verdicts (verdict-union histogram after round 11 reads
+    #     r7=12, r8=42, r9=44, r10=46, r11=50) -- exactly the
+    #     ROUND-12 QUEUE promised last round;
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_qty_revenue",
+    "q19_disjunctive_revenue", "q22_dormant_high_balance",
+    "q8_market_share", "q9_profit_by_nation",
+    "source_semantic_similarity", "split_leakage_check",
+    "supplier_pagerank", "threshold_sweep",
+    # (c) family representatives for the two families (a)+(b)+(d)
+    #     leave uncovered (tests/test_registry.py gate): skew and
+    #     layout (layout's only member).
+    "shuffle_balance_profile", "layout_pruning_stats",
+    # (d) the round-8 cohort in name order as far as the window
+    #     reaches (36 of 42; the 6 name-order stragglers
+    #     time_weighted_value token_concentration_bins token_fertility
+    #     top_orders_per_customer velocity_profile zipf_alpha_by_source
+    #     queue first for round 13).
+    "activity_shape_buckets", "activity_shape_matches",
+    "ann_lsh_bucketed", "bootstrap_fraud_ci", "calibration_bins",
+    "conversion_latency_buckets", "countmin_heavy_hitters",
+    "cusum_changepoints", "daily_value_percentiles", "dedup_keep_best",
+    "dup_chao1_estimate", "emb_quantize_int8", "event_comovement_corr",
+    "event_transition_matrix", "gapfill_hourly", "ivf_probe_sweep",
+    "kmeans_fixedpoint", "last_touch_attribution",
+    "minhash_est_vs_exact", "multimodal_frames", "orders_pivot_status",
+    "packing_budget_sweep", "peak_concurrency",
+    "q18_large_volume_customers", "q4_order_priority_exists",
+    "q5_local_supplier_volume", "q6_revenue_change", "recent_topk",
+    "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
+    "seasonal_hour_baseline", "shape_match_recall", "shingle_df_curve",
+    "skyline_parts", "supplier_bfs_hops",
+    # ROUND-13 QUEUE (in priority order): round-13 changed code first,
+    # then the round-8 remainder in name order --
+    # time_weighted_value, token_concentration_bins, token_fertility,
+    # top_orders_per_customer, velocity_profile, zipf_alpha_by_source
+    # -- then the round-9 cohort in name order (recompute the exact
     # staleness order from the CORRECTNESS_r*.json union at round
     # start).
 ]
