@@ -253,6 +253,12 @@ def bench_streaming_ingest(spark, seconds: int = 20) -> float:
             if not os.path.exists(ckpt):
                 break
             time.sleep(1)
+        if os.path.exists(ckpt):
+            # evidence-stream note (ADVICE r11): a tmpdir the
+            # state-store maintenance thread kept recreating past the
+            # retries leaks silently otherwise
+            print(json.dumps({"leaked_checkpoint_dir": ckpt}),
+                  file=sys.stderr)
     if not counts["n"] or counts["t_last"] is None:
         return 0.0
     return counts["n"] / (counts["t_last"] - t0)

@@ -100,7 +100,7 @@ def _incremental_labels(
     changed_ids = (
         docs.select("doc_id", F.md5("text").alias("h_new"))
         .join(base.select("doc_id", F.md5("text").alias("h_old")), "doc_id")
-        .filter("h_new <> h_old")
+        .filter("NOT (h_new <=> h_old)")
         .select("doc_id")
     )
     removed_ids = base_ids.join(docs.select("doc_id"), "doc_id", "left_anti")

@@ -1966,17 +1966,23 @@ def snapshot_diff(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
         F.col("source").alias("src_a"),
         F.col("content_md5").alias("h_a"),
         F.col("n_chars").alias("nc_a"),
+        F.lit(True).alias("in_a"),
     )
     b = df_b.select(
         "doc_id",
         F.col("source").alias("src_b"),
         F.col("content_md5").alias("h_b"),
         F.col("n_chars").alias("nc_b"),
+        F.lit(True).alias("in_b"),
     )
+    # presence comes from explicit markers, NOT hash-nullness, and the
+    # hash compare is null-safe (ADVICE r11): a doc present in both
+    # snapshots with NULL content on one side is 'changed', not
+    # 'added'/'removed'
     status = (
-        "CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL THEN"
-        " (CASE WHEN h_a = h_b THEN 'unchanged' ELSE 'changed' END)"
-        " WHEN h_a IS NOT NULL THEN 'removed'"
+        "CASE WHEN in_a AND in_b THEN"
+        " (CASE WHEN h_a <=> h_b THEN 'unchanged' ELSE 'changed' END)"
+        " WHEN in_a THEN 'removed'"
         " ELSE 'added' END"
     )
     return (

@@ -479,9 +479,15 @@ def ingest_census_sink_writer(index_dir: str, census_dir: str):
     (Partition-directory presence implies a successful job commit:
     dynamic partition overwrite stages under a job-scoped temp dir and
     moves files only on commit, so a crashed first attempt leaves no
-    partition to defer to.) The membership anti-join probes only the
-    index's doc_id column -- with the index persisted doc_id-bucketed,
-    a shard's census costs the shard, not the corpus."""
+    partition to defer to.) The committed-epoch probe is a single
+    filesystem exists() on the epoch's partition path -- NOT a read of
+    the whole census dataset, whose file listing grows O(#epochs) per
+    trigger (ADVICE r11). Consequence: intentionally RE-pricing an
+    epoch re-delivered under the same epoch_id requires deleting its
+    `epoch_id=N` partition directory first. The membership anti-join
+    probes only the index's doc_id column -- with the index persisted
+    doc_id-bucketed, a shard's census costs the shard, not the
+    corpus."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -489,14 +495,17 @@ def ingest_census_sink_writer(index_dir: str, census_dir: str):
         from ..session import conf_override
 
         spark = batch_df.sparkSession
-        try:  # first write wins: epoch already priced -> keep it
-            prior = spark.read.parquet(census_dir).where(
-                F.col("epoch_id") == int(epoch_id)
-            )
-            if not prior.isEmpty():
-                return
-        except AnalysisException:  # first batch: no census yet
-            pass
+        # first write wins: epoch already priced -> keep it (O(1)
+        # partition-path metadata probe, not a dataset listing)
+        jvm = spark.sparkContext._jvm
+        part = jvm.org.apache.hadoop.fs.Path(
+            f"{census_dir}/epoch_id={int(epoch_id)}"
+        )
+        fs = part.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if fs.exists(part):
+            return
         docs = batch_df.select("doc_id", "source", "n_chars")
         try:
             idx_ids = spark.read.parquet(index_dir).select("doc_id")

@@ -243,3 +243,45 @@ def test_prepare_corpus_incremental_removed_changed_added(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(str(tmp_path / "rca")).collect()
     )
     assert rows_inc == rows_full
+
+
+def test_prepare_corpus_incremental_null_text_counts_as_changed(
+    spark, tmp_path
+):
+    """ADVICE r11: changed-doc detection must be NULL-safe. A base
+    snapshot holding NULL text for a doc whose re-crawl has real text
+    (or vice versa) must tombstone + re-probe that doc, not silently
+    reuse its stale base signature -- `h_new <> h_old` yields NULL
+    when either md5 is NULL and drops exactly these rows. Engineered
+    so the bug is VISIBLE: the nulled docs are both endpoints of a
+    known near-dup pair, so skipping their re-probe loses the pair
+    and the funnel diverges from the full rebuild."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pair = dedup_minhash_lsh(spark, SF).limit(1).collect()[0]
+    hit_ids = (int(pair["a_id"]), int(pair["b_id"]))
+    base = docs.withColumn(
+        "text",
+        F.expr(f"CASE WHEN doc_id IN {hit_ids} THEN NULL "
+               "ELSE text END"),
+    )
+    base_dir = _write_base_snapshot(spark, tmp_path, base)
+
+    inc = prepare_corpus(
+        spark, SF, str(tmp_path / "nullch"), base_snapshot=base_dir
+    )
+    assert inc["mode"] == "incremental_removals"
+    full = prepare_corpus(spark, SF, str(tmp_path / "nullch_full"))
+    for k in ("raw_docs", "after_quality", "after_exact_dedup",
+              "after_neardup_dedup", "splits"):
+        assert inc[k] == full[k], k
+    rows_full = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            str(tmp_path / "nullch_full")
+        ).collect()
+    )
+    rows_inc = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "nullch")).collect()
+    )
+    assert rows_inc == rows_full

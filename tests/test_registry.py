@@ -33,9 +33,15 @@ def test_priority_is_exactly_the_sample_window():
 def test_round_changed_is_stamped_for_the_current_round():
     """ADVICE r9: a forgotten ROUND_CHANGED reset must be DETECTABLE.
     The build round is 1 + the newest driver correctness record on
-    disk (CORRECTNESS_r{N}.json lands at round close), so a stale
-    ROUND -- and with it a stale changed-queries list silently keeping
-    the headline gate green -- fails here at round start."""
+    disk (CORRECTNESS_r{N}.json lands at round close). Two states are
+    valid (ADVICE r10): mid-round (ROUND == newest + 1) and
+    round-close, after the driver drops this round's record but
+    before the next round's reset (ROUND == newest). The guarantee is
+    therefore ONE round weaker than the original docstring claimed
+    (ADVICE r11): a forgotten bump passes for the duration of one
+    round and fails only once ROUND lags TWO records behind -- the
+    round-protocol memory's step 1 (bump at round open, first commit)
+    is what keeps the window tight in practice."""
     import glob
     import os
     import re

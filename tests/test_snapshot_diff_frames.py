@@ -113,3 +113,31 @@ def test_snapshot_diff_surviving_side_metadata(spark):
         ("web", "removed"): (1, 30),  # A-side fallback
         ("web", "added"): (1, 40),
     }
+
+
+def test_snapshot_diff_null_content_is_changed(spark):
+    """ADVICE r11: presence must come from explicit markers, not
+    hash-nullness, and the hash compare must be null-safe. A doc
+    present in BOTH snapshots with NULL content_md5 on one side is
+    'changed' (re-crawl gained/lost its body); NULL on both sides is
+    'unchanged'; absence still reads 'added'/'removed'."""
+    a = spark.createDataFrame(
+        [(1, "s", None, 0), (2, "s", "h2", 2), (3, "s", None, 0),
+         (4, "s", "h4", 4)],
+        "doc_id long, source string, content_md5 string, n_chars long",
+    )
+    b = spark.createDataFrame(
+        [(1, "s", "h1", 1), (2, "s", None, 0), (3, "s", None, 0),
+         (5, "s", "h5", 5)],
+        "doc_id long, source string, content_md5 string, n_chars long",
+    )
+    got = {
+        r["status"]: (r["n_docs"], r["n_chars"])
+        for r in snapshot_diff(a, b).collect()
+    }
+    assert got == {
+        "changed": (2, 1),    # docs 1 (NULL->h1) and 2 (h2->NULL)
+        "unchanged": (1, 0),  # doc 3 (NULL on both sides)
+        "removed": (1, 4),    # doc 4
+        "added": (1, 5),      # doc 5
+    }
