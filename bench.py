@@ -174,8 +174,11 @@ HEADLINE = [
     "weighted_sample_topk",
     # ...and the exact (recall-1.0) prefix-filter similarity join
     "dedup_prefix_filter",
-    # ...and BM25 lexical retrieval
+    # ...and BM25 lexical retrieval (fresh + postings-index probe --
+    # the round-12 persist-once/probe-many pair; the gap between the
+    # two IS the measured value of the persisted lexical index)
     "bm25_topk",
+    "bm25_indexed_topk",
     # ...and U-shaped multi-touch attribution
     "position_attribution",
     # ...and the opening-path session census

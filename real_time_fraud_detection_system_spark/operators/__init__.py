@@ -73,10 +73,20 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # conservative pruning; brute-force equality re-tested).
         "dedup_prefix_filter",
     ],
-    # Round 12: seeded at round open; grows as operators land (the
-    # persisted lexical index family, multimodal perceptual-hash
-    # dedup -- round-11 verdict Next #3/#4).
-    12: [],
+    # Round 12 (grows as operators land -- round-11 verdict Next
+    # #3/#4):
+    12: [
+        # NEW: bm25_topk answered from the memoized postings index --
+        # the registry face of the persisted lexical index family
+        # (persist_text_index / bm25_search / text_index_sink_writer
+        # / tombstone+compact legs, all library+test).
+        "bm25_indexed_topk",
+        # REFACTORED: bm25_topk's scoring core factored into
+        # _bm25_rank (shared with the indexed probe) -- values
+        # unchanged (equality pinned in tests/test_text_index.py);
+        # re-attested per the rewritten-internals rule.
+        "bm25_topk",
+    ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
 
@@ -100,10 +110,8 @@ PRIORITY = [
     #     layout (layout's only member).
     "shuffle_balance_profile", "layout_pruning_stats",
     # (d) the round-8 cohort in name order as far as the window
-    #     reaches (36 of 42; the 6 name-order stragglers
-    #     time_weighted_value token_concentration_bins token_fertility
-    #     top_orders_per_customer velocity_profile zipf_alpha_by_source
-    #     queue first for round 13).
+    #     reaches (34 of 42; the name-order stragglers queue first
+    #     for round 13 -- see the ROUND-13 QUEUE below).
     "activity_shape_buckets", "activity_shape_matches",
     "ann_lsh_bucketed", "bootstrap_fraud_ci", "calibration_bins",
     "conversion_latency_buckets", "countmin_heavy_hitters",
@@ -117,10 +125,10 @@ PRIORITY = [
     "q5_local_supplier_volume", "q6_revenue_change", "recent_topk",
     "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
     "seasonal_hour_baseline", "shape_match_recall", "shingle_df_curve",
-    "skyline_parts", "supplier_bfs_hops",
     # ROUND-13 QUEUE (in priority order): round-13 changed code first,
     # then the round-8 remainder in name order --
-    # time_weighted_value, token_concentration_bins, token_fertility,
+    # skyline_parts, supplier_bfs_hops, time_weighted_value,
+    # token_concentration_bins, token_fertility,
     # top_orders_per_customer, velocity_profile, zipf_alpha_by_source
     # -- then the round-9 cohort in name order (recompute the exact
     # staleness order from the CORRECTNESS_r*.json union at round

@@ -190,10 +190,12 @@ def prime_memos(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     def _add(tag: str, fn: Callable[[], DataFrame]) -> None:
         builders.append((tag, fn))
 
-    from . import dedup, sketches, tpch_extra
+    from . import dedup, sketches, textops, tpch_extra
     from .similarity import semantic_dedup_clusters
 
     _add("sig", lambda: dedup._sig_table(spark, sf_dir))
+    _add("postings", lambda: textops._postings_table(spark, sf_dir))
+    _add("bm25stats", lambda: textops._text_stats_table(spark, sf_dir))
     _add("srcsh", lambda: dedup._source_shingle_table(spark, sf_dir))
     _add("srcpairs", lambda: dedup._source_pair_overlap(spark, sf_dir))
     _add("pairs", lambda: dedup._lsh_pairs(spark, sf_dir))

@@ -2583,6 +2583,68 @@ LIMIT {HYBRID_TOPK}
 """
 
 
+def hybrid_search(
+    spark: SparkSession,
+    terms: tuple[str, ...] | list[str],
+    query_emb: list[float],
+    k: int = HYBRID_TOPK,
+    text_prefix: str = "text_idx",
+    ann_prefix: str = "ann_idx",
+) -> DataFrame:
+    """hybrid_topk's PRODUCTION form: reciprocal-rank fusion of an
+    arbitrary term query against the persisted lexical index
+    (textops.bm25_search over persist_text_index) and an arbitrary
+    query vector against the persisted IVF index (ann_search over
+    persist_ann_index's live members) -- both sides zero-rescan
+    probes, both sides tombstone-aware, so a takedown disappears from
+    hybrid retrieval within one tombstone append on each index.
+    Fusion is the same integer-exact RRF as the registry query
+    (1000000 DIV ({HYBRID_RRF_K} + rank), absence contributes 0, ties
+    break by doc_id) over two constant-size top-K frames -- per-query
+    cost is the two index probes, independent of corpus size."""
+    from pyspark.sql.window import Window
+
+    from .textops import BM25_TOPK, bm25_search
+
+    lex = bm25_search(spark, terms, k=BM25_TOPK, prefix=text_prefix)
+    w = Window.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w).alias("lex_rank")
+    )
+    q = spark.createDataFrame(
+        [(-1, [float(x) for x in query_emb])],
+        "vec_id bigint, emb array<double>",
+    )
+    sem_r = (
+        ann_search(
+            spark.table(f"{ann_prefix}_cents"),
+            live_ann_members(spark, ann_prefix),
+            q,
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+    )
+    rrf = (
+        f"CASE WHEN lex_rank IS NULL THEN 0"
+        f" ELSE 1000000 DIV ({HYBRID_RRF_K} + lex_rank) END"
+        f" + CASE WHEN sem_rank IS NULL THEN 0"
+        f" ELSE 1000000 DIV ({HYBRID_RRF_K} + sem_rank) END"
+    )
+    return (
+        lex_r.join(sem_r, "doc_id", "full_outer")
+        .selectExpr(
+            "doc_id",
+            "CAST(COALESCE(lex_rank, 0) AS INT) AS lex_rank",
+            "CAST(COALESCE(sem_rank, 0) AS INT) AS sem_rank",
+            f"CAST({rrf} AS BIGINT) AS rrf_fp",
+        )
+        .orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 QUERIES = {
     "hybrid_topk": hybrid_topk,
     "intrinsic_dim_twonn": intrinsic_dim_twonn,

@@ -909,39 +909,25 @@ BM25_B = 0.75
 BM25_TOPK = 20
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval: the top-{BM25_TOPK} documents for the
-    fixed query {BM25_TERMS} under Okapi BM25 (k1={BM25_K1},
-    b={BM25_B}) -- the LEXICAL side of hybrid search next to the ANN
-    family's semantic side, and the missing retrieval primitive a
-    training-data pipeline uses for targeted corpus audits ('show me
-    the docs about X'). idf uses the standard
+def _bm25_rank(tf: DataFrame, stats: DataFrame, k: int) -> DataFrame:
+    """The BM25 scoring core shared by every lexical entry point
+    (fresh bm25_topk, the memoized bm25_indexed_topk, the persisted
+    bm25_search): rank the matching postings.
+
+    tf:    (doc_id, t, dl, tf) -- postings ALREADY restricted to the
+           query terms (the caller's scan predicate / bucket prune);
+    stats: one row (n_docs DOUBLE, avgdl DOUBLE) over the SAME corpus
+           the postings describe.
+
+    df per term is derived from the postings slice itself (a doc
+    containing t contributes one posting row for t, so the slice IS
+    the df evidence) -- which is what keeps the persisted index's
+    append and tombstone legs consistent for free: filter the
+    postings and df follows. idf uses the standard
     ln(1 + (N - df + 0.5)/(df + 0.5)) form; per-(doc, term) scores
     quantize to 1e-6 fixed point BEFORE the per-doc sum (the
-    dsir/bigram integer-log convention), so ranking compares identical
-    integers on both engines, doc_id breaking ties.
-
-    Scale shape: one token explode filtered to the |query| terms
-    IMMEDIATELY (the scan's predicate -- everything downstream is
-    O(matching postings), not corpus-sized), per-(doc, term) tf
-    aggregate, N / df / avgdl as one bounded global aggregate joined
-    back broadcast, final TakeOrdered top-{BM25_TOPK}. The per-doc
-    length rides the same scan as a projection."""
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    tok = docs.selectExpr(
-        "doc_id", f"size({_TOKS}) AS dl", f"explode({_TOKS}) AS t"
-    )
-    tf = (
-        tok.filter(f"t IN ({terms})")
-        .groupBy("doc_id", "t", "dl")
-        .agg(F.count("*").alias("tf"))
-    )
-    stats = docs.selectExpr(
-        "CAST(count(*) AS DOUBLE) AS n_docs",
-        f"CAST(sum(size({_TOKS})) AS DOUBLE)"
-        " / count(*) AS avgdl",
-    )
+    dsir/bigram integer-log convention), so ranking compares
+    identical integers on both engines, doc_id breaking ties."""
     dfc = tf.groupBy("t").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(dfc), "t")
@@ -960,9 +946,45 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.orderBy(F.desc("score_fp"), F.asc("doc_id"))
-        .limit(BM25_TOPK)
+        .limit(k)
         .selectExpr("doc_id", "score_fp")
     )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: the top-{BM25_TOPK} documents for the
+    fixed query {BM25_TERMS} under Okapi BM25 (k1={BM25_K1},
+    b={BM25_B}) -- the LEXICAL side of hybrid search next to the ANN
+    family's semantic side, and the missing retrieval primitive a
+    training-data pipeline uses for targeted corpus audits ('show me
+    the docs about X'). Scoring semantics live in ``_bm25_rank``.
+
+    Scale shape: one token explode filtered to the |query| terms
+    IMMEDIATELY (the scan's predicate -- everything downstream is
+    O(matching postings), not corpus-sized), per-(doc, term) tf
+    aggregate, N / df / avgdl as one bounded global aggregate joined
+    back broadcast, final TakeOrdered top-{BM25_TOPK}. The per-doc
+    length rides the same scan as a projection. This self-contained
+    form pays one corpus token scan PER CALL; repeated audits go
+    through the persisted postings instead (persist_text_index /
+    bm25_search, or the memo-backed bm25_indexed_topk registry
+    twin)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tok = docs.selectExpr(
+        "doc_id", f"size({_TOKS}) AS dl", f"explode({_TOKS}) AS t"
+    )
+    tf = (
+        tok.filter(f"t IN ({terms})")
+        .groupBy("doc_id", "t", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = docs.selectExpr(
+        "CAST(count(*) AS DOUBLE) AS n_docs",
+        f"CAST(sum(size({_TOKS})) AS DOUBLE)"
+        " / count(*) AS avgdl",
+    )
+    return _bm25_rank(tf, stats, BM25_TOPK)
 
 
 BM25_TOPK_SQL = f"""
@@ -1000,8 +1022,294 @@ LIMIT {BM25_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Persisted lexical (postings) index -- the retrieval twin of
+# persist_dedup_index / persist_ann_index (round-11 verdict Next #3).
+# Reference semantics to match: Postgres's precomputed btree access
+# paths (scripts/db/init.sql:19-21), generalized to text retrieval.
+
+
+def build_postings(docs: DataFrame) -> DataFrame:
+    """The inverted index rows for a documents frame: one
+    (t, doc_id, tf, dl) posting per distinct (doc, term), the per-doc
+    length riding every posting so a probe never re-touches the text.
+    One token explode + one (doc, term) aggregate -- the classic
+    map-side-combinable shape; nothing wider than a token shuffles."""
+    return (
+        docs.selectExpr(
+            "doc_id", f"size({_TOKS}) AS dl", f"explode({_TOKS}) AS t"
+        )
+        .groupBy("t", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .select("t", "doc_id", "tf", "dl")
+    )
+
+
+def build_text_stats(docs: DataFrame) -> DataFrame:
+    """The one-row corpus stats BM25 needs beside the postings:
+    document count and TOTAL token count as exact BIGINTs (avgdl is
+    derived at probe time as CAST(sum_dl AS DOUBLE) / n_docs -- the
+    identical double expression the self-contained bm25_topk
+    computes, so indexed and fresh scores are bit-equal). Kept
+    integer so the streaming append leg can maintain the stats as a
+    sum of per-batch delta rows and the tombstone leg can subtract
+    exactly."""
+    return docs.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_docs",
+        f"CAST(sum(size({_TOKS})) AS BIGINT) AS sum_dl",
+    )
+
+
+def _postings_fingerprint(sf_dir: str):
+    from ._memo import code_token, table_fingerprint
+
+    return table_fingerprint(
+        sf_dir, "documents", code_token(build_postings)
+    )
+
+
+def _postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_postings over the documents table, memoized to parquet
+    (operators/_memo.py) -- the registry-query face of the persisted
+    postings: self-contained queries get build-once/probe-many
+    economics while persist_text_index is the bucketed catalog
+    deployment form."""
+    from ._memo import memo_parquet
+
+    return memo_parquet(
+        spark,
+        _postings_fingerprint(sf_dir),
+        "postings",
+        lambda: build_postings(
+            spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        ),
+    )
+
+
+def _text_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._memo import code_token, memo_parquet, table_fingerprint
+
+    return memo_parquet(
+        spark,
+        table_fingerprint(
+            sf_dir, "documents", code_token(build_text_stats)
+        ),
+        "bm25stats",
+        lambda: build_text_stats(load_table(spark, sf_dir, "documents")),
+    )
+
+
+def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_topk answered FROM THE POSTINGS INDEX: identical output
+    (same oracle), no corpus text scan on the probe path -- the
+    registry face of 'build the index once, audit it all day'. The
+    probe reads the memoized (t, doc_id, tf, dl) postings filtered to
+    the query terms at the scan (predicate pushdown; the bucketed
+    catalog form prunes files too) plus the one-row stats table;
+    everything downstream is O(matching postings). At 100 TB this is
+    the difference between one corpus pass PER AUDIT QUERY
+    (bm25_topk's honest self-contained form) and one postings build
+    per corpus snapshot amortized over every audit."""
+    tf = _postings_table(spark, sf_dir).filter(
+        F.col("t").isin(list(BM25_TERMS))
+    )
+    stats = _text_stats_table(spark, sf_dir).selectExpr(
+        "CAST(n_docs AS DOUBLE) AS n_docs",
+        "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+    )
+    return _bm25_rank(tf, stats, BM25_TOPK)
+
+
+def persist_text_index(
+    docs: DataFrame, prefix: str = "text_idx", n_buckets: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the corpus lexical index as the catalog tables the
+    repeated-audit probe reads -- the retrieval twin of
+    persist_dedup_index / persist_ann_index, with the SAME lifecycle
+    (streaming append: streaming.jobs.text_index_sink_writer;
+    removal: tombstone_text_index / live_text_index /
+    compact_text_index):
+
+      {prefix}_post  (t, doc_id, tf, dl)  bucketed+sorted by t -- a
+                     term probe reads matching buckets/row groups
+                     only, zero index-side exchange;
+      {prefix}_doc   (doc_id, dl)         bucketed by doc_id -- the
+                     membership table (idempotent appends anti-join
+                     it; the tombstone leg prices removals from it);
+      {prefix}_stats (n_docs, sum_dl)     an append-log of per-batch
+                     BIGINT deltas; probes SUM it (O(#appends) rows)
+                     so appends never rewrite anything.
+
+    Returns (postings table, doc table)."""
+    from ..storage import write_bucketed
+
+    spark = docs.sparkSession
+    post_t = write_bucketed(
+        build_postings(docs), f"{prefix}_post", ["t"], n_buckets
+    )
+    doc_t = write_bucketed(
+        docs.selectExpr("doc_id", f"size({_TOKS}) AS dl"),
+        f"{prefix}_doc",
+        ["doc_id"],
+        n_buckets,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_stats")
+    build_text_stats(docs).write.format("parquet").saveAsTable(
+        f"{prefix}_stats"
+    )
+    return post_t, doc_t
+
+
+def tombstone_text_index(
+    spark: SparkSession, removed_ids: DataFrame, prefix: str = "text_idx"
+) -> int:
+    """Record removed/changed doc_ids against the persisted postings
+    WITHOUT rewriting them -- the lexical twin of
+    dedup.tombstone_dedup_index. Appends to ``{prefix}_tomb``,
+    anti-join-gated per id (idempotent); ``bm25_search`` filters at
+    probe time via live_text_index and subtracts the dead docs' exact
+    (count, token) mass from the stats; ``compact_text_index`` folds
+    into a rewrite. A doc's removal only DELETES its posting rows and
+    its stats contribution -- no other doc's tf/dl changes -- which
+    is why an O(removed)-row side table is exact."""
+    tomb = f"{prefix}_tomb"
+    ids = removed_ids.select("doc_id").distinct()
+    if spark.catalog.tableExists(tomb):
+        ids = ids.join(spark.table(tomb), "doc_id", "left_anti")
+        ids = ids.localCheckpoint()  # pin: read the table once, pre-append
+        n_new = ids.count()
+        if n_new:
+            ids.write.mode("append").format("parquet").saveAsTable(tomb)
+        return n_new
+    n_new = ids.count()
+    ids.write.format("parquet").saveAsTable(tomb)
+    return n_new
+
+
+def live_text_index(
+    spark: SparkSession, prefix: str = "text_idx"
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted lexical index MINUS its tombstones: (postings,
+    doc table) views for the probe path. The anti-join's build side
+    is the O(removed)-row tombstone table (AQE broadcasts it at
+    size), so the postings side still scans its t-buckets with zero
+    exchange and a probe costs the matching postings plus the
+    tombstone count, never the corpus."""
+    tomb = f"{prefix}_tomb"
+    post_t = spark.table(f"{prefix}_post")
+    doc_t = spark.table(f"{prefix}_doc")
+    if spark.catalog.tableExists(tomb):
+        dead = spark.table(tomb).select("doc_id").distinct()
+        post_t = post_t.join(dead, "doc_id", "left_anti")
+        doc_t = doc_t.join(dead, "doc_id", "left_anti")
+    return post_t, doc_t
+
+
+def _live_text_stats(spark: SparkSession, prefix: str) -> DataFrame:
+    """One row (n_docs BIGINT, sum_dl BIGINT) for the LIVE index: the
+    stats append-log summed, minus the tombstoned docs' exact mass
+    (their count and dl come from the doc_id-bucketed doc table -- an
+    O(removed)-row lookup, never a postings scan)."""
+    base = spark.table(f"{prefix}_stats").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    )
+    tomb = f"{prefix}_tomb"
+    if spark.catalog.tableExists(tomb):
+        dead = (
+            spark.table(tomb)
+            .select("doc_id")
+            .distinct()
+            .join(spark.table(f"{prefix}_doc"), "doc_id")
+            .agg(
+                F.count("*").alias("d_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("d_dl"),
+            )
+        )
+        base = base.crossJoin(dead).selectExpr(
+            "CAST(n_docs - d_docs AS BIGINT) AS n_docs",
+            "CAST(sum_dl - d_dl AS BIGINT) AS sum_dl",
+        )
+    return base
+
+
+def bm25_search(
+    spark: SparkSession,
+    terms: tuple[str, ...] | list[str],
+    k: int = BM25_TOPK,
+    prefix: str = "text_idx",
+) -> DataFrame:
+    """Top-k BM25 over the PERSISTED lexical index for an arbitrary
+    term query: zero corpus rescans -- the probe touches the
+    t-bucketed postings (matching terms only, pushed to the scan),
+    the O(#appends)-row stats log, and the O(removed)-row tombstones.
+    Value-identical to bm25_topk rebuilt fresh over the index's live
+    document set (plan + equality asserted in
+    tests/test_text_index.py). This is the 'probe it all day' half of
+    persist_text_index; hybrid_search fuses it with the persisted ANN
+    index's ann_search."""
+    post_t, _doc_t = live_text_index(spark, prefix)
+    tf = post_t.filter(F.col("t").isin(list(terms)))
+    stats = _live_text_stats(spark, prefix).selectExpr(
+        "CAST(n_docs AS DOUBLE) AS n_docs",
+        "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+    )
+    return _bm25_rank(tf, stats, k)
+
+
+def compact_text_index(
+    spark: SparkSession, prefix: str = "text_idx", n_buckets: int = 8
+) -> dict:
+    """Fold the tombstones into the persisted lexical index: rewrite
+    postings and doc table without the tombstoned doc_ids (same
+    bucketing keys/count, so probe plans keep their zero-exchange
+    shape), consolidate the stats append-log to ONE live row, drop
+    the tombstone table, and return the exact row funnel -- the
+    dedup/ANN compaction discipline applied to retrieval."""
+    import shutil
+    import tempfile
+
+    from ..storage import write_bucketed
+
+    tomb = f"{prefix}_tomb"
+    funnel: dict = {"prefix": prefix}
+    dead = (
+        spark.table(tomb).select("doc_id").distinct()
+        if spark.catalog.tableExists(tomb)
+        else None
+    )
+    live_stats = _live_text_stats(spark, prefix).collect()[0]
+    scratch = tempfile.mkdtemp(prefix="text_idx_compact_")
+    try:
+        for part, keys in (("post", ["t"]), ("doc", ["doc_id"])):
+            t = spark.table(f"{prefix}_{part}")
+            n_before = t.count()
+            live = (
+                t.join(dead, "doc_id", "left_anti")
+                if dead is not None
+                else t
+            )
+            live.write.parquet(f"{scratch}/{part}")
+            staged = spark.read.parquet(f"{scratch}/{part}")
+            write_bucketed(staged, f"{prefix}_{part}", keys, n_buckets)
+            n_after = spark.table(f"{prefix}_{part}").count()
+            funnel[f"{part}_rows_before"] = n_before
+            funnel[f"{part}_rows_after"] = n_after
+            funnel[f"{part}_rows_dropped"] = n_before - n_after
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_stats")
+        spark.createDataFrame(
+            [(live_stats["n_docs"], live_stats["sum_dl"])],
+            "n_docs bigint, sum_dl bigint",
+        ).write.format("parquet").saveAsTable(f"{prefix}_stats")
+        funnel["n_tombstones"] = dead.count() if dead is not None else 0
+        spark.sql(f"DROP TABLE IF EXISTS {tomb}")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return funnel
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "bm25_indexed_topk": bm25_indexed_topk,
     "text_stats": text_stats,
     "pii_scrub_stats": pii_scrub_stats,
     "corpus_quality_gate": corpus_quality_gate,
@@ -1019,6 +1327,10 @@ QUERIES = {
 
 ORACLE = {
     "bm25_topk": BM25_TOPK_SQL,
+    # the indexed probe is VALUE-IDENTICAL to the fresh build by
+    # construction (same scoring core over the same postings), so it
+    # shares the oracle verbatim
+    "bm25_indexed_topk": BM25_TOPK_SQL,
     "text_stats": TEXT_STATS_SQL,
     "pii_scrub_stats": PII_SCRUB_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,

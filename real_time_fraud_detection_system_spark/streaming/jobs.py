@@ -540,6 +540,70 @@ def ingest_census_sink_writer(index_dir: str, census_dir: str):
     return write_batch
 
 
+def text_index_sink_writer(prefix: str = "text_idx"):
+    """foreachBatch hook over a (doc_id, text) document stream:
+    append each micro-batch's NEW docs to the persisted lexical index
+    (operators.textops.persist_text_index layout) -- posting rows to
+    the t-bucketed ``{prefix}_post``, (doc_id, dl) rows to the
+    doc_id-bucketed ``{prefix}_doc``, and ONE (n_docs, sum_dl) delta
+    row to the ``{prefix}_stats`` append-log -- so bm25_search /
+    hybrid_search see a landed shard within one trigger, with the
+    index family's uniform lifecycle (this append leg + the
+    tombstone/compact legs).
+
+    Replay-idempotent BY MEMBERSHIP: new docs are anti-joined against
+    the doc table's doc_id column (its bucket layout makes that a
+    shard-cost probe) and pinned via localCheckpoint BEFORE any
+    append, so a re-delivered epoch adds nothing -- the
+    dedup_index_sink_writer discipline. Empty batches no-op. Appends
+    write through saveAsTable with the SAME bucket spec, so the probe
+    plans keep their bucket-pruned shape across appends."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.textops import build_postings, build_text_stats
+
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(f"{prefix}_doc"):
+            from ..operators.textops import persist_text_index
+
+            if batch_df.isEmpty():
+                return
+            persist_text_index(batch_df, prefix=prefix)
+            return
+        fresh = batch_df.join(
+            spark.table(f"{prefix}_doc").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).localCheckpoint()  # pin: read the doc table ONCE, pre-append
+        if fresh.isEmpty():
+            return  # full replay: everything already indexed
+        n_buckets = 8
+        (
+            build_postings(fresh)
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "t")
+            .sortBy("t")
+            .saveAsTable(f"{prefix}_post")
+        )
+        (
+            fresh.selectExpr("doc_id", "size(split(text, ' ')) AS dl")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(f"{prefix}_doc")
+        )
+        (
+            build_text_stats(fresh)
+            .write.mode("append")
+            .format("parquet")
+            .saveAsTable(f"{prefix}_stats")
+        )
+
+    return write_batch
+
+
 def tombstone_sink_writer(prefix: str = "dedup_idx"):
     """foreachBatch hook over a DELETION stream (doc_id rows -- e.g.
     takedown notices, retention expiries, re-crawl invalidations):

@@ -1,0 +1,254 @@
+"""Persisted lexical (postings) index lifecycle -- the retrieval twin
+of the dedup/ANN persisted indexes (round-11 verdict Next #3): build
+once (persist_text_index), probe many with zero corpus rescans
+(bm25_search, plan-asserted), append streamed shards idempotently
+(text_index_sink_writer), tombstone removals without rebuilds, compact,
+and fuse with the persisted ANN index (hybrid_search)."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_system_spark.catalog import load_table
+from real_time_fraud_detection_system_spark.operators.textops import (
+    BM25_TERMS,
+    BM25_TOPK,
+    _bm25_rank,
+    bm25_indexed_topk,
+    bm25_search,
+    bm25_topk,
+    build_postings,
+    build_text_stats,
+    compact_text_index,
+    live_text_index,
+    persist_text_index,
+    tombstone_text_index,
+)
+
+PREFIX = "t_text_idx"
+
+
+def _drop_index(spark, prefix=PREFIX):
+    for part in ("post", "doc", "stats", "tomb"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{part}")
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def _fresh_bm25(docs, terms, k=BM25_TOPK):
+    """bm25_topk's exact pipeline over an arbitrary docs frame -- the
+    ground truth the index probe must reproduce bit-for-bit."""
+    tf = build_postings(docs).filter(F.col("t").isin(list(terms)))
+    stats = build_text_stats(docs).selectExpr(
+        "CAST(n_docs AS DOUBLE) AS n_docs",
+        "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+    )
+    return _bm25_rank(tf, stats, k)
+
+
+def test_indexed_topk_equals_fresh(spark, sf_dir):
+    """The memo-backed registry twin must reproduce bm25_topk
+    exactly (it also shares bm25_topk's oracle in CORRECTNESS)."""
+    assert _rows(bm25_indexed_topk(spark, sf_dir)) == _rows(
+        bm25_topk(spark, sf_dir)
+    )
+
+
+def test_persisted_search_equals_fresh_and_skips_corpus(spark, sf_dir):
+    """bm25_search over the catalog index: value-identical to the
+    fresh build, and the probe plan (a) never scans the documents
+    parquet, (b) reads the postings bucketed, (c) pushes the term
+    predicate to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        persist_text_index(docs, prefix=PREFIX)
+        got = bm25_search(spark, BM25_TERMS, prefix=PREFIX)
+        assert _rows(got) == _rows(bm25_topk(spark, sf_dir))
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got.explain("formatted")
+        plan = buf.getvalue()
+        assert "documents.parquet" not in plan  # zero corpus rescans
+        assert "Bucketed: true" in plan
+        assert "PushedFilters" in plan and "In(t, " in plan
+    finally:
+        _drop_index(spark)
+
+
+def test_append_leg_is_idempotent_and_exact(spark, sf_dir):
+    """text_index_sink_writer: batches land incrementally, a replayed
+    epoch adds nothing, and after all batches the probe is
+    bit-identical to a one-shot index over the full corpus."""
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        text_index_sink_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter("doc_id % 3 = 0")
+    b1 = docs.filter("doc_id % 3 = 1")
+    b2 = docs.filter("doc_id % 3 = 2")
+    writer = text_index_sink_writer(prefix=PREFIX)
+    try:
+        writer(docs.limit(0), 0)  # empty first batch: must no-op
+        assert not spark.catalog.tableExists(f"{PREFIX}_doc")
+        writer(b0, 1)
+        writer(b1, 2)
+        writer(b1, 2)  # replayed epoch: membership gate, no dupes
+        n_docs_2 = spark.table(f"{PREFIX}_doc").count()
+        assert n_docs_2 == b0.count() + b1.count()
+        writer(b2, 3)
+
+        got = bm25_search(spark, BM25_TERMS, prefix=PREFIX)
+        assert _rows(got) == _rows(bm25_topk(spark, sf_dir))
+        # stats log: one consolidated row from the bootstrap persist
+        # + one delta per non-replayed later batch
+        assert spark.table(f"{PREFIX}_stats").count() == 3
+    finally:
+        _drop_index(spark)
+
+
+def test_tombstone_live_compact_lifecycle(spark, sf_dir):
+    """Tombstoned docs vanish from the probe EXACTLY as if the index
+    had been rebuilt without them (stats subtraction included --
+    scores depend on N/avgdl/df, so this is the sharp check);
+    tombstoning is idempotent per id; compaction folds to the same
+    answers with a reconciling funnel and a consolidated stats row."""
+    docs = load_table(spark, sf_dir, "documents")
+    removed = docs.filter("doc_id % 7 = 0").select("doc_id")
+    live_docs = docs.filter("doc_id % 7 <> 0")
+    try:
+        persist_text_index(docs, prefix=PREFIX)
+        n_removed = removed.count()
+        assert n_removed > 0
+        assert (
+            tombstone_text_index(spark, removed, prefix=PREFIX)
+            == n_removed
+        )
+        assert (
+            tombstone_text_index(spark, removed, prefix=PREFIX) == 0
+        )  # idempotent
+
+        want = _rows(_fresh_bm25(live_docs, BM25_TERMS))
+        assert _rows(bm25_search(spark, BM25_TERMS, prefix=PREFIX)) == want
+
+        funnel = compact_text_index(spark, prefix=PREFIX)
+        assert funnel["n_tombstones"] == n_removed
+        for part in ("post", "doc"):
+            assert (
+                funnel[f"{part}_rows_before"]
+                - funnel[f"{part}_rows_dropped"]
+                == funnel[f"{part}_rows_after"]
+            )
+        assert funnel["doc_rows_dropped"] == n_removed
+        assert not spark.catalog.tableExists(f"{PREFIX}_tomb")
+        assert spark.table(f"{PREFIX}_stats").count() == 1
+        # post-compact probe keeps the bucket-pruned zero-rescan shape
+        # (explain the REAL probe: a bare filter scan legitimately
+        # skips bucketed reading under autoBucketedScan)
+        probe = bm25_search(spark, BM25_TERMS, prefix=PREFIX)
+        assert _rows(probe) == want
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        plan = buf.getvalue()
+        assert "documents.parquet" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        _drop_index(spark)
+
+
+def test_hybrid_search_fuses_both_persisted_indexes(spark, sf_dir):
+    """hybrid_search == hand-RRF of its two component probes (the
+    test_hybrid_retrieval discipline applied to the persisted form),
+    and a tombstoned doc disappears from the fused ranking."""
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        HYBRID_RRF_K,
+        ann_search,
+        hybrid_search,
+        live_ann_members,
+        persist_ann_index,
+        tombstone_ann_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q_emb = [
+        float(x)
+        for x in load_table(spark, sf_dir, "embeddings")
+        .filter("vec_id = 0")
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    ann_prefix = "t_text_ann_idx"
+    try:
+        persist_text_index(docs, prefix=PREFIX)
+        persist_ann_index(spark, sf_dir, prefix=ann_prefix)
+
+        got = hybrid_search(
+            spark,
+            BM25_TERMS,
+            q_emb,
+            text_prefix=PREFIX,
+            ann_prefix=ann_prefix,
+        ).collect()
+
+        lex = bm25_search(spark, BM25_TERMS, prefix=PREFIX).collect()
+        lex_rank = {
+            r["doc_id"]: i + 1
+            for i, r in enumerate(
+                sorted(lex, key=lambda r: (-r["score_fp"], r["doc_id"]))
+            )
+        }
+        q = spark.createDataFrame(
+            [(-1, q_emb)], "vec_id bigint, emb array<double>"
+        )
+        sem = ann_search(
+            spark.table(f"{ann_prefix}_cents"),
+            live_ann_members(spark, ann_prefix),
+            q,
+        ).collect()
+        sem_rank = {r["neighbor_id"]: r["rank"] for r in sem}
+        fused = {}
+        for d in set(lex_rank) | set(sem_rank):
+            fused[d] = (
+                (1000000 // (HYBRID_RRF_K + lex_rank[d]))
+                if d in lex_rank
+                else 0
+            ) + (
+                (1000000 // (HYBRID_RRF_K + sem_rank[d]))
+                if d in sem_rank
+                else 0
+            )
+        want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : len(got)
+        ]
+        assert [
+            (r["doc_id"], r["rrf_fp"]) for r in got
+        ] == want
+        assert got and all(r["rrf_fp"] > 0 for r in got)
+
+        # a takedown tombstoned on BOTH indexes leaves the fusion
+        dead = int(got[0]["doc_id"])
+        dead_df = spark.createDataFrame([(dead,)], "doc_id bigint")
+        tombstone_text_index(spark, dead_df, prefix=PREFIX)
+        tombstone_ann_index(
+            spark,
+            dead_df.selectExpr("doc_id AS vec_id"),
+            prefix=ann_prefix,
+        )
+        after = hybrid_search(
+            spark,
+            BM25_TERMS,
+            q_emb,
+            text_prefix=PREFIX,
+            ann_prefix=ann_prefix,
+        ).collect()
+        assert dead not in {r["doc_id"] for r in after}
+    finally:
+        _drop_index(spark)
+        for part in ("cents", "members", "tomb"):
+            spark.sql(f"DROP TABLE IF EXISTS {ann_prefix}_{part}")

@@ -79,6 +79,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # own exchange; the corpus-sized work is the postings-filtered
     # token scan and the (doc, term) keyed tf aggregate.
     "bm25_topk": frozenset({"NLJ", "1PART"}),
+    # bm25_indexed_topk: the same scalar-anchor NLJ (the 1-row stats
+    # frame broadcast into the scored postings) WITHOUT the 1PART --
+    # the stats row is read pre-aggregated from the memoized parquet,
+    # so no scalar-aggregate exchange exists; the corpus-sized work
+    # is the term-filtered postings scan.
+    "bm25_indexed_topk": frozenset({"NLJ"}),
     # hybrid_topk: inherits bm25_topk's scalar-anchor NLJ/1PART; the
     # GLOBALWIN is the un-partitioned row_number over the BM25
     # TakeOrdered output -- a CONSTANT {BM25_TOPK}=20-row frame at any
