@@ -179,6 +179,9 @@ HEADLINE = [
     # two IS the measured value of the persisted lexical index)
     "bm25_topk",
     "bm25_indexed_topk",
+    # ...and perceptual-hash image dedup (round-12: real P6 decode ->
+    # 60-cell integer aHash -> 3-of-6-block candidacy)
+    "dedup_phash",
     # ...and U-shaped multi-touch attribution
     "position_attribution",
     # ...and the opening-path session census

@@ -86,6 +86,12 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # unchanged (equality pinned in tests/test_text_index.py);
         # re-attested per the rewritten-internals rule.
         "bm25_topk",
+        # NEW: perceptual-hash image dedup -- real P6 decode ->
+        # 60-cell integer aHash -> the dedup_simhash 3-of-6-block
+        # candidacy; every image's brightness-shifted re-encode twin
+        # caught at Hamming 0 (the invariance is exact in BIGINT
+        # arithmetic on both engines).
+        "dedup_phash",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -124,10 +130,11 @@ PRIORITY = [
     "q18_large_volume_customers", "q4_order_priority_exists",
     "q5_local_supplier_volume", "q6_revenue_change", "recent_topk",
     "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
-    "seasonal_hour_baseline", "shape_match_recall", "shingle_df_curve",
+    "seasonal_hour_baseline", "shape_match_recall",
     # ROUND-13 QUEUE (in priority order): round-13 changed code first,
     # then the round-8 remainder in name order --
-    # skyline_parts, supplier_bfs_hops, time_weighted_value,
+    # shingle_df_curve, skyline_parts, supplier_bfs_hops,
+    # time_weighted_value,
     # token_concentration_bins, token_fertility,
     # top_orders_per_customer, velocity_profile, zipf_alpha_by_source
     # -- then the round-9 cohort in name order (recompute the exact
