@@ -182,6 +182,9 @@ HEADLINE = [
     # ...and perceptual-hash image dedup (round-12: real P6 decode ->
     # 60-cell integer aHash -> 3-of-6-block candidacy)
     "dedup_phash",
+    # ...and the explode-free grouped bootstrap (round-12 reshape:
+    # per-replica map-side aggregate sums, zero row fanout)
+    "bootstrap_fraud_ci",
     # ...and U-shaped multi-touch attribution
     "position_attribution",
     # ...and the opening-path session census

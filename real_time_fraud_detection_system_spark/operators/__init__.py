@@ -92,6 +92,13 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # caught at Hamming 0 (the invariance is exact in BIGINT
         # arithmetic on both engines).
         "dedup_phash",
+        # REWRITTEN for scale: the explode-free grouped bootstrap --
+        # each replica's weighted num/den is its own map-side
+        # aggregate expression, so the 300M-row x16 fanout (the
+        # sweep's standing worst, 34.1 s) never materializes; md5
+        # draws and integer sums byte-identical, output unchanged
+        # (round-11 verdict What's wrong #3).
+        "bootstrap_fraud_ci",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -119,7 +126,7 @@ PRIORITY = [
     #     reaches (34 of 42; the name-order stragglers queue first
     #     for round 13 -- see the ROUND-13 QUEUE below).
     "activity_shape_buckets", "activity_shape_matches",
-    "ann_lsh_bucketed", "bootstrap_fraud_ci", "calibration_bins",
+    "ann_lsh_bucketed", "calibration_bins",
     "conversion_latency_buckets", "countmin_heavy_hitters",
     "cusum_changepoints", "daily_value_percentiles", "dedup_keep_best",
     "dup_chao1_estimate", "emb_quantize_int8", "event_comovement_corr",

@@ -287,47 +287,57 @@ def bootstrap_fraud_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings; rates are integer arithmetic end to end, so the
     order statistics cannot be perturbed by float summation order.
 
-    Scale: ONE scan exploded x{BOOT_R}; the (day, replica) aggregate
-    collapses map-side to days x {BOOT_R} rows, and everything after is
-    O(days). The flag predicate is the P7 fallback scorer's SHAPE
-    (main.py:100-104: a fixed amount threshold) at this dataset's own
-    cut -- value > {FRAUD_CUT} flags ~1.75% of events, where the
-    reference's literal 1000 never fires on the events table (max
-    value ~560) and would report a degenerate all-zero band."""
+    Scale: ONE scan, ZERO explode -- each replica's weighted
+    numerator/denominator is its own map-side-combinable aggregate
+    expression (2 x {BOOT_R} sums over the day groups), so the
+    per-event x{BOOT_R} row fanout the explode form materialized
+    (300M rows at the 100x scale test, the sweep's standing worst at
+    34.1 s) never exists; the days x {BOOT_R} replica frame is
+    unstacked AFTER aggregation from O(days) rows. The md5 draws are
+    byte-identical to the explode form (one digest = four uniforms,
+    staged so codegen hashes once) and integer sums are
+    order-independent, so not a single output bit moves -- the
+    round-11 verdict's grouped-replay reshape. The flag predicate is
+    the P7 fallback scorer's SHAPE (main.py:100-104: a fixed amount
+    threshold) at this dataset's own cut -- value > {FRAUD_CUT} flags
+    ~1.75% of events, where the reference's literal 1000 never fires
+    on the events table (max value ~560) and would report a
+    degenerate all-zero band."""
     ev = load_table(spark, sf_dir, "events")
-    # one md5 digest yields FOUR uniforms (8-hex windows), so the
-    # {BOOT_R} replica weights cost BOOT_R/4 digests per event --
-    # staged in their own projection so codegen computes each md5 once
-    # (the mlqueries._frame_sql lesson) -- and replicas fan out via one
-    # posexplode of the precomputed weight array (a per-replica-digest
-    # explode form measured 35.7 s at the 100x scale test; this form
-    # quarters the hash work)
     digests = [
         f"md5(concat('boot:', CAST(event_id AS STRING), ':g{j}')) AS d{j}"
         for j in range(BOOT_R // 4)
     ]
-    ws = ", ".join(
+    ws = [
         _pois_ladder(
             f"(CAST(conv(substr(d{r // 4}, {1 + 8 * (r % 4)}, 8), 16, 10)"
             " AS DOUBLE) / 4294967296.0)"
         )
         for r in range(BOOT_R)
+    ]
+    weighted = ev.selectExpr(
+        "CAST(ts AS DATE) AS day",
+        f"CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END AS is_fraud",
+        *digests,
+    ).selectExpr(
+        "day", "is_fraud", *[f"{w} AS w{r}" for r, w in enumerate(ws)]
     )
-    rep = (
-        ev.selectExpr(
-            "CAST(ts AS DATE) AS day",
-            f"CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END AS is_fraud",
-            *digests,
-        )
-        .selectExpr("day", "is_fraud", f"posexplode(array({ws})) AS (r, w)")
+    sums = weighted.groupBy("day").agg(
+        *[
+            F.expr(f"sum(w{r} * is_fraud)").alias(f"num{r}")
+            for r in range(BOOT_R)
+        ],
+        *[F.expr(f"sum(w{r})").alias(f"den{r}") for r in range(BOOT_R)],
+    )
+    stack_args = ", ".join(
+        f"{r}, num{r}, den{r}" for r in range(BOOT_R)
     )
     from pyspark.sql.window import Window
 
     per_rep = (
-        rep.groupBy("day", "r")
-        .agg(
-            F.sum(F.expr("w * is_fraud")).alias("num"),
-            F.sum("w").alias("den"),
+        sums.selectExpr(
+            "day",
+            f"stack({BOOT_R}, {stack_args}) AS (r, num, den)",
         )
         .selectExpr(
             "day", "r",
