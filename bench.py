@@ -179,6 +179,7 @@ HEADLINE = [
     # two IS the measured value of the persisted lexical index)
     "bm25_topk",
     "bm25_indexed_topk",
+    "bm25_batch_topk",
     # ...and perceptual-hash image dedup (round-12: real P6 decode ->
     # 60-cell integer aHash -> 3-of-6-block candidacy)
     "dedup_phash",

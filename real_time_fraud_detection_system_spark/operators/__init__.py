@@ -99,6 +99,12 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # draws and integer sums byte-identical, output unchanged
         # (round-11 verdict What's wrong #3).
         "bootstrap_fraud_ci",
+        # NEW: batch lexical retrieval -- Q fixed term queries
+        # answered from ONE shared postings slice (per-term tf/df
+        # computed once for the term union, per-query integer scoring
+        # from a broadcast (q_id, t) map) -- the 'audit many topics'
+        # amortization the persisted index exists for.
+        "bm25_batch_topk",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -137,11 +143,11 @@ PRIORITY = [
     "q18_large_volume_customers", "q4_order_priority_exists",
     "q5_local_supplier_volume", "q6_revenue_change", "recent_topk",
     "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
-    "seasonal_hour_baseline", "shape_match_recall",
+    "seasonal_hour_baseline",
     # ROUND-13 QUEUE (in priority order): round-13 changed code first,
     # then the round-8 remainder in name order --
-    # shingle_df_curve, skyline_parts, supplier_bfs_hops,
-    # time_weighted_value,
+    # shape_match_recall, shingle_df_curve, skyline_parts,
+    # supplier_bfs_hops, time_weighted_value,
     # token_concentration_bins, token_fertility,
     # top_orders_per_customer, velocity_profile, zipf_alpha_by_source
     # -- then the round-9 cohort in name order (recompute the exact

@@ -1120,6 +1120,131 @@ def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_rank(tf, stats, BM25_TOPK)
 
 
+# Fixture batch: three term queries with mixed df profiles (dup ~5%
+# df, the rest ~80%) -- the 'audit many topics at once' shape.
+BM25_BATCH_QUERIES = (
+    ("dup", "join", "window"),
+    ("scan", "filter", "sort"),
+    ("dup", "spark"),
+)
+
+
+def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH lexical retrieval: the top-{BM25_TOPK} per query for
+    {len(BM25_BATCH_QUERIES)} fixed term queries, answered from ONE
+    shared postings slice -- the realistic corpus-audit shape ('show
+    me the docs about X' for many X at once). Per-term work (tf, df)
+    is computed once for the UNION of all query terms; each query
+    then scores from its own (q_id, t) slice of that shared frame, so
+    Q queries cost one postings probe + O(Q x matching docs)
+    arithmetic instead of Q corpus passes -- the amortization
+    argument of the persisted index extended across queries. Scoring
+    is _bm25_rank's exact integer form (1e-6 fixed point per (doc,
+    term), integer per-doc sum); ranks break ties by doc_id.
+
+    Scale shape: postings filtered to the term union at the scan
+    (pushed In-filter / bucket prune), ONE per-term df aggregate, a
+    broadcast (q_id, t) map fanning each posting to the queries using
+    its term, per-(q_id, doc) integer sums, then a q_id-partitioned
+    top-{BM25_TOPK} window over O(matching docs) rows per query --
+    never corpus-sized, never a global window."""
+    queries = [
+        (qi, t)
+        for qi, terms in enumerate(BM25_BATCH_QUERIES)
+        for t in terms
+    ]
+    all_terms = sorted({t for _qi, t in queries})
+    qmap = spark.createDataFrame(queries, "q_id int, t string")
+    tf = _postings_table(spark, sf_dir).filter(
+        F.col("t").isin(all_terms)
+    )
+    dfc = tf.groupBy("t").agg(F.count("*").alias("df"))
+    stats = _text_stats_table(spark, sf_dir).selectExpr(
+        "CAST(n_docs AS DOUBLE) AS n_docs",
+        "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(qmap), "t")
+        .join(F.broadcast(dfc), "t")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "q_id",
+            "doc_id",
+            f"""CAST(round(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * ({BM25_K1} + 1.0))
+                 / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * dl / avgdl))
+                 * 1000000, 0) AS BIGINT) AS term_score_fp""",
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("term_score_fp").alias("score_fp"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("q_id", "rank", "doc_id", "score_fp")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _bm25_batch_topk_sql() -> str:
+    qvals = ", ".join(
+        f"({qi}, '{t}')"
+        for qi, terms in enumerate(BM25_BATCH_QUERIES)
+        for t in terms
+    )
+    all_terms = sorted(
+        {t for terms in BM25_BATCH_QUERIES for t in terms}
+    )
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS dl,
+         unnest({_DUCK_TOKS}) AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, t, dl, count(*) AS tf
+  FROM tok WHERE t IN ({in_list})
+  GROUP BY doc_id, t, dl
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(len({_DUCK_TOKS})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+qmap(q_id, t) AS (VALUES {qvals}),
+scored AS (
+  SELECT q.q_id, tf.doc_id,
+         CAST(sum(CAST(round(
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * tf.dl / s.avgdl))
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_fp
+  FROM tf JOIN qmap q USING (t) JOIN dfc f USING (t), stats s
+  GROUP BY q.q_id, tf.doc_id
+),
+ranked AS (
+  SELECT q_id, doc_id, score_fp,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score_fp DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(q_id AS INT) AS q_id, CAST(rank AS INT) AS rank,
+       doc_id, score_fp
+FROM ranked WHERE rank <= {BM25_TOPK}
+ORDER BY q_id, rank
+"""
+
+
 def persist_text_index(
     docs: DataFrame, prefix: str = "text_idx", n_buckets: int = 8
 ) -> tuple[DataFrame, DataFrame]:
@@ -1310,6 +1435,7 @@ def compact_text_index(
 QUERIES = {
     "bm25_topk": bm25_topk,
     "bm25_indexed_topk": bm25_indexed_topk,
+    "bm25_batch_topk": bm25_batch_topk,
     "text_stats": text_stats,
     "pii_scrub_stats": pii_scrub_stats,
     "corpus_quality_gate": corpus_quality_gate,
@@ -1331,6 +1457,7 @@ ORACLE = {
     # construction (same scoring core over the same postings), so it
     # shares the oracle verbatim
     "bm25_indexed_topk": BM25_TOPK_SQL,
+    "bm25_batch_topk": _bm25_batch_topk_sql(),
     "text_stats": TEXT_STATS_SQL,
     "pii_scrub_stats": PII_SCRUB_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,

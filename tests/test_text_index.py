@@ -252,3 +252,28 @@ def test_hybrid_search_fuses_both_persisted_indexes(spark, sf_dir):
         _drop_index(spark)
         for part in ("cents", "members", "tomb"):
             spark.sql(f"DROP TABLE IF EXISTS {ann_prefix}_{part}")
+
+
+def test_batch_topk_equals_per_query_runs(spark, sf_dir):
+    """bm25_batch_topk's per-q_id slice must be EXACTLY the
+    single-query ranking for that term set (df per term is global
+    document frequency either way, so sharing the postings slice
+    across queries cannot move a bit)."""
+    from real_time_fraud_detection_system_spark.operators.textops import (
+        BM25_BATCH_QUERIES,
+        bm25_batch_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = bm25_batch_topk(spark, sf_dir).collect()
+    for qi, terms in enumerate(BM25_BATCH_QUERIES):
+        got_q = [
+            (r["doc_id"], r["score_fp"], r["rank"])
+            for r in got
+            if r["q_id"] == qi
+        ]
+        want = [
+            (r["doc_id"], r["score_fp"], i + 1)
+            for i, r in enumerate(_fresh_bm25(docs, terms).collect())
+        ]
+        assert got_q == want, f"query {qi} {terms}"

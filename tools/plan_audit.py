@@ -85,6 +85,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # so no scalar-aggregate exchange exists; the corpus-sized work
     # is the term-filtered postings scan.
     "bm25_indexed_topk": frozenset({"NLJ"}),
+    # bm25_batch_topk: the same pre-aggregated 1-row stats broadcast
+    # (scalar-anchor NLJ); the (q_id, t) query map and per-term df
+    # joins are broadcast HASH joins, and the top-k window is
+    # q_id-partitioned -- corpus-sized work is the one term-filtered
+    # postings scan shared by all queries.
+    "bm25_batch_topk": frozenset({"NLJ"}),
     # hybrid_topk: inherits bm25_topk's scalar-anchor NLJ/1PART; the
     # GLOBALWIN is the un-partitioned row_number over the BM25
     # TakeOrdered output -- a CONSTANT {BM25_TOPK}=20-row frame at any
