@@ -180,6 +180,7 @@ HEADLINE = [
     "bm25_topk",
     "bm25_indexed_topk",
     "bm25_batch_topk",
+    "text_index_stats",
     # ...and perceptual-hash image dedup (round-12: real P6 decode ->
     # 60-cell integer aHash -> 3-of-6-block candidacy)
     "dedup_phash",

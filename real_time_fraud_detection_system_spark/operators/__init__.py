@@ -105,6 +105,12 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # from a broadcast (q_id, t) map) -- the 'audit many topics'
         # amortization the persisted index exists for.
         "bm25_batch_topk",
+        # NEW: the lexical member of the uniform index-lifecycle
+        # accounting (the dedup index has index_tombstone_stats; all
+        # three persisted indexes now share a registry-checked
+        # removal story): exact BIGINT posting/token/vocabulary cost
+        # of tombstoning one dump's removals.
+        "text_index_stats",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -143,11 +149,10 @@ PRIORITY = [
     "q18_large_volume_customers", "q4_order_priority_exists",
     "q5_local_supplier_volume", "q6_revenue_change", "recent_topk",
     "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
-    "seasonal_hour_baseline",
     # ROUND-13 QUEUE (in priority order): round-13 changed code first,
     # then the round-8 remainder in name order --
-    # shape_match_recall, shingle_df_curve, skyline_parts,
-    # supplier_bfs_hops, time_weighted_value,
+    # seasonal_hour_baseline, shape_match_recall, shingle_df_curve,
+    # skyline_parts, supplier_bfs_hops, time_weighted_value,
     # token_concentration_bins, token_fertility,
     # top_orders_per_customer, velocity_profile, zipf_alpha_by_source
     # -- then the round-9 cohort in name order (recompute the exact

@@ -1245,6 +1245,130 @@ ORDER BY q_id, rank
 """
 
 
+def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What tombstoning one dump's removals costs the persisted
+    LEXICAL index -- the retrieval member of the uniform
+    index-lifecycle accounting (dedup: index_tombstone_stats; the
+    three persisted indexes now share the same registry-checked
+    removal story). Same engineered membership as the dedup twin: the
+    corpus is the indexed base, the deterministic ~90% md5(doc_id)
+    'snapB' membership is the next dump, every doc NOT in snapB is
+    removed. One row of exact BIGINT accounting: docs and removals,
+    posting rows tombstoned vs live, the removed docs' exact token
+    mass (the stats-log subtraction bm25_search applies: live
+    n_docs / sum_dl), and the vocabulary impact -- terms whose every
+    posting dies (df -> 0) vanish from the live index entirely.
+
+    Shape: one aggregate over the doc lengths (derived from the
+    memoized postings' distinct (doc_id, dl) -- no second text scan),
+    one over the posting rows, and one O(terms)-row per-term
+    survival aggregate collapsed to a count -- cross-joined as
+    bounded scalars. Membership is a pure md5 expression evaluated in
+    place; removed_ppm is integer floor-DIV; nothing floats across
+    the engine boundary."""
+    from .corpusops import _snap_member_spark
+
+    rm_doc = f"NOT ({_snap_member_spark('snapB')})"
+    post = _postings_table(spark, sf_dir)
+    d = (
+        post.select("doc_id", "dl")
+        .distinct()
+        .selectExpr(
+            "count(*) AS n_docs",
+            f"sum(CAST({rm_doc} AS BIGINT)) AS n_removed",
+            "sum(dl) AS sum_dl",
+            f"sum(CASE WHEN {rm_doc} THEN dl ELSE 0 END)"
+            " AS removed_dl",
+        )
+    )
+    p = post.selectExpr(
+        "count(*) AS n_postings",
+        f"sum(CAST({rm_doc} AS BIGINT)) AS n_postings_tombstoned",
+    )
+    t = (
+        post.groupBy("t")
+        .agg(
+            F.expr(f"sum(CAST(NOT ({rm_doc}) AS BIGINT))").alias(
+                "live_df"
+            )
+        )
+        .selectExpr(
+            "count(*) AS n_terms",
+            "sum(CAST(live_df = 0 AS BIGINT)) AS n_terms_lost",
+        )
+    )
+    return (
+        d.crossJoin(p)
+        .crossJoin(t)
+        .selectExpr(
+            "n_docs",
+            "n_removed",
+            "n_postings",
+            "n_postings_tombstoned",
+            "n_postings - n_postings_tombstoned AS n_postings_live",
+            "n_terms",
+            "n_terms_lost",
+            "n_docs - n_removed AS live_n_docs",
+            "sum_dl",
+            "sum_dl - removed_dl AS live_sum_dl",
+            "n_removed * 1000000 DIV n_docs AS removed_ppm",
+        )
+    )
+
+
+def _text_index_stats_sql() -> str:
+    from .corpusops import _snap_member_duck
+
+    rm_doc = f"NOT ({_snap_member_duck('snapB')})"
+    return f"""
+WITH post AS (
+  SELECT doc_id, t, dl, count(*) AS tf
+  FROM (
+    SELECT doc_id, len({_DUCK_TOKS}) AS dl,
+           unnest({_DUCK_TOKS}) AS t
+    FROM documents
+  )
+  GROUP BY doc_id, t, dl
+),
+d_agg AS (
+  SELECT count(*) AS n_docs,
+         sum(CASE WHEN {rm_doc} THEN 1 ELSE 0 END) AS n_removed,
+         sum(dl) AS sum_dl,
+         sum(CASE WHEN {rm_doc} THEN dl ELSE 0 END) AS removed_dl
+  FROM (SELECT DISTINCT doc_id, dl FROM post)
+),
+p_agg AS (
+  SELECT count(*) AS n_postings,
+         sum(CASE WHEN {rm_doc} THEN 1 ELSE 0 END)
+           AS n_postings_tombstoned
+  FROM post
+),
+t_agg AS (
+  SELECT count(*) AS n_terms,
+         sum(CASE WHEN live_df = 0 THEN 1 ELSE 0 END) AS n_terms_lost
+  FROM (
+    SELECT t,
+           sum(CASE WHEN NOT ({_snap_member_duck('snapB')})
+                    THEN 0 ELSE 1 END) AS live_df
+    FROM post GROUP BY t
+  )
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_postings AS BIGINT) AS n_postings,
+       CAST(n_postings_tombstoned AS BIGINT) AS n_postings_tombstoned,
+       CAST(n_postings - n_postings_tombstoned AS BIGINT)
+         AS n_postings_live,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(n_terms_lost AS BIGINT) AS n_terms_lost,
+       CAST(n_docs - n_removed AS BIGINT) AS live_n_docs,
+       CAST(sum_dl AS BIGINT) AS sum_dl,
+       CAST(sum_dl - removed_dl AS BIGINT) AS live_sum_dl,
+       CAST(n_removed * 1000000 // n_docs AS BIGINT) AS removed_ppm
+FROM d_agg, p_agg, t_agg
+"""
+
+
 def persist_text_index(
     docs: DataFrame, prefix: str = "text_idx", n_buckets: int = 8
 ) -> tuple[DataFrame, DataFrame]:
@@ -1436,6 +1560,7 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "bm25_indexed_topk": bm25_indexed_topk,
     "bm25_batch_topk": bm25_batch_topk,
+    "text_index_stats": text_index_stats,
     "text_stats": text_stats,
     "pii_scrub_stats": pii_scrub_stats,
     "corpus_quality_gate": corpus_quality_gate,
@@ -1458,6 +1583,7 @@ ORACLE = {
     # shares the oracle verbatim
     "bm25_indexed_topk": BM25_TOPK_SQL,
     "bm25_batch_topk": _bm25_batch_topk_sql(),
+    "text_index_stats": _text_index_stats_sql(),
     "text_stats": TEXT_STATS_SQL,
     "pii_scrub_stats": PII_SCRUB_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,

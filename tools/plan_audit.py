@@ -91,6 +91,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # q_id-partitioned -- corpus-sized work is the one term-filtered
     # postings scan shared by all queries.
     "bm25_batch_topk": frozenset({"NLJ"}),
+    # text_index_stats: the index_tombstone_stats pattern exactly --
+    # three O(1)-row aggregates (doc lengths, posting rows, per-term
+    # survival count) cross-joined as bounded scalars; the 1PART is
+    # each scalar aggregate's own final exchange, the NLJ is the
+    # 1-row-x-1-row cross of those scalars. Corpus-sized work is the
+    # memoized postings scan.
+    "text_index_stats": frozenset({"NLJ", "1PART"}),
     # hybrid_topk: inherits bm25_topk's scalar-anchor NLJ/1PART; the
     # GLOBALWIN is the un-partitioned row_number over the BM25
     # TakeOrdered output -- a CONSTANT {BM25_TOPK}=20-row frame at any
