@@ -181,9 +181,11 @@ HEADLINE = [
     "bm25_indexed_topk",
     "bm25_batch_topk",
     "text_index_stats",
-    # ...and perceptual-hash image dedup (round-12: real P6 decode ->
-    # 60-cell integer aHash -> 3-of-6-block candidacy)
+    # ...and perceptual dedup for the multimodal columns (round-12:
+    # real P6/WAV decode -> integer aHash / energy-envelope dHash ->
+    # 3-of-6-block candidacy)
     "dedup_phash",
+    "dedup_audio_fp",
     # ...and the explode-free grouped bootstrap (round-12 reshape:
     # per-replica map-side aggregate sums, zero row fanout)
     "bootstrap_fraud_ci",

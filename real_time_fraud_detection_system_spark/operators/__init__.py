@@ -111,6 +111,12 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # removal story): exact BIGINT posting/token/vocabulary cost
         # of tombstoning one dump's removals.
         "text_index_stats",
+        # NEW: the perceptual family's AUDIO member -- real RIFF/WAV
+        # chunk-walk decode (payloads wrapped JVM-side into true 8-bit
+        # PCM containers) -> 61-window energy-envelope dHash (delta
+        # bits, DC-offset-invariant by exact BIGINT cancellation) ->
+        # the same 3-of-6-block candidacy.
+        "dedup_audio_fp",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -148,10 +154,11 @@ PRIORITY = [
     "packing_budget_sweep", "peak_concurrency",
     "q18_large_volume_customers", "q4_order_priority_exists",
     "q5_local_supplier_volume", "q6_revenue_change", "recent_topk",
-    "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
+    "rfm_segments", "risk_lift_matrix",
     # ROUND-13 QUEUE (in priority order): round-13 changed code first,
     # then the round-8 remainder in name order --
-    # seasonal_hour_baseline, shape_match_recall, shingle_df_curve,
+    # scd2_priority_history, seasonal_hour_baseline,
+    # shape_match_recall, shingle_df_curve,
     # skyline_parts, supplier_bfs_hops, time_weighted_value,
     # token_concentration_bins, token_fertility,
     # top_orders_per_customer, velocity_profile, zipf_alpha_by_source

@@ -305,12 +305,12 @@ def image_decoder(payload: bytes) -> dict:
     return ppm_image_decoder(payload)
 
 
-def wav_audio_decoder(payload: bytes) -> dict:
-    """Pure-python WAV (RIFF) codec, the default 'audio' decoder:
-    parses the fmt chunk (PCM only, 8/16-bit) and features the DATA
-    section bytes -- the sample stream, container excluded -- mirroring
-    the image decoders' pixels-not-container contract. Non-RIFF
-    payloads raise NotImplementedError (byte-feature fallback)."""
+def wav_samples(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a PCM WAV (RIFF) payload to (sample_rate, channels,
+    bits, DATA-section bytes) -- the sample accessor shared by the
+    feature decoder and the audio-fingerprint kernel. PCM 8/16-bit
+    only; non-RIFF or malformed payloads raise NotImplementedError
+    (the registry fallback contract)."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -328,7 +328,7 @@ def wav_audio_decoder(payload: bytes) -> dict:
                 data = body
         if fmt is None or data is None:
             raise ValueError("missing fmt/data chunk")
-        audio_format, _ch, _rate, _bps, _align, bits = fmt
+        audio_format, ch, rate, _bps, _align, bits = fmt
         if audio_format != 1 or bits not in (8, 16):
             raise NotImplementedError(
                 f"unsupported WAV format={audio_format} bits={bits}"
@@ -337,6 +337,16 @@ def wav_audio_decoder(payload: bytes) -> dict:
         raise
     except Exception as exc:  # truncated/corrupt container
         raise NotImplementedError(f"malformed WAV payload: {exc}") from exc
+    return rate, ch, bits, data
+
+
+def wav_audio_decoder(payload: bytes) -> dict:
+    """Pure-python WAV (RIFF) codec, the default 'audio' decoder:
+    parses the fmt chunk (PCM only, 8/16-bit) and features the DATA
+    section bytes -- the sample stream, container excluded -- mirroring
+    the image decoders' pixels-not-container contract. Non-RIFF
+    payloads raise NotImplementedError (byte-feature fallback)."""
+    _rate, _ch, _bits, data = wav_samples(payload)
     return {
         "n_bytes": len(data),
         "mean_byte": float(sum(data)) / len(data) if data else 0.0,
@@ -911,12 +921,204 @@ ORDER BY a_id, b_id
 """
 
 
+# --------------------------------------------------------------------------
+# Audio fingerprint dedup: the perceptual family's AUDIO member (image:
+# dedup_phash). Pipeline: real RIFF/WAV parse (the packaged codec) ->
+# energy envelope over a fixed 61-window integer grid of the PCM byte
+# stream -> a dHash-style bit per ADJACENT-window energy step (bit k =
+# window k louder than window k+1, compared cross-multiplied so the
+# whole fingerprint is exact BIGINT arithmetic) -> the same 20-key
+# 3-of-6-block candidacy, Hamming <= 3.
+#
+# The delta form (vs phash's global-mean form) is the audio-relevant
+# one: it is INVARIANT under DC offset -- shifting every sample by +c
+# adds c*|w_k| to each window sum and the cross-multiplied compare
+# (s_k + c*c_k)*c_{k+1} > (s_{k+1} + c*c_{k+1})*c_k cancels the offset
+# term exactly -- the re-record robustness a byte digest lacks. The
+# registry query exercises it end to end with the same deterministic
+# +3 twin construction as dedup_phash.
+
+AUDIO_FP_BITS = 60  # 61 windows -> 60 adjacent-step bits
+AUDIO_TWIN_OFFSET = 10_000_000
+
+
+def _audio_fp_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    nw = AUDIO_FP_BITS + 1
+    for pdf in batches:
+        ids, fps = [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            try:
+                _rate, _ch, _bits, data = wav_samples(bytes(payload))
+            except NotImplementedError:
+                continue  # undecodable: no fingerprint, no pairs
+            n = len(data)
+            if n == 0:
+                continue
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(arr)))
+            bounds = [n * k // nw for k in range(nw + 1)]
+            s = [int(csum[bounds[k + 1]] - csum[bounds[k]]) for k in range(nw)]
+            c = [bounds[k + 1] - bounds[k] for k in range(nw)]
+            fp = 0
+            for k in range(AUDIO_FP_BITS):
+                if s[k] * c[k + 1] > s[k + 1] * c[k]:
+                    fp |= 1 << k
+            ids.append(media_id)
+            fps.append(fp)
+        yield pd.DataFrame({"media_id": ids, "simhash": fps})
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """60-bit energy-envelope fingerprints for a (media_id, payload)
+    frame of PCM WAV payloads, via the packaged pure-python codec in
+    an Arrow-batched kernel. The envelope runs over the raw DATA
+    section byte stream (for the packaged 8-bit fixture that IS the
+    sample sequence; 16-bit streams fingerprint their interleaved
+    bytes -- deterministic either way)."""
+    return media.select("media_id", "payload").mapInPandas(
+        _audio_fp_batches, PHASH_SCHEMA
+    )
+
+
+def _le32(e: str) -> str:
+    """Spark SQL binary expression: ``e`` (a non-negative int expr)
+    as 4 little-endian bytes -- the RIFF length-field encoder for the
+    JVM-side WAV container wrap."""
+    h = f"lpad(hex({e}), 8, '0')"
+    return (
+        f"concat(unhex(substr({h}, 7, 2)), unhex(substr({h}, 5, 2)),"
+        f" unhex(substr({h}, 3, 2)), unhex(substr({h}, 1, 2)))"
+    )
+
+
+def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over the AUDIO rows of the media
+    catalog, each clip unioned with its deterministic DC-shifted
+    re-record twin (media_id + {AUDIO_TWIN_OFFSET}): (a_id, b_id,
+    hamming) at Hamming <= 3 under the 61-window energy-envelope
+    dHash. Every (original, twin) pair lands at Hamming 0 BY THE
+    OFFSET-INVARIANCE ARGUMENT above; unrelated clips pair only on
+    genuine envelope proximity.
+
+    The payloads are wrapped JVM-side into REAL 8-bit PCM WAV
+    containers (RIFF/fmt/data chunks, little-endian length fields
+    assembled from hex arithmetic), so the kernel runs the packaged
+    codec's full chunk-walk parse on every row -- the same
+    decode-is-real discipline as dedup_phash's P6 wrap. Scale shape:
+    one decode pass per clip (Arrow kernel), then the candidate join
+    runs on DISTINCT fingerprints with the first-combo filter; no
+    quadratic stage, no corpus-sized broadcast."""
+    from .dedup import _wide_fp_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    clips = docs.filter(
+        "doc_id % 3 = 1 AND length(encode(text, 'UTF-8')) >= 1"
+    )
+    base = clips.selectExpr("doc_id AS media_id", "text")
+    twin = clips.selectExpr(
+        f"doc_id + {AUDIO_TWIN_OFFSET} AS media_id",
+        f"translate(text, '{_PHASH_FROM}', '{_PHASH_TO}') AS text",
+    )
+    n = "length(encode(text, 'UTF-8'))"
+    # RIFF/WAVE + fmt(PCM, 1ch, 8kHz, 8-bit) + data header, then the
+    # sample bytes; constants pre-hexed, lengths via _le32
+    header = (
+        f"concat(unhex('52494646'), {_le32(f'36 + {n}')},"
+        f" unhex('57415645666D7420'), {_le32('16')},"
+        f" unhex('01000100401F0000401F000001000800'),"
+        f" unhex('64617461'), {_le32(n)})"
+    )
+    media = base.unionByName(twin).selectExpr(
+        "media_id",
+        f"concat({header}, encode(text, 'UTF-8')) AS payload",
+    )
+    fp = audio_fingerprints(media)
+    fpairs = _wide_fp_pairs(fp)
+    da = fp.select(
+        F.col("simhash").alias("sh_a"), F.col("media_id").alias("x_id")
+    )
+    db = fp.select(
+        F.col("simhash").alias("sh_b"), F.col("media_id").alias("y_id")
+    )
+    return (
+        fpairs.join(da, "sh_a")
+        .join(db, "sh_b")
+        .filter(
+            F.when(
+                F.col("sh_a") == F.col("sh_b"), F.col("x_id") < F.col("y_id")
+            ).otherwise(F.col("x_id") != F.col("y_id"))
+        )
+        .select(
+            F.least("x_id", "y_id").alias("a_id"),
+            F.greatest("x_id", "y_id").alias("b_id"),
+            "hamming",
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _dedup_audio_fp_sql() -> str:
+    from .dedup import _DUCK_WIDE_PAIRS, _duck_wide_half
+
+    nw = AUDIO_FP_BITS + 1
+    # per-row list of 61 window sums (1-indexed: s[k+1] is window k)
+    s_list = (
+        f"list_transform(range(0, {nw}), k -> COALESCE(list_sum("
+        f"list_transform(range((n * k) // {nw} + 1,"
+        f" (n * (k + 1)) // {nw} + 1), i -> ascii(text[i]))), 0))"
+    )
+    ck = f"((n * (k + 1)) // {nw} - (n * k) // {nw})"
+    ck1 = f"((n * (k + 2)) // {nw} - (n * (k + 1)) // {nw})"
+    return f"""
+WITH clip AS (
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1
+  UNION ALL
+  SELECT doc_id + {AUDIO_TWIN_OFFSET} AS media_id,
+         translate(text, '{_PHASH_FROM}', '{_PHASH_TO}') AS text
+  FROM documents
+  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1
+),
+px AS (
+  SELECT media_id, text, octet_length(encode(text)) AS n FROM clip
+),
+sums AS (
+  SELECT media_id, n, {s_list} AS s FROM px
+),
+fp AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, {AUDIO_FP_BITS}), k ->
+           CASE WHEN s[k + 1] * {ck1} > s[k + 2] * {ck}
+                THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)
+           AS simhash
+  FROM sums
+),
+nodes AS (SELECT DISTINCT simhash FROM fp),
+half AS ({_duck_wide_half("nodes")}),
+close_pairs AS ({_DUCK_WIDE_PAIRS})
+SELECT least(da.media_id, db.media_id) AS a_id,
+       greatest(da.media_id, db.media_id) AS b_id,
+       hamming
+FROM close_pairs
+JOIN fp da ON da.simhash = sh_a
+JOIN fp db ON db.simhash = sh_b
+WHERE CASE WHEN sh_a = sh_b THEN da.media_id < db.media_id
+           ELSE da.media_id != db.media_id END
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "multimodal_resize": multimodal_resize,
     "dedup_phash": dedup_phash,
+    "dedup_audio_fp": dedup_audio_fp,
 }
 
 ORACLE = {
@@ -925,4 +1127,5 @@ ORACLE = {
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "dedup_phash": _dedup_phash_sql(),
+    "dedup_audio_fp": _dedup_audio_fp_sql(),
 }

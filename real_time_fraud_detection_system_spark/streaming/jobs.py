@@ -556,8 +556,12 @@ def text_index_sink_writer(prefix: str = "text_idx"):
     shard-cost probe) and pinned via localCheckpoint BEFORE any
     append, so a re-delivered epoch adds nothing -- the
     dedup_index_sink_writer discipline. Empty batches no-op. Appends
-    write through saveAsTable with the SAME bucket spec, so the probe
-    plans keep their bucket-pruned shape across appends."""
+    write through saveAsTable with the SAME bucket spec -- the count
+    is read from the existing table's catalog metadata, so an index
+    persisted with a non-default n_buckets keeps its layout (a
+    hard-coded count would fail the append loudly on spec mismatch)
+    -- so the probe plans keep their bucket-pruned shape across
+    appends."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators.textops import build_postings, build_text_stats
@@ -577,7 +581,13 @@ def text_index_sink_writer(prefix: str = "text_idx"):
         ).localCheckpoint()  # pin: read the doc table ONCE, pre-append
         if fresh.isEmpty():
             return  # full replay: everything already indexed
-        n_buckets = 8
+        n_buckets = next(
+            int(r["data_type"])
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {prefix}_post"
+            ).collect()
+            if r["col_name"] == "Num Buckets"
+        )
         (
             build_postings(fresh)
             .write.mode("append")
