@@ -186,6 +186,7 @@ HEADLINE = [
     # 3-of-6-block candidacy)
     "dedup_phash",
     "dedup_audio_fp",
+    "dedup_video_fp",
     # ...and the explode-free grouped bootstrap (round-12 reshape:
     # per-replica map-side aggregate sums, zero row fanout)
     "bootstrap_fraud_ci",

@@ -117,6 +117,13 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # bits, DC-offset-invariant by exact BIGINT cancellation) ->
         # the same 3-of-6-block candidacy.
         "dedup_audio_fp",
+        # NEW: the perceptual family's VIDEO member, completing the
+        # modality triple -- frame-sampled clip dedup (stub frame
+        # extraction per the multimodal contract, real plumbing):
+        # per-frame 24-bit brightness-invariant aHash, clips joined
+        # on exact (frame_position, frame_hash), pairs at >= 6/8
+        # matching positions.
+        "dedup_video_fp",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -154,10 +161,10 @@ PRIORITY = [
     "packing_budget_sweep", "peak_concurrency",
     "q18_large_volume_customers", "q4_order_priority_exists",
     "q5_local_supplier_volume", "q6_revenue_change", "recent_topk",
-    "rfm_segments", "risk_lift_matrix",
+    "rfm_segments",
     # ROUND-13 QUEUE (in priority order): round-13 changed code first,
     # then the round-8 remainder in name order --
-    # scd2_priority_history, seasonal_hour_baseline,
+    # risk_lift_matrix, scd2_priority_history, seasonal_hour_baseline,
     # shape_match_recall, shingle_df_curve,
     # skyline_parts, supplier_bfs_hops, time_weighted_value,
     # token_concentration_bins, token_fertility,

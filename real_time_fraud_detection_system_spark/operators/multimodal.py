@@ -1112,6 +1112,176 @@ ORDER BY a_id, b_id
 """
 
 
+# --------------------------------------------------------------------------
+# Video fingerprint dedup: the perceptual family's VIDEO member,
+# completing the modality triple (image: dedup_phash, audio:
+# dedup_audio_fp). Real video codecs aren't packaged (the multimodal
+# contract: STUB the decode, make the Spark plumbing real), so "frame
+# extraction" samples {VIDEO_FRAMES} fixed byte spans of the stream --
+# the deterministic fake -- and everything downstream is the real
+# production shape: one 24-bit brightness-invariant aHash PER FRAME (wide enough that a
+# position-bucket holds only genuinely-matching frames at 100x -- the
+# 12-bit draft averaged ~81 clips per (position, hash) bucket at 500k
+# docs and paid a 107M-row collision join),
+# clips joined on exact (frame_position, frame_hash) equality, a pair
+# reported when >= {VIDEO_MIN_MATCH} of {VIDEO_FRAMES} positions
+# match. That positional-frame-matching join IS how frame-sampled
+# video dedup runs at scale (per-frame perceptual hash + temporal
+# alignment); swapping the stub for an ffmpeg keyframe reader changes
+# no plan shape.
+
+VIDEO_FRAMES = 8
+VIDEO_FRAME_BITS = 24
+VIDEO_MIN_MATCH = 6
+VIDEO_TWIN_OFFSET = 10_000_000
+
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_hash", T.LongType()),
+    ]
+)
+
+
+def _video_hash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, hashes = [], [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            data = bytes(payload)
+            n = len(data)
+            if n == 0:
+                continue
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(arr)))
+            for k in range(VIDEO_FRAMES):
+                lo, hi = n * k // VIDEO_FRAMES, n * (k + 1) // VIDEO_FRAMES
+                m = hi - lo
+                fsum = int(csum[hi]) - int(csum[lo])
+                h = 0
+                for j in range(VIDEO_FRAME_BITS):
+                    clo = lo + m * j // VIDEO_FRAME_BITS
+                    chi = lo + m * (j + 1) // VIDEO_FRAME_BITS
+                    csum_j = int(csum[chi]) - int(csum[clo])
+                    # bit = cell mean > frame mean, cross-multiplied
+                    # (empty frame/cell: 0 > 0 false -> bit 0)
+                    if csum_j * m > fsum * (chi - clo):
+                        h |= 1 << j
+                ids.append(media_id)
+                idxs.append(k)
+                hashes.append(h)
+        yield pd.DataFrame(
+            {"media_id": ids, "frame_idx": idxs, "frame_hash": hashes}
+        )
+
+
+def video_frame_hashes(media: DataFrame) -> DataFrame:
+    """({VIDEO_FRAMES} x) (media_id, frame_idx, frame_hash) rows per
+    clip: the frame-sampled perceptual signature. Each frame's
+    {VIDEO_FRAME_BITS}-bit aHash compares cell mean vs FRAME mean
+    cross-multiplied -- exact integers, and invariant per frame under
+    uniform brightness shift (the offset cancels)."""
+    return media.select("media_id", "payload").mapInPandas(
+        _video_hash_batches, FRAME_HASH_SCHEMA
+    )
+
+
+def dedup_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampled near-dup pairs over the VIDEO rows of the media
+    catalog, each clip unioned with its deterministic
+    brightness-shifted re-encode twin (media_id +
+    {VIDEO_TWIN_OFFSET}): (a_id, b_id, n_match) for clip pairs whose
+    frame hashes agree at >= {VIDEO_MIN_MATCH} of {VIDEO_FRAMES}
+    positions. Every (original, twin) pair matches at ALL positions
+    by per-frame invariance; unrelated clips must collide at 6+
+    independent 12-bit positions.
+
+    Scale shape: one kernel pass emits {VIDEO_FRAMES} signature rows
+    per clip; the candidate join is an equi-join on (frame_idx,
+    frame_hash) -- only positionally-identical frames meet -- then a
+    per-pair count filters to >= {VIDEO_MIN_MATCH}. No quadratic
+    stage: bucket sizes are bounded by clips sharing an exact frame
+    hash at the same position."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    clips = docs.filter(
+        "doc_id % 3 = 2 AND length(encode(text, 'UTF-8')) >= 1"
+    )
+    base = clips.selectExpr("doc_id AS media_id", "text")
+    twin = clips.selectExpr(
+        f"doc_id + {VIDEO_TWIN_OFFSET} AS media_id",
+        f"translate(text, '{_PHASH_FROM}', '{_PHASH_TO}') AS text",
+    )
+    media = base.unionByName(twin).select(
+        "media_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    fh = video_frame_hashes(media)
+    a = fh.selectExpr(
+        "media_id AS a_id", "frame_idx", "frame_hash"
+    )
+    b = fh.selectExpr(
+        "media_id AS b_id", "frame_idx", "frame_hash"
+    )
+    return (
+        a.join(b, ["frame_idx", "frame_hash"])
+        .filter("a_id < b_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_match"))
+        .filter(f"n_match >= {VIDEO_MIN_MATCH}")
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _dedup_video_fp_sql() -> str:
+    nf, nb = VIDEO_FRAMES, VIDEO_FRAME_BITS
+    lo = f"(n * k) // {nf}"
+    m = f"((n * (k + 1)) // {nf} - (n * k) // {nf})"
+    cell_lo = f"({lo} + ({m} * j) // {nb})"
+    cell_hi = f"({lo} + ({m} * (j + 1)) // {nb})"
+    cell_sum = (
+        f"COALESCE(list_sum(list_transform("
+        f"range({cell_lo} + 1, {cell_hi} + 1), i -> ascii(text[i]))), 0)"
+    )
+    frame_sum = (
+        f"COALESCE(list_sum(list_transform("
+        f"range({lo} + 1, (n * (k + 1)) // {nf} + 1),"
+        f" i -> ascii(text[i]))), 0)"
+    )
+    return f"""
+WITH clip AS (
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 1
+  UNION ALL
+  SELECT doc_id + {VIDEO_TWIN_OFFSET} AS media_id,
+         translate(text, '{_PHASH_FROM}', '{_PHASH_TO}') AS text
+  FROM documents
+  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 1
+),
+px AS (
+  SELECT media_id, text, octet_length(encode(text)) AS n FROM clip
+),
+fh AS (
+  SELECT media_id, CAST(frames.k AS INT) AS frame_idx,
+         CAST(list_sum(list_transform(range(0, {nb}), j ->
+           CASE WHEN {cell_sum} * {m} > {frame_sum} * ({cell_hi} - {cell_lo})
+                THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT)
+           AS frame_hash
+  FROM px, (SELECT unnest(range({nf})) AS k) frames
+)
+SELECT a.media_id AS a_id, b.media_id AS b_id,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM fh a JOIN fh b
+  ON a.frame_idx = b.frame_idx AND a.frame_hash = b.frame_hash
+ AND a.media_id < b.media_id
+GROUP BY a.media_id, b.media_id
+HAVING count(*) >= {VIDEO_MIN_MATCH}
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
@@ -1119,6 +1289,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "dedup_phash": dedup_phash,
     "dedup_audio_fp": dedup_audio_fp,
+    "dedup_video_fp": dedup_video_fp,
 }
 
 ORACLE = {
@@ -1128,4 +1299,5 @@ ORACLE = {
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "dedup_phash": _dedup_phash_sql(),
     "dedup_audio_fp": _dedup_audio_fp_sql(),
+    "dedup_video_fp": _dedup_video_fp_sql(),
 }

@@ -206,3 +206,66 @@ def test_dedup_audio_fp_registry_catches_every_twin(spark):
     rate, ch, bits, data = wav_samples(header + text_bytes)
     assert (rate, ch, bits) == (8000, 1, 8)
     assert data == text_bytes
+
+
+def test_video_fp_twin_and_discrimination(spark):
+    """Per-frame brightness invariance: a uniformly shifted clip
+    matches its original at ALL frame positions; a distinct clip
+    matches at none; a half-overwritten clip matches only on its
+    untouched half (positional alignment is real, not global)."""
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        VIDEO_FRAMES,
+        video_frame_hashes,
+    )
+
+    n = 960  # divisible by 8 frames x 12 cells
+    base = [((17 * i) % 113 + (i * i) % 67) % 200 for i in range(n)]
+    shifted = [b + 9 for b in base]
+    distinct = [(173 * i + 11) % 256 for i in range(n)]
+    half = list(distinct[: n // 2]) + list(base[n // 2 :])
+    media = spark.createDataFrame(
+        [(1, bytes(base)), (2, bytes(shifted)), (3, bytes(distinct)),
+         (4, bytes(half))],
+        "media_id long, payload binary",
+    )
+    fh = video_frame_hashes(media).collect()
+    sig = {}
+    for r in fh:
+        sig.setdefault(r["media_id"], {})[r["frame_idx"]] = r["frame_hash"]
+    assert all(len(sig[m]) == VIDEO_FRAMES for m in (1, 2, 3, 4))
+
+    def n_match(a, b):
+        return sum(sig[a][k] == sig[b][k] for k in range(VIDEO_FRAMES))
+
+    assert n_match(1, 2) == VIDEO_FRAMES  # brightness twin: all match
+    assert n_match(1, 3) <= 1  # distinct: (near-)no positions agree
+    assert n_match(1, 4) == VIDEO_FRAMES // 2  # back half only
+
+
+def test_dedup_video_fp_registry_catches_every_twin(spark):
+    """Registry query: every video row pairs with its
+    brightness-shifted twin at n_match == 8; pairs symmetric-free
+    with n_match within [VIDEO_MIN_MATCH, VIDEO_FRAMES]."""
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        VIDEO_FRAMES,
+        VIDEO_MIN_MATCH,
+        VIDEO_TWIN_OFFSET,
+        dedup_video_fp,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    n_clips = docs.filter("doc_id % 3 = 2 AND length(text) >= 1").count()
+    rows = dedup_video_fp(spark, SF).collect()
+    pairs = {(r["a_id"], r["b_id"]): r["n_match"] for r in rows}
+    twin_pairs = {
+        (a, b): m
+        for (a, b), m in pairs.items()
+        if b == a + VIDEO_TWIN_OFFSET
+    }
+    assert len(twin_pairs) == n_clips
+    assert set(twin_pairs.values()) == {VIDEO_FRAMES}
+    assert all(a < b for a, b in pairs)
+    assert all(
+        VIDEO_MIN_MATCH <= m <= VIDEO_FRAMES for m in pairs.values()
+    )
