@@ -822,7 +822,7 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     imgs = docs.filter(
-        f"doc_id % 3 = 0 AND length(encode(text, 'UTF-8')) >= 3"
+        "doc_id % 3 = 0 AND length(encode(text, 'UTF-8')) >= 3"
     )
     base = imgs.selectExpr("doc_id AS media_id", "text")
     twin = imgs.selectExpr(
