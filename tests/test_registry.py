@@ -86,6 +86,39 @@ def test_every_query_has_an_oracle_in_same_order():
 
 
 # --------------------------------------------------------------------------
+# Verdict-union staleness (tools/staleness.py): the committed form of the
+# round-open rotation input. full_pass is the driver's bar (rows + schema
+# + hash, no err); the tripwire below catches a query registered without
+# joining ROUND_CHANGED (it would head no window and never get attested).
+from staleness import full_pass, verdict_union  # noqa: E402
+
+
+def test_full_pass_requires_all_three_matches_and_no_err():
+    clean = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "err": None}
+    assert full_pass(clean)
+    assert not full_pass({**clean, "err": "boom"})
+    assert not full_pass({**clean, "hash_match": False})
+    assert not full_pass({**clean, "schema_match": None})
+
+
+def test_unattested_registrations_are_round_changed():
+    from real_time_fraud_detection_system_spark.operators import (
+        ROUND,
+        ROUND_CHANGED,
+    )
+
+    union = verdict_union("/root/repo")
+    assert union, "no driver records parsed"
+    assert all(1 <= r <= ROUND for r in union.values())
+    never = set(all_queries()) - set(union)
+    assert never <= set(ROUND_CHANGED), (
+        f"registered but never driver-attested and not in ROUND_CHANGED "
+        f"(they would never head a window): {sorted(never - set(ROUND_CHANGED))}"
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-faithful canonicalizer: must FAIL the two round-1 failure classes.
 from check_correctness import UnhashableCell, _canon_frame  # noqa: E402
 

@@ -1,0 +1,119 @@
+"""Verdict-union staleness report -- the round-open rotation input.
+
+The grading driver verifies the FIRST 50 registry entries each round and
+records per-query verdicts in CORRECTNESS_r{N}.json. The rotation rule
+(operators/__init__.py PRIORITY) is NEWEST-FIRST, THEN OLDEST-VERDICT:
+queries changed this round head the window, then the queries whose most
+recent FULL driver pass (rows+schema+hash, no err) is oldest. Both the
+round-open rotation and the judge's staleness audit recompute the same
+union; this tool is that computation, committed so it is reproducible
+from a clean clone.
+
+Usage: python tools/staleness.py [--cohort N] [repo_root]
+
+Prints:
+  * the verdict-union histogram (round of last full pass -> #queries);
+  * queries registered but never fully passed by the driver (new or
+    renamed since the last record -- these head the next window as
+    ROUND_CHANGED members);
+  * record names that no longer match a registered query (renames);
+  * the oldest-verdict rotation cohort in (round, name) order -- pass
+    --cohort N to cap the listing (default 60, enough to fill a window).
+
+No SparkSession is created; only the registry module import runs.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+
+def full_pass(rec: dict) -> bool:
+    """A driver verdict counts only as a FULL pass: rows + schema + hash
+    all matched and no error. Weaker rows-only records never refresh
+    staleness (the judge distinguishes them too)."""
+    return (
+        rec.get("err") in (None, "")
+        and bool(rec.get("rows_match"))
+        and bool(rec.get("schema_match"))
+        and bool(rec.get("hash_match"))
+    )
+
+
+def verdict_union(root: str) -> dict[str, int]:
+    """name -> round of the most recent full driver pass."""
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            try:
+                records = json.load(fh)
+            except json.JSONDecodeError:
+                print(f"WARN: unreadable {path}", file=sys.stderr)
+                continue
+        for name, rec in records.items():
+            if isinstance(rec, dict) and full_pass(rec):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    cohort_n = 60
+    if "--cohort" in args:
+        i = args.index("--cohort")
+        cohort_n = int(args[i + 1])
+        del args[i : i + 2]
+    root = args[0] if args else "/root/repo"
+
+    sys.path.insert(0, root)
+    from real_time_fraud_detection_system_spark.operators import (
+        ROUND,
+        all_queries,
+    )
+
+    registered = list(all_queries())
+    latest = verdict_union(root)
+
+    hist: dict[int, int] = {}
+    never: list[str] = []
+    for name in registered:
+        if name in latest:
+            hist[latest[name]] = hist.get(latest[name], 0) + 1
+        else:
+            never.append(name)
+    orphans = sorted(set(latest) - set(registered))
+
+    print(f"registry ROUND = {ROUND}; {len(registered)} registered queries")
+    print(
+        "verdict-union histogram (round of last full pass -> count): "
+        + ", ".join(f"r{r}={hist[r]}" for r in sorted(hist))
+    )
+    if never:
+        print(f"\nnever fully passed ({len(never)}) -- window head material:")
+        for name in never:
+            print(f"  {name}")
+    if orphans:
+        print(f"\nrecord names not in the registry ({len(orphans)}) -- renames?:")
+        for name in orphans:
+            print(f"  {name}")
+
+    cohort = sorted(
+        (name for name in registered if name in latest),
+        key=lambda n: (latest[n], n),
+    )[:cohort_n]
+    print(f"\noldest-verdict rotation cohort (first {len(cohort)}):")
+    for name in cohort:
+        print(f"  r{latest[name]:<3d} {name}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
