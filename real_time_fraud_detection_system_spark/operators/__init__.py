@@ -122,8 +122,17 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # extraction per the multimodal contract, real plumbing):
         # per-frame 24-bit brightness-invariant aHash, clips joined
         # on exact (frame_position, frame_hash), pairs at >= 6/8
-        # matching positions.
+        # matching positions; flat (hash-0) frames excluded from the
+        # join on both engines (the quadratic guard for near-empty
+        # clip slices -- output-neutral on the fixtures).
         "dedup_video_fp",
+        # REFACTORED: the exactly-once fingerprint pair join-back
+        # (candidacy on distinct fingerprints + the self-pair filter)
+        # factored into dedup.wide_pair_join / _duck_wide_pair_select,
+        # now shared verbatim by dedup_simhash / dedup_phash /
+        # dedup_audio_fp on both engines -- values unchanged;
+        # re-attested per the rewritten-internals rule.
+        "dedup_simhash",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -161,9 +170,9 @@ PRIORITY = [
     "packing_budget_sweep", "peak_concurrency",
     "q18_large_volume_customers", "q4_order_priority_exists",
     "q5_local_supplier_volume", "q6_revenue_change", "recent_topk",
-    "rfm_segments",
     # ROUND-13 QUEUE (in priority order): round-13 changed code first,
     # then the round-8 remainder in name order --
+    # rfm_segments (displaced when dedup_simhash re-joined the head),
     # risk_lift_matrix, scd2_priority_history, seasonal_hour_baseline,
     # shape_match_recall, shingle_df_curve,
     # skyline_parts, supplier_bfs_hops, time_weighted_value,

@@ -2658,6 +2658,53 @@ _DUCK_WIDE_PAIRS = f"""
 """
 
 
+def wide_pair_join(fp: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(a_id, b_id, hamming) near-dup pairs from a fingerprint frame,
+    each pair emitted EXACTLY ONCE: candidacy runs on DISTINCT
+    fingerprints (_wide_fp_pairs), ids join back by fingerprint, and
+    the emission filter pairs equal fingerprints per id combo once
+    (x < y) while distinct fingerprints pair every cross id combo once
+    (the sh_a <= sh_b half-ordering already de-duplicates). ONE copy of
+    this logic serves dedup_simhash and the perceptual members
+    (dedup_phash / dedup_audio_fp) -- a tie-handling fix lands in all
+    three at once."""
+    fpairs = _wide_fp_pairs(fp)
+    da = fp.select(
+        F.col("simhash").alias("sh_a"), F.col(id_col).alias("x_id")
+    )
+    db = fp.select(
+        F.col("simhash").alias("sh_b"), F.col(id_col).alias("y_id")
+    )
+    return (
+        fpairs.join(da, "sh_a")
+        .join(db, "sh_b")
+        .filter(
+            F.when(
+                F.col("sh_a") == F.col("sh_b"), F.col("x_id") < F.col("y_id")
+            ).otherwise(F.col("x_id") != F.col("y_id"))
+        )
+        .select(
+            F.least("x_id", "y_id").alias("a_id"),
+            F.greatest("x_id", "y_id").alias("b_id"),
+            "hamming",
+        )
+    )
+
+
+def _duck_wide_pair_select(id_col: str = "doc_id") -> str:
+    """DuckDB twin of wide_pair_join's join-back + emission filter:
+    the final SELECT shared by the wide-fingerprint oracles (expects
+    ``fp`` and ``close_pairs`` CTEs in scope)."""
+    return f"""SELECT least(da.{id_col}, db.{id_col}) AS a_id,
+       greatest(da.{id_col}, db.{id_col}) AS b_id,
+       hamming
+FROM close_pairs
+JOIN fp da ON da.simhash = sh_a
+JOIN fp db ON db.simhash = sh_b
+WHERE CASE WHEN sh_a = sh_b THEN da.{id_col} < db.{id_col}
+           ELSE da.{id_col} != db.{id_col} END"""
+
+
 def wide_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) with 60-bit fingerprints -- the projection both
     ``dedup_simhash`` and ``dedup_clusters_wide`` build on."""
@@ -2679,23 +2726,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets sparse even on template-heavy corpora -- this is the
     100 TB shape."""
     fp = wide_fingerprints(spark, sf_dir).cache()
-    fpairs = _wide_fp_pairs(fp)
-    da = fp.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("x_id"))
-    db = fp.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("y_id"))
-    return (
-        fpairs.join(da, "sh_a")
-        .join(db, "sh_b")
-        .filter(
-            F.when(
-                F.col("sh_a") == F.col("sh_b"), F.col("x_id") < F.col("y_id")
-            ).otherwise(F.col("x_id") != F.col("y_id"))
-        )
-        .select(
-            F.least("x_id", "y_id").alias("a_id"),
-            F.greatest("x_id", "y_id").alias("b_id"),
-            "hamming",
-        )
-    )
+    return wide_pair_join(fp, "doc_id")
 
 
 DEDUP_SIMHASH_SQL = f"""
@@ -2707,14 +2738,7 @@ WITH fp AS (
 nodes AS (SELECT DISTINCT simhash FROM fp),
 half AS ({_duck_wide_half("nodes")}),
 close_pairs AS ({_DUCK_WIDE_PAIRS})
-SELECT least(da.doc_id, db.doc_id) AS a_id,
-       greatest(da.doc_id, db.doc_id) AS b_id,
-       hamming
-FROM close_pairs
-JOIN fp da ON da.simhash = sh_a
-JOIN fp db ON db.simhash = sh_b
-WHERE CASE WHEN sh_a = sh_b THEN da.doc_id < db.doc_id
-           ELSE da.doc_id != db.doc_id END
+{_duck_wide_pair_select("doc_id")}
 """
 
 

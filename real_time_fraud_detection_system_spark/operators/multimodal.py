@@ -818,7 +818,7 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first-combo filter (dedup_simhash's exact machinery) -- no
     quadratic stage, no corpus-sized broadcast; docs join the pair set
     back by fingerprint at the end."""
-    from .dedup import _wide_fp_pairs
+    from .dedup import wide_pair_join
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     imgs = docs.filter(
@@ -845,33 +845,19 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("payload"),
     )
-    fp = phash_fingerprints(media)
-    fpairs = _wide_fp_pairs(fp)
-    da = fp.select(
-        F.col("simhash").alias("sh_a"), F.col("media_id").alias("x_id")
-    )
-    db = fp.select(
-        F.col("simhash").alias("sh_b"), F.col("media_id").alias("y_id")
-    )
-    return (
-        fpairs.join(da, "sh_a")
-        .join(db, "sh_b")
-        .filter(
-            F.when(
-                F.col("sh_a") == F.col("sh_b"), F.col("x_id") < F.col("y_id")
-            ).otherwise(F.col("x_id") != F.col("y_id"))
-        )
-        .select(
-            F.least("x_id", "y_id").alias("a_id"),
-            F.greatest("x_id", "y_id").alias("b_id"),
-            "hamming",
-        )
-        .orderBy("a_id", "b_id")
-    )
+    # cache: three consumers (pair candidacy + both join-back sides)
+    # would otherwise each re-run the decode kernel -- the dominant
+    # cost -- per branch (dedup_simhash's discipline, dedup.py)
+    fp = phash_fingerprints(media).cache()
+    return wide_pair_join(fp, "media_id").orderBy("a_id", "b_id")
 
 
 def _dedup_phash_sql() -> str:
-    from .dedup import _DUCK_WIDE_PAIRS, _duck_wide_half
+    from .dedup import (
+        _DUCK_WIDE_PAIRS,
+        _duck_wide_half,
+        _duck_wide_pair_select,
+    )
 
     cell_sum = (
         "COALESCE(list_sum(list_transform("
@@ -909,14 +895,7 @@ fp AS (
 nodes AS (SELECT DISTINCT simhash FROM fp),
 half AS ({_duck_wide_half("nodes")}),
 close_pairs AS ({_DUCK_WIDE_PAIRS})
-SELECT least(da.media_id, db.media_id) AS a_id,
-       greatest(da.media_id, db.media_id) AS b_id,
-       hamming
-FROM close_pairs
-JOIN fp da ON da.simhash = sh_a
-JOIN fp db ON db.simhash = sh_b
-WHERE CASE WHEN sh_a = sh_b THEN da.media_id < db.media_id
-           ELSE da.media_id != db.media_id END
+{_duck_wide_pair_select("media_id")}
 ORDER BY a_id, b_id
 """
 
@@ -1012,7 +991,7 @@ def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     one decode pass per clip (Arrow kernel), then the candidate join
     runs on DISTINCT fingerprints with the first-combo filter; no
     quadratic stage, no corpus-sized broadcast."""
-    from .dedup import _wide_fp_pairs
+    from .dedup import wide_pair_join
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     clips = docs.filter(
@@ -1036,33 +1015,18 @@ def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         f"concat({header}, encode(text, 'UTF-8')) AS payload",
     )
-    fp = audio_fingerprints(media)
-    fpairs = _wide_fp_pairs(fp)
-    da = fp.select(
-        F.col("simhash").alias("sh_a"), F.col("media_id").alias("x_id")
-    )
-    db = fp.select(
-        F.col("simhash").alias("sh_b"), F.col("media_id").alias("y_id")
-    )
-    return (
-        fpairs.join(da, "sh_a")
-        .join(db, "sh_b")
-        .filter(
-            F.when(
-                F.col("sh_a") == F.col("sh_b"), F.col("x_id") < F.col("y_id")
-            ).otherwise(F.col("x_id") != F.col("y_id"))
-        )
-        .select(
-            F.least("x_id", "y_id").alias("a_id"),
-            F.greatest("x_id", "y_id").alias("b_id"),
-            "hamming",
-        )
-        .orderBy("a_id", "b_id")
-    )
+    # cache: same three-consumer shape as dedup_phash; the WAV
+    # chunk-walk decode is the dominant cost
+    fp = audio_fingerprints(media).cache()
+    return wide_pair_join(fp, "media_id").orderBy("a_id", "b_id")
 
 
 def _dedup_audio_fp_sql() -> str:
-    from .dedup import _DUCK_WIDE_PAIRS, _duck_wide_half
+    from .dedup import (
+        _DUCK_WIDE_PAIRS,
+        _duck_wide_half,
+        _duck_wide_pair_select,
+    )
 
     nw = AUDIO_FP_BITS + 1
     # per-row list of 61 window sums (1-indexed: s[k+1] is window k)
@@ -1100,14 +1064,7 @@ fp AS (
 nodes AS (SELECT DISTINCT simhash FROM fp),
 half AS ({_duck_wide_half("nodes")}),
 close_pairs AS ({_DUCK_WIDE_PAIRS})
-SELECT least(da.media_id, db.media_id) AS a_id,
-       greatest(da.media_id, db.media_id) AS b_id,
-       hamming
-FROM close_pairs
-JOIN fp da ON da.simhash = sh_a
-JOIN fp db ON db.simhash = sh_b
-WHERE CASE WHEN sh_a = sh_b THEN da.media_id < db.media_id
-           ELSE da.media_id != db.media_id END
+{_duck_wide_pair_select("media_id")}
 ORDER BY a_id, b_id
 """
 
@@ -1198,14 +1155,22 @@ def dedup_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame hashes agree at >= {VIDEO_MIN_MATCH} of {VIDEO_FRAMES}
     positions. Every (original, twin) pair matches at ALL positions
     by per-frame invariance; unrelated clips must collide at 6+
-    independent 12-bit positions.
+    independent {VIDEO_FRAME_BITS}-bit positions.
 
     Scale shape: one kernel pass emits {VIDEO_FRAMES} signature rows
     per clip; the candidate join is an equi-join on (frame_idx,
     frame_hash) -- only positionally-identical frames meet -- then a
-    per-pair count filters to >= {VIDEO_MIN_MATCH}. No quadratic
-    stage: bucket sizes are bounded by clips sharing an exact frame
-    hash at the same position."""
+    per-pair count filters to >= {VIDEO_MIN_MATCH}. FLAT frames
+    (hash 0: uniform or empty spans, the only way every cell mean
+    ties the frame mean) are EXCLUDED from the join on both engines
+    -- they carry no perceptual signal, and on a corpus slice of many
+    near-empty clips every one of them would land in the same
+    (position, 0) bucket and the join would go quadratic; a clip
+    therefore needs >= {VIDEO_MIN_MATCH} informative frames to be
+    dedup-able at all (zero flat frames exist in the test fixtures,
+    so the guard is output-neutral there -- it exists for the 100 TB
+    shape). Bucket sizes are otherwise bounded by clips sharing an
+    exact 24-bit frame hash at the same position."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     clips = docs.filter(
         "doc_id % 3 = 2 AND length(encode(text, 'UTF-8')) >= 1"
@@ -1218,7 +1183,9 @@ def dedup_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = base.unionByName(twin).select(
         "media_id", F.encode("text", "UTF-8").alias("payload")
     )
-    fh = video_frame_hashes(media)
+    # cache: both self-join sides would otherwise re-run the frame
+    # kernel; flat frames dropped BEFORE the join (see docstring)
+    fh = video_frame_hashes(media).filter("frame_hash != 0").cache()
     a = fh.selectExpr(
         "media_id AS a_id", "frame_idx", "frame_hash"
     )
@@ -1276,6 +1243,7 @@ SELECT a.media_id AS a_id, b.media_id AS b_id,
 FROM fh a JOIN fh b
   ON a.frame_idx = b.frame_idx AND a.frame_hash = b.frame_hash
  AND a.media_id < b.media_id
+WHERE a.frame_hash != 0
 GROUP BY a.media_id, b.media_id
 HAVING count(*) >= {VIDEO_MIN_MATCH}
 ORDER BY a_id, b_id

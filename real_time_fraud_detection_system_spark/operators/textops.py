@@ -1063,8 +1063,12 @@ def build_text_stats(docs: DataFrame) -> DataFrame:
 def _postings_fingerprint(sf_dir: str):
     from ._memo import code_token, table_fingerprint
 
+    # _TOKS rides the key as a VALUE: build_postings references the
+    # tokenizer by name, so code_token alone would keep serving stale
+    # postings across a tokenizer change (the dedup memos pass
+    # MINHASH_K/SHINGLE_N for the same reason)
     return table_fingerprint(
-        sf_dir, "documents", code_token(build_postings)
+        sf_dir, "documents", _TOKS, code_token(build_postings)
     )
 
 
@@ -1092,7 +1096,7 @@ def _text_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_parquet(
         spark,
         table_fingerprint(
-            sf_dir, "documents", code_token(build_text_stats)
+            sf_dir, "documents", _TOKS, code_token(build_text_stats)
         ),
         "bm25stats",
         lambda: build_text_stats(load_table(spark, sf_dir, "documents")),
@@ -1505,15 +1509,30 @@ def bm25_search(
     return _bm25_rank(tf, stats, k)
 
 
+def catalog_num_buckets(spark: SparkSession, table: str) -> int:
+    """The bucket count a persisted table was written with, from the
+    catalog -- the append/compact legs must preserve it (a hard-coded
+    count would silently re-bucket an index persisted with a
+    non-default n_buckets and change every probe plan built on it)."""
+    return next(
+        int(r["data_type"])
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        if r["col_name"] == "Num Buckets"
+    )
+
+
 def compact_text_index(
-    spark: SparkSession, prefix: str = "text_idx", n_buckets: int = 8
+    spark: SparkSession, prefix: str = "text_idx",
+    n_buckets: int | None = None,
 ) -> dict:
     """Fold the tombstones into the persisted lexical index: rewrite
     postings and doc table without the tombstoned doc_ids (same
-    bucketing keys/count, so probe plans keep their zero-exchange
-    shape), consolidate the stats append-log to ONE live row, drop
-    the tombstone table, and return the exact row funnel -- the
-    dedup/ANN compaction discipline applied to retrieval."""
+    bucketing keys, and the SAME bucket count -- read per part from
+    the catalog unless explicitly overridden -- so probe plans keep
+    their zero-exchange shape), consolidate the stats append-log to
+    ONE live row, drop the tombstone table, and return the exact row
+    funnel -- the dedup/ANN compaction discipline applied to
+    retrieval."""
     import shutil
     import tempfile
 
@@ -1530,6 +1549,9 @@ def compact_text_index(
     scratch = tempfile.mkdtemp(prefix="text_idx_compact_")
     try:
         for part, keys in (("post", ["t"]), ("doc", ["doc_id"])):
+            nb = n_buckets or catalog_num_buckets(
+                spark, f"{prefix}_{part}"
+            )
             t = spark.table(f"{prefix}_{part}")
             n_before = t.count()
             live = (
@@ -1539,7 +1561,7 @@ def compact_text_index(
             )
             live.write.parquet(f"{scratch}/{part}")
             staged = spark.read.parquet(f"{scratch}/{part}")
-            write_bucketed(staged, f"{prefix}_{part}", keys, n_buckets)
+            write_bucketed(staged, f"{prefix}_{part}", keys, nb)
             n_after = spark.table(f"{prefix}_{part}").count()
             funnel[f"{part}_rows_before"] = n_before
             funnel[f"{part}_rows_after"] = n_after

@@ -564,7 +564,12 @@ def text_index_sink_writer(prefix: str = "text_idx"):
     appends."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..operators.textops import build_postings, build_text_stats
+        from ..operators.textops import (
+            _TOKS,
+            build_postings,
+            build_text_stats,
+            catalog_num_buckets,
+        )
 
         spark = batch_df.sparkSession
         if not spark.catalog.tableExists(f"{prefix}_doc"):
@@ -581,13 +586,7 @@ def text_index_sink_writer(prefix: str = "text_idx"):
         ).localCheckpoint()  # pin: read the doc table ONCE, pre-append
         if fresh.isEmpty():
             return  # full replay: everything already indexed
-        n_buckets = next(
-            int(r["data_type"])
-            for r in spark.sql(
-                f"DESCRIBE TABLE EXTENDED {prefix}_post"
-            ).collect()
-            if r["col_name"] == "Num Buckets"
-        )
+        n_buckets = catalog_num_buckets(spark, f"{prefix}_post")
         (
             build_postings(fresh)
             .write.mode("append")
@@ -597,7 +596,10 @@ def text_index_sink_writer(prefix: str = "text_idx"):
             .saveAsTable(f"{prefix}_post")
         )
         (
-            fresh.selectExpr("doc_id", "size(split(text, ' ')) AS dl")
+            # dl MUST come from the same tokenizer the postings use --
+            # a hand-copied split() here would silently drift from
+            # build_postings if the tokenizer ever changes
+            fresh.selectExpr("doc_id", f"size({_TOKS}) AS dl")
             .write.mode("append")
             .format("parquet")
             .bucketBy(n_buckets, "doc_id")

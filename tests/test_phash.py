@@ -242,6 +242,29 @@ def test_video_fp_twin_and_discrimination(spark):
     assert n_match(1, 4) == VIDEO_FRAMES // 2  # back half only
 
 
+def test_video_fp_flat_frames_carry_no_signal(spark):
+    """The scale guard: uniform (or empty) frame spans hash to 0 --
+    the flat-frame fingerprint -- and dedup_video_fp excludes them
+    from the positional join, so a corpus slice of near-empty clips
+    cannot collapse into one quadratic (position, 0) bucket, and two
+    unrelated flat clips are NOT reported as an 8/8 'match'."""
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        VIDEO_FRAMES,
+        video_frame_hashes,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytes([7] * 96)), (2, bytes([200] * 96)), (3, bytes([9]))],
+        "media_id long, payload binary",
+    )
+    fh = video_frame_hashes(media).collect()
+    assert len(fh) == 3 * VIDEO_FRAMES
+    assert all(r["frame_hash"] == 0 for r in fh)
+    # the registry query's join-side filter drops every one of them
+    informative = video_frame_hashes(media).filter("frame_hash != 0")
+    assert informative.count() == 0
+
+
 def test_dedup_video_fp_registry_catches_every_twin(spark):
     """Registry query: every video row pairs with its
     brightness-shifted twin at n_match == 8; pairs symmetric-free
