@@ -202,6 +202,10 @@ HEADLINE = [
     # hybrid retrieval fusion
     "index_tombstone_stats",
     "hybrid_topk",
+    # round-13 (rule 1): the ANN member of the index-lifecycle
+    # accounting triple (packing_budget_sweep, also round-13-changed,
+    # is already a headline member above)
+    "ann_index_stats",
 ]
 
 

@@ -46,7 +46,7 @@ DRIVER_SAMPLE = 50
 # DETECTABLE, not silent (ADVICE r9): tests/test_registry.py asserts
 # ROUND == 1 + the newest CORRECTNESS_r*.json on disk, so a stale
 # round number fails the suite at round start.
-ROUND = 12
+ROUND = 13
 _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
     11: [
         # snapshot_quality_drift: per-bucket PSI terms now quantized
@@ -134,53 +134,97 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # re-attested per the rewritten-internals rule.
         "dedup_simhash",
     ],
+    # Round 13 (grows as operators land -- round-12 verdict Next
+    # #1/#3/#4 + ADVICE):
+    13: [
+        # ORACLE REWRITTEN (the round's only red driver row -- a
+        # DuckDB OOM inside the oracle's per-row token-list
+        # materialization, not an engine wrong-answer): token counts
+        # now pure length arithmetic, nothing but (doc_id, source, n)
+        # survives the first CTE; output byte-identical (pinned in
+        # tests). At window index 0 so the driver re-attests first.
+        "packing_budget_sweep",
+        # NEW: the ANN member of the uniform index-lifecycle
+        # accounting triple (dedup: index_tombstone_stats, text:
+        # text_index_stats): exact BIGINT accounting of tombstoning
+        # one dump's removed vectors against the persisted IVF index
+        # -- member rows tombstoned vs live, cells emptied, ppm.
+        "ann_index_stats",
+        # REWRITTEN: real container decode -- clips now wrapped
+        # JVM-side into true YUV4MPEG2 (Y4M) mono containers and the
+        # kernel runs the packaged y4m_frames chunk-walk parse
+        # (header params + per-FRAME marker walk, malformed ->
+        # NotImplementedError) instead of slicing fixed byte spans;
+        # frame grid switched to the container's equal-size frames.
+        "dedup_video_fp",
+        # REWRITTEN: video rows take the same real Y4M parse (frame
+        # bytes from the container walk); image/audio rows keep the
+        # strided-span fallback -- the per-modality split the codec
+        # registry exists for.
+        "multimodal_frames",
+        # REWRITTEN: the perceptual pair queries now filter to
+        # single-byte (ASCII) text on BOTH engines -- the engine
+        # fingerprints UTF-8 bytes while the oracle indexes
+        # characters, so multi-byte rows would silently diverge
+        # (ADVICE r12); the filter makes the assumption structural.
+        # Output-neutral on the fixtures (corpus is ASCII; pinned).
+        "dedup_phash", "dedup_audio_fp",
+        # REWRITTEN: truncated-P6 guard (ppm_pixels validates the
+        # pixel section length, short payloads -> the documented
+        # undecodable-row skip instead of a kernel ValueError,
+        # ADVICE r12) + the 'video' slot of the codec registry now
+        # ships the packaged Y4M decoder by default (raw video rows
+        # still fall back: not a Y4M container).
+        "multimodal_features",
+    ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
 
 PRIORITY = [
-    # (a) CHANGED IN ROUND 12 (see _ROUND_CHANGED_BY_ROUND[12]) --
-    #     grows as round-12 operators land; filler drops from the
-    #     tail of (d) to keep the window at exactly 50.
+    # (a) CHANGED IN ROUND 13 (see _ROUND_CHANGED_BY_ROUND[13]) --
+    #     packing_budget_sweep at index 0 (the round-12 red row's
+    #     re-attest); filler drops from the tail of (d) to keep the
+    #     window at exactly 50.
     *ROUND_CHANGED,
-    # (b) the round-7-verdict cohort -- the 12 oldest standing driver
-    #     verdicts (verdict-union histogram after round 11 reads
-    #     r7=12, r8=42, r9=44, r10=46, r11=50) -- exactly the
-    #     ROUND-12 QUEUE promised last round;
-    "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_qty_revenue",
-    "q19_disjunctive_revenue", "q22_dormant_high_balance",
-    "q8_market_share", "q9_profit_by_nation",
-    "source_semantic_similarity", "split_leakage_check",
-    "supplier_pagerank", "threshold_sweep",
-    # (c) family representatives for the two families (a)+(b)+(d)
-    #     leave uncovered (tests/test_registry.py gate): skew and
-    #     layout (layout's only member).
+    # (b) the round-8-verdict cohort -- the oldest standing driver
+    #     verdicts (verdict-union histogram after round 12 reads
+    #     r8=15, r9=43, r10=45, r11=48, r12=49; tools/staleness.py).
+    #     packing_budget_sweep is the 15th r8 member, already at (a).
+    "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
+    "seasonal_hour_baseline", "shape_match_recall", "shingle_df_curve",
+    "skyline_parts", "supplier_bfs_hops", "time_weighted_value",
+    "token_concentration_bins", "token_fertility",
+    "top_orders_per_customer", "velocity_profile",
+    "zipf_alpha_by_source",
+    # (c) family representatives for families (a)+(b)+(d) leave
+    #     uncovered (tests/test_registry.py gate) -- recomputed for
+    #     this window: skew, layout, and sketches.
     "shuffle_balance_profile", "layout_pruning_stats",
-    # (d) the round-8 cohort in name order as far as the window
-    #     reaches (34 of 42; the name-order stragglers queue first
-    #     for round 13 -- see the ROUND-13 QUEUE below).
-    "activity_shape_buckets", "activity_shape_matches",
-    "ann_lsh_bucketed", "calibration_bins",
-    "conversion_latency_buckets", "countmin_heavy_hitters",
-    "cusum_changepoints", "daily_value_percentiles", "dedup_keep_best",
-    "dup_chao1_estimate", "emb_quantize_int8", "event_comovement_corr",
-    "event_transition_matrix", "gapfill_hourly", "ivf_probe_sweep",
-    "kmeans_fixedpoint", "last_touch_attribution",
-    "minhash_est_vs_exact", "multimodal_frames", "orders_pivot_status",
-    "packing_budget_sweep", "peak_concurrency",
-    "q18_large_volume_customers", "q4_order_priority_exists",
-    "q5_local_supplier_volume", "q6_revenue_change", "recent_topk",
-    # ROUND-13 QUEUE (in priority order): round-13 changed code first,
-    # then the round-8 remainder in name order --
-    # rfm_segments (displaced when dedup_simhash re-joined the head),
-    # risk_lift_matrix, scd2_priority_history, seasonal_hour_baseline,
-    # shape_match_recall, shingle_df_curve,
-    # skyline_parts, supplier_bfs_hops, time_weighted_value,
-    # token_concentration_bins, token_fertility,
-    # top_orders_per_customer, velocity_profile, zipf_alpha_by_source
-    # -- then the round-9 cohort in name order (recompute the exact
-    # staleness order from the CORRECTNESS_r*.json union at round
-    # start).
+    "countmin_heavy_hitters",
+    # (d) the round-9 cohort in name order as far as the window
+    #     reaches (26 of 43, multimodal_features already at (a); the
+    #     stragglers queue first for round 14 -- see the ROUND-14
+    #     QUEUE below).
+    "activity_islands", "ann_cosine_topk", "ann_int8_recall",
+    "bpe_token_stats", "corpus_snapshot_diff", "corpus_token_stats",
+    "customer_rollup", "customers_without_orders", "dedup_clusters",
+    "dedup_clusters_wide", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash16", "doc_fingerprint", "dup_rate_by_source",
+    "embedding_near_dup", "event_gap_buckets", "lang_id_heuristic",
+    "lang_mismatch_rate", "logit_score", "lsh_band_sweep",
+    "nations_with_both", "order_priority_count", "part_price_buckets",
+    "part_rankings", "predictions_profile",
+    # ROUND-14 QUEUE (in priority order): round-14 changed code first,
+    # then the round-9 remainder in name order --
+    # pit_event_enrichment,
+    # props_json_stats, q21_sole_late_supplier, q3_shipping_priority,
+    # salted_value_by_type, segment_distinct_nations, session_summary,
+    # simhash_fingerprints, source_mixture_plan, text_stats,
+    # tfidf_top_terms, training_frame_det, value_drift_psi,
+    # value_percentiles, weekly_retention_cohorts,
+    # wire_format_roundtrip -- then the round-10 cohort in name order
+    # (recompute the exact staleness order from the
+    # CORRECTNESS_r*.json union at round start).
 ]
 
 

@@ -1160,9 +1160,18 @@ FROM g CROSS JOIN s"""
         f"CAST(sum((tot - 1) // {b} + 1) AS BIGINT) AS bins_{b}"
         for b in PACK_BUDGETS
     )
+    # Token count WITHOUT materializing the token list: string_split
+    # keeps empty fields, so len(string_split(text, ' ')) is always
+    # (number of spaces) + 1 -- computable by pure length arithmetic.
+    # The list form made this oracle the driver's peak DuckDB
+    # allocation (an OOM under the driver's memory-pressured run,
+    # CORRECTNESS_r12); the arithmetic form keeps nothing per row but
+    # (doc_id, source, n). Equality to the list form is pinned in
+    # tests/test_corpus_packing.py.
+    n_expr = "length(text) - length(replace(text, ' ', '')) + 1"
     return f"""
 WITH t AS (
-  SELECT doc_id, source, len({_DUCK_TOKS}) AS n FROM documents
+  SELECT doc_id, source, {n_expr} AS n FROM documents
 ),
 o AS (
   SELECT source, n,

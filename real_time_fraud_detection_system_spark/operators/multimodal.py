@@ -375,9 +375,107 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+def y4m_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a YUV4MPEG2 (Y4M) payload to (width, height, frame byte
+    strings) -- the frame accessor shared by the feature decoder and
+    the video-fingerprint kernel, and the packaged REAL video
+    container parse (the mjpegtools yuv4mpeg stream format: one
+    'YUV4MPEG2' header line of space-separated tagged parameters,
+    then fixed-size raw frames each introduced by its own 'FRAME'
+    parameter line). Supported colorspaces: mono (W*H bytes/frame),
+    420/420jpeg/420mpeg2/420paldv (W*H*3/2), 444 (3*W*H); anything
+    else, a bad magic, a bad FRAME marker, or a truncated frame
+    raises NotImplementedError (the registry fallback contract)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError("not a YUV4MPEG2 payload")
+    try:
+        nl = payload.index(b"\n")
+        w = h = 0
+        cspace = b"420jpeg"  # the yuv4mpeg(5) default
+        for tag in payload[9:nl].split():
+            if tag[:1] == b"W":
+                w = int(tag[1:])
+            elif tag[:1] == b"H":
+                h = int(tag[1:])
+            elif tag[:1] == b"C":
+                cspace = tag[1:]
+        if w <= 0 or h <= 0:
+            raise ValueError("missing/invalid W/H header parameters")
+        if cspace == b"mono":
+            fsize = w * h
+        elif cspace in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
+            fsize = w * h + 2 * ((w // 2) * (h // 2))
+        elif cspace == b"444":
+            fsize = 3 * w * h
+        else:
+            raise NotImplementedError(
+                f"unsupported Y4M colorspace {cspace!r}"
+            )
+        frames: list[bytes] = []
+        pos = nl + 1
+        while pos < len(payload):
+            if payload[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"bad FRAME marker at offset {pos}")
+            fnl = payload.index(b"\n", pos)
+            pos = fnl + 1
+            frame = payload[pos : pos + fsize]
+            if len(frame) != fsize:
+                raise ValueError("truncated frame payload")
+            frames.append(frame)
+            pos += fsize
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # truncated/corrupt container
+        raise NotImplementedError(f"malformed Y4M payload: {exc}") from exc
+    return w, h, frames
+
+
+def y4m_video_decoder(payload: bytes) -> dict:
+    """Pure-python Y4M codec, the default 'video' decoder: walks the
+    container (header parameters + per-FRAME markers) and features
+    the concatenated FRAME bytes only -- the sample stream, container
+    excluded -- mirroring the image/audio decoders'
+    pixels-not-container contract. Non-Y4M payloads raise
+    NotImplementedError (byte-feature fallback)."""
+    _w, _h, frames = y4m_frames(payload)
+    data = b"".join(frames)
+    return {
+        "n_bytes": len(data),
+        "mean_byte": float(sum(data)) / len(data) if data else 0.0,
+        "samples": [int(b) for b in data[:4]],
+    }
+
+
+def encode_y4m(
+    width: int, height: int, frames: list[bytes],
+    colorspace: str = "mono", fps: tuple[int, int] = (25, 1),
+    xtag: str | None = None,
+) -> bytes:
+    """Minimal YUV4MPEG2 writer -- the deterministic payload generator
+    for the codec tests; round-trips exactly through y4m_frames. The
+    optional application X-tag and the frame rate live only in the
+    container header, which is what makes the re-encode invariance
+    tests meaningful (same frames, different container metadata)."""
+    if colorspace == "mono":
+        fsize = width * height
+    elif colorspace in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        fsize = width * height + 2 * ((width // 2) * (height // 2))
+    elif colorspace == "444":
+        fsize = 3 * width * height
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    assert all(len(f) == fsize for f in frames)
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1"
+        f" C{colorspace}" + (f" X{xtag}" if xtag else "") + "\n"
+    ).encode("ascii")
+    return header + b"".join(b"FRAME\n" + f for f in frames)
+
+
 _DEFAULT_DECODERS: dict[str, Callable[[bytes], dict]] = {
     "image": image_decoder,
     "audio": wav_audio_decoder,
+    "video": y4m_video_decoder,
 }
 _DECODERS: dict[str, Callable[[bytes], dict]] = dict(_DEFAULT_DECODERS)
 

@@ -1200,6 +1200,109 @@ def ann_search(
     )
 
 
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What tombstoning one dump's removed vectors costs the persisted
+    IVF index -- the ANN member of the uniform index-lifecycle
+    accounting triple (dedup: ``index_tombstone_stats``, text:
+    ``text_index_stats``; this is the registry form of
+    tombstone_ann_index / live_ann_members / compact_ann_index).
+    Treating the embedding corpus as the indexed base and the
+    deterministic ~90% md5(vec_id) 'snapB' membership as the next
+    dump, every vector NOT in snapB is removed. One row of exact
+    BIGINT accounting: vectors and removals, member rows tombstoned
+    vs live (each vector carries exactly one member row in its
+    assigned cell), centroid count, non-empty cells before removal,
+    cells whose occupancy drops to ZERO (probe fan-out wasted until
+    compaction -- the ivf_cell_stats empty-cell story created by
+    removals instead of direction duplication), and removed_ppm.
+
+    Shape: the kernel assignment pass (shuffle-free scan over the
+    corpus, the ann_ivf_topk machinery), one K-row per-cell aggregate
+    (K ~ sqrt(n)), then O(1)-row arithmetic. Membership is a pure md5
+    expression evaluated in place; removal deletes member rows only
+    (centroids stay fixed -- the tombstone_ann_index discipline), so
+    the accounting is exact without touching any index table.
+    removed_ppm is integer floor-DIV; nothing floats across the
+    engine boundary."""
+    from .corpusops import _snap_member_spark
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    m = centroid_modulus(n)
+    vecs = _vectors(spark, sf_dir)
+    cent_ids, cent_embs = _ivf_centroids(vecs, m)
+    cells = _nearest_cells_udf(cent_ids, cent_embs, 1)
+    rm = f"NOT ({_snap_member_spark('snapB', 'vec_id')})"
+    assigned = vecs.select(
+        "vec_id", F.explode(cells(F.col("emb"))).alias("c_id")
+    )
+    per_cell = assigned.groupBy("c_id").agg(
+        F.count("*").alias("n_members"),
+        F.expr(f"sum(CAST({rm} AS BIGINT))").alias("n_rm"),
+    )
+    return per_cell.agg(
+        F.expr("CAST(sum(n_members) AS BIGINT)").alias("n_vectors"),
+        F.expr("CAST(sum(n_rm) AS BIGINT)").alias("n_removed"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_cells"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_rm = n_members THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("cells_emptied"),
+    ).selectExpr(
+        "n_vectors",
+        "n_removed",
+        "n_vectors - n_removed AS n_live_members",
+        f"CAST({len(cent_ids)} AS BIGINT) AS n_centroids",
+        "n_cells",
+        "cells_emptied",
+        "n_cells - cells_emptied AS n_live_cells",
+        "n_removed * 1000000 DIV n_vectors AS removed_ppm",
+    )
+
+
+def _ann_index_stats_sql() -> str:
+    from .corpusops import _snap_member_duck
+
+    rm = f"NOT ({_snap_member_duck('snapB', 'vec_id')})"
+    return f"""
+WITH vecs AS ({_DUCK_VECTORS}),
+cents AS (
+  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+  FROM vecs
+  WHERE {_DUCK_ID_HASH.format(id='vec_id')}
+        % (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
+           FROM vecs) = 0
+),
+assign_scored AS (
+  SELECT v.vec_id, c.c_id,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_DUCK_DOT.format(a='c.c_emb', b='v.emb')}
+                   / (c.c_norm * v.norm) DESC, c.c_id ASC) AS c_rank
+  FROM vecs v, cents c
+),
+cell AS (
+  SELECT c_id, count(*) AS n_members,
+         sum(CASE WHEN {rm} THEN 1 ELSE 0 END) AS n_rm
+  FROM assign_scored WHERE c_rank = 1
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(n_members) AS BIGINT) AS n_vectors,
+         CAST(sum(n_rm) AS BIGINT) AS n_removed,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(CASE WHEN n_rm = n_members THEN 1 ELSE 0 END)
+              AS BIGINT) AS cells_emptied
+  FROM cell
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_centroids FROM cents)
+SELECT n_vectors, n_removed,
+       CAST(n_vectors - n_removed AS BIGINT) AS n_live_members,
+       n_centroids, n_cells, cells_emptied,
+       CAST(n_cells - cells_emptied AS BIGINT) AS n_live_cells,
+       CAST(n_removed * 1000000 // n_vectors AS BIGINT) AS removed_ppm
+FROM agg, nc
+"""
+
+
 IVF_CELL_STATS_SQL = f"""
 WITH vecs AS ({_DUCK_VECTORS}),
 cents AS (
@@ -2660,6 +2763,7 @@ QUERIES = {
     "embedding_outliers": embedding_outliers,
     "ann_recall_eval": ann_recall_eval,
     "ivf_cell_stats": ivf_cell_stats,
+    "ann_index_stats": ann_index_stats,
     "dedup_signal_crosstab": dedup_signal_crosstab,
     "source_semantic_similarity": source_semantic_similarity,
     "kmeans_fixedpoint": kmeans_fixedpoint,
@@ -2681,6 +2785,7 @@ ORACLE = {
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "ivf_cell_stats": IVF_CELL_STATS_SQL,
+    "ann_index_stats": _ann_index_stats_sql(),
     "dedup_signal_crosstab": _crosstab_sql(),
     "source_semantic_similarity": SOURCE_SEMANTIC_SIMILARITY_SQL,
     "kmeans_fixedpoint": KMEANS_FIXEDPOINT_SQL,

@@ -1779,6 +1779,38 @@ def test_packing_budget_sweep_straddle_accounting(spark, monkeypatch):
     assert got[512]["avg_fill_ppm"] == 300 * 1_000_000 // 512
 
 
+def test_packing_oracle_listfree_count_matches_list_form():
+    """The packing oracle counts tokens arithmetically
+    (length - length(replace) + 1) instead of materializing
+    string_split's per-row list -- the round-12 driver OOM'd inside
+    that list allocation. string_split keeps empty fields, so the two
+    forms are IDENTICAL by construction; pin it on the real sf0.001
+    corpus plus the edge rows (empty text, consecutive spaces,
+    leading/trailing space)."""
+    import duckdb
+
+    import real_time_fraud_detection_system_spark.operators.corpusops as co
+    from tests.conftest import SF_SMOKE
+
+    assert "string_split" not in co.PACKING_BUDGET_SWEEP_SQL
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW real_docs AS SELECT text FROM"
+        f" read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT text FROM real_docs "
+        "UNION ALL SELECT * FROM (VALUES (''), ('a  b'), (' a'),"
+        " ('a '), ('   ')) v(text)"
+    )
+    n_bad = con.execute(
+        "SELECT sum(CASE WHEN len(string_split(text, ' ')) !="
+        " length(text) - length(replace(text, ' ', '')) + 1"
+        " THEN 1 ELSE 0 END) FROM documents"
+    ).fetchone()[0]
+    assert n_bad == 0
+
+
 def test_dedup_keep_best_prefers_richer_copy(spark, monkeypatch):
     """Two near-dup docs where the LARGER id has more distinct tokens:
     keep-best must move the keep off the min-id doc and the kept-token
@@ -2251,4 +2283,52 @@ def test_ann_tombstone_live_and_compact(spark, sf_dir):
         assert after == want
     finally:
         for t in ("t_annt_cents", "t_annt_members", "t_annt_tomb"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_index_stats_matches_real_lifecycle(spark, sf_dir):
+    """ann_index_stats (the registry face of the ANN tombstone
+    accounting) must agree row-for-row with what the REAL lifecycle
+    operations do: build the persisted IVF index, tombstone exactly
+    the snapB-removed vec_ids, and check every reported count against
+    the actual member/live/cell tables."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        _snap_member_spark,
+    )
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        ann_index_stats,
+        live_ann_members,
+        persist_ann_index,
+        tombstone_ann_index,
+    )
+
+    try:
+        got = ann_index_stats(spark, sf_dir).collect()[0]
+        cents, members = persist_ann_index(spark, sf_dir, prefix="t_anns")
+        removed = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(f"NOT ({_snap_member_spark('snapB', 'vec_id')})")
+            .select("vec_id")
+        )
+        n_rm = tombstone_ann_index(spark, removed, prefix="t_anns")
+        live = live_ann_members(spark, "t_anns")
+
+        assert got["n_vectors"] == members.count()
+        assert got["n_removed"] == n_rm > 0
+        assert got["n_live_members"] == live.count()
+        assert got["n_centroids"] == cents.count()
+        assert got["n_cells"] == members.select("c_id").distinct().count()
+        assert (
+            got["n_live_cells"] == live.select("c_id").distinct().count()
+        )
+        assert got["cells_emptied"] == got["n_cells"] - got["n_live_cells"]
+        assert (
+            got["removed_ppm"]
+            == got["n_removed"] * 1_000_000 // got["n_vectors"]
+        )
+    finally:
+        for t in ("t_anns_cents", "t_anns_members", "t_anns_tomb"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

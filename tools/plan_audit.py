@@ -61,6 +61,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # single-row aggregates' own exchanges; the corpus-sized work is
     # the three conditional-sum scans, each a spread keyed input.
     "index_tombstone_stats": frozenset({"NLJ", "1PART"}),
+    # ann_index_stats: the 1PART is the final one-row accounting
+    # aggregate's own exchange, fed by a K-row (K ~ sqrt(n)) per-cell
+    # aggregate -- the index_tombstone_stats bounded-scalar report
+    # pattern; the corpus-sized work is the shuffle-free kernel
+    # assignment scan plus one keyed cell aggregate.
+    "ann_index_stats": frozenset({"1PART"}),
     # intrinsic_dim_twonn: the NLJ is the TWONN_SAMPLE(=64)-row
     # md5-ranked anchor broadcast against the corpus linear scan (the
     # ann_cosine_topk bounded-query pattern -- constant rows at any
