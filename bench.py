@@ -204,8 +204,10 @@ HEADLINE = [
     "hybrid_topk",
     # round-13 (rule 1): the ANN member of the index-lifecycle
     # accounting triple (packing_budget_sweep, also round-13-changed,
-    # is already a headline member above)
+    # is already a headline member above), and the discovered-terms
+    # probe of the postings index
     "ann_index_stats",
+    "bm25_discovered_topk",
 ]
 
 

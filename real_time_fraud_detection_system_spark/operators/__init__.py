@@ -176,6 +176,15 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # ships the packaged Y4M decoder by default (raw video rows
         # still fall back: not a Y4M container).
         "multimodal_features",
+        # NEW: the registry face of the ARBITRARY-term probe path
+        # (round-12 verdict Next #8): the term set is discovered at
+        # run time from the postings index (the BM25_DISC_TERMS_K
+        # mid-frequency terms with df closest to
+        # n_docs DIV BM25_DISC_DF_DIV, exact BIGINT distance), then
+        # scored through the shared _bm25_rank integer core via a
+        # broadcast picked-term join -- the dynamic-term analogue of
+        # the pushed In-filter no fixed-literal query exercises.
+        "bm25_discovered_topk",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -202,13 +211,13 @@ PRIORITY = [
     "shuffle_balance_profile", "layout_pruning_stats",
     "countmin_heavy_hitters",
     # (d) the round-9 cohort in name order as far as the window
-    #     reaches (26 of 43, multimodal_features already at (a); the
+    #     reaches (25 of 43, multimodal_features already at (a); the
     #     stragglers queue first for round 14 -- see the ROUND-14
     #     QUEUE below).
     "activity_islands", "ann_cosine_topk", "ann_int8_recall",
     "bpe_token_stats", "corpus_snapshot_diff", "corpus_token_stats",
     "customer_rollup", "customers_without_orders", "dedup_clusters",
-    "dedup_clusters_wide", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_ngram_jaccard",
     "dedup_simhash16", "doc_fingerprint", "dup_rate_by_source",
     "embedding_near_dup", "event_gap_buckets", "lang_id_heuristic",
     "lang_mismatch_rate", "logit_score", "lsh_band_sweep",
@@ -216,6 +225,9 @@ PRIORITY = [
     "part_rankings", "predictions_profile",
     # ROUND-14 QUEUE (in priority order): round-14 changed code first,
     # then the round-9 remainder in name order --
+    # dedup_clusters_wide (skipped from (d) name order above: the
+    # dedup family already holds 6 window slots and part_rankings /
+    # predictions_profile are the windows / metrics family reps),
     # pit_event_enrichment,
     # props_json_stats, q21_sole_late_supplier, q3_shipping_priority,
     # salted_value_by_type, segment_distinct_nations, session_summary,

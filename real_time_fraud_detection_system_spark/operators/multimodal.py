@@ -120,6 +120,15 @@ def ppm_pixels(payload: bytes) -> tuple[int, int, bytes]:
         pixels = payload[idx : idx + 3 * w * h]
         if not pixels:
             raise ValueError("empty pixel section")
+        if len(pixels) != 3 * w * h:
+            # a header promising more pixels than the body holds must
+            # take the undecodable-row path here -- downstream kernels
+            # reshape to (w*h, 3) and would die on a ValueError
+            # instead of skipping the row (ADVICE r12)
+            raise ValueError(
+                f"truncated pixel section: {len(pixels)} of {3 * w * h}"
+                " bytes"
+            )
     except (ValueError, IndexError) as exc:
         raise NotImplementedError(f"malformed P6 payload: {exc}") from exc
     return w, h, pixels
@@ -658,9 +667,14 @@ ORDER BY media_id
 
 # --------------------------------------------------------------------------
 # Frame sampling: the video-pipeline primitive (decode -> sample N frames
-# -> per-frame features). Stub decode, real plumbing: each media row
-# explodes into N_FRAMES rows inside the Arrow batch, so the output is
-# frame-grained and downstream ops (dedup, embedding) run per frame.
+# -> per-frame features). Since round 13 the video rows are wrapped into
+# REAL YUV4MPEG2 containers JVM-side and the kernel extracts their
+# frames with the packaged y4m_frames codec (each media row explodes
+# into one row per EXTRACTED frame inside the Arrow batch); rows whose
+# payload is not a parseable container -- image/audio modalities, or
+# video too short to hold a frame -- keep the evenly-strided byte-span
+# fallback, the codec registry's per-row contract applied at frame
+# granularity.
 N_FRAMES = 3
 FRAME_WIN = 16  # bytes summarized per sampled frame
 
@@ -680,7 +694,24 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         ids, idxs, offs, means = [], [], [], []
         for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-            data = np.frombuffer(bytes(payload), dtype=np.uint8)
+            raw = bytes(payload)
+            try:
+                _w, _h, frames = y4m_frames(raw)
+            except NotImplementedError:
+                frames = None
+            if frames is not None:
+                # real container: one row per extracted frame, offset
+                # measured in the SAMPLE stream (concatenated frames)
+                off = 0
+                for k, fb in enumerate(frames):
+                    win = np.frombuffer(fb[:FRAME_WIN], dtype=np.uint8)
+                    ids.append(media_id)
+                    idxs.append(k)
+                    offs.append(off)
+                    means.append(float(win.mean()) if len(win) else 0.0)
+                    off += len(fb)
+                continue
+            data = np.frombuffer(raw, dtype=np.uint8)
             n = len(data)
             if n == 0:
                 continue
@@ -703,10 +734,39 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N_FRAMES evenly-strided 'frame' samples per media payload, one
-    output row per frame, each summarized by the mean of a FRAME_WIN-byte
-    window. Arrow-batched; bytes never leave the executor."""
-    m = media_catalog(spark, sf_dir).select("media_id", "payload")
+    """Per-frame samples over the media catalog, one output row per
+    frame, each summarized by the mean of its leading FRAME_WIN-byte
+    window. Video rows (>= N_FRAMES bytes) are
+    wrapped JVM-side into true Y4M containers holding N_FRAMES
+    equal-size mono frames (length n DIV N_FRAMES), so the kernel
+    runs the packaged codec's REAL container walk and reports the
+    extracted frames; image/audio rows and unwrappable video rows
+    take the evenly-strided byte-span fallback. Arrow-batched; bytes
+    never leave the executor."""
+    m = media_catalog(spark, sf_dir).select(
+        "media_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    fl = f"(length(payload) DIV {N_FRAMES})"
+    header = F.encode(
+        F.concat(
+            F.lit("YUV4MPEG2 W"),
+            F.expr(f"CAST({fl} AS STRING)"),
+            F.lit(" H1 F25:1 Ip A1:1 Cmono\n"),
+        ),
+        "UTF-8",
+    )
+    parts = [header]
+    for k in range(N_FRAMES):
+        parts.append(F.encode(F.lit("FRAME\n"), "UTF-8"))
+        parts.append(F.expr(f"substring(payload, {k} * {fl} + 1, {fl})"))
+    m = m.withColumn(
+        "payload",
+        F.when(
+            (F.col("media_type") == "video")
+            & (F.length("payload") >= N_FRAMES),
+            F.concat(*parts),
+        ).otherwise(F.col("payload")),
+    ).select("media_id", "payload")
     return (
         m.mapInPandas(_frame_batches, FRAMES_SCHEMA)
         .select(
@@ -719,30 +779,42 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle: video rows (doc_id % 3 = 2) with >= N_FRAMES bytes mirror the
+# Y4M wrap -- frame k IS the fl-byte span at offset k*fl, fl = n DIV
+# N_FRAMES, summarized by its leading min(FRAME_WIN, fl) bytes -- and
+# every other row mirrors the strided-span fallback.
 MULTIMODAL_FRAMES_SQL = f"""
 WITH b AS (
   SELECT doc_id AS media_id, text,
-         octet_length(encode(text)) AS n_bytes
+         octet_length(encode(text)) AS n_bytes,
+         (CAST(doc_id % 3 AS INT) = 2
+          AND octet_length(encode(text)) >= {N_FRAMES}) AS decoded
   FROM documents
   WHERE octet_length(encode(text)) > 0
 ),
 f AS (
-  SELECT media_id, text, n_bytes,
+  SELECT media_id, text, n_bytes, decoded,
          unnest(range(0, {N_FRAMES})) AS frame_idx,
-         greatest(1, n_bytes // {N_FRAMES}) AS stride
+         greatest(1, n_bytes // {N_FRAMES}) AS stride,
+         n_bytes // {N_FRAMES} AS fl
   FROM b
+),
+o AS (
+  SELECT media_id, frame_idx, n_bytes, text,
+         CASE WHEN decoded THEN frame_idx * fl
+              ELSE least(frame_idx * stride, n_bytes - 1) END AS off,
+         CASE WHEN decoded THEN least({FRAME_WIN}, fl)
+              ELSE least({FRAME_WIN},
+                         n_bytes - least(frame_idx * stride, n_bytes - 1))
+         END AS win
+  FROM f
 )
 SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-       CAST(least(frame_idx * stride, n_bytes - 1) AS INT) AS frame_offset,
-       round(list_sum(list_transform(
-           range(least(frame_idx * stride, n_bytes - 1) + 1,
-                 least(least(frame_idx * stride, n_bytes - 1) + {FRAME_WIN},
-                       n_bytes) + 1),
-           i -> ascii(text[i])))
-         / least({FRAME_WIN},
-                 n_bytes - least(frame_idx * stride, n_bytes - 1)), 6)
+       CAST(off AS INT) AS frame_offset,
+       round(list_sum(list_transform(range(off + 1, off + win + 1),
+                                     i -> ascii(text[i]))) / win, 6)
          AS frame_mean
-FROM f
+FROM o
 ORDER BY media_id, frame_idx
 """
 
@@ -919,8 +991,13 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import wide_pair_join
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    # single-byte (ASCII) filter: the engine fingerprints UTF-8 bytes,
+    # the oracle indexes characters -- identical only when every char
+    # is one byte, so the assumption is enforced structurally on both
+    # engines (ADVICE r12; output-neutral on the all-ASCII corpus)
     imgs = docs.filter(
         "doc_id % 3 = 0 AND length(encode(text, 'UTF-8')) >= 3"
+        " AND length(text) = length(encode(text, 'UTF-8'))"
     )
     base = imgs.selectExpr("doc_id AS media_id", "text")
     twin = imgs.selectExpr(
@@ -971,11 +1048,13 @@ def _dedup_phash_sql() -> str:
 WITH img AS (
   SELECT doc_id AS media_id, text FROM documents
   WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 3
+    AND length(text) = octet_length(encode(text))
   UNION ALL
   SELECT doc_id + {PHASH_TWIN_OFFSET} AS media_id,
          translate(text, '{_PHASH_FROM}', '{_PHASH_TO}') AS text
   FROM documents
   WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 3
+    AND length(text) = octet_length(encode(text))
 ),
 px AS (
   SELECT media_id, text,
@@ -1094,6 +1173,7 @@ def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     clips = docs.filter(
         "doc_id % 3 = 1 AND length(encode(text, 'UTF-8')) >= 1"
+        " AND length(text) = length(encode(text, 'UTF-8'))"
     )
     base = clips.selectExpr("doc_id AS media_id", "text")
     twin = clips.selectExpr(
@@ -1139,11 +1219,13 @@ def _dedup_audio_fp_sql() -> str:
 WITH clip AS (
   SELECT doc_id AS media_id, text FROM documents
   WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1
+    AND length(text) = octet_length(encode(text))
   UNION ALL
   SELECT doc_id + {AUDIO_TWIN_OFFSET} AS media_id,
          translate(text, '{_PHASH_FROM}', '{_PHASH_TO}') AS text
   FROM documents
   WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1
+    AND length(text) = octet_length(encode(text))
 ),
 px AS (
   SELECT media_id, text, octet_length(encode(text)) AS n FROM clip
@@ -1170,20 +1252,23 @@ ORDER BY a_id, b_id
 # --------------------------------------------------------------------------
 # Video fingerprint dedup: the perceptual family's VIDEO member,
 # completing the modality triple (image: dedup_phash, audio:
-# dedup_audio_fp). Real video codecs aren't packaged (the multimodal
-# contract: STUB the decode, make the Spark plumbing real), so "frame
-# extraction" samples {VIDEO_FRAMES} fixed byte spans of the stream --
-# the deterministic fake -- and everything downstream is the real
-# production shape: one 24-bit brightness-invariant aHash PER FRAME (wide enough that a
-# position-bucket holds only genuinely-matching frames at 100x -- the
-# 12-bit draft averaged ~81 clips per (position, hash) bucket at 500k
-# docs and paid a 107M-row collision join),
-# clips joined on exact (frame_position, frame_hash) equality, a pair
+# dedup_audio_fp). Since round 13 the decode is REAL: clips are
+# wrapped JVM-side into true YUV4MPEG2 containers ({VIDEO_FRAMES}
+# equal-size mono frames behind per-FRAME markers) and the kernel
+# runs the packaged y4m_frames chunk-walk parse -- header parameters,
+# FRAME marker walk, truncation checks; malformed containers take the
+# documented undecodable-row skip -- matching the P6/PNG/WAV
+# discipline. Everything downstream is the production shape: one
+# 24-bit brightness-invariant aHash PER EXTRACTED FRAME (wide enough
+# that a position-bucket holds only genuinely-matching frames at
+# 100x -- the 12-bit draft averaged ~81 clips per (position, hash)
+# bucket at 500k docs and paid a 107M-row collision join), clips
+# joined on exact (frame_position, frame_hash) equality, a pair
 # reported when >= {VIDEO_MIN_MATCH} of {VIDEO_FRAMES} positions
 # match. That positional-frame-matching join IS how frame-sampled
 # video dedup runs at scale (per-frame perceptual hash + temporal
-# alignment); swapping the stub for an ffmpeg keyframe reader changes
-# no plan shape.
+# alignment); swapping Y4M for an ffmpeg keyframe reader changes no
+# plan shape -- only the bytes handed to the per-frame hash.
 
 VIDEO_FRAMES = 8
 VIDEO_FRAME_BITS = 24
@@ -1207,20 +1292,19 @@ def _video_hash_batches(
     for pdf in batches:
         ids, idxs, hashes = [], [], []
         for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-            data = bytes(payload)
-            n = len(data)
-            if n == 0:
-                continue
-            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-            csum = np.concatenate(([0], np.cumsum(arr)))
-            for k in range(VIDEO_FRAMES):
-                lo, hi = n * k // VIDEO_FRAMES, n * (k + 1) // VIDEO_FRAMES
-                m = hi - lo
-                fsum = int(csum[hi]) - int(csum[lo])
+            try:
+                _w, _h, frames = y4m_frames(bytes(payload))
+            except NotImplementedError:
+                continue  # undecodable: no fingerprint, no pairs
+            for k, fb in enumerate(frames):
+                m = len(fb)
+                arr = np.frombuffer(fb, dtype=np.uint8).astype(np.int64)
+                csum = np.concatenate(([0], np.cumsum(arr)))
+                fsum = int(csum[m])
                 h = 0
                 for j in range(VIDEO_FRAME_BITS):
-                    clo = lo + m * j // VIDEO_FRAME_BITS
-                    chi = lo + m * (j + 1) // VIDEO_FRAME_BITS
+                    clo = m * j // VIDEO_FRAME_BITS
+                    chi = m * (j + 1) // VIDEO_FRAME_BITS
                     csum_j = int(csum[chi]) - int(csum[clo])
                     # bit = cell mean > frame mean, cross-multiplied
                     # (empty frame/cell: 0 > 0 false -> bit 0)
@@ -1235,11 +1319,15 @@ def _video_hash_batches(
 
 
 def video_frame_hashes(media: DataFrame) -> DataFrame:
-    """({VIDEO_FRAMES} x) (media_id, frame_idx, frame_hash) rows per
-    clip: the frame-sampled perceptual signature. Each frame's
+    """One (media_id, frame_idx, frame_hash) row per frame the
+    packaged Y4M codec extracts from each (media_id, payload) clip:
+    the frame-sampled perceptual signature. Each frame's
     {VIDEO_FRAME_BITS}-bit aHash compares cell mean vs FRAME mean
     cross-multiplied -- exact integers, and invariant per frame under
-    uniform brightness shift (the offset cancels)."""
+    uniform brightness shift (the offset cancels). Container metadata
+    (frame rate, X-tags) never reaches the hash -- re-encodes of the
+    same frames fingerprint identically (test-pinned). Undecodable
+    payloads yield no rows (the registry skip contract)."""
     return media.select("media_id", "payload").mapInPandas(
         _video_hash_batches, FRAME_HASH_SCHEMA
     )
@@ -1254,6 +1342,20 @@ def dedup_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions. Every (original, twin) pair matches at ALL positions
     by per-frame invariance; unrelated clips must collide at 6+
     independent {VIDEO_FRAME_BITS}-bit positions.
+
+    The payloads are wrapped JVM-side into REAL YUV4MPEG2 containers
+    ({VIDEO_FRAMES} equal-size 1-row mono frames of length
+    n DIV {VIDEO_FRAMES}; the sub-frame byte tail is dropped), so
+    the kernel runs the packaged y4m_frames codec's full container
+    walk -- header parameter parse, per-FRAME marker check,
+    truncation validation -- on every row: the same decode-is-real
+    discipline as dedup_phash's P6 wrap and dedup_audio_fp's RIFF
+    wrap. Clips shorter than {VIDEO_FRAMES} bytes cannot form a
+    frame and are excluded up front; non-single-byte (non-ASCII)
+    text is excluded on BOTH engines because the engine fingerprints
+    UTF-8 bytes while the oracle indexes characters -- the filter
+    makes that equivalence structural instead of assumed (ADVICE
+    r12; output-neutral on the all-ASCII corpus, test-pinned).
 
     Scale shape: one kernel pass emits {VIDEO_FRAMES} signature rows
     per clip; the candidate join is an equi-join on (frame_idx,
@@ -1271,15 +1373,33 @@ def dedup_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact 24-bit frame hash at the same position."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     clips = docs.filter(
-        "doc_id % 3 = 2 AND length(encode(text, 'UTF-8')) >= 1"
+        f"doc_id % 3 = 2 AND length(encode(text, 'UTF-8')) >= {VIDEO_FRAMES}"
+        " AND length(text) = length(encode(text, 'UTF-8'))"
     )
     base = clips.selectExpr("doc_id AS media_id", "text")
     twin = clips.selectExpr(
         f"doc_id + {VIDEO_TWIN_OFFSET} AS media_id",
         f"translate(text, '{_PHASH_FROM}', '{_PHASH_TO}') AS text",
     )
+    fl = f"(length(encode(text, 'UTF-8')) DIV {VIDEO_FRAMES})"
+    header = F.encode(
+        F.concat(
+            F.lit("YUV4MPEG2 W"),
+            F.expr(f"CAST({fl} AS STRING)"),
+            F.lit(" H1 F25:1 Ip A1:1 Cmono\n"),
+        ),
+        "UTF-8",
+    )
+    parts = [header]
+    for k in range(VIDEO_FRAMES):
+        parts.append(F.encode(F.lit("FRAME\n"), "UTF-8"))
+        parts.append(
+            F.expr(
+                f"substring(encode(text, 'UTF-8'), {k} * {fl} + 1, {fl})"
+            )
+        )
     media = base.unionByName(twin).select(
-        "media_id", F.encode("text", "UTF-8").alias("payload")
+        "media_id", F.concat(*parts).alias("payload")
     )
     # cache: both self-join sides would otherwise re-run the frame
     # kernel; flat frames dropped BEFORE the join (see docstring)
@@ -1301,37 +1421,46 @@ def dedup_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_video_fp_sql() -> str:
+    # Mirrors the Y4M wrap: frame k is the fl-byte span starting at
+    # byte offset k*fl of the text, fl = n DIV {VIDEO_FRAMES} (the
+    # container holds exactly those spans as its FRAME payloads, so
+    # hashing the extracted frames == hashing the spans). The
+    # single-byte filter is the ADVICE-r12 guard: ascii(text[i])
+    # indexes characters while the engine fingerprints UTF-8 bytes.
     nf, nb = VIDEO_FRAMES, VIDEO_FRAME_BITS
-    lo = f"(n * k) // {nf}"
-    m = f"((n * (k + 1)) // {nf} - (n * k) // {nf})"
-    cell_lo = f"({lo} + ({m} * j) // {nb})"
-    cell_hi = f"({lo} + ({m} * (j + 1)) // {nb})"
+    lo = f"(k * fl)"
+    cell_lo = f"({lo} + (fl * j) // {nb})"
+    cell_hi = f"({lo} + (fl * (j + 1)) // {nb})"
     cell_sum = (
         f"COALESCE(list_sum(list_transform("
         f"range({cell_lo} + 1, {cell_hi} + 1), i -> ascii(text[i]))), 0)"
     )
     frame_sum = (
         f"COALESCE(list_sum(list_transform("
-        f"range({lo} + 1, (n * (k + 1)) // {nf} + 1),"
+        f"range({lo} + 1, (k + 1) * fl + 1),"
         f" i -> ascii(text[i]))), 0)"
     )
     return f"""
 WITH clip AS (
   SELECT doc_id AS media_id, text FROM documents
-  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 1
+  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= {nf}
+    AND length(text) = octet_length(encode(text))
   UNION ALL
   SELECT doc_id + {VIDEO_TWIN_OFFSET} AS media_id,
          translate(text, '{_PHASH_FROM}', '{_PHASH_TO}') AS text
   FROM documents
-  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 1
+  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= {nf}
+    AND length(text) = octet_length(encode(text))
 ),
 px AS (
-  SELECT media_id, text, octet_length(encode(text)) AS n FROM clip
+  SELECT media_id, text,
+         octet_length(encode(text)) // {nf} AS fl
+  FROM clip
 ),
 fh AS (
   SELECT media_id, CAST(frames.k AS INT) AS frame_idx,
          CAST(list_sum(list_transform(range(0, {nb}), j ->
-           CASE WHEN {cell_sum} * {m} > {frame_sum} * ({cell_hi} - {cell_lo})
+           CASE WHEN {cell_sum} * fl > {frame_sum} * ({cell_hi} - {cell_lo})
                 THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT)
            AS frame_hash
   FROM px, (SELECT unnest(range({nf})) AS k) frames

@@ -1249,6 +1249,99 @@ ORDER BY q_id, rank
 """
 
 
+# Discovered-terms probe: how many terms to pick, and the df target
+# (mid-frequency terms: df closest to n_docs DIV BM25_DISC_DF_DIV --
+# informative but not rare; integer-exact term selection).
+BM25_DISC_TERMS_K = 3
+BM25_DISC_DF_DIV = 10
+
+
+def bm25_discovered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for terms the engine DISCOVERS at run time --
+    the registry face of the arbitrary-term probe path (bm25_search
+    takes caller-supplied terms; a registry query takes none, so
+    'arbitrary' here means the term set is computed from the data,
+    not a compile-time literal like bm25_topk's): the
+    {BM25_DISC_TERMS_K} mid-frequency terms whose document frequency
+    is closest to n_docs DIV {BM25_DISC_DF_DIV} (exact BIGINT
+    distance, ties by term), scored over the postings index with the
+    shared ``_bm25_rank`` integer core. This is the 'what does the
+    corpus say about its own recurring topics' audit -- a probe no
+    fixed-literal query can express.
+
+    Scale shape: the memoized postings scanned once for the per-term
+    df aggregate (map-side-combinable, term-keyed), a
+    {BM25_DISC_TERMS_K}-row TakeOrdered term pick, then the probe
+    joins postings against the BROADCAST picked-term frame (the
+    dynamic-term analogue of the pushed In-filter) -- everything
+    after the df aggregate is O(matching postings)."""
+    post = _postings_table(spark, sf_dir)
+    stats_int = _text_stats_table(spark, sf_dir)
+    dfc = post.groupBy("t").agg(F.count("*").alias("df"))
+    picked = (
+        dfc.crossJoin(F.broadcast(stats_int.select("n_docs")))
+        .selectExpr(
+            "t",
+            f"abs(df - n_docs DIV {BM25_DISC_DF_DIV}) AS dist",
+        )
+        .orderBy(F.asc("dist"), F.asc("t"))
+        .limit(BM25_DISC_TERMS_K)
+        .select("t")
+    )
+    tf = post.join(F.broadcast(picked), "t")
+    stats = stats_int.selectExpr(
+        "CAST(n_docs AS DOUBLE) AS n_docs",
+        "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+    )
+    return _bm25_rank(tf, stats, BM25_TOPK)
+
+
+def _bm25_discovered_topk_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS dl,
+         unnest({_DUCK_TOKS}) AS t
+  FROM documents
+),
+post AS (
+  SELECT doc_id, t, dl, count(*) AS tf
+  FROM tok
+  GROUP BY doc_id, t, dl
+),
+stats_i AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS sum_dl
+  FROM documents
+),
+dfc AS (SELECT t, count(*) AS df FROM post GROUP BY t),
+picked AS (
+  SELECT t FROM dfc, stats_i
+  ORDER BY abs(df - n_docs // {BM25_DISC_DF_DIV}) ASC, t ASC
+  LIMIT {BM25_DISC_TERMS_K}
+),
+stats AS (
+  SELECT CAST(n_docs AS DOUBLE) AS n_docs,
+         CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+  FROM stats_i
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(sum(CAST(round(
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * ({BM25_K1} + 1.0))
+               / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * p.dl / s.avgdl))
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_fp
+  FROM post p JOIN picked USING (t) JOIN dfc f USING (t), stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score_fp
+FROM scored
+ORDER BY score_fp DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
 def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What tombstoning one dump's removals costs the persisted
     LEXICAL index -- the retrieval member of the uniform
@@ -1583,6 +1676,7 @@ QUERIES = {
     "bm25_indexed_topk": bm25_indexed_topk,
     "bm25_batch_topk": bm25_batch_topk,
     "text_index_stats": text_index_stats,
+    "bm25_discovered_topk": bm25_discovered_topk,
     "text_stats": text_stats,
     "pii_scrub_stats": pii_scrub_stats,
     "corpus_quality_gate": corpus_quality_gate,
@@ -1606,6 +1700,7 @@ ORACLE = {
     "bm25_indexed_topk": BM25_TOPK_SQL,
     "bm25_batch_topk": _bm25_batch_topk_sql(),
     "text_index_stats": _text_index_stats_sql(),
+    "bm25_discovered_topk": _bm25_discovered_topk_sql(),
     "text_stats": TEXT_STATS_SQL,
     "pii_scrub_stats": PII_SCRUB_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,

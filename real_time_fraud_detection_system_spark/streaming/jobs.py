@@ -555,7 +555,20 @@ def text_index_sink_writer(prefix: str = "text_idx"):
     the doc table's doc_id column (its bucket layout makes that a
     shard-cost probe) and pinned via localCheckpoint BEFORE any
     append, so a re-delivered epoch adds nothing -- the
-    dedup_index_sink_writer discipline. Empty batches no-op. Appends
+    dedup_index_sink_writer discipline. Membership is checked against
+    the table INCLUDING tombstoned rows, so a doc_id that was
+    tombstoned (removed/changed) and then RE-INGESTED before
+    compaction would be silently skipped and its new content never
+    indexed (ADVICE r12); dropping the tombstone instead would
+    resurrect the doc's OLD posting rows alongside the new ones. The
+    only append-only-exact resolution is to fold first: a batch
+    carrying a tombstoned doc_id triggers compact_text_index (the
+    rewrite the tombstones were waiting for -- rare in practice:
+    takedown-then-restore inside one compaction cycle), after which
+    the doc is genuinely absent and re-indexes with its new content.
+    Replays stay no-ops: a re-delivered epoch's docs are live members
+    by then, not tombstoned, so no compaction re-triggers. Empty
+    batches no-op. Appends
     write through saveAsTable with the SAME bucket spec -- the count
     is read from the existing table's catalog metadata, so an index
     persisted with a non-default n_buckets keeps its layout (a
@@ -579,6 +592,18 @@ def text_index_sink_writer(prefix: str = "text_idx"):
                 return
             persist_text_index(batch_df, prefix=prefix)
             return
+        tomb = f"{prefix}_tomb"
+        if spark.catalog.tableExists(tomb):
+            conflicted = batch_df.join(
+                spark.table(tomb), "doc_id", "left_semi"
+            )
+            if not conflicted.isEmpty():
+                # tombstoned doc re-ingested before compaction: fold
+                # the tombstones NOW (see docstring) so the new
+                # content indexes instead of being silently skipped
+                from ..operators.textops import compact_text_index
+
+                compact_text_index(spark, prefix)
         fresh = batch_df.join(
             spark.table(f"{prefix}_doc").select("doc_id"),
             "doc_id",

@@ -78,6 +78,47 @@ def test_phash_undecodable_payload_is_skipped(spark):
     assert set(fps) == {2}
 
 
+def test_phash_truncated_pixel_section_is_skipped(spark):
+    """A P6 whose header promises more pixels than the body holds
+    (ADVICE r12): ppm_pixels must reject it as undecodable -- not
+    hand a short buffer to the kernel, whose (npix, 3) reshape would
+    kill the Spark task with a ValueError -- so the row takes the
+    documented skip path."""
+    import pytest
+
+    good = _p6(4, 1, _base_pixels(4))
+    truncated = good[:-5]  # 7 of the promised 12 pixel bytes
+    with pytest.raises(NotImplementedError):
+        ppm_pixels(truncated)
+    fps = _fp(spark, [(1, truncated), (2, good)])
+    assert set(fps) == {2}
+
+
+def test_perceptual_queries_exclude_multibyte_text(spark, monkeypatch):
+    """The ADVICE-r12 guard: the engines agree byte-for-char only on
+    single-byte text, so a document with a multi-byte character must
+    be EXCLUDED from the perceptual pair queries (no fingerprint, no
+    twin pair) while its ASCII sibling still pairs with its twin."""
+    import real_time_fraud_detection_system_spark.operators.multimodal as mm
+
+    ascii_text = "the quick brown fox jumps over the lazy dog again"
+    multi_text = "café " * 12  # 60 chars, 72 UTF-8 bytes
+    rows = [
+        (0, ascii_text, "en", "srcA", len(ascii_text)),
+        (3, multi_text, "fr", "srcA", len(multi_text)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    monkeypatch.setattr(
+        mm, "load_table", lambda s, d, n: df if n == "documents" else None
+    )
+    got = {(r["a_id"], r["b_id"]) for r in dedup_phash(spark, "unused").collect()}
+    assert (0, 0 + PHASH_TWIN_OFFSET) in got
+    assert not any(3 in (a % 10_000_000, b % 10_000_000) for a, b in got)
+
+
 def test_dedup_phash_registry_catches_every_twin(spark):
     """The registry query: every image row with a decodable wrap must
     pair with its brightness-shifted twin at Hamming 0 (the aHash
@@ -101,6 +142,26 @@ def test_dedup_phash_registry_catches_every_twin(spark):
     assert set(twin_pairs.values()) == {0}
     assert all(a < b for a, b in pairs)
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_corpus_alphabet_is_single_byte():
+    """Fixture assertion (ADVICE r12): every char-indexed DuckDB
+    oracle (ascii(text[i]) over 1-based char positions) agrees with
+    the byte-fingerprinting engine only on single-byte text. The
+    perceptual queries now FILTER to single-byte rows structurally;
+    this pins that the test corpora are all-ASCII so those filters
+    stay output-neutral and the remaining char-indexed oracles
+    (multimodal_features/frames fallback branches) are exact."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n_multi = con.execute(
+            "SELECT count(*) FROM"
+            f" read_parquet('/root/testdata/{sf}/documents.parquet')"
+            " WHERE length(text) != octet_length(encode(text))"
+        ).fetchone()[0]
+        assert n_multi == 0, f"{sf}: {n_multi} multi-byte documents"
 
 
 def _wav8(samples, rate=8000):
@@ -208,11 +269,108 @@ def test_dedup_audio_fp_registry_catches_every_twin(spark):
     assert data == text_bytes
 
 
+def _y4m_clip(data, nframes=8, **kw):
+    """Wrap a byte sequence as a Y4M mono clip of ``nframes``
+    equal-size 1-row frames (the registry queries' wrap shape)."""
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        encode_y4m,
+    )
+
+    fl = len(data) // nframes
+    frames = [bytes(data[k * fl : (k + 1) * fl]) for k in range(nframes)]
+    return encode_y4m(fl, 1, frames, **kw)
+
+
+def test_y4m_codec_roundtrip_and_rejection():
+    """The packaged Y4M codec is a REAL container parse: encode ->
+    decode round-trips frames exactly for every supported colorspace,
+    the spec-default colorspace applies when C is absent, and a bad
+    magic / bad FRAME marker / truncated frame / unsupported
+    colorspace / missing dimensions all take the NotImplementedError
+    fallback path instead of returning garbage."""
+    import pytest
+
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        encode_y4m,
+        y4m_frames,
+    )
+
+    frames = [bytes([(i * 7 + k) % 256 for i in range(24)])
+              for k in range(3)]
+    w, h, got = y4m_frames(encode_y4m(6, 4, frames))
+    assert (w, h, got) == (6, 4, frames)
+    # 420 (w*h*3/2 per frame) and 444 (3*w*h) plane sizes
+    f420 = [bytes(range(6))]
+    assert y4m_frames(encode_y4m(2, 2, f420, colorspace="420jpeg"))[2] == f420
+    f444 = [bytes(range(12))]
+    assert y4m_frames(encode_y4m(2, 2, f444, colorspace="444"))[2] == f444
+    # spec default colorspace (420jpeg) when no C tag is present
+    payload = b"YUV4MPEG2 W2 H2\nFRAME\n" + bytes(6)
+    assert y4m_frames(payload)[2] == [bytes(6)]
+
+    good = encode_y4m(6, 4, frames)
+    for bad in (
+        b"NOTY4M" + good[6:],                      # bad magic
+        good.replace(b"FRAME\n", b"FRAMX\n", 1),   # bad FRAME marker
+        good[:-5],                                 # truncated frame
+        good.replace(b"Cmono", b"Cjpeg"),          # unsupported cspace
+        b"YUV4MPEG2 Cmono\nFRAME\nxx",             # missing W/H
+    ):
+        with pytest.raises(NotImplementedError):
+            y4m_frames(bad)
+
+
+def test_y4m_decoder_features_sample_stream_only():
+    """The default 'video' decoder features the concatenated FRAME
+    bytes -- container header and FRAME markers excluded -- mirroring
+    the pixels-not-container contract of the image/audio codecs."""
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        _DECODERS,
+        encode_y4m,
+        y4m_video_decoder,
+    )
+
+    assert _DECODERS["video"] is y4m_video_decoder
+    frames = [bytes([10, 20, 30, 40]), bytes([50, 60, 70, 80])]
+    feats = y4m_video_decoder(encode_y4m(4, 1, frames))
+    data = b"".join(frames)
+    assert feats["n_bytes"] == len(data)
+    assert feats["mean_byte"] == sum(data) / len(data)
+    assert feats["samples"] == [10, 20, 30, 40]
+
+
+def test_video_fp_reencode_invariance(spark):
+    """Container metadata never reaches the hash: the SAME frames
+    re-encoded with a different frame rate and an application X-tag
+    fingerprint identically at every position (the re-encode
+    robustness the round-12 verdict asked the real decode to prove)."""
+    from real_time_fraud_detection_system_spark.operators.multimodal import (
+        VIDEO_FRAMES,
+        video_frame_hashes,
+    )
+
+    n = 960
+    base = [((17 * i) % 113 + (i * i) % 67) % 200 for i in range(n)]
+    media = spark.createDataFrame(
+        [
+            (1, _y4m_clip(base)),
+            (2, _y4m_clip(base, fps=(30, 1), xtag="reencoded-copy")),
+        ],
+        "media_id long, payload binary",
+    )
+    sig = {}
+    for r in video_frame_hashes(media).collect():
+        sig.setdefault(r["media_id"], {})[r["frame_idx"]] = r["frame_hash"]
+    assert sig[1] == sig[2] and len(sig[1]) == VIDEO_FRAMES
+
+
 def test_video_fp_twin_and_discrimination(spark):
     """Per-frame brightness invariance: a uniformly shifted clip
     matches its original at ALL frame positions; a distinct clip
     matches at none; a half-overwritten clip matches only on its
-    untouched half (positional alignment is real, not global)."""
+    untouched half (positional alignment is real, not global).
+    Payloads are real Y4M containers; an unparseable payload yields
+    no rows at all (the undecodable-row skip)."""
     from real_time_fraud_detection_system_spark.operators.multimodal import (
         VIDEO_FRAMES,
         video_frame_hashes,
@@ -224,8 +382,9 @@ def test_video_fp_twin_and_discrimination(spark):
     distinct = [(173 * i + 11) % 256 for i in range(n)]
     half = list(distinct[: n // 2]) + list(base[n // 2 :])
     media = spark.createDataFrame(
-        [(1, bytes(base)), (2, bytes(shifted)), (3, bytes(distinct)),
-         (4, bytes(half))],
+        [(1, _y4m_clip(base)), (2, _y4m_clip(shifted)),
+         (3, _y4m_clip(distinct)), (4, _y4m_clip(half)),
+         (5, b"not a container at all")],
         "media_id long, payload binary",
     )
     fh = video_frame_hashes(media).collect()
@@ -233,6 +392,7 @@ def test_video_fp_twin_and_discrimination(spark):
     for r in fh:
         sig.setdefault(r["media_id"], {})[r["frame_idx"]] = r["frame_hash"]
     assert all(len(sig[m]) == VIDEO_FRAMES for m in (1, 2, 3, 4))
+    assert 5 not in sig  # undecodable payload: skipped, not hashed
 
     def n_match(a, b):
         return sum(sig[a][k] == sig[b][k] for k in range(VIDEO_FRAMES))
@@ -254,7 +414,8 @@ def test_video_fp_flat_frames_carry_no_signal(spark):
     )
 
     media = spark.createDataFrame(
-        [(1, bytes([7] * 96)), (2, bytes([200] * 96)), (3, bytes([9]))],
+        [(1, _y4m_clip(bytes([7] * 96))), (2, _y4m_clip(bytes([200] * 96))),
+         (3, _y4m_clip(bytes([9] * 8)))],
         "media_id long, payload binary",
     )
     fh = video_frame_hashes(media).collect()
@@ -278,7 +439,10 @@ def test_dedup_video_fp_registry_catches_every_twin(spark):
     )
 
     docs = load_table(spark, SF, "documents")
-    n_clips = docs.filter("doc_id % 3 = 2 AND length(text) >= 1").count()
+    n_clips = docs.filter(
+        f"doc_id % 3 = 2 AND length(encode(text, 'UTF-8')) >= {VIDEO_FRAMES}"
+        " AND length(text) = length(encode(text, 'UTF-8'))"
+    ).count()
     rows = dedup_video_fp(spark, SF).collect()
     pairs = {(r["a_id"], r["b_id"]): r["n_match"] for r in rows}
     twin_pairs = {

@@ -112,6 +112,85 @@ def test_append_leg_is_idempotent_and_exact(spark, sf_dir):
         _drop_index(spark)
 
 
+def test_discovered_topk_picks_midfreq_terms_and_matches_fresh(spark, sf_dir):
+    """bm25_discovered_topk: the run-time term pick must equal a
+    Python replay of the rule (df closest to n_docs DIV 10, ties by
+    term), and the ranking must be bit-identical to the fresh BM25
+    pipeline run over exactly those terms -- the arbitrary-term probe
+    path is the same _bm25_rank core, just fed a discovered slice."""
+    from real_time_fraud_detection_system_spark.operators.textops import (
+        BM25_DISC_DF_DIV,
+        BM25_DISC_TERMS_K,
+        bm25_discovered_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dfs = {
+        r["t"]: r["df"]
+        for r in build_postings(docs)
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    target = n_docs // BM25_DISC_DF_DIV
+    picked = sorted(dfs, key=lambda t: (abs(dfs[t] - target), t))[
+        :BM25_DISC_TERMS_K
+    ]
+    got = _rows(bm25_discovered_topk(spark, sf_dir))
+    assert got == _rows(_fresh_bm25(docs, picked))
+    assert len(got) > 0
+
+
+def test_sink_reindexes_tombstoned_doc_with_new_content(spark, sf_dir):
+    """The ADVICE-r12 gap: a doc tombstoned (removed/changed) and
+    then RE-INGESTED before compaction must NOT be silently skipped
+    -- the sink folds the pending tombstones first (the only
+    append-only-exact resolution: dropping the tombstone would
+    resurrect the old posting rows) and then indexes the new
+    content. The probe must equal a fresh index over the corpus with
+    the doc's NEW text, and a replay of the same epoch stays a
+    no-op."""
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        text_index_sink_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    changed_id = docs.selectExpr("min(doc_id) AS m").collect()[0]["m"]
+    new_text = " ".join(BM25_TERMS) + " entirely rewritten body"
+    changed = spark.createDataFrame(
+        [(changed_id, new_text)], "doc_id long, text string"
+    )
+    writer = text_index_sink_writer(prefix=PREFIX)
+    try:
+        writer(docs, 0)  # bootstrap index over the full corpus
+        assert (
+            tombstone_text_index(spark, changed.select("doc_id"),
+                                 prefix=PREFIX) == 1
+        )
+        writer(changed, 1)  # re-ingest BEFORE any scheduled compaction
+        # the pending tombstones were folded, then the new content
+        # landed: exactly one row for the doc, with the NEW length
+        got_dl = spark.table(f"{PREFIX}_doc").filter(
+            F.col("doc_id") == changed_id
+        ).collect()
+        assert len(got_dl) == 1
+        assert got_dl[0]["dl"] == len(new_text.split(" "))
+        assert not spark.catalog.tableExists(f"{PREFIX}_tomb")
+
+        want_docs = docs.filter(
+            F.col("doc_id") != changed_id
+        ).unionByName(changed)
+        got = bm25_search(spark, BM25_TERMS, prefix=PREFIX)
+        assert _rows(got) == _rows(_fresh_bm25(want_docs, BM25_TERMS))
+
+        n_before = spark.table(f"{PREFIX}_doc").count()
+        writer(changed, 1)  # replayed epoch: live member now, no-op
+        assert spark.table(f"{PREFIX}_doc").count() == n_before
+    finally:
+        _drop_index(spark)
+
+
 def test_tombstone_live_compact_lifecycle(spark, sf_dir):
     """Tombstoned docs vanish from the probe EXACTLY as if the index
     had been rebuilt without them (stats subtraction included --

@@ -91,6 +91,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # so no scalar-aggregate exchange exists; the corpus-sized work
     # is the term-filtered postings scan.
     "bm25_indexed_topk": frozenset({"NLJ"}),
+    # bm25_discovered_topk: the same scalar-anchor NLJs -- the 1-row
+    # (n_docs) frame beside the per-term df distances in the term
+    # pick, and the 1-row stats anchor inside _bm25_rank; the picked
+    # term set itself is a BM25_DISC_TERMS_K-row hash-joinable
+    # broadcast, not an NLJ.
+    "bm25_discovered_topk": frozenset({"NLJ"}),
     # bm25_batch_topk: the same pre-aggregated 1-row stats broadcast
     # (scalar-anchor NLJ); the (q_id, t) query map and per-term df
     # joins are broadcast HASH joins, and the top-k window is

@@ -32,6 +32,20 @@ import re
 import sys
 
 
+# Record names that were RENAMED after a driver verdict existed under
+# the old name: old record name -> current registry name (or None for a
+# deliberate retirement with no successor). Keeping the map here makes
+# the orphan listing below mean something -- an empty "renames?" list is
+# then a real invariant, and an accidental deregistration cannot hide
+# among known-historical names (round-12 verdict What's wrong #3).
+RENAMED: dict[str, str | None] = {
+    # the 60-bit SimHash's round-2 registration name (one r2 verdict
+    # exists under it); renamed when the narrow draft became
+    # dedup_simhash16 and the wide form took the dedup_simhash name.
+    "dedup_simhash_wide": "dedup_simhash",
+}
+
+
 def full_pass(rec: dict) -> bool:
     """A driver verdict counts only as a FULL pass: rows + schema + hash
     all matched and no error. Weaker rows-only records never refresh
@@ -89,7 +103,16 @@ def main() -> int:
             hist[latest[name]] = hist.get(latest[name], 0) + 1
         else:
             never.append(name)
-    orphans = sorted(set(latest) - set(registered))
+    orphans = sorted(set(latest) - set(registered) - set(RENAMED))
+    stale_map = sorted(
+        tgt for tgt in RENAMED.values()
+        if tgt is not None and tgt not in registered
+    )
+    if stale_map:
+        print(
+            f"WARN: RENAMED targets not registered: {stale_map}",
+            file=sys.stderr,
+        )
 
     print(f"registry ROUND = {ROUND}; {len(registered)} registered queries")
     print(
