@@ -2748,6 +2748,113 @@ def hybrid_search(
     )
 
 
+def hybrid_search_batch(
+    spark: SparkSession,
+    queries: DataFrame,
+    k: int = HYBRID_TOPK,
+    text_prefix: str = "text_idx",
+    ann_prefix: str = "ann_idx",
+) -> DataFrame:
+    """Batched ``hybrid_search``: a REQUEST FRAME of queries --
+    (q_id BIGINT, terms ARRAY<STRING>, emb ARRAY<DOUBLE>) -- answered
+    in ONE pass over each persisted index instead of one probe pair
+    per query. Per q_id the output is row-identical to
+    ``hybrid_search(terms, emb)`` (equality test-pinned): the lexical
+    side scores the live postings once for the UNION of all query
+    terms (the bm25_batch_topk amortization applied to the catalog
+    index, tombstone-aware stats included), the semantic side hands
+    ann_search ALL query vectors at once (one kernel cell-assignment
+    pass, one bucketed candidate join), and the integer-exact RRF
+    fuses per (q_id, doc_id).
+
+    Scale shape: the term union and the query vectors are
+    request-sized (they ride broadcasts), both index probes stay
+    zero-rescan/bucket-pruned, and every per-query stage is a q_id-
+    partitioned window over O(matching postings / probed cells) rows
+    -- Q queries cost one shared probe pass + O(Q x top-K)
+    arithmetic, never Q corpus passes. q_ids must be >= 0 (vectors
+    probe the index under the reserved negative range -1-q_id, so a
+    query can never be mistaken for an indexed member and
+    self-excluded)."""
+    from .textops import BM25_TOPK, _live_text_stats, live_text_index
+
+    qterms = queries.select(
+        "q_id", F.explode("terms").alias("t")
+    ).distinct()
+    term_union = [
+        r["t"] for r in qterms.select("t").distinct().collect()
+    ]
+    post_t, _doc_t = live_text_index(spark, text_prefix)
+    tf = post_t.filter(F.col("t").isin(term_union))
+    dfc = tf.groupBy("t").agg(F.count("*").alias("df"))
+    stats = _live_text_stats(spark, text_prefix).selectExpr(
+        "CAST(n_docs AS DOUBLE) AS n_docs",
+        "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl",
+    )
+    from .textops import BM25_B, BM25_K1
+
+    lex_scored = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(dfc), "t")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "q_id",
+            "doc_id",
+            f"""CAST(round(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * ({BM25_K1} + 1.0))
+                 / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * dl / avgdl))
+                 * 1000000, 0) AS BIGINT) AS term_score_fp""",
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("term_score_fp").alias("score_fp"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    lex_r = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wq))
+        .filter(F.col("lex_rank") <= BM25_TOPK)
+        .select("q_id", "doc_id", "lex_rank")
+    )
+    sem_r = (
+        ann_search(
+            spark.table(f"{ann_prefix}_cents"),
+            live_ann_members(spark, ann_prefix),
+            queries.selectExpr("-1 - q_id AS vec_id", "emb"),
+        )
+        .selectExpr(
+            "-1 - q_id AS q_id",
+            "neighbor_id AS doc_id",
+            "rank AS sem_rank",
+        )
+    )
+    rrf = (
+        f"CASE WHEN lex_rank IS NULL THEN 0"
+        f" ELSE 1000000 DIV ({HYBRID_RRF_K} + lex_rank) END"
+        f" + CASE WHEN sem_rank IS NULL THEN 0"
+        f" ELSE 1000000 DIV ({HYBRID_RRF_K} + sem_rank) END"
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_fp"), F.asc("doc_id")
+    )
+    return (
+        lex_r.join(sem_r, ["q_id", "doc_id"], "full_outer")
+        .selectExpr(
+            "q_id",
+            "doc_id",
+            "CAST(COALESCE(lex_rank, 0) AS INT) AS lex_rank",
+            "CAST(COALESCE(sem_rank, 0) AS INT) AS sem_rank",
+            f"CAST({rrf} AS BIGINT) AS rrf_fp",
+        )
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("q_id", F.desc("rrf_fp"), F.asc("doc_id"))
+    )
+
+
 QUERIES = {
     "hybrid_topk": hybrid_topk,
     "intrinsic_dim_twonn": intrinsic_dim_twonn,

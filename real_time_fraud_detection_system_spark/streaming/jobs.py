@@ -641,6 +641,68 @@ def text_index_sink_writer(prefix: str = "text_idx"):
     return write_batch
 
 
+def hybrid_query_sink_writer(
+    out_dir: str,
+    k: int | None = None,
+    text_prefix: str = "text_idx",
+    ann_prefix: str = "ann_idx",
+):
+    """foreachBatch hook over a QUERY stream -- rows (q_id BIGINT >= 0,
+    terms ARRAY<STRING>, emb ARRAY<DOUBLE>) -- answering each
+    micro-batch of retrieval requests against BOTH persisted indexes
+    in one shared pass (operators.similarity.hybrid_search_batch: the
+    lexical side probes the live postings for the batch's term union,
+    the semantic side runs one kernel assignment over the batch's
+    vectors, integer-exact RRF fuses per query) and landing the
+    results under ``{out_dir}/epoch_id=N``. The streaming twin of
+    hybrid_search: a retrieval service shape where queries ARRIVE as
+    a stream and answers appear within one trigger, tombstone-aware
+    on both legs by construction.
+
+    VALUE-STABLE under at-least-once retry BY FIRST-WRITE-WINS (the
+    ingest_census_sink_writer discipline): an epoch whose result
+    partition is already committed is skipped via an O(1)
+    partition-path probe -- a replayed epoch must serve the answers
+    its first delivery committed, even if either index absorbed new
+    docs in between (re-scoring would silently change an
+    already-served result set). Empty batches no-op."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.similarity import hybrid_search_batch
+        from ..session import conf_override
+
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        part = jvm.org.apache.hadoop.fs.Path(
+            f"{out_dir}/epoch_id={int(epoch_id)}"
+        )
+        fs = part.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if fs.exists(part):
+            return  # first write wins: epoch already answered
+        if batch_df.isEmpty():
+            return
+        kwargs = {} if k is None else {"k": k}
+        results = hybrid_search_batch(
+            spark,
+            batch_df.select("q_id", "terms", "emb"),
+            text_prefix=text_prefix,
+            ann_prefix=ann_prefix,
+            **kwargs,
+        ).withColumn("epoch_id", F.lit(int(epoch_id)))
+        with conf_override(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            (
+                results.write.mode("overwrite")
+                .partitionBy("epoch_id")
+                .parquet(out_dir)
+            )
+
+    return write_batch
+
+
 def tombstone_sink_writer(prefix: str = "dedup_idx"):
     """foreachBatch hook over a DELETION stream (doc_id rows -- e.g.
     takedown notices, retention expiries, re-crawl invalidations):

@@ -333,6 +333,111 @@ def test_hybrid_search_fuses_both_persisted_indexes(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {ann_prefix}_{part}")
 
 
+def test_hybrid_search_batch_equals_per_query_and_sink_is_replay_stable(
+    spark, sf_dir, tmp_path
+):
+    """The batched request-frame form must reproduce hybrid_search
+    PER QUERY row-for-row (same indexes, same k), and the streaming
+    sink must (a) land each epoch's answers under its own partition,
+    (b) serve a REPLAYED epoch its originally committed answers even
+    after the indexes changed (first-write-wins), (c) no-op on empty
+    batches."""
+    from real_time_fraud_detection_system_spark.operators.similarity import (
+        hybrid_search,
+        hybrid_search_batch,
+        persist_ann_index,
+        tombstone_ann_index,
+    )
+    from real_time_fraud_detection_system_spark.streaming.jobs import (
+        hybrid_query_sink_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    q_embs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in embs.filter("vec_id < 2").collect()
+    }
+    queries = [
+        (0, list(BM25_TERMS), q_embs[0]),
+        (1, ["dup", "sort"], q_embs[1]),
+    ]
+    ann_prefix = "t_text_ann_idx"
+    out_dir = str(tmp_path / "hybrid_out")
+    try:
+        persist_text_index(docs, prefix=PREFIX)
+        persist_ann_index(spark, sf_dir, prefix=ann_prefix)
+        qdf = spark.createDataFrame(
+            queries,
+            "q_id long, terms array<string>, emb array<double>",
+        )
+        got = hybrid_search_batch(
+            spark, qdf, text_prefix=PREFIX, ann_prefix=ann_prefix
+        ).collect()
+        for q_id, terms, emb in queries:
+            want = hybrid_search(
+                spark, terms, emb,
+                text_prefix=PREFIX, ann_prefix=ann_prefix,
+            ).collect()
+            got_q = [
+                (r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf_fp"])
+                for r in got if r["q_id"] == q_id
+            ]
+            assert got_q == [
+                (r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf_fp"])
+                for r in want
+            ]
+            assert got_q
+
+        writer = hybrid_query_sink_writer(
+            out_dir, text_prefix=PREFIX, ann_prefix=ann_prefix
+        )
+        writer(qdf.limit(0), 0)  # empty batch: must not create epoch 0
+        writer(qdf, 1)
+        first = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out_dir)
+            .filter("epoch_id = 1")
+            .drop("epoch_id")
+            .collect()
+        )
+        assert first == sorted(
+            (r["q_id"], r["doc_id"], r["lex_rank"], r["sem_rank"],
+             r["rrf_fp"])
+            for r in got
+        )
+        # change the ANN index, then replay epoch 1: the committed
+        # answers must stand (first write wins)
+        dead = int(got[0]["doc_id"])
+        tombstone_ann_index(
+            spark,
+            spark.createDataFrame([(dead,)], "vec_id bigint"),
+            prefix=ann_prefix,
+        )
+        writer(qdf, 1)
+        assert first == sorted(
+            tuple(r)
+            for r in spark.read.parquet(out_dir)
+            .filter("epoch_id = 1")
+            .drop("epoch_id")
+            .collect()
+        )
+        # a NEW epoch serves answers from the changed indexes
+        writer(qdf, 2)
+        second = spark.read.parquet(out_dir).filter("epoch_id = 2")
+        assert second.count() > 0
+        epochs = {
+            r["epoch_id"]
+            for r in spark.read.parquet(out_dir)
+            .select("epoch_id").distinct().collect()
+        }
+        assert epochs == {1, 2}
+    finally:
+        _drop_index(spark)
+        for part in ("cents", "members", "tomb"):
+            spark.sql(f"DROP TABLE IF EXISTS {ann_prefix}_{part}")
+
+
 def test_batch_topk_equals_per_query_runs(spark, sf_dir):
     """bm25_batch_topk's per-q_id slice must be EXACTLY the
     single-query ranking for that term set (df per term is global
