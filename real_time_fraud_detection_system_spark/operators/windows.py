@@ -324,11 +324,25 @@ def wire_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("wire_json"),
     )
+    # ONE parse for both fields (round-13 optimization, guide §4.1):
+    # two get_json_object calls re-parsed every row's JSON twice;
+    # from_json parses once into a struct and both fields project off
+    # it (value-equal on the fixtures incl. the null-uid rows, where
+    # to_json omits the field and both paths yield NULL; 13.3 ->
+    # 6.1 s at the 100x scale test, 10.0 -> 5.7 in a same-session A/B
+    # (json_tuple measured 8.0 -- still one parse but a generator
+    # node); the residual is to_json + the declared full-table
+    # ORDER BY).
+    parsed = F.from_json("wire_json", "id BIGINT, type STRING, uid BIGINT")
     return wire.select(
         "event_id",
         "wire_json",
-        F.get_json_object("wire_json", "$.type").alias("parsed_type"),
-        F.get_json_object("wire_json", "$.uid").cast("bigint").alias("parsed_uid"),
+        parsed.alias("p"),
+    ).select(
+        "event_id",
+        "wire_json",
+        F.col("p.type").alias("parsed_type"),
+        F.col("p.uid").alias("parsed_uid"),
     ).orderBy("event_id")
 
 

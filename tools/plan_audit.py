@@ -67,13 +67,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # pattern; the corpus-sized work is the shuffle-free kernel
     # assignment scan plus one keyed cell aggregate.
     "ann_index_stats": frozenset({"1PART"}),
-    # intrinsic_dim_twonn: the NLJ is the TWONN_SAMPLE(=64)-row
-    # md5-ranked anchor broadcast against the corpus linear scan (the
-    # ann_cosine_topk bounded-query pattern -- constant rows at any
-    # corpus size) and the 1PART is the final single-row MLE fold --
-    # the near-scalar summary pattern. The corpus-sized work is the
-    # distance scan and the sample-keyed top-2 exchange (64 x 2 rows).
-    "intrinsic_dim_twonn": frozenset({"NLJ", "1PART"}),
+    # intrinsic_dim_twonn: the 1PART is the final single-row MLE fold
+    # -- the near-scalar summary pattern. The corpus-sized work is the
+    # shuffle-free Arrow-kernel distance scan (round 13: the anchors
+    # ride inside the kernel closure, so the old TWONN_SAMPLE-row
+    # broadcast NLJ is gone from the plan) and the sample-keyed top-2
+    # exchange carries only the kernel's pruned survivor rows.
+    "intrinsic_dim_twonn": frozenset({"1PART"}),
     # source_epoch_plan: the 1PART is the budget-share window over the
     # O(sources)-row token inventory -- the source_mixture_plan
     # near-scalar pattern; the corpus-sized work is the keyed token
