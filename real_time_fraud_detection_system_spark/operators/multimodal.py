@@ -557,7 +557,12 @@ def _feature_kernel(decoders: dict):
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # columnar assembly (round-13 optimization, guide §4.2):
+            # pd.DataFrame(list-of-dicts) re-infers every cell; the
+            # dict-of-lists constructor is a straight column build.
+            # The per-row decode itself is the codec registry's
+            # documented contract and stays row-wise.
+            ids, types, nbytes, means, samps = [], [], [], [], []
             for media_id, payload, mtype in zip(
                 pdf["media_id"], pdf["payload"], pdf["media_type"]
             ):
@@ -566,16 +571,20 @@ def _feature_kernel(decoders: dict):
                     feats = decode_media(data, mtype, decoders)
                 except NotImplementedError:
                     feats = byte_features(data)
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "media_type": mtype,
-                        "n_bytes": feats["n_bytes"],
-                        "mean_byte": feats["mean_byte"],
-                        "samples": feats["samples"],
-                    }
-                )
-            yield pd.DataFrame(rows)
+                ids.append(media_id)
+                types.append(mtype)
+                nbytes.append(feats["n_bytes"])
+                means.append(feats["mean_byte"])
+                samps.append(feats["samples"])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "n_bytes": nbytes,
+                    "mean_byte": means,
+                    "samples": samps,
+                }
+            )
 
     return _feature_batches
 
@@ -948,15 +957,26 @@ def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 .sum(axis=1, dtype=np.int64)
             )
             total = int(gray.sum())
-            bounds = [npix * k // PHASH_CELLS for k in range(PHASH_CELLS + 1)]
+            # bit k = 1 iff cell mean > global mean, cross-multiplied
+            # to exact int64 (empty cells compare 0 > 0: bit 0). The
+            # 60 bits evaluate as one vectorized comparison (round-13
+            # optimization, guide §4.2 -- the per-cell Python loop was
+            # 60 interpreted iterations per row); magnitudes are
+            # bounded by 765 * npix^2 << 2^63, so the integer compare
+            # is exact and identical to the scalar form.
+            bounds = (
+                np.arange(PHASH_CELLS + 1, dtype=np.int64) * npix
+            ) // PHASH_CELLS
             csum = np.concatenate(([0], np.cumsum(gray)))
-            fp = 0
-            for k in range(PHASH_CELLS):
-                lo, hi = bounds[k], bounds[k + 1]
-                # bit = 1 iff cell mean > global mean, cross-multiplied
-                # to exact integers (empty cells compare 0 > 0: bit 0)
-                if (int(csum[hi]) - int(csum[lo])) * npix > total * (hi - lo):
-                    fp |= 1 << k
+            cell = csum[bounds[1:]] - csum[bounds[:-1]]
+            width = bounds[1:] - bounds[:-1]
+            bits = (cell * npix) > (total * width)
+            fp = int(
+                (
+                    bits.astype(np.int64)
+                    << np.arange(PHASH_CELLS, dtype=np.int64)
+                ).sum()
+            )
             ids.append(media_id)
             fps.append(fp)
         yield pd.DataFrame({"media_id": ids, "simhash": fps})
@@ -1116,13 +1136,21 @@ def _audio_fp_batches(
                 continue
             arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
             csum = np.concatenate(([0], np.cumsum(arr)))
-            bounds = [n * k // nw for k in range(nw + 1)]
-            s = [int(csum[bounds[k + 1]] - csum[bounds[k]]) for k in range(nw)]
-            c = [bounds[k + 1] - bounds[k] for k in range(nw)]
-            fp = 0
-            for k in range(AUDIO_FP_BITS):
-                if s[k] * c[k + 1] > s[k + 1] * c[k]:
-                    fp |= 1 << k
+            # the 60 adjacent-window energy comparisons evaluate as one
+            # vectorized exact-int64 compare (round-13 optimization,
+            # guide §4.2 -- was a 61-element list comprehension + a
+            # 60-iteration Python loop per row); magnitudes bounded by
+            # 255 * n^2 << 2^63, identical to the scalar form.
+            bounds = (np.arange(nw + 1, dtype=np.int64) * n) // nw
+            s = csum[bounds[1:]] - csum[bounds[:-1]]
+            c = bounds[1:] - bounds[:-1]
+            bits = (s[:-1] * c[1:]) > (s[1:] * c[:-1])
+            fp = int(
+                (
+                    bits.astype(np.int64)
+                    << np.arange(AUDIO_FP_BITS, dtype=np.int64)
+                ).sum()
+            )
             ids.append(media_id)
             fps.append(fp)
         yield pd.DataFrame({"media_id": ids, "simhash": fps})
