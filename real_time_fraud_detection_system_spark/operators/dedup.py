@@ -709,6 +709,16 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
         )
         .select("doc_id", "n", "h", "rn")
+        # cache(): the prefix frame feeds BOTH sides of the candidate
+        # self-join, and without it Catalyst evaluates the whole
+        # explode + df-join + ranking-window subtree once per side
+        # (plan-verified: four Generate chains -> two; guide 2.4 on
+        # duplicate subtrees). The dedup_simhash fp.cache() pattern,
+        # NOT localCheckpoint: checkpointing drops the frame's stats,
+        # the downstream joins lose their broadcast decisions, and the
+        # measured result inverts (100x replica best-of-2: inline
+        # 32.1 s, cache 9.9 s, localCheckpoint 53.4 s).
+        .cache()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

@@ -576,33 +576,52 @@ def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per relation, the child side collapses to DISTINCT
     keys + counts FIRST (one keyed aggregate, output bounded by key
-    cardinality), then anti-joins the parent's key column -- so the
-    join moves distinct keys, never child rows; dimension-sized
-    parents broadcast under AQE. Output is O(relations)."""
+    cardinality), then LEFT-joins the parent's distinct keys and folds
+    row count, null count and orphan count into ONE aggregate over the
+    joined frame -- so the join moves distinct keys, never child rows,
+    and the child subtree is evaluated once. The previous
+    stats-crossJoin-anti-join form referenced the child aggregate from
+    TWO branches, and Catalyst evaluated the whole child scan+groupBy
+    per branch (plan-verified: lineitem scanned 6x across its 3
+    relations; guide 2.4 on removing duplicate subtrees). The parent
+    side is deduplicated explicitly so the left join stays
+    set-semantic like the anti-join it replaces, whatever the parent's
+    key multiplicity. Dimension-sized parents broadcast under AQE.
+    Output is O(relations). Measured at the 100x replica, best-of-2:
+    28.4 s -> 13.1 s."""
     parts = []
     for name, child, ckey, parent, pkey in FK_RELATIONS:
         c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(
-            F.col(pkey).alias("k")
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
         keyed = (
             c.select(F.col(ckey).alias("k"))
             .groupBy("k")
             .agg(F.count("*").alias("n"))
         )
-        stats = keyed.agg(
+        leg = keyed.join(p, "k", "left").agg(
             F.sum("n").alias("n_child_rows"),
             F.sum(F.expr("CASE WHEN k IS NULL THEN n ELSE 0 END")).alias(
                 "n_null_keys"
             ),
-        )
-        orphans = (
-            keyed.filter(F.col("k").isNotNull())
-            .join(p, "k", "left_anti")
-            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_orphans"))
+            # coalesce mirrors the old anti-join leg: an EMPTY child
+            # table must still report 0 orphans, not NULL
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN k IS NOT NULL AND _hit IS NULL"
+                        " THEN n ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_orphans"),
         )
         parts.append(
-            stats.crossJoin(F.broadcast(orphans)).selectExpr(
+            leg.selectExpr(
                 f"'{name}' AS relation",
                 "n_child_rows",
                 "n_null_keys",

@@ -274,15 +274,50 @@ BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document BPE-ish token count vs whitespace count vs the
     chars/4 cost heuristic; corpus-sortable by the regex/whitespace
-    fan-out ratio."""
+    fan-out ratio.
+
+    Shape: the pattern's match count is DECOMPOSED instead of run --
+    a match of '{BPE_PATTERN}' is either a maximal letter run (counted
+    by the one simple split '[A-Za-z]+', whose piece count is
+    matches + 1), a digit, or any other non-space character (both
+    counted by translate()/length() arithmetic, no regex at all); the
+    whitespace count is spaces + 1 by the same length arithmetic. The
+    identity is exact for every string (the alternation partitions
+    non-space characters into exactly those three classes), verified
+    row-for-row against the regexp_extract_all form and by the DuckDB
+    oracle, which still runs the original regex. The big alternation
+    was the query's entire cost -- codegen already CSE'd the two
+    inline copies, so staging alone changed nothing (guide 1.1:
+    measure, don't assume). Measured at the 100x replica, best-of-2:
+    13.4 s -> 3.3 s."""
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    return docs.selectExpr(
+    counted = docs.selectExpr(
         "doc_id",
-        f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS n_bpe_tokens",
-        f"size({_TOKS}) AS n_ws_tokens",
+        "n_chars",
+        "size(split(text, '[A-Za-z]+', -1)) - 1 AS runs",
+        "length(text) AS len",
+        f"length(translate(text, '{letters}', '')) AS len_noletters",
+        "length(translate(text, '0123456789', '')) AS len_nodigits",
+        "length(replace(text, ' ', '')) AS len_nospace",
+    ).selectExpr(
+        "doc_id",
+        "n_chars",
+        # n_bpe = letter runs + digits + other non-space chars, where
+        # digits = len - len_nodigits, letters = len - len_noletters,
+        # spaces = len - len_nospace, other = len - letters - digits -
+        # spaces = len_noletters - digits - spaces
+        "runs + (len - len_nodigits)"
+        " + (len_noletters - (len - len_nodigits) - (len - len_nospace))"
+        " AS n_bpe_tokens",
+        "len - len_nospace + 1 AS n_ws_tokens",
+    )
+    return counted.selectExpr(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_ws_tokens",
         "CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens_chars4",
-        f"round(size(regexp_extract_all(text, '{BPE_PATTERN}', 0))"
-        f" / greatest(size({_TOKS}), 1), 6) AS fanout",
+        "round(n_bpe_tokens / greatest(n_ws_tokens, 1), 6) AS fanout",
     ).orderBy("doc_id")
 
 
@@ -379,12 +414,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = ln((N+1)/(df+1)) (add-one smoothed); ranking on the ROUNDED
     score with a term tie-break so both engines order identically.
 
-    Scale shape: explode -> (doc_id, term) count [one shuffle on a
-    high-cardinality composite key], term document-frequency from the
-    tf table [second, much smaller shuffle], tf x idf join keyed by
-    term, per-doc top-k window keyed by doc_id. Every shuffle key is
-    fine-grained; nothing is collected or broadcast except the scalar
-    corpus size (parquet row-count metadata)."""
+    Scale shape: explode -> (doc_id, term) count [shuffle-free: the
+    doc_id spread partitioning satisfies the composite groupBy], term
+    document-frequency as count(*) OVER (PARTITION BY term) on the tf
+    frame [one term-keyed shuffle], per-doc top-k window keyed by
+    doc_id. The previous groupBy(term)+join-back df leg made Catalyst
+    evaluate the whole explode+tf subtree TWICE, once per join side
+    (plan-verified: two Generate chains -> one; guide 2.4); its
+    term-keyed exchange was smaller, but a second full corpus explode
+    + aggregate pass cost far more than the window's shuffle.
+    Measured at the 100x replica, best-of-2: 10.0 s -> 6.4 s. Every
+    shuffle key is fine-grained; nothing is collected or broadcast
+    except the scalar corpus size (parquet row-count metadata)."""
     # count the RAW table (answered by parquet row-group metadata);
     # counting the spread frame would pay a full shuffle for a scalar
     n_docs = load_table(spark, sf_dir, "documents").count()
@@ -394,15 +435,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(df_, "term").withColumn(
+    from pyspark.sql.window import Window
+
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).withColumn(
         "tfidf",
         F.round(
             F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
             6,
         ),
     )
-    from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -923,14 +966,21 @@ def _bm25_rank(tf: DataFrame, stats: DataFrame, k: int) -> DataFrame:
     containing t contributes one posting row for t, so the slice IS
     the df evidence) -- which is what keeps the persisted index's
     append and tombstone legs consistent for free: filter the
-    postings and df follows. idf uses the standard
-    ln(1 + (N - df + 0.5)/(df + 0.5)) form; per-(doc, term) scores
-    quantize to 1e-6 fixed point BEFORE the per-doc sum (the
-    dsir/bigram integer-log convention), so ranking compares
+    postings and df follows. df rides a count(*) OVER (PARTITION BY t)
+    on the slice rather than a groupBy+join-back: the join form made
+    Catalyst evaluate the caller's whole tf subtree twice, once per
+    join side -- for the fresh entry points that is a SECOND full
+    corpus token explode (plan-verified on bm25_topk/hybrid_topk: two
+    Generate chains -> one; guide 2.4). The slice itself is
+    O(matching postings), so the window is trivially small. idf uses
+    the standard ln(1 + (N - df + 0.5)/(df + 0.5)) form; per-(doc,
+    term) scores quantize to 1e-6 fixed point BEFORE the per-doc sum
+    (the dsir/bigram integer-log convention), so ranking compares
     identical integers on both engines, doc_id breaking ties."""
-    dfc = tf.groupBy("t").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+
     scored = (
-        tf.join(F.broadcast(dfc), "t")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("t")))
         .crossJoin(F.broadcast(stats))
         .selectExpr(
             "doc_id",
