@@ -2631,9 +2631,19 @@ def _wide_fp_pairs(fps: DataFrame) -> DataFrame:
     SIMHASH_MAX_HAMMING, sh_a <= sh_b, each emitted EXACTLY ONCE (the
     first-combo filter replaces a global DISTINCT). Input: any frame
     with a ``simhash`` column; pairs are between DISTINCT fingerprints
-    (equal-fp pairs appear as sh_a == sh_b once)."""
+    (equal-fp pairs appear as sh_a == sh_b once).
+
+    The build side carries a SHUFFLE_HASH hint: the planner's default
+    sort-merge join sorts both 20-combo half-tables (10M rows each at
+    the 100x replica) before probing, but bucket groups are tiny by
+    construction (30-bit keys over sqrt-ish distinct fingerprints), so
+    a per-partition hash build is strictly cheaper (guide 3.1).
+    Measured on the pair join at the 100x replica, best-of-2:
+    10.6 s -> 3.4 s; the whole wide family (dedup_simhash,
+    dedup_clusters_wide, dup_rate_by_source, the perceptual trio)
+    rides this join."""
     half = _wide_half(fps)
-    fa, fb = half.alias("fa"), half.alias("fb")
+    fa, fb = half.alias("fa"), half.hint("SHUFFLE_HASH").alias("fb")
     xor = "(fa.simhash ^ fb.simhash)"
     cond = (
         "fa.ckey = fb.ckey AND fa.simhash <= fb.simhash "
@@ -2777,6 +2787,13 @@ def dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB WITH RECURSIVE transitive closure over the identical
     fingerprint edge set -- different algorithm, identical fixpoint."""
+    return _wide_cluster_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def _wide_cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, cluster_id) body of ``dedup_clusters_wide``
+    -- split out so consumers that aggregate the labels
+    (dup_rate_by_source) can skip the public face's global sort."""
     from .graph import connected_components
 
     fp = wide_fingerprints(spark, sf_dir).cache()
@@ -2793,11 +2810,7 @@ def dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     root_min = doc_fp.groupBy("label").agg(
         F.min("doc_id").alias("cluster_id")
     )
-    return (
-        doc_fp.join(root_min, "label")
-        .select("doc_id", "cluster_id")
-        .orderBy("doc_id")
-    )
+    return doc_fp.join(root_min, "label").select("doc_id", "cluster_id")
 
 
 # Shared CTE chain ending in clusters(doc_id, cluster_id) -- the
@@ -2847,8 +2860,16 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     number quoted in every dataset card). Composes the production
     clustering stage (dedup_clusters_wide: 60-bit fingerprints,
     distributed label propagation) with a broadcast-sized per-cluster
-    size table and a source-keyed rollup; output is O(sources) rows."""
-    clusters = dedup_clusters_wide(spark, sf_dir)
+    size table and a source-keyed rollup; output is O(sources) rows.
+
+    The label frame is the UNORDERED cluster body (skipping the public
+    face's global doc_id sort, which a groupBy rollup cannot observe)
+    and is cache()d: it feeds both the per-cluster size aggregate and
+    the join, and uncached each reference re-evaluated the label join
+    chain (guide 2.4). Measured at the 100x replica, best-of-2:
+    14.9 s -> 10.1 s (15.7 s before the family's SHUFFLE_HASH pair
+    join)."""
+    clusters = _wide_cluster_frame(spark, sf_dir).cache()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("csize"))
     is_dup = (F.col("csize") > 1).cast("int")
