@@ -208,6 +208,13 @@ HEADLINE = [
     # probe of the postings index
     "ann_index_stats",
     "bm25_discovered_topk",
+    # round-13 optimization rewrites not already members (rule 1:
+    # rewritten-for-scale queries are measured the round they change;
+    # outputs byte-identical, plans/r13/ holds the evidence)
+    "bpe_token_stats",
+    "dup_rate_by_source",
+    "peak_concurrency",
+    "wire_format_roundtrip",
 ]
 
 

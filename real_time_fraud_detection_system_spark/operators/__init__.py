@@ -185,6 +185,43 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # broadcast picked-term join -- the dynamic-term analogue of
         # the pushed In-filter no fixed-literal query exercises.
         "bm25_discovered_topk",
+        # ---- round-13 OPTIMIZATION rewrites (plan/internal changes,
+        # outputs byte-identical -- each re-verified against the
+        # DuckDB oracle when it landed; re-attested per the
+        # rewritten-internals rule; evidence in OPTIMIZATION_r13.md
+        # and plans/r13/):
+        # single-scan tag reshape + codegen bigram shingles
+        "repetition_stats",
+        # point estimate rides the replica aggregate (one events scan)
+        "bootstrap_fraud_ci",
+        # both sweep-line boundaries explode off one row
+        "peak_concurrency",
+        # one from_json parse replaces two get_json_object parses
+        "wire_format_roundtrip",
+        # corpus x anchor distances as a pruned Arrow kernel
+        "intrinsic_dim_twonn",
+        # dup filter as count() OVER (PARTITION BY h): one shingle pass
+        "exact_substring_spans",
+        # one left join + single aggregate per relation (child scanned
+        # once, not twice)
+        "fk_integrity_check",
+        # SHUFFLE_HASH orders join; aggregate reuses the partitioning
+        "q21_sole_late_supplier",
+        # prefix frame cache()d across the candidate self-join
+        "dedup_prefix_filter",
+        # regex alternation decomposed into split + translate/length
+        "bpe_token_stats",
+        # df as count() OVER (PARTITION BY term): one explode pass
+        "tfidf_top_terms",
+        # _bm25_rank df leg window form (one corpus explode) -- shared
+        # by every lexical entry point
+        "bm25_topk", "bm25_indexed_topk", "hybrid_topk",
+        # no-op candidate distinct dropped; in-place kernel buffers
+        "ann_knn_join", "ann_ivf_topk",
+        # SHUFFLE_HASH candidate pair join (whole wide-fp family)
+        "dedup_simhash", "dedup_clusters_wide",
+        # unordered cached cluster body feeds the rollup once
+        "dup_rate_by_source",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -207,22 +244,18 @@ PRIORITY = [
     "zipf_alpha_by_source",
     # (c) family representatives for families (a)+(b)+(d) leave
     #     uncovered (tests/test_registry.py gate) -- recomputed for
-    #     this window: skew, layout, and sketches.
+    #     this window: skew, layout, sketches, and mlqueries (the
+    #     round-13 optimization rewrites at (a) now cover windows /
+    #     metrics / sessionize themselves, so part_rankings /
+    #     predictions_profile dropped back to the queue).
     "shuffle_balance_profile", "layout_pruning_stats",
-    "countmin_heavy_hitters",
+    "countmin_heavy_hitters", "logit_score",
     # (d) the round-9 cohort in name order as far as the window
-    #     reaches (25 of 43, multimodal_features already at (a); the
-    #     stragglers queue first for round 14 -- see the ROUND-14
-    #     QUEUE below).
+    #     reaches (5 of 43 -- the round-13 optimization rewrites take
+    #     27 slots; the stragglers queue first for round 14 -- see the
+    #     ROUND-14 QUEUE below).
     "activity_islands", "ann_cosine_topk", "ann_int8_recall",
-    "bpe_token_stats", "corpus_snapshot_diff", "corpus_token_stats",
-    "customer_rollup", "customers_without_orders", "dedup_clusters",
-    "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_simhash16", "doc_fingerprint", "dup_rate_by_source",
-    "embedding_near_dup", "event_gap_buckets", "lang_id_heuristic",
-    "lang_mismatch_rate", "logit_score", "lsh_band_sweep",
-    "nations_with_both", "order_priority_count", "part_price_buckets",
-    "part_rankings", "predictions_profile",
+    "corpus_snapshot_diff", "corpus_token_stats",
     # ROUND-14 QUEUE (in priority order): round-14 changed code first,
     # then the round-9 remainder in name order --
     # dedup_clusters_wide (skipped from (d) name order above: the

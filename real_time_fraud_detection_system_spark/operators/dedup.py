@@ -2304,12 +2304,17 @@ _DUCK_HASHED_DOCS = (
 )
 
 
+def _simhash_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered body of ``simhash_fingerprints`` -- consumers that
+    aggregate or join the fingerprints (dedup_clusters) skip the
+    public face's global doc_id sort, which they cannot observe."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return _vote_fingerprints(docs, hex16_expr("x"), SIMHASH_BITS)
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document {SIMHASH_BITS}-bit SimHash fingerprint."""
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    return _vote_fingerprints(
-        docs, hex16_expr("x"), SIMHASH_BITS
-    ).orderBy("doc_id")
+    return _simhash_fp_frame(spark, sf_dir).orderBy("doc_id")
 
 
 SIMHASH_FP_SQL = f"""
@@ -2433,7 +2438,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # preimages of FINGERPRINT components -- and the fingerprint graph
     # is bounded by the 2^16 hash space regardless of corpus size.
     # Clustering runs on <= 65536 nodes at 100 TB; docs join the result.
-    fp = simhash_fingerprints(spark, sf_dir).cache()  # (doc_id, simhash)
+    # Unordered fingerprint body: caching the public face pinned a
+    # rangepartition+sort no downstream aggregate/join can observe.
+    fp = _simhash_fp_frame(spark, sf_dir).cache()  # (doc_id, simhash)
     nodes = fp.select("simhash").distinct()
     half = nodes.select(
         "simhash",

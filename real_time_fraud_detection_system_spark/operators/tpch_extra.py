@@ -1219,10 +1219,19 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle counts the same triangles from the unoriented a<b<c
     form -- different strategy, identical set, which is what the gate
     should pin."""
+    # SHUFFLE_HASH on the self-join build side (and the wedge/closing
+    # joins below): per-key groups are basket-bounded (<= 7 items) /
+    # degree-oriented O(sqrt(m)), so the planner's sort-merge joins
+    # paid full sorts of both sides for hash-sized groups (guide 3.1;
+    # the q21 / _wide_fp_pairs precedent). Measured at the 100x
+    # replica, same-session best-of-2 A/B run in BOTH orders (cold
+    # position alternated): no hints 36.5 / 51.0 s, all three hinted
+    # 12.0 / 12.2 s; pair join only, mid-contention: 63.8 -> 35.6 s.
     items = _order_items(spark, sf_dir)
     edges = (
         items.selectExpr("l_orderkey", "l_partkey AS pa")
-        .join(items.selectExpr("l_orderkey", "l_partkey AS pb"),
+        .join(items.selectExpr("l_orderkey", "l_partkey AS pb")
+              .hint("SHUFFLE_HASH"),
               "l_orderkey")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
@@ -1266,7 +1275,8 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same sibling-stage argument as edges: o1, o2, and the closing
         # join all consume this O(edges) frame
     ).localCheckpoint()
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    o1 = oriented.alias("o1")
+    o2 = oriented.hint("SHUFFLE_HASH").alias("o2")
     wedges = o1.join(
         o2,
         (F.col("o1.src") == F.col("o2.src"))
@@ -1277,7 +1287,9 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o2.dst").alias("tc"),
     )
     tri = wedges.join(
-        oriented.selectExpr("src AS tb", "dst AS tc"), ["tb", "tc"]
+        oriented.selectExpr("src AS tb", "dst AS tc")
+        .hint("SHUFFLE_HASH"),
+        ["tb", "tc"],
     )
     return (
         tri.selectExpr("explode(array(ta, tb, tc)) AS l_partkey")

@@ -323,13 +323,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # (day, type) keyed count before it); the gapfill_hourly
     # bounded-grid pattern.
     "event_comovement_corr": frozenset({"NLJ"}),
-    # fk_integrity_check: per relation, the NLJ is the 1-row orphan
-    # count crossJoined into the 1-row child stats (both scalar
-    # aggregates over the keyed distinct-key frame) and the 1PART is
-    # those scalars' own exchanges -- the freshness_check scalar-anchor
-    # pattern, seven times; the data-sized work is one keyed aggregate
-    # + one distinct-key anti-join per relation.
-    "fk_integrity_check": frozenset({"NLJ", "1PART"}),
+    # fk_integrity_check: the 1PART is each relation's single-row
+    # summary aggregate exchange -- the freshness_check scalar-anchor
+    # pattern, eight times; the data-sized work is one keyed child
+    # aggregate + one distinct-parent left join per relation. (The
+    # round-13 single-aggregate restructure removed the former NLJ:
+    # the 1-row stats-x-orphans crossJoin no longer exists.)
+    "fk_integrity_check": frozenset({"1PART"}),
 }
 
 
