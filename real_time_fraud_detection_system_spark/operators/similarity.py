@@ -420,7 +420,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_id",
     )
     scored = (
-        probes.join(assigned, "c_id")
+        # Broadcast the PROBES side: it is N_QUERIES x NPROBE rows (15)
+        # while `assigned` is the full corpus assignment. Left to the
+        # planner, the size estimate picked BuildRight and broadcast
+        # the corpus (200k rows x 64-dim doubles at the 100x replica)
+        # through the driver -- a build side that scales with n.
+        F.broadcast(probes)
+        .join(assigned, "c_id")
         .filter(F.col("m_id") != F.col("q_id"))
         .withColumn(
             "cosine",
@@ -430,9 +436,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        # a member can surface via several probed cells -> dedup first
         .select("q_id", F.col("m_id").alias("neighbor_id"), "cosine")
-        .distinct()
+        # NO distinct: every index vector is assigned to EXACTLY one
+        # cell (explode of the n=1 nearest-cell array) and a probe's
+        # NPROBE cell ids are distinct, so a (q_id, m_id) pair can only
+        # arise in the single cell holding the member -- the
+        # ann_knn_join proof. The oracle keeps its DISTINCT and the
+        # gate pins row counts, so a violation cannot pass silently.
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
