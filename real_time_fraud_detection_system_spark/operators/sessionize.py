@@ -858,9 +858,15 @@ def activity_shape_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per user with >= 1 bucket-mate (user_id, its
     nearest sorted-neighborhood partner, the shared word, l1_ppm)."""
-    from pyspark.sql.window import Window
+    return _shape_matches_frame(_sax_words(spark, sf_dir))
 
-    words = _sax_words(spark, sf_dir)
+
+def _shape_matches_frame(words: DataFrame) -> DataFrame:
+    """``activity_shape_matches`` body over a caller-supplied words
+    frame -- split out so shape_match_recall can share ONE cached
+    _sax_words evaluation across its truth and match legs instead of
+    re-deriving the words subtree (a full events pass) per leg."""
+    from pyspark.sql.window import Window
     order_cols = [F.col(f"p{i}") for i in range(SAX_SEGMENTS)] + [
         F.col("user_id")
     ]
@@ -922,7 +928,11 @@ def shape_match_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm when it missed -- the quality number next to the 10x speed
     number (64 -> 6.2 s per 100x run), same contract as
     ann_recall_eval / minhash_lsh_recall."""
-    words = _sax_words(spark, sf_dir)
+    # ONE cached _sax_words evaluation (O(users) rows) feeds the truth
+    # join's both sides AND the sorted-neighborhood leg -- uncached,
+    # the words subtree (a full events pass + segment pivot) appeared
+    # THREE times in the plan (guide 2.4 duplicate subtrees).
+    words = _sax_words(spark, sf_dir).cache()
     sampled = words.filter(
         F.expr(
             "CAST(conv(substr(md5(concat('smp:', CAST(user_id AS STRING)))"
@@ -949,7 +959,7 @@ def shape_match_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ua").alias("user_id"))
         .agg(F.min(l1.cast("bigint")).alias("true_l1"))
     )
-    sn = activity_shape_matches(spark, sf_dir).select(
+    sn = _shape_matches_frame(words).select(
         "user_id", F.col("l1_ppm").alias("sn_l1")
     )
     return (
