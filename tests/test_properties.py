@@ -735,3 +735,60 @@ def test_scd2_merge_batching_invariance(spark, tmp_path_factory, seqs,
     ref = sorted(map(tuple, spark.read.parquet(ref_dir).select(*cols).collect()))
     inc = sorted(map(tuple, spark.read.parquet(inc_dir).select(*cols).collect()))
     assert ref == inc
+
+
+def test_bounded_hamming_labels_match_reference_union_find():
+    """dedup_clusters' driver-side numpy clustering must produce the
+    exact connected-component labels of the DECLARED 16-bit edge
+    relation (some 8-bit block equal AND Hamming 1..3) -- brute-force
+    union-find over all pairs is the reference. Deterministic md5-seeded
+    fingerprint set, saturated enough to form multi-node components."""
+    import hashlib
+
+    from real_time_fraud_detection_system_spark.operators.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_N_BLOCKS,
+        _bounded_hamming_labels,
+    )
+
+    nodes = sorted(
+        {
+            int.from_bytes(
+                hashlib.md5(f"fp:{i}".encode()).digest()[:2], "big"
+            )
+            for i in range(400)
+        }
+    )
+    width = SIMHASH_BITS // SIMHASH_N_BLOCKS
+    mask_lo = (1 << width) - 1
+
+    def is_edge(a: int, b: int) -> bool:
+        x = a ^ b
+        block_shared = (x & mask_lo) == 0 or (x >> width) == 0
+        return a != b and block_shared and bin(x).count("1") <= SIMHASH_MAX_HAMMING
+
+    idx = {v: i for i, v in enumerate(nodes)}
+    parent = list(range(len(nodes)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_edges = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if is_edge(a, b):
+                n_edges += 1
+                ra, rb = find(idx[a]), find(idx[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    assert n_edges > 50  # the fixture must actually exercise merging
+    want = {v: nodes[find(idx[v])] for v in nodes}
+
+    got = dict(
+        _bounded_hamming_labels(nodes, SIMHASH_BITS, SIMHASH_MAX_HAMMING)
+    )
+    assert got == want
