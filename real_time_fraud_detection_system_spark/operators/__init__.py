@@ -222,6 +222,17 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         "dedup_simhash", "dedup_clusters_wide",
         # unordered cached cluster body feeds the rollup once
         "dup_rate_by_source",
+        # bounded 16-bit edge set enumerated driver-side in numpy
+        # (184 block-confined XOR masks, min-label fixpoint; edge
+        # relation provably identical to the old block self-join) +
+        # the unordered _simhash_fp_frame body shared with
+        # simhash_fingerprints (public sort unchanged)
+        "dedup_clusters", "simhash_fingerprints",
+        # one cached _sax_words frame feeds all three legs (the match
+        # stage split into _shape_matches_frame; public behavior
+        # unchanged) -- shape_match_recall also covers its r8-cohort
+        # slot at (b)
+        "shape_match_recall", "activity_shape_matches",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -235,9 +246,10 @@ PRIORITY = [
     # (b) the round-8-verdict cohort -- the oldest standing driver
     #     verdicts (verdict-union histogram after round 12 reads
     #     r8=15, r9=43, r10=45, r11=48, r12=49; tools/staleness.py).
-    #     packing_budget_sweep is the 15th r8 member, already at (a).
+    #     packing_budget_sweep is the 15th r8 member and
+    #     shape_match_recall the 14th, both already at (a).
     "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
-    "seasonal_hour_baseline", "shape_match_recall", "shingle_df_curve",
+    "seasonal_hour_baseline", "shingle_df_curve",
     "skyline_parts", "supplier_bfs_hops", "time_weighted_value",
     "token_concentration_bins", "token_fertility",
     "top_orders_per_customer", "velocity_profile",
@@ -251,13 +263,14 @@ PRIORITY = [
     "shuffle_balance_profile", "layout_pruning_stats",
     "countmin_heavy_hitters", "logit_score",
     # (d) the round-9 cohort in name order as far as the window
-    #     reaches (5 of 43 -- the round-13 optimization rewrites take
-    #     27 slots; the stragglers queue first for round 14 -- see the
+    #     reaches (2 of 43 -- the round-13 optimization rewrites take
+    #     31 slots; the stragglers queue first for round 14 -- see the
     #     ROUND-14 QUEUE below).
-    "activity_islands", "ann_cosine_topk", "ann_int8_recall",
-    "corpus_snapshot_diff", "corpus_token_stats",
+    "activity_islands", "ann_cosine_topk",
     # ROUND-14 QUEUE (in priority order): round-14 changed code first,
     # then the round-9 remainder in name order --
+    # ann_int8_recall, corpus_snapshot_diff, corpus_token_stats
+    # (displaced from (d) by the late round-13 rewrites),
     # dedup_clusters_wide (skipped from (d) name order above: the
     # dedup family already holds 6 window slots and part_rankings /
     # predictions_profile are the windows / metrics family reps),
