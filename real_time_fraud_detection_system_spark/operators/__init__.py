@@ -233,6 +233,12 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # unchanged) -- shape_match_recall also covers its r8-cohort
         # slot at (b)
         "shape_match_recall", "activity_shape_matches",
+        # reporting stage reshaped: one (cid, label) aggregate rolled
+        # up per cid via whole-partition windows (the old stats/lab
+        # pair each re-ran the Arrow assignment kernel over every
+        # vector); integer rollup pinned to the two-aggregate form in
+        # tests
+        "kmeans_fixedpoint",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -263,14 +269,15 @@ PRIORITY = [
     "shuffle_balance_profile", "layout_pruning_stats",
     "countmin_heavy_hitters", "logit_score",
     # (d) the round-9 cohort in name order as far as the window
-    #     reaches (2 of 43 -- the round-13 optimization rewrites take
-    #     31 slots; the stragglers queue first for round 14 -- see the
+    #     reaches (1 of 43 -- the round-13 optimization rewrites take
+    #     32 slots; the stragglers queue first for round 14 -- see the
     #     ROUND-14 QUEUE below).
-    "activity_islands", "ann_cosine_topk",
+    "activity_islands",
     # ROUND-14 QUEUE (in priority order): round-14 changed code first,
     # then the round-9 remainder in name order --
-    # ann_int8_recall, corpus_snapshot_diff, corpus_token_stats
-    # (displaced from (d) by the late round-13 rewrites),
+    # ann_cosine_topk, ann_int8_recall, corpus_snapshot_diff,
+    # corpus_token_stats (displaced from (d) by the late round-13
+    # rewrites),
     # dedup_clusters_wide (skipped from (d) name order above: the
     # dedup family already holds 6 window slots and part_rankings /
     # predictions_profile are the windows / metrics family reps),

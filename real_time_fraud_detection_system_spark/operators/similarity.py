@@ -1759,22 +1759,36 @@ def kmeans_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = q.withColumn("ad", _km_assign_udf(cents)(F.col("q"))).select(
         "vec_id", "label", F.col("ad.cid").alias("cid"), F.col("ad.dist").alias("dist")
     )
-    stats = final.groupBy("cid").agg(
-        F.count("*").alias("n_points"), F.sum("dist").alias("sum_dist")
+    # One (cid, label) aggregate feeds BOTH the cluster stats and the
+    # majority label: the old stats/lab pair each re-evaluated `final`
+    # (a full Arrow-kernel assignment pass over every vector), so the
+    # reporting stage paid the kernel twice. Rolling the per-(cid,
+    # label) int64 partials up per cid via whole-partition windows is
+    # exact (integer sums reassociate freely) and keeps a single
+    # kernel pass; both window specs share the cid partitioning, so
+    # there is no extra exchange.
+    base = final.groupBy("cid", "label").agg(
+        F.count("*").alias("n"), F.sum("dist").alias("sd")
     )
-    lab = (
-        final.groupBy("cid", "label")
-        .agg(F.count("*").alias("n"))
+    cidw = Window.partitionBy("cid")
+    out = (
+        base.withColumn("n_points", F.sum("n").over(cidw))
+        .withColumn("sum_dist", F.sum("sd").over(cidw))
         .withColumn(
             "rn",
-            F.row_number().over(
-                Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
-            ),
+            F.row_number().over(cidw.orderBy(F.desc("n"), F.asc("label"))),
         )
         .filter(F.col("rn") == 1)
-        .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_label_n"))
+        .select(
+            "cid",
+            "n_points",
+            "sum_dist",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_label_n"),
+        )
+        .orderBy("cid")
+        .localCheckpoint(eager=True)
     )
-    out = stats.join(lab, "cid").orderBy("cid").localCheckpoint(eager=True)
     q.unpersist()
     return out.select(
         "cid", "n_points", "sum_dist", "top_label", "top_label_n"

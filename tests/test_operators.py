@@ -1088,6 +1088,70 @@ def test_kmeans_fixedpoint_invariants(spark, sf_dir):
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
 
 
+def test_kmeans_report_rollup_matches_two_aggregate_form(spark):
+    """The round-13 reporting reshape: one (cid, label) aggregate
+    rolled up per cid via whole-partition windows must equal the old
+    stats/lab two-aggregate + join form for ANY assignment frame
+    (integer sums reassociate exactly; majority-label ordering is
+    (desc n, asc label) in both). Adversarial fixture: ties on the
+    majority count, a singleton cluster, and a cid gap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    final = spark.createDataFrame(
+        [
+            # cid 0: label tie 2-2 -> smallest label wins
+            (1, 3, 0, 10), (2, 3, 0, 0), (3, 1, 0, 7), (4, 1, 0, 5),
+            # cid 2 (gap at 1): clear majority
+            (5, 9, 2, 1), (6, 9, 2, 2), (7, 0, 2, 3),
+            # cid 4: singleton
+            (8, 5, 4, 11),
+        ],
+        "vec_id int, label int, cid int, dist long",
+    )
+    stats = final.groupBy("cid").agg(
+        F.count("*").alias("n_points"), F.sum("dist").alias("sum_dist")
+    )
+    lab = (
+        final.groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid", F.col("label").alias("top_label"), F.col("n").alias("top_label_n")
+        )
+    )
+    old = (
+        stats.join(lab, "cid")
+        .orderBy("cid")
+        .select("cid", "n_points", "sum_dist", "top_label", "top_label_n")
+        .collect()
+    )
+    base = final.groupBy("cid", "label").agg(
+        F.count("*").alias("n"), F.sum("dist").alias("sd")
+    )
+    cidw = Window.partitionBy("cid")
+    new = (
+        base.withColumn("n_points", F.sum("n").over(cidw))
+        .withColumn("sum_dist", F.sum("sd").over(cidw))
+        .withColumn(
+            "rn", F.row_number().over(cidw.orderBy(F.desc("n"), F.asc("label")))
+        )
+        .filter(F.col("rn") == 1)
+        .select("cid", "n_points", "sum_dist",
+                F.col("label").alias("top_label"), F.col("n").alias("top_label_n"))
+        .orderBy("cid")
+        .collect()
+    )
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
+    assert [r["top_label"] for r in new] == [1, 9, 5]  # the tie pinned
+
+
 def test_dq_expectations_counts_injected_violations(spark, monkeypatch):
     """Engineered frame with one violation per rule class: the report
     must count each exactly and ppm-rate it against the row count."""
