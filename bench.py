@@ -215,6 +215,9 @@ HEADLINE = [
     "dup_rate_by_source",
     "peak_concurrency",
     "wire_format_roundtrip",
+    # late round-13 rewrite (rule 1): shares the unordered
+    # _simhash_fp_frame body with dedup_clusters
+    "simhash_fingerprints",
 ]
 
 
