@@ -2865,6 +2865,24 @@ def _wide_cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered (doc_id, cluster_id) body of ``dedup_clusters_wide``
     -- split out so consumers that aggregate the labels
     (dup_rate_by_source) can skip the public face's global sort."""
+    doc_fp = _wide_doc_labels(spark, sf_dir)
+    root_min = doc_fp.groupBy("label").agg(
+        F.min("doc_id").alias("cluster_id")
+    )
+    return doc_fp.join(root_min, "label").select("doc_id", "cluster_id")
+
+
+def _wide_doc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) component labels of the 60-bit fingerprint graph
+    -- the clustering WITHOUT the min-doc_id cluster_id rename.
+    Consumers that only aggregate component GROUPS (dup_rate_by_source:
+    a doc is a dup iff its component holds > 1 docs) read this frame
+    directly and skip _wide_cluster_frame's root_min aggregate + join
+    entirely: label -> cluster_id is a bijection on components (min
+    doc_ids of disjoint doc sets are distinct), so group sizes keyed by
+    label equal group sizes keyed by cluster_id (round-13 optimization,
+    guide §2.4 -- don't compute a rename the consumer cannot
+    observe)."""
     from .graph import connected_components
 
     fp = wide_fingerprints(spark, sf_dir).cache()
@@ -2875,13 +2893,9 @@ def _wide_cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh_a").alias("src"), F.col("sh_b").alias("dst")
     )
     labels = connected_components(nodes, edges)
-    doc_fp = fp.join(
+    return fp.join(
         labels, fp["simhash"] == labels["node"]
     ).select("doc_id", "label")
-    root_min = doc_fp.groupBy("label").agg(
-        F.min("doc_id").alias("cluster_id")
-    )
-    return doc_fp.join(root_min, "label").select("doc_id", "cluster_id")
 
 
 # Shared CTE chain ending in clusters(doc_id, cluster_id) -- the
@@ -2933,19 +2947,23 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed label propagation) with a broadcast-sized per-cluster
     size table and a source-keyed rollup; output is O(sources) rows.
 
-    The label frame is the UNORDERED cluster body (skipping the public
-    face's global doc_id sort, which a groupBy rollup cannot observe)
-    and is cache()d: it feeds both the per-cluster size aggregate and
-    the join, and uncached each reference re-evaluated the label join
-    chain (guide 2.4). Measured at the 100x replica, best-of-2:
-    14.9 s -> 10.1 s (15.7 s before the family's SHUFFLE_HASH pair
-    join)."""
-    clusters = _wide_cluster_frame(spark, sf_dir).cache()
+    The label frame is the UNORDERED component-label body (skipping the
+    public face's global doc_id sort, which a groupBy rollup cannot
+    observe, AND its root_min cluster_id rename, which a size rollup
+    cannot observe either -- label -> cluster_id is a bijection on
+    components, so csize-by-label == csize-by-cluster_id per doc; see
+    _wide_doc_labels) and is cache()d: it feeds both the per-component
+    size aggregate and the join, and uncached each reference
+    re-evaluated the label join chain (guide 2.4). Measured at the 100x
+    replica, best-of-2: 14.9 s -> 10.1 s (15.7 s before the family's
+    SHUFFLE_HASH pair join); the root_min skip removes one O(docs)
+    aggregate + join pair from the plan (round-13, second pass)."""
+    clusters = _wide_doc_labels(spark, sf_dir).cache()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    sizes = clusters.groupBy("label").agg(F.count("*").alias("csize"))
     is_dup = (F.col("csize") > 1).cast("int")
     return (
-        clusters.join(sizes, "cluster_id")
+        clusters.join(sizes, "label")
         .join(docs, "doc_id")
         .groupBy("source")
         .agg(

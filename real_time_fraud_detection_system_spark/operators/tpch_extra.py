@@ -1097,16 +1097,21 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
         )
-        scores = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base) + F.expr("coalesce(mass, 0) * 85 div 100")
-                ).alias("score"),
-            )
-            .localCheckpoint()
-        )
+        # NO per-round nodes left-join (round-13 optimization, guide
+        # §2.4 "remove shuffles outright"): the edge table is SYMMETRIC
+        # (fwd union reversed-fwd), so every node in `nodes` (= distinct
+        # src) also appears as a dst, and `scores` always covers all
+        # nodes -- contrib's groupBy(dst) therefore emits EXACTLY the
+        # node set every round, the old left join matched every row,
+        # and its coalesce(mass, 0) never fired. Dropping it removes
+        # one O(nodes) exchange + join per iteration; the oracle's
+        # LEFT JOIN form pins the fixpoint if the symmetry ever broke.
+        scores = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(base) + F.expr("mass * 85 div 100")
+            ).alias("score"),
+        ).localCheckpoint()
     out = (
         scores.orderBy(F.desc("score"), F.asc("node"))
         .limit(PR_TOPK)
