@@ -239,6 +239,21 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # vector); integer rollup pinned to the two-aggregate form in
         # tests
         "kmeans_fixedpoint",
+        # ---- round-13 optimization, second pass (resumed session):
+        # per-iteration nodes LEFT JOIN dropped (symmetric edge table
+        # => contrib covers every node every round); dup_rate's
+        # root_min rename skip rides the dup_rate_by_source entry above
+        "supplier_pagerank",
+        # bounded centroid (|labels| x dims) and intra (O(labels))
+        # frames cache()d -- uncached, their five/two consumers each
+        # re-ran the full corpus posexplode underneath (the plan
+        # scanned embeddings 10x; 46.1 -> 1.4 s best-of-2 at the 100x
+        # replica)
+        "label_centroid_separation",
+        # the one-row per-dim [min],[max] stats frame cache()d -- both
+        # consumers of the reconstructed frame re-ran the corpus
+        # posexplode + min/max pass to rebuild it (26.4 -> 11.0 s)
+        "ann_int8_recall",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -254,12 +269,14 @@ PRIORITY = [
     #     r8=15, r9=43, r10=45, r11=48, r12=49; tools/staleness.py).
     #     packing_budget_sweep is the 15th r8 member and
     #     shape_match_recall the 14th, both already at (a).
+    #     (velocity_profile / zipf_alpha_by_source displaced to the
+    #     round-14 queue by the second-pass rewrites at (a); both hold
+    #     r8 verdicts and pass the local full-registry oracle run)
     "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
     "seasonal_hour_baseline", "shingle_df_curve",
     "skyline_parts", "supplier_bfs_hops", "time_weighted_value",
     "token_concentration_bins", "token_fertility",
-    "top_orders_per_customer", "velocity_profile",
-    "zipf_alpha_by_source",
+    "top_orders_per_customer",
     # (c) family representatives for families (a)+(b)+(d) leave
     #     uncovered (tests/test_registry.py gate) -- recomputed for
     #     this window: skew, layout, sketches, and mlqueries (the
@@ -268,14 +285,15 @@ PRIORITY = [
     #     predictions_profile dropped back to the queue).
     "shuffle_balance_profile", "layout_pruning_stats",
     "countmin_heavy_hitters", "logit_score",
-    # (d) the round-9 cohort in name order as far as the window
-    #     reaches (1 of 43 -- the round-13 optimization rewrites take
-    #     32 slots; the stragglers queue first for round 14 -- see the
-    #     ROUND-14 QUEUE below).
-    "activity_islands",
+    # (d) the round-9 cohort: none reach the window this round -- the
+    #     round-13 optimization rewrites take 35 slots
+    #     (activity_islands displaced to the round-14 queue by the
+    #     second-pass rewrites at (a)).
     # ROUND-14 QUEUE (in priority order): round-14 changed code first,
-    # then the round-9 remainder in name order --
-    # ann_cosine_topk, ann_int8_recall, corpus_snapshot_diff,
+    # then velocity_profile, zipf_alpha_by_source (r8 cohort, displaced
+    # from (b)), activity_islands (displaced from (d)), then the
+    # round-9 remainder in name order --
+    # ann_cosine_topk, corpus_snapshot_diff,
     # corpus_token_stats (displaced from (d) by the late round-13
     # rewrites),
     # dedup_clusters_wide (skipped from (d) name order above: the

@@ -1985,6 +1985,12 @@ def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " s -> s.mx) AS mx_arr"
             ),
         )
+        # ONE row (two dims-length arrays, ~1 KB) consumed by both
+        # consumers of `recon` (the scored frame and its query slice);
+        # uncached, each reference re-ran the full corpus posexplode +
+        # per-dim min/max underneath (round-13 optimization, guide §2.4
+        # -- the plan scanned embeddings twice just to rebuild this row)
+        .cache()
     )
     recon = (
         vecs.crossJoin(F.broadcast(stats))
@@ -2377,10 +2383,17 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "i",
         "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS v",
     )
+    # cache() the centroid table: it is BOUNDED at |labels| x dims rows
+    # (tens of KB at any corpus size) but was consumed FIVE times
+    # (per_vec join, ns twice via intra's two references, both sides of
+    # the pair self-join), and every uncached reference re-evaluated
+    # the full corpus posexplode + aggregate underneath it -- the plan
+    # scanned embeddings 10 times (round-13 optimization, guide §2.4 /
+    # §5 -- cache only what is reused AND provably small).
     cent = v.groupBy("label", "i").agg(
         F.expr("CAST(sum(v) AS DECIMAL(19, 0))").alias("s"),
         F.count("*").alias("n"),
-    )
+    ).cache()
     # per-vector cosine to OWN centroid, all-integer accumulations
     per_vec = (
         v.join(cent.select("label", "i", "s"), ["label", "i"])
@@ -2411,6 +2424,11 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .join(ns.select("label", "n_vecs"), "label")
+        # O(labels) rows consumed by BOTH sides of the final pair join;
+        # uncached, each side re-ran the per-vector cosine pass (a full
+        # corpus-sized join + aggregate) -- same round-13 bounded-cache
+        # rationale as `cent` above
+        .cache()
     )
     a, b = cent.alias("a"), cent.alias("b")
     pair = (
