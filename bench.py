@@ -218,6 +218,12 @@ HEADLINE = [
     # late round-13 rewrite (rule 1): shares the unordered
     # _simhash_fp_frame body with dedup_clusters
     "simhash_fingerprints",
+    # round-13 optimization second pass (rule 1): bounded-frame caches
+    # landed in these two non-member rewrites (event_comovement_corr /
+    # weekly_retention_cohorts / activity_shape_buckets et al. are
+    # members already)
+    "event_type_affinity",
+    "cusum_changepoints",
 ]
 
 

@@ -254,6 +254,16 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # consumers of the reconstructed frame re-ran the corpus
         # posexplode + min/max pass to rebuild it (26.4 -> 11.0 s)
         "ann_int8_recall",
+        # bounded-frame cache()s (same pattern): the days x types daily
+        # grid (6 events scans -> 1), the basket projection (4 -> 1),
+        # the (user, week) distinct frame (3 -> 1), the O(days) daily
+        # rate + cusum frames (4 -> 1), and _sax_words' (user, segment)
+        # count frame (4 -> 2, shared by the whole shape family --
+        # activity_shape_matches / shape_match_recall are already
+        # listed above)
+        "event_comovement_corr", "event_type_affinity",
+        "weekly_retention_cohorts", "cusum_changepoints",
+        "activity_shape_buckets",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -269,13 +279,15 @@ PRIORITY = [
     #     r8=15, r9=43, r10=45, r11=48, r12=49; tools/staleness.py).
     #     packing_budget_sweep is the 15th r8 member and
     #     shape_match_recall the 14th, both already at (a).
-    #     (velocity_profile / zipf_alpha_by_source displaced to the
-    #     round-14 queue by the second-pass rewrites at (a); both hold
-    #     r8 verdicts and pass the local full-registry oracle run)
+    #     (velocity_profile / zipf_alpha_by_source / supplier_bfs_hops /
+    #     time_weighted_value / token_concentration_bins /
+    #     token_fertility / skyline_parts displaced to the round-14
+    #     queue by the second-pass rewrites at (a); all hold r8
+    #     verdicts and pass the local full-registry oracle run.
+    #     top_orders_per_customer stays: it is the relational family's
+    #     only window rep)
     "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
     "seasonal_hour_baseline", "shingle_df_curve",
-    "skyline_parts", "supplier_bfs_hops", "time_weighted_value",
-    "token_concentration_bins", "token_fertility",
     "top_orders_per_customer",
     # (c) family representatives for families (a)+(b)+(d) leave
     #     uncovered (tests/test_registry.py gate) -- recomputed for
@@ -290,8 +302,10 @@ PRIORITY = [
     #     (activity_islands displaced to the round-14 queue by the
     #     second-pass rewrites at (a)).
     # ROUND-14 QUEUE (in priority order): round-14 changed code first,
-    # then velocity_profile, zipf_alpha_by_source (r8 cohort, displaced
-    # from (b)), activity_islands (displaced from (d)), then the
+    # then the displaced r8 cohort (skyline_parts, supplier_bfs_hops,
+    # time_weighted_value, token_concentration_bins, token_fertility,
+    # velocity_profile, zipf_alpha_by_source),
+    # activity_islands (displaced from (d)), then the
     # round-9 remainder in name order --
     # ann_cosine_topk, corpus_snapshot_diff,
     # corpus_token_stats (displaced from (d) by the late round-13

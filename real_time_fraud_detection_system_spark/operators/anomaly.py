@@ -694,6 +694,12 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_flagged",
             "n_flagged * 1000000 DIV n_events AS rate_ppm",
         )
+        # cache() both O(days) frames (calendar-bounded whatever the
+        # corpus size): daily fed tot + cur and cur fed peak + the
+        # final projection, so the full events scan + day aggregate
+        # re-ran FOUR times uncached (round-13 optimization, guide
+        # §2.4/§5 bounded-cache pattern)
+        .cache()
     )
     tot = daily.agg(
         F.count("*").alias("n_days"), F.sum("rate_ppm").alias("sum_ppm")
@@ -704,7 +710,7 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = daily.crossJoin(F.broadcast(tot)).withColumn(
         "cusum_scaled",
         F.sum(F.expr("rate_ppm * n_days - sum_ppm")).over(w),
-    )
+    ).cache()
     peak = cur.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("peak"))
     return (
         cur.crossJoin(F.broadcast(peak))

@@ -1066,6 +1066,12 @@ def containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" % {CONTAINMENT_RECALL_MOD} = 0"
         )
     ).select("doc_id", "hsh")
+    # NOT cached despite six consumers: a round-13 A/B at the 100x
+    # replica read old {5.3, 10.1} vs cached {24.1, 6.8} s -- the six
+    # sig-table scans are cheap memoized-parquet reads, while caching
+    # materializes 1/MOD of the corpus' shingle ARRAYS (the heavy
+    # column) and the build + memory pressure ate the saving (guide
+    # §5: cache only when recompute cost beats the memory pressure)
     sh = smp.select("doc_id", F.explode("hsh").alias("h"))
     a, b = sh.alias("a"), sh.alias("b")
     # n_inter drops out of the pairing itself: per-doc shingle sets are

@@ -238,9 +238,12 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(weeks^2) rows regardless of corpus size. date_trunc('week')
     truncates to Monday in both engines."""
     ev = load_table(spark, sf_dir, "events")
+    # cache() the (user, week) distinct frame: cohorts, cohort_sizes
+    # and the join-back each re-ran the events scan + distinct under
+    # it (three full corpus passes; round-13 optimization, guide §2.4)
     weeks = ev.select(
         "user_id", F.date_trunc("week", "ts").alias("week")
-    ).distinct()
+    ).distinct().cache()
     cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     cohort_sizes = cohorts.groupBy("cohort_week").agg(
         F.count("*").alias("cohort_users")
@@ -765,6 +768,13 @@ def _sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("seg") < SAX_SEGMENTS)
         .groupBy("user_id", "seg")
         .agg(F.count("*").alias("c"))
+        # cache(): totals and the dense grid's left join both consume
+        # this O(users x segments) frame, and uncached each re-ran the
+        # events scan + anchor subquery + keyed count under it (the
+        # plan scanned events four times; round-13 optimization, guide
+        # §2.4) -- every _sax_words consumer (buckets / matches /
+        # recall) rides this
+        .cache()
     )
     totals = seg_counts.groupBy("user_id").agg(
         F.sum("c").alias("total")

@@ -159,15 +159,22 @@ def event_comovement_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-754 correctly rounded, hence bit-identical across engines.
     Constant pairs (d1*d2 = 0) emit NULL."""
     ev = load_table(spark, sf_dir, "events")
+    # cache() the two BOUNDED frames (days x types rows -- the day grid
+    # grows with the calendar, not the corpus): `daily` fed three
+    # consumers (days, types, the grid left join) and `grid` two (both
+    # pair legs), and uncached every reference re-ran the full events
+    # scan + aggregate underneath -- the plan scanned events SIX times
+    # (round-13 optimization, guide §2.4/§5 bounded-cache pattern).
     daily = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).cache()
     days = daily.select("day").distinct()
     types = daily.select("event_type").distinct()
     grid = (
         days.crossJoin(F.broadcast(types))
         .join(daily, ["day", "event_type"], "left")
         .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+        .cache()
     )
     a = grid.selectExpr("day", "event_type AS ta", "n AS x")
     b = grid.selectExpr("day", "event_type AS tb", "n AS y")

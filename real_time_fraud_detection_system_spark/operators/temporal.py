@@ -492,6 +492,12 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-bounded-fanout argument that makes A-Priori's pair pass
     linear over transactions."""
     ev = load_table(spark, sf_dir, "events")
+    # cache() the basket projection: it feeds FOUR consumers (both
+    # sides of the within-basket self-join and solo's two broadcast
+    # legs), and uncached each re-ran the events scan + composite-key
+    # distinct -- four full corpus passes for one O(user-days) frame
+    # (round-13 optimization, guide §2.4; same precedent as the cached
+    # fingerprint frame in dedup_simhash).
     baskets = (
         ev.select(
             "user_id",
@@ -499,6 +505,7 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .distinct()
+        .cache()
     )
     a, b = baskets.alias("a"), baskets.alias("b")
     pairs = (
