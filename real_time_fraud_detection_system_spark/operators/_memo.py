@@ -28,10 +28,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 MEMO_VERSION = 1
-# entries retained (older evicted by LRU mtime): 6 artifact kinds x 5
-# SF replicas = 30 live entries, so 32 thrashed at the margin during a
-# full multi-scale bench + test run; 40 leaves headroom
-MEMO_KEEP = 40
+# entries retained (older evicted by LRU mtime). The artifact family
+# has grown to ~13 kinds (sig/pairs/postings/bm25stats/srcsh/srcpairs/
+# rarecand/semlabels/kmvsketch/orderitems/tradew + per-variant keys) x
+# 5 SF replicas (sf0.001/sf0.01 tests+oracle, sf0.1/sf1/sf10 bench) =
+# ~65 live entries; at the old cap of 40 a full multi-scale bench run
+# THRASHED -- the sf1 section's fresh builds LRU-evicted the sf10
+# entries mid-run and the sf10 section then spent 693 s rebuilding
+# them inside its own deadline (round-13 second-pass exhibit: 96 of
+# 128 sf10 queries recorded -1 "not run"). 96 = the live set + one
+# full replica of headroom; entries are per-SF parquet dirs, ~1-2 GB
+# total at the 100x replica -- retention is an operational constant
+# for the snapshot-index store, not a per-host tune.
+MEMO_KEEP = 96
 # a .tmp staging dir this old belongs to a crashed build and is swept
 TMP_SWEEP_SECONDS = 6 * 3600
 
