@@ -190,7 +190,8 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # DuckDB oracle when it landed; re-attested per the
         # rewritten-internals rule; evidence in OPTIMIZATION_r13.md
         # and plans/r13/):
-        # single-scan tag reshape + codegen bigram shingles
+        # codegen bigram shingles, then (third pass) the whole count
+        # stage as one map-only Arrow kernel of exact int64s
         "repetition_stats",
         # point estimate rides the replica aggregate (one events scan)
         "bootstrap_fraud_ci",

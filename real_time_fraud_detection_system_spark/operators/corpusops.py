@@ -32,64 +32,80 @@ EVAL_DOCS = 10  # doc_id < EVAL_DOCS form the held-out eval set
 
 
 # --------------------------------------------------------------------------
+def _rep_count_batches(batches):
+    """Per-doc exact integer repetition counts, one pass per Arrow
+    batch: (n_tokens, n_bi, n_bi_d, max_cnt) from the same ' '-split
+    the JVM form used. Pure counting -- every output is an exact
+    int64, so the share/round arithmetic (kept JVM-side) is
+    bit-identical to the explode + hash-aggregate form this replaces
+    (pinned by tests/test_operators.py::
+    test_repetition_stats_kernel_matches_jvm_aggregate_form). A
+    null-text row yields NO output row -- explode-of-null parity with
+    the old tok_stats inner branch."""
+    from collections import Counter
+
+    import pandas as pd
+
+    for pdf in batches:
+        ids, n_toks, n_bis, n_bids, maxes = [], [], [], [], []
+        for did, s in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+            if s is None:
+                continue
+            toks = s.split(" ")
+            n = len(toks)
+            ids.append(did)
+            n_toks.append(n)
+            maxes.append(max(Counter(toks).values()))
+            if n > 1:
+                n_bis.append(n - 1)
+                n_bids.append(len(set(zip(toks, toks[1:]))))
+            else:
+                n_bis.append(0)
+                n_bids.append(0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": pd.Series(n_toks, dtype="int64"),
+                "n_bi": pd.Series(n_bis, dtype="int64"),
+                "n_bi_d": pd.Series(n_bids, dtype="int64"),
+                "max_cnt": pd.Series(maxes, dtype="int64"),
+            }
+        )
+
+
+_REP_COUNTS_SCHEMA = (
+    "doc_id long, n_tokens long, n_bi long, n_bi_d long, max_cnt long"
+)
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals: repeated-bigram share (1 -
     distinct/total bigrams) and the share of the single most frequent
     token. The classic junk signals for generated/boilerplate text.
 
-    Shape: explode + codegen'd hash aggregations, NOT per-row
-    higher-order folds -- lambdas evaluate interpreted, and the sorted
-    fold version of top_token_share measured 87 s over 500k docs at the
-    100x scale test. Docs are hash-partitioned by doc_id (spread) and
-    explode preserves that partitioning, so BOTH aggregations and the
-    joins back run shuffle-free; docs with no tokens/bigrams rejoin
-    with the fold's exact zero values via the left joins.
-
-    Round-13 optimization (guide §4.1 "prefer built-ins"): the bigram
-    branch builds shingles via posexplode + lead() -- fully codegen,
-    locally sorted on the spread partitioning (the bigram_lm_score
-    shape) -- instead of the interpreted transform(sequence)/slice
-    lambda (branch alone: 8.6 -> 5.3 s at the 100x scale test; full
-    query 27.4 -> 15.5 s best-of-2). The tempting further step -- ONE scan with
-    tag-unioned (doc_id, tag, v) counts feeding one per-doc aggregate,
-    no join -- measured 76.4 s: merging token and bigram keys into a
-    single hash aggregate doubles its live entries (~50M at 100x) and
-    pushes it into spill, while the two-branch form keeps each
-    aggregate at the healthy half size. Kept the two branches."""
-    from pyspark.sql.window import Window
-
+    Shape (round-13 optimization, guide §4.2 -- hand whole batches to
+    the Python worker when the per-row work defeats the JVM hash
+    aggregate): ONE map-only Arrow pass computes the four exact integer
+    counts per document (token count, bigram count, DISTINCT-bigram
+    count, max token multiplicity); the share/round arithmetic stays
+    JVM-side on those integers, so output is bit-identical to the
+    aggregate form. The JVM history this replaces, all measured at the
+    100x replica: interpreted transform/slice lambdas 87 s; posexplode
+    + lead() + two codegen hash aggregates 15.5 s on the round's
+    primary host, 35.8 s on the slower second-pass host -- the cost is
+    materializing and hashing ~25M exploded token/bigram rows to
+    compute per-doc NDVs the Python Counter/set pass gets in O(tokens)
+    with no row materialization (kernel: 6.0 s same host/day, 6x). The
+    single-scan tag-union JVM variant (76.4 s: doubled live hash-agg
+    entries, spill) stays rejected; docs are spread() so the scan
+    parallelizes regardless of file count (the bpe_token_stats
+    lesson)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    wl = Window.partitionBy("doc_id").orderBy("i")
-    bigrams = (
-        docs.selectExpr("doc_id", f"posexplode({_TOKS}) AS (i, t)")
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "t", F.lead("t").over(wl)).alias("bg"),
-            F.lead("t").over(wl).alias("t2"),
-        )
-        .filter(F.col("t2").isNotNull())
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bi"),
-            F.countDistinct("bg").alias("n_bi_d"),
-        )
-    )
-    # n_tokens rides the token aggregation (sum of per-token counts ==
-    # size of the token array, every doc yields >= 1 exploded row), so
-    # the corpus is scanned+tokenized twice, not three times
-    tok_stats = (
-        docs.selectExpr("doc_id", f"explode({_TOKS}) AS t")
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("cnt").alias("max_cnt"),
-            F.sum("cnt").alias("n_tokens"),
-        )
+    counted = docs.select("doc_id", "text").mapInPandas(
+        _rep_count_batches, _REP_COUNTS_SCHEMA
     )
     return (
-        tok_stats.join(bigrams, "doc_id", "left")
-        .select(
+        counted.select(
             "doc_id",
             "n_tokens",
             F.round(

@@ -225,6 +225,66 @@ def test_repetition_stats_bounds(spark, sf_dir):
         assert 0.0 < r["top_token_share"] <= 1.0
 
 
+def test_repetition_stats_kernel_matches_jvm_aggregate_form(spark, sf_dir):
+    """The round-13 Arrow kernel must reproduce the retired explode +
+    hash-aggregate form EXACTLY, row for row -- same integer counts in,
+    same share arithmetic out (the kernel returns only exact int64
+    counts; the division/round expressions are shared verbatim)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from real_time_fraud_detection_system_spark.catalog import (
+        load_table,
+        spread,
+    )
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        _TOKS,
+        repetition_stats,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    wl = Window.partitionBy("doc_id").orderBy("i")
+    bigrams = (
+        docs.selectExpr("doc_id", f"posexplode({_TOKS}) AS (i, t)")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "t", F.lead("t").over(wl)).alias("bg"),
+            F.lead("t").over(wl).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bi"), F.countDistinct("bg").alias("n_bi_d"))
+    )
+    tok_stats = (
+        docs.selectExpr("doc_id", f"explode({_TOKS}) AS t")
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_cnt"), F.sum("cnt").alias("n_tokens"))
+    )
+    old = (
+        tok_stats.join(bigrams, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.when(
+                    F.col("n_bi") > 0,
+                    F.lit(1.0) - F.col("n_bi_d") / F.col("n_bi"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("rep_bigram_share"),
+            F.round(F.col("max_cnt") / F.col("n_tokens"), 6).alias(
+                "top_token_share"
+            ),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    new = repetition_stats(spark, sf_dir).collect()
+    assert new == old
+
+
 def test_predictions_profile_invariants(spark, sf_dir):
     from real_time_fraud_detection_system_spark.catalog import load_table
     from real_time_fraud_detection_system_spark.operators.metrics import (
