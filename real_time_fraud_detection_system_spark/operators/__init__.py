@@ -265,6 +265,16 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         "event_comovement_corr", "event_type_affinity",
         "weekly_retention_cohorts", "cusum_changepoints",
         "activity_shape_buckets",
+        # ---- round-13 optimization, third pass (second resumed
+        # session; repetition_stats' kernel rewrite and
+        # peak_concurrency's window drop ride their entries above):
+        # cr/ct merged into one conditional-sum rollup, tot folded
+        # from the bounded per-bucket frame (4 checkpoint scans -> 2)
+        "dsir_importance_bins",
+        # both bigram passes as map-only Arrow count kernels (map-side
+        # partial aggregation in Python; integer multiplicities keep
+        # the sums exact)
+        "bigram_lm_score",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -286,9 +296,12 @@ PRIORITY = [
     #     queue by the second-pass rewrites at (a); all hold r8
     #     verdicts and pass the local full-registry oracle run.
     #     top_orders_per_customer stays: it is the relational family's
-    #     only window rep)
+    #     only window rep. seasonal_hour_baseline / shingle_df_curve
+    #     displaced to the round-14 queue by the third-pass rewrites
+    #     at (a) -- their families (anomaly, textops) stay covered by
+    #     (a) members; both hold r8 verdicts and pass this session's
+    #     202/202 local oracle run)
     "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
-    "seasonal_hour_baseline", "shingle_df_curve",
     "top_orders_per_customer",
     # (c) family representatives for families (a)+(b)+(d) leave
     #     uncovered (tests/test_registry.py gate) -- recomputed for
@@ -305,7 +318,8 @@ PRIORITY = [
     # ROUND-14 QUEUE (in priority order): round-14 changed code first,
     # then the displaced r8 cohort (skyline_parts, supplier_bfs_hops,
     # time_weighted_value, token_concentration_bins, token_fertility,
-    # velocity_profile, zipf_alpha_by_source),
+    # velocity_profile, zipf_alpha_by_source, seasonal_hour_baseline,
+    # shingle_df_curve),
     # activity_islands (displaced from (d)), then the
     # round-9 remainder in name order --
     # ann_cosine_topk, corpus_snapshot_diff,

@@ -583,6 +583,61 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+def _bigram_batch_counts(batches):
+    """Batch-aggregated bigram counts (w1, 'w1 w2', k) -- the map-side
+    partial of the corpus bigram census, so only DISTINCT bigrams per
+    batch cross the Arrow boundary. Bigram text is w1 + ' ' + w2,
+    byte-identical to the concat_ws(' ', w1, w2) it replaces; a
+    null-text row contributes nothing (explode-of-null parity)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    for pdf in batches:
+        c: Counter = Counter()
+        for s in pdf["text"].tolist():
+            if s is None:
+                continue
+            toks = s.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                c[(a, a + " " + b)] += 1
+        yield pd.DataFrame(
+            {
+                "w1": [k[0] for k in c],
+                "bg": [k[1] for k in c],
+                "k": pd.Series(list(c.values()), dtype="int64"),
+            }
+        )
+
+
+def _bigram_doc_counts(batches):
+    """Per-doc bigram multiplicities (doc_id, 'w1 w2', k): sum(k) and
+    sum(k * weight) downstream are integer-identical to per-instance
+    count(*) / sum(weight) over the exploded rows this replaces. Docs
+    with fewer than 2 tokens (and null-text rows) emit nothing."""
+    from collections import Counter
+
+    import pandas as pd
+
+    for pdf in batches:
+        ids, bgs, ks = [], [], []
+        for did, s in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+            if s is None:
+                continue
+            toks = s.split(" ")
+            c = Counter(a + " " + b for a, b in zip(toks, toks[1:]))
+            ids.extend([did] * len(c))
+            bgs.extend(c.keys())
+            ks.extend(c.values())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "bg": bgs,
+                "k": pd.Series(ks, dtype="int64"),
+            }
+        )
+
+
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fluency under a corpus-trained bigram MLE language
     model: avg log P(w2|w1) over the doc's bigrams, with P(w2|w1) =
@@ -602,27 +657,28 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences to the model on the bigram key (the one wide shuffle)
     and reduces per doc. Docs with no bigram (fewer than 2 tokens)
     have no fluency signal and are absent, identically in both
-    engines."""
-    from pyspark.sql.window import Window
+    engines.
 
+    Round-13 optimization (guide §4.2, the repetition_stats
+    precedent): both bigram passes run as map-only Arrow kernels
+    emitting exact int64 COUNTS -- the counts pass a per-batch Counter
+    (map-side partial aggregation in Python: distinct bigrams leave
+    the worker, not 100M instance rows), the scoring pass a per-doc
+    Counter whose k multiplicities make sum(k) / sum(k * lp_fp)
+    integer-identical to the old per-instance count(*) / sum(lp_fp).
+    The retired JVM shape (posexplode + window-lead, itself the
+    measured winner over interpreted shingle lambdas: 5.0 vs 9.8 s a
+    pass at 100x) evaluated that subtree TWICE and re-materialized
+    every bigram instance both times; caching it was measured WORSE
+    (11.6/14.4 s vs 10.4/10.6 current on the prior host -- 25M wide
+    rows pinned). Kernel form: 12.8 -> 8.7 s best-of-2 at the 100x
+    replica, same host; model math and the broadcast join are
+    unchanged JVM-side, output byte-identical (oracle PASS)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    # bigrams via posexplode + window-lead, NOT a shingle lambda:
-    # higher-order array construction evaluates interpreted (9.8 s per
-    # corpus pass at the 100x scale test vs 5.0 s for this shape --
-    # token explode is codegen and the lead() window sorts LOCALLY on
-    # the doc_id spread partitioning, no exchange)
-    w = Window.partitionBy("doc_id").orderBy("i")
-    bg = (
-        docs.selectExpr("doc_id", f"posexplode({_TOKS}) AS (i, t)")
-        .select(
-            "doc_id",
-            F.col("t").alias("w1"),
-            F.lead("t").over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "w1", F.concat_ws(" ", "w1", "w2").alias("bg"))
+    counts = docs.select("text").mapInPandas(
+        _bigram_batch_counts, "w1 string, bg string, k long"
     )
-    bcnt = bg.groupBy("bg", "w1").agg(F.count("*").alias("cb"))
+    bcnt = counts.groupBy("bg", "w1").agg(F.sum("k").alias("cb"))
     # prefix counts DERIVED from the bigram counts (sum over w1), not a
     # third corpus pass: C(w1-as-prefix) == sum of C(w1 *)
     ucnt = bcnt.groupBy("w1").agg(F.sum("cb").alias("cu"))
@@ -633,19 +689,19 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(ln(cb / cu) * 1000000, 0) AS BIGINT) AS lp_fp",
         )
     )
+    per_doc = docs.select("doc_id", "text").mapInPandas(
+        _bigram_doc_counts, "doc_id long, bg string, k long"
+    )
     return (
         # broadcast: the model is distinct-bigram-sized (bounded by the
         # OBSERVED bigram vocabulary, tiny next to the corpus); with a
         # billions-of-bigrams vocabulary drop the hint and this becomes
-        # the one wide shuffle, keyed well. Broadcast + the window-lead
-        # bigrams + derived prefix counts took the 100x run 42 -> 27 s;
-        # the residual is two honest 100M-bigram corpus passes (counts,
-        # scoring) -- the repetition_stats cost class.
-        bg.join(F.broadcast(model), "bg")
+        # the one wide shuffle, keyed well.
+        per_doc.join(F.broadcast(model), "bg")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("lp_fp").alias("s"),
+            F.expr("CAST(sum(k) AS BIGINT)").alias("n_bigrams"),
+            F.expr("CAST(sum(k * lp_fp) AS BIGINT)").alias("s"),
         )
         .selectExpr(
             "doc_id",
@@ -1388,10 +1444,20 @@ def dsir_importance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating BIGINT division in both engines.
 
     Scale: ONE token-explode pass reduced to (doc, bucket) counts
-    (localCheckpoint'd -- three consumers), two bucket-keyed rollups
-    bounded at {DSIR_B} rows, the model BROADCAST into a map-side join,
-    and one doc-keyed reduce. Linear in corpus tokens, no wide
-    intermediate."""
+    (localCheckpoint'd -- TWO consumers: the model rollup and the
+    per-doc reduce), one bucket-keyed rollup bounded at {DSIR_B} rows,
+    the model BROADCAST into a map-side join, and one doc-keyed
+    reduce. Linear in corpus tokens, no wide intermediate.
+
+    Round-13 optimization (guide §2.4 -- don't scan what a bounded
+    frame already holds): cr and ct were separate groupBy(b) passes
+    over the checkpointed counts and tot a THIRD full scan; one
+    conditional-sum rollup computes (cr, ct) together and tot folds
+    from that {DSIR_B}-row frame (integer sums reassociate exactly;
+    ct arrives as 0 instead of NULL for target-free buckets, which
+    coalesce(ct, 0) already mapped to the same value). 4 consumer
+    scans of the 16M-row (100x) checkpoint -> 2; measured best-of-2
+    at the 100x replica: 13.4 -> 6.8 s."""
     from ..functions.text import hex16_expr
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -1404,21 +1470,18 @@ def dsir_importance_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .localCheckpoint()
     )
-    cr = g.groupBy("b").agg(F.sum("n").alias("cr"))
-    ct = (
-        g.filter(F.col("source") == DSIR_TARGET)
-        .groupBy("b")
-        .agg(F.sum("n").alias("ct"))
-    )
-    tot = g.agg(
-        F.sum("n").alias("nr"),
+    bstats = g.groupBy("b").agg(
+        F.sum("n").alias("cr"),
         F.sum(
             F.expr(f"CASE WHEN source = '{DSIR_TARGET}' THEN n ELSE 0 END")
-        ).alias("nt"),
+        ).alias("ct"),
+    )
+    tot = bstats.agg(
+        F.sum("cr").alias("nr"),
+        F.sum("ct").alias("nt"),
     )
     model = (
-        cr.join(ct, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        bstats.crossJoin(F.broadcast(tot))
         .selectExpr(
             "b",
             "CAST(round((ln((coalesce(ct, 0) + 1.0) / (nt + "

@@ -483,19 +483,29 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t_us", "delta", "user_id", "session_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = pts.withColumn("conc", F.sum("delta").over(w)).withColumn(
-        "peak", F.max("conc").over(Window.partitionBy("d"))
-    )
+    # The busiest instant needs only ONE aggregate pass, not a
+    # whole-partition max() window feeding a conc = peak filter:
+    # max(struct(conc, -t_us)) is lexicographically (max conc, then
+    # min t_us among rows at that conc) -- exactly "the FIRST instant
+    # the day hits its peak", with no second buffered Window pass over
+    # the O(boundary points) frame (round-13 optimization, guide §2.4;
+    # the window version re-buffered every day's points just to stamp
+    # a constant on each row).
+    run = pts.withColumn("conc", F.sum("delta").over(w))
     return (
         run.groupBy("d")
         .agg(
             F.expr("sum(CASE WHEN delta = 1 THEN 1L ELSE 0L END)").alias(
                 "n_intervals"
             ),
-            F.max("conc").alias("peak_concurrency"),
-            F.min(
-                F.expr("CASE WHEN conc = peak THEN t_us END")
-            ).alias("busiest_us"),
+            F.max(F.struct(F.col("conc"), (-F.col("t_us")).alias("neg_t")))
+            .alias("mx"),
+        )
+        .selectExpr(
+            "d",
+            "n_intervals",
+            "mx.conc AS peak_concurrency",
+            "-mx.neg_t AS busiest_us",
         )
         .selectExpr(
             "date_add(DATE '1970-01-01', CAST(d AS INT)) AS day",
