@@ -95,7 +95,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     primary host, 35.8 s on the slower second-pass host -- the cost is
     materializing and hashing ~25M exploded token/bigram rows to
     compute per-doc NDVs the Python Counter/set pass gets in O(tokens)
-    with no row materialization (kernel: 6.0 s same host/day, 6x). The
+    with no row materialization (kernel: 5.3 s same host/day, 6.8x). The
     single-scan tag-union JVM variant (76.4 s: doubled live hash-agg
     entries, spill) stays rejected; docs are spread() so the scan
     parallelizes regardless of file count (the bpe_token_stats
