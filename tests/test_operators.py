@@ -285,6 +285,63 @@ def test_repetition_stats_kernel_matches_jvm_aggregate_form(spark, sf_dir):
     assert new == old
 
 
+def test_bigram_lm_kernels_match_jvm_bigram_form(spark, sf_dir):
+    """The round-13 bigram count kernels must reproduce the retired
+    posexplode + window-lead bigram subtree EXACTLY: the batch kernel's
+    (bg, w1) totals equal the per-instance census, and the per-doc
+    kernel's multiplicities sum back to the instance counts -- so the
+    downstream model/scoring sums are integer-identical."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from real_time_fraud_detection_system_spark.catalog import (
+        load_table,
+        spread,
+    )
+    from real_time_fraud_detection_system_spark.operators.corpusops import (
+        _TOKS,
+        _bigram_batch_counts,
+        _bigram_doc_counts,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bg = (
+        docs.selectExpr("doc_id", f"posexplode({_TOKS}) AS (i, t)")
+        .select(
+            "doc_id",
+            F.col("t").alias("w1"),
+            F.lead("t").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", F.concat_ws(" ", "w1", "w2").alias("bg"))
+    )
+    want_census = {
+        (r["bg"], r["w1"]): r["cb"]
+        for r in bg.groupBy("bg", "w1").agg(F.count("*").alias("cb")).collect()
+    }
+    got_census = {
+        (r["bg"], r["w1"]): r["cb"]
+        for r in docs.select("text")
+        .mapInPandas(_bigram_batch_counts, "w1 string, bg string, k long")
+        .groupBy("bg", "w1")
+        .agg(F.sum("k").alias("cb"))
+        .collect()
+    }
+    assert got_census == want_census
+    want_doc = {
+        (r["doc_id"], r["bg"]): r["k"]
+        for r in bg.groupBy("doc_id", "bg").agg(F.count("*").alias("k")).collect()
+    }
+    got_doc = {
+        (r["doc_id"], r["bg"]): r["k"]
+        for r in docs.select("doc_id", "text")
+        .mapInPandas(_bigram_doc_counts, "doc_id long, bg string, k long")
+        .collect()
+    }
+    assert got_doc == want_doc
+
+
 def test_predictions_profile_invariants(spark, sf_dir):
     from real_time_fraud_detection_system_spark.catalog import load_table
     from real_time_fraud_detection_system_spark.operators.metrics import (
