@@ -46,7 +46,7 @@ DRIVER_SAMPLE = 50
 # DETECTABLE, not silent (ADVICE r9): tests/test_registry.py asserts
 # ROUND == 1 + the newest CORRECTNESS_r*.json on disk, so a stale
 # round number fails the suite at round start.
-ROUND = 13
+ROUND = 14
 _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
     11: [
         # snapshot_quality_drift: per-bucket PSI terms now quantized
@@ -276,67 +276,63 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # the sums exact)
         "bigram_lm_score",
     ],
+    # Round 14 (optimization round 2 of 2 -- grows as optimizations
+    # land; round-13 verdict Next list):
+    14: [
+        # RE-ATTESTATION (round-13 verdict What's wrong #2): rewritten
+        # in round 13 (SHUFFLE_HASH on all three joins, commit 6623642)
+        # but never added to ROUND_CHANGED/window/HEADLINE -- the
+        # driver has not attested the hinted form. Code unchanged this
+        # round; bookkeeping repair at window index 0.
+        "part_triangles",
+    ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
 
 PRIORITY = [
-    # (a) CHANGED IN ROUND 13 (see _ROUND_CHANGED_BY_ROUND[13]) --
-    #     packing_budget_sweep at index 0 (the round-12 red row's
-    #     re-attest); filler drops from the tail of (d) to keep the
-    #     window at exactly 50.
+    # (a) CHANGED IN ROUND 14 (see _ROUND_CHANGED_BY_ROUND[14]) --
+    #     part_triangles at index 0 (the round-13 bookkeeping hole's
+    #     re-attest, verdict What's wrong #2); grows as round-14
+    #     optimizations land, displacing filler from the tail of (d)
+    #     to keep the window at exactly 50.
     *ROUND_CHANGED,
-    # (b) the round-8-verdict cohort -- the oldest standing driver
-    #     verdicts (verdict-union histogram after round 12 reads
-    #     r8=15, r9=43, r10=45, r11=48, r12=49; tools/staleness.py).
-    #     packing_budget_sweep is the 15th r8 member and
-    #     shape_match_recall the 14th, both already at (a).
-    #     (velocity_profile / zipf_alpha_by_source / supplier_bfs_hops /
-    #     time_weighted_value / token_concentration_bins /
-    #     token_fertility / skyline_parts displaced to the round-14
-    #     queue by the second-pass rewrites at (a); all hold r8
-    #     verdicts and pass the local full-registry oracle run.
-    #     top_orders_per_customer stays: it is the relational family's
-    #     only window rep. seasonal_hour_baseline / shingle_df_curve
-    #     displaced to the round-14 queue by the third-pass rewrites
-    #     at (a) -- their families (anomaly, textops) stay covered by
-    #     (a) members; both hold r8 verdicts and pass this session's
-    #     202/202 local oracle run)
-    "rfm_segments", "risk_lift_matrix", "scd2_priority_history",
-    "top_orders_per_customer",
+    # (b) the oldest-verdict cohort (verdict-union histogram after
+    #     round 13 reads r8=9, r9=31, r10=40, r11=41, r12=31, r13=50;
+    #     tools/staleness.py): the whole 9-member r8 remainder (the
+    #     queue the round-13 window displaced), then activity_islands
+    #     and the r9 cohort in name order.
+    "seasonal_hour_baseline", "shingle_df_curve", "skyline_parts",
+    "supplier_bfs_hops", "time_weighted_value",
+    "token_concentration_bins", "token_fertility", "velocity_profile",
+    "zipf_alpha_by_source",
+    "activity_islands", "ann_cosine_topk", "corpus_snapshot_diff",
+    "corpus_token_stats", "customer_rollup", "customers_without_orders",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash16",
+    "doc_fingerprint", "embedding_near_dup", "event_gap_buckets",
+    "lang_id_heuristic", "lang_mismatch_rate", "lsh_band_sweep",
+    "nations_with_both", "order_priority_count", "part_price_buckets",
+    "part_rankings", "pit_event_enrichment", "predictions_profile",
+    "props_json_stats", "q3_shipping_priority", "salted_value_by_type",
+    "segment_distinct_nations", "session_summary", "source_mixture_plan",
+    "text_stats", "training_frame_det", "value_drift_psi",
+    "value_percentiles",
     # (c) family representatives for families (a)+(b)+(d) leave
-    #     uncovered (tests/test_registry.py gate) -- recomputed for
-    #     this window: skew, layout, sketches, and mlqueries (the
-    #     round-13 optimization rewrites at (a) now cover windows /
-    #     metrics / sessionize themselves, so part_rankings /
-    #     predictions_profile dropped back to the queue).
-    "shuffle_balance_profile", "layout_pruning_stats",
-    "countmin_heavy_hitters", "logit_score",
-    # (d) the round-9 cohort: none reach the window this round -- the
-    #     round-13 optimization rewrites take 35 slots
-    #     (activity_islands displaced to the round-14 queue by the
-    #     second-pass rewrites at (a)).
-    # ROUND-14 QUEUE (in priority order): round-14 changed code first,
-    # then the displaced r8 cohort (skyline_parts, supplier_bfs_hops,
-    # time_weighted_value, token_concentration_bins, token_fertility,
-    # velocity_profile, zipf_alpha_by_source, seasonal_hour_baseline,
-    # shingle_df_curve),
-    # activity_islands (displaced from (d)), then the
-    # round-9 remainder in name order --
-    # ann_cosine_topk, corpus_snapshot_diff,
-    # corpus_token_stats (displaced from (d) by the late round-13
-    # rewrites),
-    # dedup_clusters_wide (skipped from (d) name order above: the
-    # dedup family already holds 6 window slots and part_rankings /
-    # predictions_profile are the windows / metrics family reps),
-    # pit_event_enrichment,
-    # props_json_stats, q21_sole_late_supplier, q3_shipping_priority,
-    # salted_value_by_type, segment_distinct_nations, session_summary,
-    # simhash_fingerprints, source_mixture_plan, text_stats,
-    # tfidf_top_terms, training_frame_det, value_drift_psi,
-    # value_percentiles, weekly_retention_cohorts,
-    # wire_format_roundtrip -- then the round-10 cohort in name order
-    # (recompute the exact staleness order from the
-    # CORRECTNESS_r*.json union at round start).
+    #     uncovered (tests/test_registry.py gate): layout (only
+    #     layout_pruning_stats), multimodal and sketches (their
+    #     oldest-verdict members, both r10).
+    "layout_pruning_stats", "multimodal_resize",
+    "hll_shingle_cardinality",
+    # (d) filler from the round-10 cohort in name order -- swapped out
+    #     from the TAIL first as (a) grows.
+    "added_dup_against_base", "asof_click_before_purchase",
+    "clicks_before_errors", "containment_recall", "contamination_check",
+    "conversion_funnel",
+    # ROUND-15 QUEUE (if any; in priority order): round-15 changed code
+    # first, then the round-10 cohort remainder in name order from
+    # where (d) stops (corpus_quality_gate, crossdoc_ngram_share,
+    # cube_region_segment, customer_blocking_er, daily_metrics, ...),
+    # then r11/r12 cohorts -- recompute the exact staleness order from
+    # the CORRECTNESS_r*.json union at round start (tools/staleness.py).
 ]
 
 

@@ -2,7 +2,7 @@
 
 Usage: python tools/dump_plans.py <suffix> [sf_dir] name [name...]
 
-Writes plans/r13/<name>_<suffix>.txt for each query (suffix is
+Writes plans/r<ROUND>/<name>_<suffix>.txt for each query (suffix is
 "before" / "after"); the optimization-round evidence the judge checks
 plan claims against. Explain output is captured from the exact frame
 the registry callable returns, on the same session config bench.py
@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from real_time_fraud_detection_system_spark.operators import all_queries
+from real_time_fraud_detection_system_spark.operators import ROUND, all_queries
 from real_time_fraud_detection_system_spark.session import cpu_count, get_spark
 
 
@@ -31,7 +31,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        f"r{ROUND}",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(
