@@ -977,6 +977,19 @@ ORDER BY s_name
 PR_SCALE = 1_000_000_000  # scores in parts-per-billion of total mass
 PR_ITERS = 4
 PR_TOPK = 50
+# Broadcast dispatch for the per-iteration scores frame (O(nodes) rows
+# of two BIGINTs): under this node count each PageRank round is a
+# BroadcastHashJoin against the dst-partitioned cached edge table and
+# the per-round dst aggregate REUSES that partitioning -- zero
+# exchanges per iteration (guide 3.1 + 2.4). 4M nodes is ~64 MB of raw
+# key/score pairs, a few hundred MB as the built hash relation --
+# comfortably inside executor memory and far under the 8 GB / 512M-row
+# broadcast cap. Above it (hundreds of millions of nodes at the 100 TB
+# posture) rounds fall back to the sort-merge form over the
+# src-partitioned cache, whose only per-round exchanges are the
+# O(nodes) scores shuffle and the aggregate -- never the edge table.
+# Data-adaptive (keyed on the measured node count, not host cores).
+PR_BCAST_MAX_NODES = 4_000_000
 
 
 def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,10 +1067,27 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible (no doubles anywhere).
 
     Scale shape: the weighted edge list aggregates once (one shuffle)
-    and is cached across iterations; each of the {PR_ITERS} rounds is
-    one edges-x-scores equi-join (shuffle keyed on node, the same key
-    every round) + one keyed aggregate. Undirected edges mean no
-    dangling-mass correction term is needed."""
+    and is cached across iterations, partitioned by the PER-ROUND
+    AGGREGATE's key (dst). Each of the {PR_ITERS} rounds is then ONE
+    exchange-free stage when the O(nodes) scores frame fits a
+    broadcast (node count measured, PR_BCAST_MAX_NODES): an explicit
+    BroadcastHashJoin streams the cached edge partitions -- which
+    KEEPS their dst hash-partitioning -- straight into the dst
+    aggregate, so neither the edge table nor the scores frame shuffles
+    at all (round-14 optimization, guide 3.1 "pick the strategy
+    deliberately" + 2.4 "two operations keyed the same way share one
+    exchange"; the scores RDD carries no stats after localCheckpoint,
+    so without the explicit hint the planner fell to sort-merge at
+    scale AND re-shuffled every round's aggregate: 2 exchanges + 2
+    sorts per round -> 0). Beyond the broadcast bound the rounds fall
+    back to the prior sort-merge form over a src-partitioned sorted
+    cache. Undirected edges mean no dangling-mass correction term is
+    needed. Measured at the 100x replica (broadcast branch),
+    same-session both-orders best-of-2: 30.8 -> 18.9 s, 1.63x (the
+    host band swings 1.5-2x between sessions -- a separate earlier
+    session read 19.0 s for the old form; the same-session A/B is the
+    trusted ratio). Plan evidence:
+    plans/r14/supplier_pagerank_iter_{{before,after}}.txt."""
     fwd = _trade_fwd(spark, sf_dir)
     edges = fwd.unionByName(
         fwd.select(
@@ -1065,21 +1095,28 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wout = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
-    # cache the edge table ALREADY partitioned and sorted on the join
-    # key: InMemoryRelation preserves both, so every round's sort-merge
-    # join against the scores frame needs NO exchange and NO re-sort on
-    # the (2x edges)-sized side -- only the O(nodes) scores side
-    # shuffles per round
-    ew = (
-        edges.join(wout, "src")
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .cache()
+    # node set straight off the symmetric edge list (identical to the
+    # old ew.src distinct: the wsum inner join preserves every edge
+    # row, wout covering every src by construction); localCheckpoint,
+    # not cache, so nodes does not share ew's lineage
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
-    # localCheckpoint (not cache): nodes must not share ew's lineage,
-    # or the first ew-x-scores join sees ew's columns on both sides
-    nodes = ew.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
+    bcast = n <= PR_BCAST_MAX_NODES
+    if bcast:
+        # broadcast rounds: cache keyed on the AGGREGATE key; no sort
+        # (neither the hash join nor the hash aggregate wants one)
+        ew = edges.join(wout, "src").repartition("dst").cache()
+    else:
+        # sort-merge rounds: cache partitioned AND sorted on the join
+        # key, so the per-round join re-sorts only the O(nodes) side
+        ew = (
+            edges.join(wout, "src")
+            .repartition("src")
+            .sortWithinPartitions("src")
+            .cache()
+        )
     base = (PR_SCALE * 15 // 100) // n
     scores = nodes.select("node", F.lit(PR_SCALE // n).alias("score"))
     for _ in range(PR_ITERS):
@@ -1088,8 +1125,9 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # constant instead of growing per iteration -- the standard
         # iterative-Spark discipline; the node-score frame is O(nodes)
         # rows, tiny relative to the edge table at any scale
+        rhs = F.broadcast(scores) if bcast else scores
         contrib = (
-            ew.join(scores, ew.src == scores.node)
+            ew.join(rhs, ew.src == rhs.node)
             .select(
                 F.col("dst"),
                 (F.expr("score div wsum") * F.col("w")).alias("c"),

@@ -948,6 +948,25 @@ def test_supplier_pagerank_invariants(spark, sf_dir):
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
 
 
+def test_supplier_pagerank_smj_fallback_matches_broadcast(
+    spark, sf_dir, monkeypatch
+):
+    """The round-14 per-iteration broadcast dispatch (PR_BCAST_MAX_NODES)
+    must be output-invariant: the sort-merge fallback branch (node count
+    above the bound) computes the exact same integer fixpoint as the
+    broadcast branch the small fixtures normally take."""
+    from real_time_fraud_detection_system_spark.operators import tpch_extra
+
+    bcast_rows = [
+        tuple(r) for r in tpch_extra.supplier_pagerank(spark, sf_dir).collect()
+    ]
+    monkeypatch.setattr(tpch_extra, "PR_BCAST_MAX_NODES", 0)
+    smj_rows = [
+        tuple(r) for r in tpch_extra.supplier_pagerank(spark, sf_dir).collect()
+    ]
+    assert smj_rows == bcast_rows
+
+
 def test_token_concentration_invariants(spark, sf_dir):
     """The binned Lorenz report must reconcile exactly with the corpus:
     bins partition all docs, cumulative columns are running sums from
