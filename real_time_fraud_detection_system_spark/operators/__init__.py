@@ -292,6 +292,12 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # scores-side shuffle + both per-round sorts gone, partial-agg
         # exchange shrunk 32x. 30.8 -> 18.9 s same-session A/B at 100x.
         "supplier_pagerank",
+        # REWRITTEN (r13 verdict Next #5): the 16-way conv/CASE-ladder
+        # + 34-sum hash aggregate moved into one map-only Arrow kernel
+        # of exact int64 per-day partials (md5 stays JVM-side as one
+        # 64-byte blob per event); bit-identity pinned by the
+        # searchsorted/uint32 parity test. 14.2 -> 3.4 s at 100x.
+        "bootstrap_fraud_ci",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -332,7 +338,7 @@ PRIORITY = [
     # (d) filler from the round-10 cohort in name order -- swapped out
     #     from the TAIL first as (a) grows.
     "added_dup_against_base", "asof_click_before_purchase",
-    "clicks_before_errors", "containment_recall", "contamination_check",
+    "clicks_before_errors", "containment_recall",
     # ROUND-15 QUEUE (if any; in priority order): round-15 changed code
     # first, then the round-10 cohort remainder in name order from
     # where (d) stops (corpus_quality_gate, crossdoc_ngram_share,

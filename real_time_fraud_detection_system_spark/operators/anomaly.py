@@ -271,6 +271,80 @@ def _pois_ladder(u: str) -> str:
     return f"(CASE {cases} ELSE 7 END)"
 
 
+_BOOT_SENTINEL_DAY = -(2**31)  # stands in for a NULL day inside numpy
+
+
+def _boot_partial_batches(batches):
+    """Per-batch, per-day exact int64 partial sums for the bootstrap
+    replicas (round-14 optimization, guide §4.2 -- the repetition_stats
+    precedent): each event's 64-byte digest blob (4 x unhex(md5),
+    concatenated JVM-side) parses into 16 big-endian uint32s; u =
+    uint32 / 2^32 is the EXACT double the JVM's
+    CAST(conv(substr(hex, ..), 16, 10) AS DOUBLE) / 4294967296.0
+    produced (uint32 -> float64 is exact, the divisor is a power of
+    two), and the Poisson ladder is searchsorted(cdf, u, 'right') --
+    #{c <= u} is precisely the CASE WHEN u < c_k ladder's index, with
+    the same decimal literals parsed to the same IEEE doubles by both
+    runtimes. A NULL blob (NULL event_id) takes the ladder's ELSE arm
+    (7) exactly as SQL's null-comparison fallthrough did; a NULL day
+    groups under the sentinel and is restored to NULL on output. All
+    emitted sums are exact int64 (weights <= 7, batch sums < 2^53, so
+    the float64 bincount accumulators are integer-exact); the final
+    per-day aggregation of the partials stays JVM-side, and integer
+    sums are order-independent -- not one output bit moves (pinned by
+    tests/test_operators.py::
+    test_bootstrap_kernel_matches_jvm_expression_form)."""
+    import numpy as np
+
+    cdf = np.array([float(c) for c in _POIS_CDF], dtype=np.float64)
+    zero = b"\x00" * (16 * BOOT_R // 4)
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        dd = pdf["dd"].tolist()
+        null_d = np.array([v is None for v in dd], dtype=bool)
+        buf = b"".join(v if v is not None else zero for v in dd)
+        u32 = np.frombuffer(buf, dtype=">u4").reshape(n, BOOT_R)
+        u = u32.astype(np.float64) / 4294967296.0
+        w = np.searchsorted(cdf, u.ravel(), side="right").reshape(
+            n, BOOT_R
+        ).astype(np.int64)
+        w[null_d] = 7
+        isf = pdf["is_fraud"].to_numpy(np.int64)
+        di = pdf["day_i"]
+        day = di.fillna(_BOOT_SENTINEL_DAY).to_numpy(np.int64)
+        uniq, inv = np.unique(day, return_inverse=True)
+        inv = inv.ravel()  # numpy 2.x shape quirk under return_inverse
+        m = len(uniq)
+        wf = w * isf[:, None]
+        out = {"day_i": pd.array(
+            [None if d == _BOOT_SENTINEL_DAY else int(d) for d in uniq],
+            dtype="Int64",
+        )}
+        for r in range(BOOT_R):
+            out[f"num{r}"] = np.bincount(
+                inv, weights=wf[:, r], minlength=m
+            ).astype(np.int64)
+        for r in range(BOOT_R):
+            out[f"den{r}"] = np.bincount(
+                inv, weights=w[:, r], minlength=m
+            ).astype(np.int64)
+        out["n_events"] = np.bincount(inv, minlength=m).astype(np.int64)
+        out["n_fraud"] = np.bincount(
+            inv, weights=isf, minlength=m
+        ).astype(np.int64)
+        yield pd.DataFrame(out)
+
+
+_BOOT_PARTIALS_SCHEMA = ", ".join(
+    ["day_i long"]
+    + [f"num{r} long" for r in range(BOOT_R)]
+    + [f"den{r} long" for r in range(BOOT_R)]
+    + ["n_events long", "n_fraud long"]
+)
+
+
 def bootstrap_fraud_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day heuristic fraud rate with a bootstrap confidence band:
     every event carries {BOOT_R} deterministic Poisson(1) resampling
@@ -304,24 +378,6 @@ def bootstrap_fraud_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the events table (max value ~560) and would report a
     degenerate all-zero band."""
     ev = load_table(spark, sf_dir, "events")
-    digests = [
-        f"md5(concat('boot:', CAST(event_id AS STRING), ':g{j}')) AS d{j}"
-        for j in range(BOOT_R // 4)
-    ]
-    ws = [
-        _pois_ladder(
-            f"(CAST(conv(substr(d{r // 4}, {1 + 8 * (r % 4)}, 8), 16, 10)"
-            " AS DOUBLE) / 4294967296.0)"
-        )
-        for r in range(BOOT_R)
-    ]
-    weighted = ev.selectExpr(
-        "CAST(ts AS DATE) AS day",
-        f"CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END AS is_fraud",
-        *digests,
-    ).selectExpr(
-        "day", "is_fraud", *[f"{w} AS w{r}" for r, w in enumerate(ws)]
-    )
     # The point estimate's n_events / n_fraud ride the SAME aggregate
     # (round-13 optimization, guide §2.3 "aggregate before you
     # shuffle" / §1.2 "don't compute things twice"): the second full
@@ -330,14 +386,40 @@ def bootstrap_fraud_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the point-vs-band join disappears (30.4 -> 19.2 s best-of-2 at
     # the 100x scale test; output byte-identical, the ppm quotient is
     # computed from the same integers).
-    sums = weighted.groupBy("day").agg(
-        *[
-            F.expr(f"sum(w{r} * is_fraud)").alias(f"num{r}")
-            for r in range(BOOT_R)
-        ],
-        *[F.expr(f"sum(w{r})").alias(f"den{r}") for r in range(BOOT_R)],
-        F.count("*").alias("n_events"),
-        F.sum("is_fraud").alias("n_fraud"),
+    #
+    # Round-14 (guide §4.2, the repetition_stats precedent): the
+    # 16-way conv + CASE-ladder + 34-expression hash aggregate moved
+    # into ONE map-only Arrow kernel emitting per-(batch, day) exact
+    # int64 partial sums; the JVM keeps the md5 draws (codegen hashes
+    # beat hashlib loops), ships ONE 64-byte binary blob per event,
+    # and final-sums the partials per day. Bit-identical by the
+    # uint32/2^32 and searchsorted identities in the kernel docstring
+    # (parity-pinned in tests); 14.2 -> 3.4 s (4.2x) same-session
+    # both-orders best-of-2 at the 100x replica.
+    blob = "concat(" + ", ".join(
+        f"unhex(md5(concat('boot:', CAST(event_id AS STRING), ':g{j}')))"
+        for j in range(BOOT_R // 4)
+    ) + ") AS dd"
+    per_event = ev.selectExpr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS day_i",
+        f"CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END AS is_fraud",
+        blob,
+    )
+    partials = per_event.mapInPandas(
+        _boot_partial_batches, _BOOT_PARTIALS_SCHEMA
+    )
+    sums = (
+        partials.groupBy("day_i")
+        .agg(
+            *[F.sum(f"num{r}").alias(f"num{r}") for r in range(BOOT_R)],
+            *[F.sum(f"den{r}").alias(f"den{r}") for r in range(BOOT_R)],
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_fraud").alias("n_fraud"),
+        )
+        .withColumn(
+            "day", F.expr("date_add(DATE '1970-01-01', CAST(day_i AS INT))")
+        )
+        .drop("day_i")
     )
     stack_args = ", ".join(
         f"{r}, num{r}, den{r}" for r in range(BOOT_R)

@@ -1491,6 +1491,89 @@ def test_bootstrap_fraud_ci_invariants(spark, sf_dir):
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
 
 
+def test_bootstrap_kernel_matches_jvm_expression_form(spark, sf_dir):
+    """The round-14 Arrow partial-sum kernel must reproduce the retired
+    JVM conv + CASE-ladder + 34-sum aggregate form EXACTLY: same per-day
+    integer sums, same band rows. This re-runs the retired expression
+    pipeline verbatim and compares final outputs row for row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from real_time_fraud_detection_system_spark.catalog import load_table
+    from real_time_fraud_detection_system_spark.operators.anomaly import (
+        BOOT_R,
+        FRAUD_CUT,
+        _pois_ladder,
+        bootstrap_fraud_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    digests = [
+        f"md5(concat('boot:', CAST(event_id AS STRING), ':g{j}')) AS d{j}"
+        for j in range(BOOT_R // 4)
+    ]
+    ws = [
+        _pois_ladder(
+            f"(CAST(conv(substr(d{r // 4}, {1 + 8 * (r % 4)}, 8), 16, 10)"
+            " AS DOUBLE) / 4294967296.0)"
+        )
+        for r in range(BOOT_R)
+    ]
+    weighted = ev.selectExpr(
+        "CAST(ts AS DATE) AS day",
+        f"CASE WHEN value > {FRAUD_CUT} THEN 1 ELSE 0 END AS is_fraud",
+        *digests,
+    ).selectExpr(
+        "day", "is_fraud", *[f"{w} AS w{r}" for r, w in enumerate(ws)]
+    )
+    sums = weighted.groupBy("day").agg(
+        *[
+            F.expr(f"sum(w{r} * is_fraud)").alias(f"num{r}")
+            for r in range(BOOT_R)
+        ],
+        *[F.expr(f"sum(w{r})").alias(f"den{r}") for r in range(BOOT_R)],
+        F.count("*").alias("n_events"),
+        F.sum("is_fraud").alias("n_fraud"),
+    )
+    stack_args = ", ".join(f"{r}, num{r}, den{r}" for r in range(BOOT_R))
+    per_rep = (
+        sums.selectExpr(
+            "day", "n_events", "n_fraud",
+            f"stack({BOOT_R}, {stack_args}) AS (r, num, den)",
+        )
+        .selectExpr(
+            "day", "n_events", "n_fraud", "r",
+            "CASE WHEN den = 0 THEN 0"
+            " ELSE CAST((num * 1000000L) DIV den AS BIGINT) END AS rate_ppm",
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("day").orderBy("rate_ppm", "r")
+            ),
+        )
+    )
+    band = per_rep.groupBy("day").agg(
+        F.first("n_events").alias("n_events"),
+        F.first("n_fraud").alias("n_fraud"),
+        F.max(F.when(F.col("rk") == 2, F.col("rate_ppm"))).alias("ci_lo_ppm"),
+        F.max(F.when(F.col("rk") == BOOT_R - 1, F.col("rate_ppm"))).alias(
+            "ci_hi_ppm"
+        ),
+    )
+    old = (
+        band.selectExpr(
+            "day", "n_events",
+            "CAST((n_fraud * 1000000L) DIV n_events AS BIGINT) AS rate_ppm",
+            "ci_lo_ppm", "ci_hi_ppm",
+        )
+        .orderBy("day")
+        .collect()
+    )
+    new = bootstrap_fraud_ci(spark, sf_dir).collect()
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
+
+
 def test_gapfill_hourly_fills(spark, monkeypatch):
     """Engineered gaps: linear interpolation hits the exact integer
     cents, LOCF carries forward, leading gaps stay NULL, trailing gaps
