@@ -298,6 +298,12 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # 64-byte blob per event); bit-identity pinned by the
         # searchsorted/uint32 parity test. 14.2 -> 3.4 s at 100x.
         "bootstrap_fraud_ci",
+        # REWRITTEN: the BPE alternation regex decomposed into split +
+        # translate/length arithmetic -- the identity bpe_token_stats
+        # proved in round 13, applied to its second consumer (oracle
+        # still runs the regex). 6.2 -> 2.1 s at 100x. Was already in
+        # the (b) stale cohort this window; moved up to (a).
+        "token_fertility",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -316,8 +322,9 @@ PRIORITY = [
     #     and the r9 cohort in name order.
     "seasonal_hour_baseline", "shingle_df_curve", "skyline_parts",
     "supplier_bfs_hops", "time_weighted_value",
-    "token_concentration_bins", "token_fertility", "velocity_profile",
+    "token_concentration_bins", "velocity_profile",
     "zipf_alpha_by_source",
+    # (token_fertility moved up to (a): rewritten this round)
     "activity_islands", "ann_cosine_topk", "corpus_snapshot_diff",
     "corpus_token_stats", "customer_rollup", "customers_without_orders",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash16",
