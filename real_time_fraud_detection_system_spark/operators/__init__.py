@@ -304,6 +304,12 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # still runs the regex). 6.2 -> 2.1 s at 100x. Was already in
         # the (b) stale cohort this window; moved up to (a).
         "token_fertility",
+        # REWRITTEN (r13 verdict Next #7 / watch-list): the unbounded
+        # O(docs x prefix tokens) prefix frame now persists DISK_ONLY
+        # instead of cache() -- A/B at 100x: 34.8 (deser memory) vs
+        # 24.3 s (serialized disk, page-cache-backed); the scale-safe
+        # posture for the family's one unbounded materialization.
+        "dedup_prefix_filter",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -345,7 +351,7 @@ PRIORITY = [
     # (d) filler from the round-10 cohort in name order -- swapped out
     #     from the TAIL first as (a) grows.
     "added_dup_against_base", "asof_click_before_purchase",
-    "clicks_before_errors", "containment_recall",
+    "clicks_before_errors",
     # ROUND-15 QUEUE (if any; in priority order): round-15 changed code
     # first, then the round-10 cohort remainder in name order from
     # where (d) stops (corpus_quality_gate, crossdoc_ngram_share,

@@ -35,6 +35,7 @@ not just row-counted.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -709,16 +710,25 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
         )
         .select("doc_id", "n", "h", "rn")
-        # cache(): the prefix frame feeds BOTH sides of the candidate
-        # self-join, and without it Catalyst evaluates the whole
-        # explode + df-join + ranking-window subtree once per side
-        # (plan-verified: four Generate chains -> two; guide 2.4 on
-        # duplicate subtrees). The dedup_simhash fp.cache() pattern,
-        # NOT localCheckpoint: checkpointing drops the frame's stats,
-        # the downstream joins lose their broadcast decisions, and the
-        # measured result inverts (100x replica best-of-2: inline
-        # 32.1 s, cache 9.9 s, localCheckpoint 53.4 s).
-        .cache()
+        # persist(DISK_ONLY): the prefix frame feeds BOTH sides of the
+        # candidate self-join, and without it Catalyst evaluates the
+        # whole explode + df-join + ranking-window subtree once per
+        # side (plan-verified: four Generate chains -> two; guide 2.4
+        # on duplicate subtrees). NOT localCheckpoint: checkpointing
+        # drops the frame's stats, the downstream joins lose their
+        # broadcast decisions, and the measured result inverts (100x
+        # replica best-of-2, r11/r13: inline 32.1 s, cache 9.9 s,
+        # localCheckpoint 53.4 s). DISK_ONLY, not the cache() default
+        # (round-14, guide §5 -- r13 verdict watch-list item): the
+        # frame is O(docs x prefix tokens), the one UNBOUNDED
+        # materialization in the dedup family, and holding it
+        # deserialized on-heap competes with the self-join's execution
+        # memory -- same-session both-orders best-of-2 at 100x:
+        # MEMORY_AND_DISK_DESER 34.8 s vs DISK_ONLY 24.3 s (serialized
+        # compressed blocks ride the OS page cache; at the 100 TB
+        # posture a multi-TB frame spills to local disk per executor
+        # instead of evicting the join's working set).
+        .persist(StorageLevel.DISK_ONLY)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
