@@ -310,6 +310,13 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # 24.3 s (serialized disk, page-cache-backed); the scale-safe
         # posture for the family's one unbounded materialization.
         "dedup_prefix_filter",
+        # REWRITTEN (ADVICE r13 #1): the bigram kernels flush their
+        # Counter/list accumulators at a 2M-entry bound (no more
+        # unbounded per-batch state), and the census no longer ships
+        # the redundant w1 column (substring_index recovers it
+        # JVM-side). Time a wash at 100x (8.3 -> 8.05 s); the change
+        # is worker-memory robustness + halved census Arrow bytes.
+        "bigram_lm_score",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -351,7 +358,6 @@ PRIORITY = [
     # (d) filler from the round-10 cohort in name order -- swapped out
     #     from the TAIL first as (a) grows.
     "added_dup_against_base", "asof_click_before_purchase",
-    "clicks_before_errors",
     # ROUND-15 QUEUE (if any; in priority order): round-15 changed code
     # first, then the round-10 cohort remainder in name order from
     # where (d) stops (corpus_quality_gate, crossdoc_ngram_share,

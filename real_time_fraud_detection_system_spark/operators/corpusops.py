@@ -583,15 +583,39 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# Bound on live Counter/list entries inside the bigram kernels before
+# a partial chunk is emitted (ADVICE r13: the per-batch Counter had no
+# spill path, so pathological batches -- very long docs x the 10k-row
+# default Arrow batch -- could OOM the Python worker where the retired
+# JVM hash aggregate would have spilled). Partials are summed
+# downstream, so flushing at any boundary is output-neutral; 2M string
+# keys is ~100-300 MB of Python dict, well inside a worker's share.
+_BIGRAM_FLUSH = 1 << 21
+
+
 def _bigram_batch_counts(batches):
-    """Batch-aggregated bigram counts (w1, 'w1 w2', k) -- the map-side
+    """Batch-aggregated bigram counts ('w1 w2', k) -- the map-side
     partial of the corpus bigram census, so only DISTINCT bigrams per
-    batch cross the Arrow boundary. Bigram text is w1 + ' ' + w2,
-    byte-identical to the concat_ws(' ', w1, w2) it replaces; a
-    null-text row contributes nothing (explode-of-null parity)."""
+    chunk cross the Arrow boundary (the downstream groupBy sums
+    partials, so chunk boundaries are output-neutral). Bigram text is
+    w1 + ' ' + w2, byte-identical to the concat_ws(' ', w1, w2) it
+    replaces; the prefix w1 is NOT shipped -- tokens are space-free by
+    construction (split on ' '), so substring_index(bg, ' ', 1)
+    recovers it exactly JVM-side (round-14: halves the census's Arrow
+    string bytes and makes the Counter key a single string). A
+    null-text row contributes nothing (explode-of-null parity); the
+    Counter flushes at _BIGRAM_FLUSH live entries (ADVICE r13)."""
     from collections import Counter
 
     import pandas as pd
+
+    def chunk(c):
+        return pd.DataFrame(
+            {
+                "bg": list(c.keys()),
+                "k": pd.Series(list(c.values()), dtype="int64"),
+            }
+        )
 
     for pdf in batches:
         c: Counter = Counter()
@@ -600,24 +624,33 @@ def _bigram_batch_counts(batches):
                 continue
             toks = s.split(" ")
             for a, b in zip(toks, toks[1:]):
-                c[(a, a + " " + b)] += 1
-        yield pd.DataFrame(
-            {
-                "w1": [k[0] for k in c],
-                "bg": [k[1] for k in c],
-                "k": pd.Series(list(c.values()), dtype="int64"),
-            }
-        )
+                c[a + " " + b] += 1
+            if len(c) >= _BIGRAM_FLUSH:
+                yield chunk(c)
+                c = Counter()
+        if c:
+            yield chunk(c)
 
 
 def _bigram_doc_counts(batches):
     """Per-doc bigram multiplicities (doc_id, 'w1 w2', k): sum(k) and
     sum(k * weight) downstream are integer-identical to per-instance
     count(*) / sum(weight) over the exploded rows this replaces. Docs
-    with fewer than 2 tokens (and null-text rows) emit nothing."""
+    with fewer than 2 tokens (and null-text rows) emit nothing. The
+    accumulators flush at _BIGRAM_FLUSH rows (ADVICE r13) -- always at
+    a document boundary, so a (doc_id, bg) key never splits."""
     from collections import Counter
 
     import pandas as pd
+
+    def chunk(ids, bgs, ks):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "bg": bgs,
+                "k": pd.Series(ks, dtype="int64"),
+            }
+        )
 
     for pdf in batches:
         ids, bgs, ks = [], [], []
@@ -629,13 +662,11 @@ def _bigram_doc_counts(batches):
             ids.extend([did] * len(c))
             bgs.extend(c.keys())
             ks.extend(c.values())
-        yield pd.DataFrame(
-            {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "bg": bgs,
-                "k": pd.Series(ks, dtype="int64"),
-            }
-        )
+            if len(bgs) >= _BIGRAM_FLUSH:
+                yield chunk(ids, bgs, ks)
+                ids, bgs, ks = [], [], []
+        if ids:
+            yield chunk(ids, bgs, ks)
 
 
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,12 +704,25 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (11.6/14.4 s vs 10.4/10.6 current on the prior host -- 25M wide
     rows pinned). Kernel form: 12.8 -> 8.7 s best-of-2 at the 100x
     replica, same host; model math and the broadcast join are
-    unchanged JVM-side, output byte-identical (oracle PASS)."""
+    unchanged JVM-side, output byte-identical (oracle PASS).
+
+    Round-14 (ADVICE r13): both kernels flush their accumulators at
+    _BIGRAM_FLUSH entries -- bounded Python-worker memory where the
+    retired JVM aggregate could spill -- and the census ships only the
+    bigram string (w1 recovered JVM-side via substring_index, halving
+    the census's Arrow bytes). Time-neutral at the 100x replica
+    (same-session both-orders best-of-2: 8.3 -> 8.05 s); outputs
+    byte-identical (parity test + oracle)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     counts = docs.select("text").mapInPandas(
-        _bigram_batch_counts, "w1 string, bg string, k long"
+        _bigram_batch_counts, "bg string, k long"
     )
-    bcnt = counts.groupBy("bg", "w1").agg(F.sum("k").alias("cb"))
+    # the prefix token is recovered JVM-side (tokens are space-free, so
+    # substring_index(bg, ' ', 1) == w1 exactly -- the same identity
+    # the oracle's split_part uses); the kernel ships only the bigram
+    bcnt = counts.groupBy("bg").agg(F.sum("k").alias("cb")).selectExpr(
+        "bg", "substring_index(bg, ' ', 1) AS w1", "cb"
+    )
     # prefix counts DERIVED from the bigram counts (sum over w1), not a
     # third corpus pass: C(w1-as-prefix) == sum of C(w1 *)
     ucnt = bcnt.groupBy("w1").agg(F.sum("cb").alias("cu"))

@@ -317,29 +317,41 @@ def test_bigram_lm_kernels_match_jvm_bigram_form(spark, sf_dir):
         .select("doc_id", "w1", F.concat_ws(" ", "w1", "w2").alias("bg"))
     )
     want_census = {
-        (r["bg"], r["w1"]): r["cb"]
-        for r in bg.groupBy("bg", "w1").agg(F.count("*").alias("cb")).collect()
+        r["bg"]: r["cb"]
+        for r in bg.groupBy("bg").agg(F.count("*").alias("cb")).collect()
     }
     got_census = {
-        (r["bg"], r["w1"]): r["cb"]
+        r["bg"]: r["cb"]
         for r in docs.select("text")
-        .mapInPandas(_bigram_batch_counts, "w1 string, bg string, k long")
-        .groupBy("bg", "w1")
+        .mapInPandas(_bigram_batch_counts, "bg string, k long")
+        .groupBy("bg")
         .agg(F.sum("k").alias("cb"))
         .collect()
     }
     assert got_census == want_census
+    # the JVM-side prefix recovery the round-14 form relies on:
+    # substring_index(bg, ' ', 1) reproduces the retired w1 column for
+    # every observed bigram (tokens are space-free by construction)
+    w1_mismatch = (
+        bg.selectExpr("bg", "w1", "substring_index(bg, ' ', 1) AS w1d")
+        .filter("w1 != w1d")
+        .count()
+    )
+    assert w1_mismatch == 0
+    import collections
+
     want_doc = {
         (r["doc_id"], r["bg"]): r["k"]
         for r in bg.groupBy("doc_id", "bg").agg(F.count("*").alias("k")).collect()
     }
-    got_doc = {
-        (r["doc_id"], r["bg"]): r["k"]
-        for r in docs.select("doc_id", "text")
+    got_doc: dict = collections.defaultdict(int)
+    for r in (
+        docs.select("doc_id", "text")
         .mapInPandas(_bigram_doc_counts, "doc_id long, bg string, k long")
         .collect()
-    }
-    assert got_doc == want_doc
+    ):
+        got_doc[(r["doc_id"], r["bg"])] += r["k"]
+    assert dict(got_doc) == want_doc
 
 
 def test_predictions_profile_invariants(spark, sf_dir):
