@@ -317,6 +317,12 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # JVM-side). Time a wash at 100x (8.3 -> 8.05 s); the change
         # is worker-memory robustness + halved census Arrow bytes.
         "bigram_lm_score",
+        # REWRITTEN: the totals leg counts added shingles as
+        # sum(size(hsh)) on the un-exploded index rows instead of
+        # re-running the whole explode subtree a second time (guide
+        # 2.4). Warm best-of-2 a wash (6.28 -> 6.11 s at 100x); cold
+        # first-run 12.5 -> 7.0 s -- one fewer corpus pass.
+        "snapshot_novelty",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -357,7 +363,7 @@ PRIORITY = [
     "hll_shingle_cardinality",
     # (d) filler from the round-10 cohort in name order -- swapped out
     #     from the TAIL first as (a) grows.
-    "added_dup_against_base", "asof_click_before_purchase",
+    "added_dup_against_base",
     # ROUND-15 QUEUE (if any; in priority order): round-15 changed code
     # first, then the round-10 cohort remainder in name order from
     # where (d) stops (corpus_quality_gate, crossdoc_ngram_share,

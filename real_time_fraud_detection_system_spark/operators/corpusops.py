@@ -1762,8 +1762,15 @@ def snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.filter(F.col("in_b") & ~F.col("in_a"))
         .select("doc_id", "source", F.explode("hsh").alias("h"))
     )
-    totals = added_sh.groupBy("source").agg(
-        F.count("*").alias("n_shingles")
+    # n_shingles = exploded instance count = sum of per-doc array sizes:
+    # size() on the un-exploded rows, so the totals leg costs one
+    # array-length pass over the added docs instead of re-running the
+    # whole explode subtree a second time (round-14, guide §2.4 --
+    # added_sh feeds only the anti-join leg now)
+    totals = (
+        sig.filter(F.col("in_b") & ~F.col("in_a"))
+        .groupBy("source")
+        .agg(F.sum(F.size("hsh")).alias("n_shingles"))
     )
     novel = (
         added_sh.join(a_set, "h", "left_anti")
