@@ -323,6 +323,20 @@ _ROUND_CHANGED_BY_ROUND: dict[int, list[str]] = {
         # 2.4). Warm best-of-2 a wash (6.28 -> 6.11 s at 100x); cold
         # first-run 12.5 -> 7.0 s -- one fewer corpus pass.
         "snapshot_novelty",
+        # REWRITTEN (ADVICE r13 #3): bstats (the bounded DSIR_B-row
+        # conditional-sum rollup) is now cache()d so the tot aggregate
+        # stops re-aggregating it from its own scan of the 16M-row
+        # checkpoint -- the r13 "4 -> 2 scans" claim was really 3;
+        # with the cache it is exactly 2 (plan-verified: two
+        # InMemoryTableScans over one shared cached relation).
+        "dsir_importance_bins",
+        # ORACLE-SQL-ONLY (ADVICE r13 #2): WHERE text IS NOT NULL added
+        # to the repetition oracle so the kernel/oracle shared
+        # null-text semantics are structural instead of resting on the
+        # catalog invariant (which a new test also pins). Engine query
+        # unchanged; re-attested because the driver's oracle text
+        # changed (the packing_budget_sweep r13 precedent).
+        "repetition_stats",
     ],
 }
 ROUND_CHANGED = _ROUND_CHANGED_BY_ROUND[ROUND]
@@ -354,7 +368,8 @@ PRIORITY = [
     "props_json_stats", "q3_shipping_priority", "salted_value_by_type",
     "segment_distinct_nations", "session_summary", "source_mixture_plan",
     "text_stats", "training_frame_det", "value_drift_psi",
-    "value_percentiles",
+    # (value_percentiles displaced to the round-15 queue as (a) grew
+    # past the (d) filler)
     # (c) family representatives for families (a)+(b)+(d) leave
     #     uncovered (tests/test_registry.py gate): layout (only
     #     layout_pruning_stats), multimodal and sketches (their
@@ -362,10 +377,12 @@ PRIORITY = [
     "layout_pruning_stats", "multimodal_resize",
     "hll_shingle_cardinality",
     # (d) filler from the round-10 cohort in name order -- swapped out
-    #     from the TAIL first as (a) grows.
-    "added_dup_against_base",
+    #     from the TAIL first as (a) grows (added_dup_against_base
+    #     displaced, then value_percentiles from the (b) tail, as the
+    #     two late round-14 entries landed).
     # ROUND-15 QUEUE (if any; in priority order): round-15 changed code
-    # first, then the round-10 cohort remainder in name order from
+    # first, then value_percentiles + added_dup_against_base (displaced
+    # here), then the round-10 cohort remainder in name order from
     # where (d) stops (corpus_quality_gate, crossdoc_ngram_share,
     # cube_region_segment, customer_blocking_er, daily_metrics, ...),
     # then r11/r12 cohorts -- recompute the exact staleness order from

@@ -56,3 +56,23 @@ def test_load_table_normalizes_ts(spark, tmp_path, ts_array):
     row = df.collect()[0]
     # session tz is UTC, so the wall-clock must be the encoded instant
     assert row["ts"] == _WANT
+
+
+def test_documents_text_never_null(spark):
+    """Fixture invariant the Arrow kernels (repetition_stats, the two
+    bigram passes) and the repetition oracle's WHERE rely on sharing:
+    the corpus never carries NULL text (ADVICE r13 -- the kernels drop
+    null-text docs like the retired explode forms, so a catalog that
+    produced one would need every consumer re-audited, and this test
+    is the tripwire)."""
+    from real_time_fraud_detection_system_spark.catalog import load_table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        import os
+
+        if not os.path.isdir(sf_dir):
+            continue
+        n = load_table(spark, sf_dir, "documents").filter(
+            "text IS NULL"
+        ).count()
+        assert n == 0, f"{sf_dir}: {n} null-text documents"
