@@ -675,7 +675,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand corpus and supersets of the LSH pairs on the fixtures).
 
     Scale shape: rides the memoized signature index (no re-shingling);
-    one h-keyed df count, one doc-keyed ranking window, then the
+    one h-keyed df window, one doc-keyed ranking window, then the
     prefix self-join -- whose per-token group sizes are SMALL BY
     CONSTRUCTION (prefixes prefer the rarest tokens; boilerplate
     shingles have high df, sort last, and rarely enter any prefix).
@@ -700,10 +700,17 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
     )
     tok = sig.select("doc_id", "n", F.explode("hsh").alias("h"))
-    dfc = tok.groupBy("h").agg(F.count("*").alias("df"))
+    # df as count(*) OVER (PARTITION BY h), not groupBy+join-back (the
+    # round-13 tfidf/_bm25_rank precedent, guide §2.4): the joined form
+    # shuffled the O(docs x shingles) token frame TWICE on h (once into
+    # the df aggregate, once into the sort-merge join against it); the
+    # window computes the identical per-h count off a single h-keyed
+    # exchange. Same-session both-orders best-of-2 at the 100x replica:
+    # 25.5 -> 14.9 s; outputs row-identical at sf0.1.
+    wdf = Window.partitionBy("h")
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     prefix = (
-        tok.join(dfc, "h")
+        tok.withColumn("df", F.count("*").over(wdf))
         .withColumn("rn", F.row_number().over(w))
         .filter(
             F.col("rn")
