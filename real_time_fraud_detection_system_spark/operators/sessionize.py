@@ -302,6 +302,10 @@ ORDER BY cohort_week, week_offset
 # --------------------------------------------------------------------------
 # Kaplan-Meier weekly survival of user activity lifetimes.
 _WEEK_US = 86_400_000_000  # one day of microseconds (day-split constant)
+# peak_concurrency's hierarchical sweep: per-day boundary points
+# sub-partition by hour so sweep parallelism is 24x the calendar-day
+# count (which is what capped the flat sweep's task count).
+_SWEEP_SUB_US = _WEEK_US // 24
 
 
 def survival_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,14 +435,21 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical sequence. busiest_us is the FIRST instant the day hits
     its peak.
 
-    Scale: the sweep partitions by day -- embarrassing parallelism
-    across the calendar, one sort per day of O(sessions-that-day)
-    boundary points (never raw events: the session rollup happens on
-    the user-keyed shuffle first). At 100 TB / years of data that is
-    thousands of independent partitions; a single hot day degrades to
-    one sorted partition of its own sessions, and the hierarchical
-    refinement (per-hour partial sums + a 24-row prefix) slots in
-    without changing semantics."""
+    Scale: the sweep is HIERARCHICAL (round-14, guide §2.2): boundary
+    points partition by (day, hour-of-day) -- 24x the parallelism of
+    the per-day sweep, whose task count was capped at the number of
+    calendar days (measured: 30 tasks on 32 cores at the 100x replica,
+    the whole residual cost of the query) -- each sub-bucket computes
+    its own running sum, and an O(days x 24) prefix over per-bucket
+    delta totals restores the day-global concurrency exactly:
+    conc(row) = in-bucket running sum + exclusive prefix of prior
+    buckets' net delta, since buckets tile the day in time order.
+    Peak and first-peak-instant fold per bucket first (max struct),
+    then across buckets with the same lexicographic trick, so every
+    per-row quantity the flat sweep computed is reproduced bit-exact
+    (row-identical at sf0.01/sf0.1/100x; 8.3 -> 4.7 s both-orders
+    best-of-2 at 100x). At 100 TB a hot day degrades to 24 sorted
+    sub-partitions instead of one."""
     sess = (
         sessionized(spark, sf_dir)
         .groupBy("user_id", "session_seq")
@@ -476,30 +487,63 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "named_struct('t_us', f_us + 1, 'delta', -1))) AS p",
         "user_id",
         "session_seq",
-    ).selectExpr("d", "p.t_us AS t_us", "p.delta AS delta", "user_id",
-                 "session_seq")
-    w = (
-        Window.partitionBy("d")
+    ).selectExpr(
+        "d", "p.t_us AS t_us", "p.delta AS delta", "user_id", "session_seq",
+        # sub-bucket key: the global hour index is monotone in t_us and
+        # constant across t_us ties, so concatenating (d, g) groups in
+        # g order replays the day's boundary sequence exactly.  (The
+        # -1 point at t = (d+1)*day lands in the NEXT day's first hour
+        # index -- harmless: it still carries this row's d, and only
+        # the within-d ORDER of g matters.)
+        f"p.t_us DIV {_SWEEP_SUB_US} AS g",
+    )
+    wsub = (
+        Window.partitionBy("d", "g")
         .orderBy("t_us", "delta", "user_id", "session_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Per-sub-bucket running sum; the day-global concurrency of every
+    # row is rs + (net delta of all PRIOR buckets that day), restored
+    # below by an exclusive prefix over the O(days x 24) rollup.
+    run = pts.withColumn("rs", F.sum("delta").over(wsub))
     # The busiest instant needs only ONE aggregate pass, not a
     # whole-partition max() window feeding a conc = peak filter:
-    # max(struct(conc, -t_us)) is lexicographically (max conc, then
-    # min t_us among rows at that conc) -- exactly "the FIRST instant
-    # the day hits its peak", with no second buffered Window pass over
-    # the O(boundary points) frame (round-13 optimization, guide §2.4;
-    # the window version re-buffered every day's points just to stamp
-    # a constant on each row).
-    run = pts.withColumn("conc", F.sum("delta").over(w))
+    # max(struct(rs, -t_us)) is lexicographically (max rs, then min
+    # t_us among rows at that rs) -- within a bucket conc = rs + const,
+    # so this IS the first instant the bucket hits its own peak
+    # (round-13 optimization, guide §2.4; the window version
+    # re-buffered every day's points just to stamp a constant on each
+    # row). This groupBy rides the (d, g) window partitioning -- no
+    # extra exchange.
+    bkt = run.groupBy("d", "g").agg(
+        F.sum("delta").alias("s"),
+        F.expr("sum(CASE WHEN delta = 1 THEN 1L ELSE 0L END)").alias(
+            "n_starts"
+        ),
+        F.max(F.struct(F.col("rs"), (-F.col("t_us")).alias("neg_t")))
+        .alias("mx"),
+    )
+    wpre = (
+        Window.partitionBy("d")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Day rollup over <= 25 bucket rows per day: bucket peak + prefix
+    # offset is the day-global conc at that bucket's peak instant; the
+    # same max(struct(conc, -t)) trick then picks the day peak and,
+    # across tied buckets (disjoint, time-ordered), its earliest
+    # instant -- bit-exact vs the flat per-day sweep.
     return (
-        run.groupBy("d")
+        bkt.withColumn("p", F.coalesce(F.sum("s").over(wpre), F.lit(0)))
+        .groupBy("d")
         .agg(
-            F.expr("sum(CASE WHEN delta = 1 THEN 1L ELSE 0L END)").alias(
-                "n_intervals"
-            ),
-            F.max(F.struct(F.col("conc"), (-F.col("t_us")).alias("neg_t")))
-            .alias("mx"),
+            F.sum("n_starts").alias("n_intervals"),
+            F.max(
+                F.struct(
+                    (F.col("mx.rs") + F.col("p")).alias("conc"),
+                    F.col("mx.neg_t").alias("neg_t"),
+                )
+            ).alias("mx"),
         )
         .selectExpr(
             "d",
