@@ -1066,11 +1066,11 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer floor division in BOTH engines, so scores are exactly
     reproducible (no doubles anywhere).
 
-    Scale shape: the weighted edge list aggregates once (one shuffle)
-    and is cached across iterations, partitioned by the PER-ROUND
-    AGGREGATE's key (dst). Each of the {PR_ITERS} rounds is then ONE
-    exchange-free stage when the O(nodes) scores frame fits a
-    broadcast (node count measured, PR_BCAST_MAX_NODES): an explicit
+    Scale shape: the symmetric edge list caches ONCE, partitioned by
+    the PER-ROUND AGGREGATE's key (dst) and carrying only
+    (src, dst, w). Each of the {PR_ITERS} rounds is then ONE
+    exchange-free stage when the O(nodes) frame fits a broadcast
+    (node count measured, PR_BCAST_MAX_NODES): an explicit
     BroadcastHashJoin streams the cached edge partitions -- which
     KEEPS their dst hash-partitioning -- straight into the dst
     aggregate, so neither the edge table nor the scores frame shuffles
@@ -1079,14 +1079,22 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange"; the scores RDD carries no stats after localCheckpoint,
     so without the explicit hint the planner fell to sort-merge at
     scale AND re-shuffled every round's aggregate: 2 exchanges + 2
-    sorts per round -> 0). Beyond the broadcast bound the rounds fall
-    back to the prior sort-merge form over a src-partitioned sorted
-    cache. Undirected edges mean no dangling-mass correction term is
-    needed. Measured at the 100x replica (broadcast branch),
-    same-session both-orders best-of-2: 30.8 -> 18.9 s, 1.63x (the
-    host band swings 1.5-2x between sessions -- a separate earlier
-    session read 19.0 s for the old form; the same-session A/B is the
-    trusted ratio). Plan evidence:
+    sorts per round -> 0). Second pass (guide §2.2 "shuffle fewer
+    bytes"): the per-src normalizer moved OFF the edge cache onto the
+    round's O(nodes) side -- q(src) = score div wsum computes on the
+    scores x wout join (nodes rows, not edge rows) and broadcasts as
+    (src, q), so the build no longer pays the edges-x-wout join + its
+    extra full-edge shuffle, the cache drops the wsum column (25%
+    narrower rows scanned every round), and the node set falls out of
+    wout's keys instead of a separate 117M-row distinct. Beyond the
+    broadcast bound the rounds fall back to the prior sort-merge form
+    over a src-partitioned sorted cache. Undirected edges mean no
+    dangling-mass correction term is needed. Measured at the 100x
+    replica (broadcast branch), same-session both-orders best-of-2:
+    30.8 -> 18.9 s for the broadcast rewrite, then 41.0 -> 25.7 s for
+    the q-side pass (1.6x, contended session -- the same-session A/B
+    is the trusted ratio; solo best-of-2 read 10.5 s before the
+    second pass). Plan evidence:
     plans/r14/supplier_pagerank_iter_{{before,after}}.txt."""
     fwd = _trade_fwd(spark, sf_dir)
     edges = fwd.unionByName(
@@ -1094,64 +1102,67 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    wout = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
-    # node set straight off the symmetric edge list (identical to the
-    # old ew.src distinct: the wsum inner join preserves every edge
-    # row, wout covering every src by construction); localCheckpoint,
-    # not cache, so nodes does not share ew's lineage
-    nodes = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # wout doubles as the node set: its keys are exactly distinct src
+    # (= all nodes, the edge list being symmetric), which retires the
+    # old separate 117M-row edges.distinct() pass. localCheckpoint,
+    # not cache, so the per-round q join does not share ew's lineage.
+    wout = (
+        edges.groupBy("src").agg(F.sum("w").alias("wsum")).localCheckpoint()
     )
-    n = nodes.count()
+    n = wout.count()
     bcast = n <= PR_BCAST_MAX_NODES
     if bcast:
         # broadcast rounds: cache keyed on the AGGREGATE key; no sort
-        # (neither the hash join nor the hash aggregate wants one)
-        ew = edges.join(wout, "src").repartition("dst").cache()
+        # (neither the hash join nor the hash aggregate wants one).
+        # Only (src, dst, w): wsum lives on the O(nodes) side now, so
+        # the old edges-join-wout build (a full-edge join + one more
+        # full-edge shuffle) is gone and every round scans 25%
+        # narrower cached rows.
+        ew = edges.repartition("dst").cache()
     else:
         # sort-merge rounds: cache partitioned AND sorted on the join
         # key, so the per-round join re-sorts only the O(nodes) side
-        ew = (
-            edges.join(wout, "src")
-            .repartition("src")
-            .sortWithinPartitions("src")
-            .cache()
-        )
+        ew = edges.repartition("src").sortWithinPartitions("src").cache()
     base = (PR_SCALE * 15 // 100) // n
-    scores = nodes.select("node", F.lit(PR_SCALE // n).alias("score"))
+    scores = wout.select("src", F.lit(PR_SCALE // n).alias("score"))
     for _ in range(PR_ITERS):
         # localCheckpoint each round: breaks the self-lineage column
         # ambiguity (scores derives from ew) AND keeps the plan depth
         # constant instead of growing per iteration -- the standard
         # iterative-Spark discipline; the node-score frame is O(nodes)
-        # rows, tiny relative to the edge table at any scale
-        rhs = F.broadcast(scores) if bcast else scores
+        # rows, tiny relative to the edge table at any scale.
+        # q(src) = score div wsum computes HERE, on the O(nodes) join,
+        # instead of once per edge row against a cached wsum column --
+        # identical integer math (per-src constant), ~73x fewer divs
+        # at the 100x replica (1.6M nodes vs 117M edge rows).
+        q = scores.join(wout, "src").select(
+            "src", F.expr("score div wsum").alias("q")
+        )
+        rhs = F.broadcast(q) if bcast else q
         contrib = (
-            ew.join(rhs, ew.src == rhs.node)
-            .select(
-                F.col("dst"),
-                (F.expr("score div wsum") * F.col("w")).alias("c"),
-            )
+            ew.join(rhs, "src")
+            .select(F.col("dst"), (F.col("q") * F.col("w")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
         )
         # NO per-round nodes left-join (round-13 optimization, guide
         # §2.4 "remove shuffles outright"): the edge table is SYMMETRIC
-        # (fwd union reversed-fwd), so every node in `nodes` (= distinct
-        # src) also appears as a dst, and `scores` always covers all
-        # nodes -- contrib's groupBy(dst) therefore emits EXACTLY the
-        # node set every round, the old left join matched every row,
-        # and its coalesce(mass, 0) never fired. Dropping it removes
-        # one O(nodes) exchange + join per iteration; the oracle's
-        # LEFT JOIN form pins the fixpoint if the symmetry ever broke.
+        # (fwd union reversed-fwd), so every node (= distinct src, =
+        # wout's keys) also appears as a dst, and `scores` always
+        # covers all nodes -- contrib's groupBy(dst) therefore emits
+        # EXACTLY the node set every round, the old left join matched
+        # every row, and its coalesce(mass, 0) never fired. The
+        # oracle's LEFT JOIN form pins the fixpoint if the symmetry
+        # ever broke.
         scores = contrib.select(
-            F.col("dst").alias("node"),
+            F.col("dst").alias("src"),
             (
                 F.lit(base) + F.expr("mass * 85 div 100")
             ).alias("score"),
         ).localCheckpoint()
     out = (
-        scores.orderBy(F.desc("score"), F.asc("node"))
+        scores.select(F.col("src").alias("node"), "score")
+        .orderBy(F.desc("score"), F.asc("node"))
         .limit(PR_TOPK)
         .selectExpr(
             "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END"
